@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media
+  * payloads ride as opaque `binary` columns with a typed metadata
+  * struct; decode / feature-extract run per-partition in batches.
+  *
+  * The actual media decode is STUBBED (image/audio codecs are not in
+  * this container): `decodeStub` produces a deterministic fake
+  * "decoded frame" from the payload bytes. Everything around it —
+  * schema, partition-parallel batch iteration, fixed-width feature
+  * output — is the real Spark plumbing a codec-backed decoder would
+  * drop into.
+  *
+  * Scale notes: records are processed with mapPartitions so a real
+  * decoder can amortize per-batch init (model load, codec context)
+  * across a partition; payloads never pass through the driver; the
+  * output schema is fixed-width so downstream ANN / dedup operators
+  * (VectorOps) consume it directly.
+  */
+object Multimodal {
+
+  case class MediaMeta(modality: String, width: Int, height: Int, sampleRateHz: Int)
+  case class MediaRecord(id: Long, meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeatures(id: Long, modality: String, nBytes: Long, checksum: Long,
+                           features: Array[Float])
+
+  val FeatureDim = 8
+
+  /** Deterministic fake decode: rolling FNV-1a over payload bytes,
+    * folded into FeatureDim buckets. A real implementation would
+    * decode pixels/samples here — same signature, same batch shape.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](FeatureDim)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
+      acc(i % FeatureDim) += (h >>> 40)
+      i += 1
+    }
+    val n = math.max(payload.length, 1)
+    acc.map(v => (v.toDouble / n / (1L << 24)).toFloat)
+  }
+
+  def checksum(payload: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Attach a media payload + metadata to the documents table (the
+    * container has no real media files; text bytes stand in for the
+    * payload, which is exactly how an opaque blob column behaves).
+    */
+  def asMediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        "doc_id AS id",
+        "named_struct('modality', IF(doc_id % 3 = 0, 'image', IF(doc_id % 3 = 1, 'audio', 'video'))," +
+          " 'width', CAST(64 + (doc_id % 8) * 32 AS INT)," +
+          " 'height', CAST(64 + (doc_id % 5) * 32 AS INT)," +
+          " 'sampleRateHz', CAST(IF(doc_id % 3 = 1, 16000, 0) AS INT)) AS meta",
+        "CAST(text AS BINARY) AS payload")
+      .as[MediaRecord]
+  }
+
+  /** Partition-parallel batch feature extraction (the `mapInPandas`
+    * analogue in Scala: one iterator per partition, decoder state
+    * initialized once per partition).
+    */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition init point for a real decoder/codec context
+      it.map { r =>
+        MediaFeatures(r.id, r.meta.modality, r.payload.length.toLong,
+          checksum(r.payload), decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** Full pipeline as a DataFrame (used by SparkEntry + tests). */
+  def pipeline(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(asMediaRecords(spark, dir))
+      .toDF()
+      .select(col("id"), col("modality"), col("nBytes").as("n_bytes"),
+        col("checksum"), col("features"))
+      .orderBy(col("id"))
+}

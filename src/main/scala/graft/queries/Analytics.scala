@@ -1,0 +1,357 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytics beyond the reference's surface (SURVEY §2.6 gaps — all
+  * native Spark): joins (broadcast / shuffle / semi / anti / outer),
+  * GROUP BY + ROLLUP/CUBE, ORDER BY/LIMIT, top-k per group, window
+  * functions, set ops, event-time windowing and sessionization.
+  *
+  * Scale notes (100 TB thinking):
+  *  - Dimension joins (region/nation/supplier) are broadcast — no
+  *    shuffle of the fact table.
+  *  - Fact-fact joins shuffle on the join key only after filters and
+  *    projections are pushed to the scan.
+  *  - All sums go through DECIMAL for exact, order-independent
+  *    aggregation (see Q.scala); partial aggregation (map-side
+  *    combine) stays enabled.
+  */
+object Analytics {
+
+  private val dec  = DecimalType(18, 2)
+  private val dec6 = DecimalType(18, 6)
+
+  val all: Map[String, Q] = Map(
+
+    // ---- joins ------------------------------------------------------------
+    // customer ⋈ nation ⋈ region: both dims broadcast; one shuffle for the
+    // final group-by only.
+    "q_join_bcast_dims" -> Q(
+      """SELECT r_name, n_name, count(*) AS n_cust,
+                sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""") { (s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(col("c_acctbal").cast(dec)).as("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // fact ⋈ fact on the natural key; revenue folded exactly in decimal.
+    "q_join_fact" -> Q(
+      """SELECT o_orderpriority,
+                count(*) AS n_lines,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""") { (s, d) =>
+      val rev = col("l_extendedprice").cast(dec) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), sum(rev).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q_join_semi" -> Q(
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""") { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    },
+
+    "q_join_anti" -> Q(
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""") { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    },
+
+    "q_join_outer" -> Q(
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""") { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- group by / rollup / cube ----------------------------------------
+    // TPC-H Q1 shape: the flagship aggregation.
+    "q_groupby_q1" -> Q(
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+                count(*) AS count_order
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
+      val qty   = col("l_quantity").cast(dec)
+      val price = col("l_extendedprice").cast(dec)
+      val disc  = lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).as("sum_qty"),
+          sum(price).as("sum_base"),
+          sum(price * disc).as("sum_disc_price"),
+          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "q_rollup" -> Q(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    "q_cube" -> Q(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- order by / limit / top-k ----------------------------------------
+    "q_orderby_limit" -> Q(
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""") { (s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)
+    },
+
+    "q_topk_per_group" -> Q(
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // ---- distinct / set ops ----------------------------------------------
+    "q_distinct" -> Q(
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         ORDER BY o_orderstatus, o_orderpriority""") { (s, d) =>
+      t(s, d, "orders").select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct().orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+
+    "q_setop_intersect" -> Q(
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""") { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))
+    },
+
+    "q_setop_except" -> Q(
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""") { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))
+    },
+
+    "q_union_all" -> Q(
+      """SELECT nk, count(*) AS n FROM (
+           SELECT c_nationkey AS nk FROM customer
+           UNION ALL SELECT s_nationkey AS nk FROM supplier)
+         GROUP BY nk ORDER BY nk""") { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .unionByName(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nk"))
+    },
+
+    // ---- window functions -------------------------------------------------
+    "q_window_rank" -> Q(
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+                  row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey) AS rnk
+           FROM part) WHERE rnk <= 5
+         ORDER BY p_brand, rnk""") { (s, d) =>
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, d, "part")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rnk"))
+        .orderBy(col("p_brand"), col("rnk"))
+    },
+
+    // running (cumulative) sum — exact via decimal accumulation.
+    "q_window_running" -> Q(
+      """SELECT o_custkey, o_orderkey,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+         FROM orders
+         ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec)).over(w).as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    "q_window_lag" -> Q(
+      """SELECT o_custkey, o_orderkey,
+                CAST(o_totalprice AS DECIMAL(18,2)) -
+                lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_prev
+         FROM orders ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val p = col("o_totalprice").cast(dec)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (p - lag(p, 1).over(w)).as("delta_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- scalar expression surface ----------------------------------------
+    "q_case_expr" -> Q(
+      """SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'
+                     WHEN o_totalprice < 300000.0 THEN 'mid'
+                     ELSE 'high' END AS bucket,
+                count(*) AS n,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY bucket""") { (s, d) =>
+      val bucket = when(col("o_totalprice") < 100000.0, "low")
+        .when(col("o_totalprice") < 300000.0, "mid")
+        .otherwise("high").as("bucket")
+      t(s, d, "orders")
+        .groupBy(bucket)
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(dec)).as("sum_price"))
+        .orderBy(col("bucket"))
+    },
+
+    "q_string_funcs" -> Q(
+      """SELECT c_custkey, upper(c_name) AS name_u, CAST(length(c_name) AS INT) AS name_len,
+                substr(c_name, 1, 8) AS name_pre, concat(c_mktsegment, '#', c_name) AS tagged
+         FROM customer ORDER BY c_custkey""") { (s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_u"),
+        length(col("c_name")).cast("int").as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_pre"),
+        concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_date_funcs" -> Q(
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+                count(*) AS n
+         FROM orders GROUP BY 1, 2 ORDER BY y, m""") { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+                 month(col("o_orderdate")).cast("int").as("m"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("y"), col("m"))
+    },
+
+    // ---- statistics: exact-moments stddev + interpolated median ----------
+    // stddev derived from exact decimal moments so both engines run the
+    // same IEEE arithmetic on identical inputs (no algorithm drift).
+    "q_stats" -> Q(
+      """SELECT n, round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_price,
+                round(med, 4) AS median_price
+         FROM (SELECT count(*) AS n,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+                               CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+                      quantile_cont(o_totalprice, 0.5) AS med
+               FROM orders)""") { (s, d) =>
+      val p = col("o_totalprice").cast(dec)
+      t(s, d, "orders")
+        .agg(count(lit(1)).as("n"),
+             sum(p).cast("double").as("s1"),
+             sum(p * p).cast("double").as("s2"),
+             expr("percentile(o_totalprice, 0.5)").as("med"))
+        .select(col("n"),
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
+            .as("stddev_price"),
+          round(col("med"), 4).as("median_price"))
+    },
+
+    // ---- event-time windows (streaming-shaped, batch-checked) -------------
+    "q_event_window" -> Q(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+                event_type, count(*) AS n,
+                sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""") { (s, d) =>
+      t(s, d, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec6)).as("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
+    // sessionization: 30-minute inactivity gap, per user.
+    "q_sessionize" -> Q(
+      """SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions FROM (
+           SELECT user_id,
+                  CASE WHEN prev_ts IS NULL
+                            OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, ts,
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                 FROM events))
+         GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+               expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800000000L, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }
+  )
+}
