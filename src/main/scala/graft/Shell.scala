@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.{Engine, ResultSet}
+
+/** Interactive SQL shell — the reference's REPL surface
+  * (SQLLayer/sql_shell.cpp:79-152): statements accumulate until ';',
+  * meta-commands `\q` (quit), `\s` (show tables), `\d <t>` (describe),
+  * ASCII-table output with a `N row(s) in set (X ms)` trailer.
+  */
+object Shell {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val engine = new Engine(spark)
+    println("graft SQL shell — \\q to quit, \\s show tables, \\d <table> describe")
+    val in = scala.io.Source.stdin.getLines()
+    val buf = new StringBuilder
+    var done = false
+    print("sql> "); Console.out.flush()
+    while (!done && in.hasNext) {
+      val line = in.next().trim
+      if (line.startsWith("\\")) {
+        line.split("\\s+").toList match {
+          case "\\q" :: _          => done = true
+          case "\\s" :: _          => render(engine.sql("SHOW TABLES"), 0L)
+          case "\\d" :: t :: _     => render(engine.sql(s"DESCRIBE $t"), 0L)
+          case other               => println(s"unknown meta-command: ${other.mkString(" ")}")
+        }
+        if (!done) { print("sql> "); Console.out.flush() }
+      } else {
+        buf.append(line).append(' ')
+        if (line.endsWith(";")) {
+          val stmt = buf.toString.trim.stripSuffix(";")
+          buf.clear()
+          val t0 = System.nanoTime()
+          val rs = engine.sql(stmt)
+          render(rs, (System.nanoTime() - t0) / 1000000L)
+          print("sql> "); Console.out.flush()
+        }
+      }
+    }
+    spark.stop()
+  }
+
+  private def render(rs: ResultSet, ms: Long): Unit = {
+    if (!rs.ok) { println(s"ERROR: ${rs.error}"); return }
+    if (rs.headers.nonEmpty) {
+      val widths = rs.headers.indices.map { i =>
+        (rs.headers(i).length +: rs.rows.map(_(i).length)).max
+      }
+      def line(cells: Vector[String]): String =
+        cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("| ", " | ", " |")
+      val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
+      println(sep); println(line(rs.headers)); println(sep)
+      rs.rows.foreach(r => println(line(r)))
+      println(sep)
+      println(s"${rs.rowCount} row(s) in set ($ms ms)")
+    } else println(s"OK, ${rs.rowsAffected} row(s) affected ($ms ms)")
+  }
+}

@@ -1,0 +1,475 @@
+package graft.engine
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sqlfront.{Literal, Parser, Pred, SelectItem, Stmt}
+
+/** The HTAP engine: a thin OLTP surface (catalog + driver-side hot
+  * store, mutated without launching Spark jobs) over a Spark-native
+  * OLAP surface (every read is a DataFrame over the snapshot).
+  *
+  * Maps the reference architecture (SURVEY §0) onto Spark:
+  *  - memtable/skiplist  → HotStore: LWW map + append-only version log
+  *    (reference includes/memtable.hpp, skiplist.hpp)
+  *  - WAL → version log replay (durability lands with the delta log)
+  *  - SSTables/levels    → cold Parquet tier dirs
+  *  - seq-resolved merge → unionByName + window dedup on (pk, seq)
+  *    (reference includes/range_query_executor.hpp:38-179)
+  *
+  * Write statements are O(rows-touched) driver-side — the reference's
+  * µs-scale OLTP path has no Spark-job analogue and must not pay one
+  * (SURVEY §7.3 risk 1). Analytical reads go through Catalyst.
+  */
+final class Engine(val spark: SparkSession) {
+
+  private val catalog = mutable.LinkedHashMap.empty[String, TableMeta]
+  private val stores  = mutable.HashMap.empty[String, HotStore]
+  private val seqGen  = new AtomicLong(0L)
+
+  /** Hot store: last-writer-wins map for reads + full version log
+    * (kept for flush/compaction and snapshot-dedup tests).
+    */
+  final class HotStore(val meta: TableMeta) {
+    val latest = mutable.LinkedHashMap.empty[Any, RowVersion]
+    val log    = mutable.ArrayBuffer.empty[RowVersion]
+    var coldDirs: Vector[String] = Vector.empty
+
+    def put(values: Array[Any], tombstone: Boolean = false): Long = {
+      val seq = seqGen.incrementAndGet()
+      val rv = RowVersion(seq, tombstone, values)
+      this.synchronized {
+        log += rv
+        latest(values(meta.pkIndex)) = rv
+      }
+      seq
+    }
+    def liveRows: Vector[RowVersion] =
+      this.synchronized { latest.values.filterNot(_.tombstone).toVector }
+    def get(pk: Any): Option[RowVersion] =
+      this.synchronized { latest.get(pk) }
+  }
+
+  // -------------------------------------------------------------------------
+  // public API (reference StorageEngine/QueryExecutor surface, SURVEY §3.3)
+  // -------------------------------------------------------------------------
+
+  def sql(statement: String): ResultSet =
+    try exec(Parser.parse(statement))
+    catch {
+      case e: Parser.ParseException => ResultSet.err(e.msg)
+      case e: EngineException       => ResultSet.err(e.getMessage)
+    }
+
+  def tableNames: Vector[String] = this.synchronized { catalog.keys.toVector }
+
+  def meta(table: String): Option[TableMeta] =
+    this.synchronized { catalog.get(table.toLowerCase) }
+
+  /** The snapshot: what analytics sees — always includes the latest
+    * un-flushed writes (the HTAP freshness contract, SURVEY §0b).
+    */
+  def snapshot(table: String): DataFrame = {
+    val store = storeOf(table)
+    val m = store.meta
+    val hotRows = store.liveRows.map(rv => Row.fromSeq(rv.values.toIndexedSeq))
+    val hot = spark.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), m.schema)
+    if (store.coldDirs.isEmpty) hot
+    else {
+      // hot versions shadow cold: union with seq, LWW window dedup,
+      // drop tombstones — the reference's multi-layer merge (C4).
+      val hotV = {
+        val rows = store.synchronized {
+          store.latest.values.map(rv =>
+            Row.fromSeq(rv.values.toIndexedSeq :+ rv.seq :+ rv.tombstone)).toVector
+        }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), versionedSchema(m))
+      }
+      val cold = store.coldDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      val w = Window.partitionBy(col(m.pk)).orderBy(col("__seq").desc)
+      hotV.unionByName(cold)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col("__tombstone"))
+        .select(m.cols.map(c => col(c.name)): _*)
+    }
+  }
+
+  private[graft] def versionedSchema(m: TableMeta) =
+    org.apache.spark.sql.types.StructType(
+      m.schema.fields :+
+        org.apache.spark.sql.types.StructField("__seq", org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("__tombstone", org.apache.spark.sql.types.BooleanType, nullable = false))
+
+  private[graft] def storeOf(table: String): HotStore =
+    this.synchronized {
+      stores.getOrElse(table.toLowerCase,
+        throw new EngineException(s"Table '$table' does not exist"))
+    }
+
+  // -------------------------------------------------------------------------
+  // statement execution
+  // -------------------------------------------------------------------------
+
+  private def exec(stmt: Stmt): ResultSet = stmt match {
+    case c: Stmt.CreateTable => execCreate(c)
+    case Stmt.DropTable(t)   => execDrop(t)
+    case i: Stmt.Insert      => execInsert(i)
+    case s: Stmt.Select      => execSelect(s)
+    case u: Stmt.Update      => execUpdate(u)
+    case del: Stmt.Delete    => execDelete(del)
+    case Stmt.ShowTables =>
+      ResultSet(ok = true, Vector("Tables"), tableNames.map(Vector(_)))
+    case Stmt.Explain(sel)   => execExplain(sel)
+    case Stmt.Describe(t)    => execDescribe(t)
+  }
+
+  private def execCreate(c: Stmt.CreateTable): ResultSet = this.synchronized {
+    val key = c.table.toLowerCase
+    if (catalog.contains(key))
+      return ResultSet.err(s"Table '${c.table}' already exists")
+    val cols = c.cols.map { spec =>
+      val tpe = ColType.fromSql(spec.sqlType).getOrElse(
+        return ResultSet.err(s"Unsupported column type '${spec.sqlType}'"))
+      ColumnDef(spec.name, tpe, spec.notNull || spec.primaryKey)
+    }
+    if (cols.map(_.name.toLowerCase).distinct.size != cols.size)
+      return ResultSet.err("Duplicate column name")
+    // PK: explicit PRIMARY KEY, else first NOT NULL, else first column
+    // (reference query_executor.cpp:326-345)
+    val pk = c.cols.find(_.primaryKey).map(_.name)
+      .orElse(c.cols.find(_.notNull).map(_.name))
+      .getOrElse(c.cols.head.name)
+    val m = TableMeta(key, cols, pk)
+    catalog(key) = m
+    stores(key) = new HotStore(m)
+    ResultSet.affected(0L)
+  }
+
+  private def execDrop(table: String): ResultSet = this.synchronized {
+    val key = table.toLowerCase
+    if (!catalog.contains(key))
+      return ResultSet.err(s"Table '$table' does not exist")
+    // unlike the reference (which leaves orphan rows, SURVEY §4.3.7)
+    // we actually drop the data.
+    catalog.remove(key)
+    stores.remove(key)
+    ResultSet.affected(0L)
+  }
+
+  private def execInsert(i: Stmt.Insert): ResultSet = {
+    val store = storeOf(i.table)
+    val m = store.meta
+    val targetCols: Vector[Int] = i.cols match {
+      case Some(names) =>
+        names.map(n => m.colIndex.getOrElse(n,
+          return ResultSet.err(s"Column '$n' does not exist in table '${i.table}'")))
+      case None => m.cols.indices.toVector
+    }
+    if (targetCols.size != i.values.size)
+      return ResultSet.err(
+        s"Column count mismatch: expected ${targetCols.size}, got ${i.values.size}")
+    val values = new Array[Any](m.cols.size)
+    targetCols.zip(i.values).foreach { case (idx, lit) =>
+      values(idx) = coerce(lit, m.cols(idx)) match {
+        case Right(v)  => v
+        case Left(msg) => return ResultSet.err(msg)
+      }
+    }
+    m.cols.zipWithIndex.foreach { case (cd, idx) =>
+      if (values(idx) == null && (cd.notNull || cd.name == m.pk))
+        return ResultSet.err(s"Column '${cd.name}' cannot be NULL")
+    }
+    store.put(values)   // upsert: same PK overwrites (skiplist.hpp:170-186)
+    ResultSet.affected(1L)
+  }
+
+  /** literal → typed value per the reference's type-check rules
+    * (row_codec.hpp:215-251): ints into int cols, int-or-float into
+    * float cols, strings into string cols, true/false/1/0 into bool.
+    */
+  private def coerce(lit: Literal, cd: ColumnDef): Either[String, Any] = {
+    def mismatch = Left(s"Type mismatch for column '${cd.name}'")
+    lit match {
+      case Literal.NullLit => Right(null)
+      case Literal.IntLit(v) => cd.tpe match {
+        case ColType.I64 | ColType.Ts => Right(v)
+        case ColType.I32 =>
+          if (v >= Int.MinValue && v <= Int.MaxValue) Right(v.toInt) else mismatch
+        case ColType.F64  => Right(v.toDouble)
+        case ColType.F32  => Right(v.toFloat)
+        case ColType.Bool => if (v == 0L || v == 1L) Right(v == 1L) else mismatch
+        case _            => mismatch
+      }
+      case Literal.FloatLit(v) => cd.tpe match {
+        case ColType.F64 => Right(v)
+        case ColType.F32 => Right(v.toFloat)
+        case _           => mismatch
+      }
+      case Literal.StrLit(v) => cd.tpe match {
+        case ColType.Str   => Right(v)
+        case ColType.Bytes => Right(v.getBytes("UTF-8"))
+        case _             => mismatch
+      }
+      case Literal.BoolLit(v) =>
+        if (cd.tpe == ColType.Bool) Right(v) else mismatch
+    }
+  }
+
+  // ---- SELECT --------------------------------------------------------------
+
+  private def execSelect(s: Stmt.Select): ResultSet = {
+    val store = storeOf(s.table)
+    val m = store.meta
+    // validate plain column refs
+    s.items.foreach {
+      case SelectItem.Col(n) if !m.colIndex.contains(n) =>
+        return ResultSet.err(s"Column '$n' does not exist in table '${s.table}'")
+      case SelectItem.Agg(_, Some(c)) if !m.colIndex.contains(c) =>
+        return ResultSet.err(s"Column '$c' does not exist in table '${s.table}'")
+      case _ => ()
+    }
+    val agg = s.items.collectFirst { case a: SelectItem.Agg => a }
+    agg match {
+      case Some(a) => execAggregate(store, a, s.where)
+      case None =>
+        // driver-side point-lookup fast path: top-level `pk = lit` on a
+        // fully-hot table (reference C1, query_executor.cpp:603-624 —
+        // top-level only; AND-nested pk= goes to the scan path)
+        pointLookupKey(store, s.where) match {
+          case Some(pk) if store.coldDirs.isEmpty =>
+            val cols = projection(m, s.items)
+            val rows = store.get(pk).filterNot(_.tombstone).toVector
+              .map(rv => cols.map(i => fmt(rv.values(i), m.cols(i).tpe)))
+            ResultSet(ok = true, cols.map(m.cols(_).name), rows)
+          case _ =>
+            val cols = projection(m, s.items)
+            val df0 = snapshot(s.table)
+            val df = s.where.map(p => df0.filter(predToColumn(m, p))).getOrElse(df0)
+              .select(cols.map(i => col(m.cols(i).name)): _*)
+            val rows = df.collect().toVector.map { r =>
+              cols.indices.toVector.map(i =>
+                fmt(r.get(i), m.cols(cols(i)).tpe))
+            }
+            ResultSet(ok = true, cols.map(m.cols(_).name), rows)
+        }
+    }
+  }
+
+  private def projection(m: TableMeta, items: Vector[SelectItem]): Vector[Int] = {
+    val idx = items.flatMap {
+      case SelectItem.Star   => m.cols.indices
+      case SelectItem.Col(n) => Vector(m.colIndex(n))
+      case _: SelectItem.Agg => Vector.empty
+    }
+    if (idx.isEmpty) m.cols.indices.toVector else idx
+  }
+
+  private def pointLookupKey(store: HotStore, where: Option[Pred]): Option[Any] =
+    where match {
+      case Some(Pred.Cmp(c, "=", lit)) if c.equalsIgnoreCase(store.meta.pk) =>
+        coerce(lit, store.meta.cols(store.meta.pkIndex)).toOption
+      case _ => None
+    }
+
+  /** Aggregates with the reference quirks (SURVEY §4.3): COUNT(col)
+    * counts all rows; AVG = SUM/COUNT(*); empty set ⇒ 0.
+    */
+  private def execAggregate(store: HotStore, a: SelectItem.Agg,
+                            where: Option[Pred]): ResultSet = {
+    val m = store.meta
+    val df0 = snapshot(m.name)
+    val df = where.map(p => df0.filter(predToColumn(m, p))).getOrElse(df0)
+    val header = a.col match {
+      case Some(c) => s"${a.fn}($c)"
+      case None    => s"${a.fn}(*)"
+    }
+    val numeric: Option[Column] = a.col.map { c =>
+      m.cols(m.colIndex(c)).tpe match {
+        case ColType.I64 | ColType.I32 | ColType.F64 | ColType.F32 | ColType.Ts =>
+          col(c).cast("double")
+        case _ => lit(null).cast("double")  // non-numeric: every value "skipped"
+      }
+    }
+    val resultCol: Column = a.fn match {
+      case "COUNT" => count(lit(1)).cast("double")
+      case "SUM"   => coalesce(sum(numeric.get), lit(0.0))
+      case "AVG"   => coalesce(sum(numeric.get) / count(lit(1)), lit(0.0))
+      case "MIN"   => coalesce(min(numeric.get), lit(0.0))
+      case "MAX"   => coalesce(max(numeric.get), lit(0.0))
+    }
+    val v = df.agg(resultCol.as("v")).collect()(0).getDouble(0)
+    val shown = if (a.fn == "COUNT") v.toLong.toString else fmtDouble(v)
+    ResultSet(ok = true, Vector(header), Vector(Vector(shown)))
+  }
+
+  /** predicate AST → Catalyst Column. Columns absent from the table
+    * evaluate to false, matching the reference (query_executor.cpp:745).
+    */
+  private[graft] def predToColumn(m: TableMeta, p: Pred): Column = p match {
+    case Pred.And(l, r) => predToColumn(m, l) && predToColumn(m, r)
+    case Pred.Or(l, r)  => predToColumn(m, l) || predToColumn(m, r)
+    case Pred.Cmp(c, op, l) =>
+      m.colIndex.get(c) match {
+        case None => lit(false)
+        case Some(idx) =>
+          val cd = m.cols(idx)
+          val v = coerce(l, cd) match {
+            case Right(x)  => x
+            case Left(_)   =>
+              // literal not coercible to the column type (e.g. string vs
+              // int): numeric-else-string reference semantics degrade to
+              // no match for typed columns
+              return lit(false)
+          }
+          val lc = lit(v)
+          op match {
+            case "="  => col(c) === lc
+            case "!=" => col(c) =!= lc
+            case "<"  => col(c) < lc
+            case "<=" => col(c) <= lc
+            case ">"  => col(c) > lc
+            case ">=" => col(c) >= lc
+          }
+      }
+  }
+
+  /** driver-side predicate eval for DML (no Spark job). */
+  private[graft] def evalPred(m: TableMeta, p: Pred, values: Array[Any]): Boolean = p match {
+    case Pred.And(l, r) => evalPred(m, l, values) && evalPred(m, r, values)
+    case Pred.Or(l, r)  => evalPred(m, l, values) || evalPred(m, r, values)
+    case Pred.Cmp(c, op, litv) =>
+      m.colIndex.get(c) match {
+        case None => false
+        case Some(idx) =>
+          val cd = m.cols(idx)
+          val target = coerce(litv, cd) match {
+            case Right(x) => x
+            case Left(_)  => return false
+          }
+          val v = values(idx)
+          if (v == null || target == null) return false
+          val cmp: Int = (cd.tpe: @unchecked) match {
+            case ColType.I64 | ColType.Ts => v.asInstanceOf[Long].compareTo(target.asInstanceOf[Long])
+            case ColType.I32  => v.asInstanceOf[Int].compareTo(target.asInstanceOf[Int])
+            case ColType.F64  => v.asInstanceOf[Double].compareTo(target.asInstanceOf[Double])
+            case ColType.F32  => v.asInstanceOf[Float].compareTo(target.asInstanceOf[Float])
+            case ColType.Str  => v.asInstanceOf[String].compareTo(target.asInstanceOf[String])
+            case ColType.Bool => v.asInstanceOf[Boolean].compareTo(target.asInstanceOf[Boolean])
+          }
+          op match {
+            case "="  => cmp == 0
+            case "!=" => cmp != 0
+            case "<"  => cmp < 0
+            case "<=" => cmp <= 0
+            case ">"  => cmp > 0
+            case ">=" => cmp >= 0
+          }
+      }
+  }
+
+  // ---- UPDATE / DELETE -----------------------------------------------------
+
+  private def execUpdate(u: Stmt.Update): ResultSet = {
+    val store = storeOf(u.table)
+    val m = store.meta
+    val setIdx = u.sets.map { case (c, l) =>
+      val idx = m.colIndex.getOrElse(c,
+        return ResultSet.err(s"Column '$c' does not exist in table '${u.table}'"))
+      val v = coerce(l, m.cols(idx)) match {
+        case Right(x)  => x
+        case Left(msg) => return ResultSet.err(msg)
+      }
+      if (v == null && (m.cols(idx).notNull || m.cols(idx).name == m.pk))
+        return ResultSet.err(s"Column '${m.cols(idx).name}' cannot be NULL")
+      (idx, v)
+    }
+    val matching = currentRows(store).filter(rv => evalPred(m, u.where, rv.values))
+    matching.foreach { rv =>
+      val next = rv.values.clone()
+      setIdx.foreach { case (i, v) => next(i) = v }
+      store.put(next)
+    }
+    ResultSet.affected(matching.size.toLong)
+  }
+
+  private def execDelete(d: Stmt.Delete): ResultSet = {
+    val store = storeOf(d.table)
+    val m = store.meta
+    val matching = currentRows(store).filter(rv => evalPred(m, d.where, rv.values))
+    matching.foreach(rv => store.put(rv.values, tombstone = true))
+    ResultSet.affected(matching.size.toLong)
+  }
+
+  /** live rows across hot+cold for DML matching. Cold rows shadowed by
+    * hot versions are excluded via the LWW snapshot.
+    */
+  private def currentRows(store: HotStore): Vector[RowVersion] =
+    if (store.coldDirs.isEmpty) store.liveRows
+    else {
+      val m = store.meta
+      snapshot(m.name).collect().toVector.map { r =>
+        RowVersion(0L, tombstone = false,
+          m.cols.indices.map(i => r.get(i)).toArray)
+      }
+    }
+
+  // ---- EXPLAIN / DESCRIBE --------------------------------------------------
+
+  private def execExplain(sel: Stmt.Select): ResultSet = {
+    val store = storeOf(sel.table)
+    val m = store.meta
+    val hasAgg = sel.items.exists(_.isInstanceOf[SelectItem.Agg])
+    val qtype =
+      if (hasAgg) "AGGREGATION"
+      else if (pointLookupKey(store, sel.where).isDefined) "POINT_LOOKUP"
+      else if (sel.where.isDefined) "RANGE_SCAN"
+      else "FULL_SCAN"
+    val hotCount = store.liveRows.size
+    val lines = Vector(
+      s"Query Type: $qtype",
+      s"Table: ${m.name}",
+      s"Hot Rows: $hotCount",
+      s"Cold Tiers: ${store.coldDirs.size}",
+      s"Estimated Rows: ${if (qtype == "POINT_LOOKUP") 1 else hotCount}",
+      s"Filter Pushdown: ${if (sel.where.isDefined) "YES" else "NO"}",
+      s"Projection Pushdown: ${if (sel.items.contains(SelectItem.Star)) "NO" else "YES"}")
+    ResultSet(ok = true, Vector("Explain"), lines.map(Vector(_)))
+  }
+
+  private def execDescribe(table: String): ResultSet = {
+    val m = this.synchronized {
+      catalog.getOrElse(table.toLowerCase,
+        return ResultSet.err(s"Table '$table' does not exist"))
+    }
+    val rows = m.cols.map { c =>
+      Vector(c.name, c.tpe.sqlName,
+        if (c.notNull || c.name == m.pk) "NOT NULL" else "NULL",
+        if (c.name == m.pk) "PRI" else "")
+    }
+    ResultSet(ok = true, Vector("Column", "Type", "Nullable", "Key"), rows)
+  }
+
+  // ---- value formatting (reference result_formatter.hpp:153-172) -----------
+
+  private[graft] def fmt(v: Any, tpe: ColType): String = v match {
+    case null => ""   // reference displays NULL as empty string
+    case d: Double => fmtDouble(d)
+    case f: Float  => fmtDouble(f.toDouble)
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case other => other.toString
+  }
+
+  /** C++ `ostringstream << double` look-alike: 6 significant digits,
+    * trailing zeros stripped (300.00 prints as "300").
+    */
+  private[graft] def fmtDouble(d: Double): String =
+    if (d.isNaN || d.isInfinite) d.toString
+    else if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString
+    else new java.math.BigDecimal(d, new java.math.MathContext(6))
+      .stripTrailingZeros.toPlainString
+}

@@ -1,0 +1,45 @@
+package graft.sqlfront
+
+/** Statement/expression AST for the reference SQL dialect
+  * (SURVEY §2.1-2.2): 8 statement forms, predicates limited to
+  * {=, !=, <, <=, >, >=} with AND/OR nesting, literals, exactly one
+  * aggregate per SELECT.
+  */
+sealed trait Literal
+object Literal {
+  final case class IntLit(v: Long) extends Literal
+  final case class FloatLit(v: Double) extends Literal
+  final case class StrLit(v: String) extends Literal
+  final case class BoolLit(v: Boolean) extends Literal
+  case object NullLit extends Literal
+}
+
+sealed trait Pred
+object Pred {
+  /** column <op> literal, either operand order normalized to col-left. */
+  final case class Cmp(col: String, op: String, lit: Literal) extends Pred
+  final case class And(l: Pred, r: Pred) extends Pred
+  final case class Or(l: Pred, r: Pred) extends Pred
+}
+
+sealed trait SelectItem
+object SelectItem {
+  case object Star extends SelectItem
+  final case class Col(name: String) extends SelectItem
+  /** COUNT/SUM/AVG/MIN/MAX over a column or `*` (COUNT only). */
+  final case class Agg(fn: String, col: Option[String]) extends SelectItem
+}
+
+sealed trait Stmt
+object Stmt {
+  final case class ColSpec(name: String, sqlType: String, notNull: Boolean, primaryKey: Boolean)
+  final case class CreateTable(table: String, cols: Vector[ColSpec]) extends Stmt
+  final case class DropTable(table: String) extends Stmt
+  final case class Insert(table: String, cols: Option[Vector[String]], values: Vector[Literal]) extends Stmt
+  final case class Select(table: String, items: Vector[SelectItem], where: Option[Pred]) extends Stmt
+  final case class Update(table: String, sets: Vector[(String, Literal)], where: Pred) extends Stmt
+  final case class Delete(table: String, where: Pred) extends Stmt
+  case object ShowTables extends Stmt
+  final case class Explain(select: Select) extends Stmt
+  final case class Describe(table: String) extends Stmt
+}

@@ -1,0 +1,338 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+
+/** Port of the reference SQL conformance corpus
+  * (StorageEngine/SQLLayer/tests/Unit_Test2.cpp:143-902) — same DDL,
+  * same inserts, same expected counts/cells, re-driven through the
+  * Spark-native engine. Row order is never asserted (the reference's
+  * std::map ordering is an implementation artifact, SURVEY §2.6).
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def fresh(): Engine = new Engine(spark)
+
+  private def seedUsers(e: Engine): Unit = {
+    assert(e.sql("CREATE TABLE users (id BIGINT NOT NULL, name VARCHAR(255), age INT, salary DOUBLE)").ok)
+    Seq(
+      "(1, 'Alice', 30, 95000.50)", "(2, 'Bob', 25, 72000.00)",
+      "(3, 'Carol', 35, 110000.00)", "(4, 'Dave', 28, 85000.00)",
+      "(5, 'Eve', 42, 120000.00)"
+    ).foreach(v => assert(e.sql(s"INSERT INTO users VALUES $v").ok))
+  }
+
+  private def seedOrders(e: Engine): Unit = {
+    assert(e.sql("CREATE TABLE orders (id BIGINT NOT NULL, customer VARCHAR(255), amount DOUBLE, region VARCHAR(50), status VARCHAR(50))").ok)
+    Seq(
+      "(1, 'Alice', 99.99, 'APAC', 'completed')",
+      "(2, 'Bob', 250.00, 'EMEA', 'pending')",
+      "(3, 'Carol', 75.50, 'APAC', 'completed')",
+      "(4, 'Dave', 500.00, 'NA', 'completed')",
+      "(5, 'Eve', 125.00, 'EMEA', 'cancelled')"
+    ).foreach(v => assert(e.sql(s"INSERT INTO orders VALUES $v").ok))
+  }
+
+  // ---- DDL (Unit_Test2 §1, :143-212) --------------------------------------
+
+  test("CREATE TABLE with explicit PRIMARY KEY") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE t1 (id INT PRIMARY KEY, name VARCHAR(100))").ok)
+    assert(e.meta("t1").get.pk == "id")
+  }
+
+  test("PK defaults to first NOT NULL column") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE t2 (a VARCHAR(10), b BIGINT NOT NULL, c INT)").ok)
+    assert(e.meta("t2").get.pk == "b")
+  }
+
+  test("PK defaults to first column when no NOT NULL") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE t3 (x DOUBLE, y VARCHAR(5))").ok)
+    assert(e.meta("t3").get.pk == "x")
+  }
+
+  test("duplicate table rejected") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE dup (id INT PRIMARY KEY)").ok)
+    val r = e.sql("CREATE TABLE dup (id INT PRIMARY KEY)")
+    assert(!r.ok && r.error.contains("already exists"))
+  }
+
+  test("table names are case-insensitive (normalized to lowercase)") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE MixedCase (id INT PRIMARY KEY)").ok)
+    assert(e.sql("INSERT INTO mixedcase VALUES (1)").ok)
+    assert(e.sql("SELECT * FROM MIXEDCASE").rowCount == 1)
+  }
+
+  test("unsupported column type rejected") {
+    val e = fresh()
+    val r = e.sql("CREATE TABLE bad (id WIBBLE)")
+    assert(!r.ok && r.error.contains("Unsupported column type"))
+  }
+
+  test("all supported type aliases parse") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE types (a BIGINT NOT NULL, b INT, c DOUBLE, d FLOAT, e VARCHAR(20), f TEXT, g BOOLEAN, h TIMESTAMP, i DECIMAL, j REAL)").ok)
+  }
+
+  // ---- DROP (:217-240) -----------------------------------------------------
+
+  test("DROP TABLE removes table and its data") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE d1 (id INT PRIMARY KEY)").ok)
+    assert(e.sql("INSERT INTO d1 VALUES (1)").ok)
+    assert(e.sql("DROP TABLE d1").ok)
+    val r = e.sql("SELECT * FROM d1")
+    assert(!r.ok && r.error.contains("does not exist"))
+    // recreate starts empty (we fix the reference's orphan-row quirk)
+    assert(e.sql("CREATE TABLE d1 (id INT PRIMARY KEY)").ok)
+    assert(e.sql("SELECT * FROM d1").rowCount == 0)
+  }
+
+  test("DROP of missing table errors") {
+    val e = fresh()
+    val r = e.sql("DROP TABLE ghost")
+    assert(!r.ok && r.error.contains("does not exist"))
+  }
+
+  // ---- SHOW TABLES (:245-266) ---------------------------------------------
+
+  test("SHOW TABLES lists registered tables") {
+    val e = fresh()
+    e.sql("CREATE TABLE s1 (id INT PRIMARY KEY)")
+    e.sql("CREATE TABLE s2 (id INT PRIMARY KEY)")
+    val r = e.sql("SHOW TABLES")
+    assert(r.headers == Vector("Tables"))
+    assert(r.rows.map(_.head).toSet == Set("s1", "s2"))
+  }
+
+  // ---- INSERT (:271-310) ---------------------------------------------------
+
+  test("INSERT with explicit column list and reordering") {
+    val e = fresh()
+    seedUsers(e)
+    assert(e.sql("INSERT INTO users (salary, id, name) VALUES (50000.0, 6, 'Frank')").ok)
+    val r = e.sql("SELECT name, salary FROM users WHERE id = 6")
+    assert(r.rows == Vector(Vector("Frank", "50000")))
+  }
+
+  test("INSERT arity mismatch errors") {
+    val e = fresh()
+    seedUsers(e)
+    val r = e.sql("INSERT INTO users VALUES (7, 'G')")
+    assert(!r.ok && r.error.contains("count mismatch"))
+  }
+
+  test("INSERT type mismatch errors") {
+    val e = fresh()
+    seedUsers(e)
+    val r = e.sql("INSERT INTO users VALUES ('notanumber', 'G', 1, 1.0)")
+    assert(!r.ok && r.error.contains("Type mismatch"))
+  }
+
+  test("INSERT NULL into NOT NULL column errors") {
+    val e = fresh()
+    seedUsers(e)
+    val r = e.sql("INSERT INTO users VALUES (NULL, 'G', 1, 1.0)")
+    assert(!r.ok && r.error.contains("cannot be NULL"))
+  }
+
+  test("INSERT is upsert on same PK") {
+    val e = fresh()
+    seedUsers(e)
+    assert(e.sql("INSERT INTO users VALUES (1, 'Alice2', 31, 96000.0)").ok)
+    val r = e.sql("SELECT name FROM users WHERE id = 1")
+    assert(r.rows == Vector(Vector("Alice2")))
+    assert(e.sql("SELECT COUNT(*) FROM users").rows.head.head == "5")
+  }
+
+  // ---- point lookup + EXPLAIN (:315-350) ----------------------------------
+
+  test("point lookup by PK") {
+    val e = fresh()
+    seedUsers(e)
+    val r = e.sql("SELECT * FROM users WHERE id = 2")
+    assert(r.rowCount == 1 && r.rows.head(1) == "Bob")
+  }
+
+  test("EXPLAIN classifies point lookup / full scan / aggregation") {
+    val e = fresh()
+    seedUsers(e)
+    assert(e.sql("EXPLAIN SELECT * FROM users WHERE id = 2").rows.flatten.mkString.contains("POINT_LOOKUP"))
+    assert(e.sql("EXPLAIN SELECT * FROM users").rows.flatten.mkString.contains("FULL_SCAN"))
+    assert(e.sql("EXPLAIN SELECT COUNT(*) FROM users").rows.flatten.mkString.contains("AGGREGATION"))
+    assert(e.sql("EXPLAIN SELECT * FROM users WHERE age > 30").rows.flatten.mkString.contains("RANGE_SCAN"))
+  }
+
+  // ---- full scan + projection (:355-385) ----------------------------------
+
+  test("full scan returns all rows; projection selects columns") {
+    val e = fresh()
+    seedUsers(e)
+    assert(e.sql("SELECT * FROM users").rowCount == 5)
+    val r = e.sql("SELECT name, age FROM users")
+    assert(r.headers == Vector("name", "age") && r.rowCount == 5)
+  }
+
+  // ---- WHERE ops (:390-449) ------------------------------------------------
+
+  test("WHERE operators produce exact row counts") {
+    val e = fresh()
+    seedOrders(e)
+    assert(e.sql("SELECT * FROM orders WHERE region = 'APAC'").rowCount == 2)
+    assert(e.sql("SELECT * FROM orders WHERE amount > 100").rowCount == 3)
+    assert(e.sql("SELECT * FROM orders WHERE amount < 100").rowCount == 2)
+    assert(e.sql("SELECT * FROM orders WHERE amount >= 250").rowCount == 2)
+    assert(e.sql("SELECT * FROM orders WHERE region = 'APAC' AND status = 'completed'").rowCount == 2)
+    assert(e.sql("SELECT * FROM orders WHERE region = 'APAC' OR region = 'EMEA'").rowCount == 4)
+    assert(e.sql("SELECT * FROM orders WHERE status != 'cancelled'").rowCount == 4)
+  }
+
+  test("literal-on-left predicates work (reference accepts both orders)") {
+    val e = fresh()
+    seedOrders(e)
+    assert(e.sql("SELECT * FROM orders WHERE 100 < amount").rowCount == 3)
+    assert(e.sql("SELECT * FROM orders WHERE 'APAC' = region").rowCount == 2)
+  }
+
+  test("unsupported predicate op errors instead of matching everything") {
+    val e = fresh()
+    seedOrders(e)
+    val r = e.sql("SELECT * FROM orders WHERE region LIKE 'A%'")
+    assert(!r.ok)   // divergence by design from the ref's silent-true (SURVEY §4.3.5)
+  }
+
+  // ---- aggregate math (:479-521) -------------------------------------------
+
+  test("aggregate math is exact (test_agg fixture)") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE test_agg (id BIGINT NOT NULL, amount DOUBLE, qty INT)").ok)
+    Seq("(1, 100.50, 3)", "(2, 200.50, 1)", "(3, 300.25, 6)")
+      .foreach(v => assert(e.sql(s"INSERT INTO test_agg VALUES $v").ok))
+    assert(e.sql("SELECT SUM(amount) FROM test_agg").rows.head.head == "601.25")
+    assert(e.sql("SELECT MIN(amount) FROM test_agg").rows.head.head == "100.5")
+    assert(e.sql("SELECT MAX(amount) FROM test_agg").rows.head.head == "300.25")
+    assert(e.sql("SELECT SUM(qty) FROM test_agg").rows.head.head == "10")
+    assert(e.sql("SELECT MIN(qty) FROM test_agg").rows.head.head == "1")
+    assert(e.sql("SELECT MAX(qty) FROM test_agg").rows.head.head == "6")
+    assert(e.sql("SELECT COUNT(*) FROM test_agg").rows.head.head == "3")
+    // AVG = SUM / COUNT(*) per reference semantics
+    assert(e.sql("SELECT AVG(qty) FROM test_agg").rows.head.head == "3.33333")
+  }
+
+  test("aggregates on empty result return 0 (reference quirk)") {
+    val e = fresh()
+    seedOrders(e)
+    assert(e.sql("SELECT SUM(amount) FROM orders WHERE amount > 99999").rows.head.head == "0")
+    assert(e.sql("SELECT MIN(amount) FROM orders WHERE amount > 99999").rows.head.head == "0")
+    assert(e.sql("SELECT COUNT(*) FROM orders WHERE amount > 99999").rows.head.head == "0")
+  }
+
+  test("filtered aggregation") {
+    val e = fresh()
+    seedOrders(e)
+    assert(e.sql("SELECT SUM(amount) FROM orders WHERE region = 'APAC'").rows.head.head == "175.49")
+  }
+
+  // ---- UPDATE (:526-586) ---------------------------------------------------
+
+  test("UPDATE point and range") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE uorders (id BIGINT NOT NULL, customer VARCHAR(255), amount DOUBLE, status VARCHAR(50))").ok)
+    Seq("(1, 'Alice', 99.99, 'pending')", "(2, 'Bob', 250.00, 'pending')", "(3, 'Charlie', 150.00, 'pending')")
+      .foreach(v => assert(e.sql(s"INSERT INTO uorders VALUES $v").ok))
+    assert(e.sql("UPDATE uorders SET status = 'shipped' WHERE id = 1").rowsAffected == 1)
+    assert(e.sql("SELECT status FROM uorders WHERE id = 1").rows.head.head == "shipped")
+    assert(e.sql("UPDATE uorders SET amount = 300.00 WHERE id = 2").rowsAffected == 1)
+    // range update: amount > 100 now matches ids 2 (300) and 3 (150)
+    assert(e.sql("UPDATE uorders SET status = 'bulk' WHERE amount > 100").rowsAffected == 2)
+    assert(e.sql("SELECT * FROM uorders WHERE status = 'bulk'").rowCount == 2)
+  }
+
+  test("UPDATE by non-PK equality") {
+    val e = fresh()
+    seedOrders(e)
+    assert(e.sql("UPDATE orders SET status = 'done' WHERE customer = 'Bob'").rowsAffected == 1)
+  }
+
+  test("UPDATE guards: no WHERE, unknown column, type error") {
+    val e = fresh()
+    seedOrders(e)
+    assert(!e.sql("UPDATE orders SET status = 'x'").ok)
+    assert(!e.sql("UPDATE orders SET nosuch = 1 WHERE id = 1").ok)
+    assert(!e.sql("UPDATE orders SET amount = 'words' WHERE id = 1").ok)
+  }
+
+  // ---- DELETE (:591-645) ---------------------------------------------------
+
+  test("DELETE point, by value, OR multi-row; guards") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE dusers (id BIGINT NOT NULL, name VARCHAR(255))").ok)
+    Seq("(1, 'Alice')", "(2, 'Bob')", "(3, 'Charlie')", "(4, 'Dave')", "(99, 'Temp')")
+      .foreach(v => assert(e.sql(s"INSERT INTO dusers VALUES $v").ok))
+    assert(e.sql("DELETE FROM dusers WHERE id = 99").rowsAffected == 1)
+    assert(e.sql("DELETE FROM dusers WHERE name = 'Charlie'").rowsAffected == 1)
+    assert(e.sql("DELETE FROM dusers WHERE name = 'Alice' OR name = 'Bob'").rowsAffected == 2)
+    val r = e.sql("SELECT name FROM dusers")
+    assert(r.rows == Vector(Vector("Dave")))
+    assert(!e.sql("DELETE FROM dusers").ok)   // WHERE mandatory
+  }
+
+  // ---- edge cases (:745-794) -----------------------------------------------
+
+  test("query against nonexistent table errors") {
+    val e = fresh()
+    val r = e.sql("SELECT * FROM nosuch")
+    assert(!r.ok && r.error.contains("does not exist"))
+  }
+
+  test("sequential updates keep last value; delete then reinsert works") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE seqt (id BIGINT NOT NULL, v INT)").ok)
+    assert(e.sql("INSERT INTO seqt VALUES (1, 10)").ok)
+    (11 to 15).foreach(n => assert(e.sql(s"UPDATE seqt SET v = $n WHERE id = 1").ok))
+    assert(e.sql("SELECT v FROM seqt WHERE id = 1").rows.head.head == "15")
+    assert(e.sql("DELETE FROM seqt WHERE id = 1").rowsAffected == 1)
+    assert(e.sql("SELECT * FROM seqt WHERE id = 1").rowCount == 0)
+    assert(e.sql("INSERT INTO seqt VALUES (1, 99)").ok)
+    assert(e.sql("SELECT v FROM seqt WHERE id = 1").rows.head.head == "99")
+  }
+
+  test("parse errors are reported") {
+    val e = fresh()
+    val r = e.sql("THIS IS NOT SQL")
+    assert(!r.ok && r.error.startsWith("Parse error"))
+  }
+
+  // ---- HTAP mixed workload (:799-854) --------------------------------------
+
+  test("HTAP mixed workload: interleaved reads, all aggregates, update, delete") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE horders (id BIGINT NOT NULL, customer VARCHAR(255), amount DOUBLE, status VARCHAR(50))").ok)
+    (1 to 10).foreach { i =>
+      assert(e.sql(s"INSERT INTO horders VALUES ($i, 'Customer$i', ${i * 50}.0, 'pending')").ok)
+    }
+    assert(e.sql("SELECT * FROM horders WHERE id = 5").rowCount == 1)
+    assert(e.sql("SELECT COUNT(*) FROM horders").rows.head.head == "10")
+    assert(e.sql("SELECT SUM(amount) FROM horders").rows.head.head == "2750")
+    assert(e.sql("SELECT AVG(amount) FROM horders").rows.head.head == "275")
+    assert(e.sql("SELECT MIN(amount) FROM horders").rows.head.head == "50")
+    assert(e.sql("SELECT MAX(amount) FROM horders").rows.head.head == "500")
+    assert(e.sql("UPDATE horders SET status = 'shipped' WHERE id = 3").rowsAffected == 1)
+    assert(e.sql("DELETE FROM horders WHERE id = 10").rowsAffected == 1)
+    assert(e.sql("SELECT COUNT(*) FROM horders").rows.head.head == "9")
+    assert(e.sql("SELECT SUM(amount) FROM horders").rows.head.head == "2250")
+  }
+}
