@@ -1,0 +1,71 @@
+package graft.engine
+
+import java.io.{BufferedOutputStream, ByteArrayInputStream, DataInputStream, DataOutputStream, EOFException, FileOutputStream}
+import java.nio.file.{Files, Path}
+import java.util.zip.CRC32
+
+/** Per-table append-only durability log — the analogue of the
+  * reference WAL (includes/wal.hpp:36-397): append + flush per
+  * mutation, CRC-validated recovery that stops at the first corrupt
+  * record, truncate after flush-to-parquet.
+  *
+  * Record layout: [len:int][seq:long][tombstone:byte][row bytes]
+  * [crc32:long over the payload].
+  */
+final class DeltaLog(path: Path, meta: TableMeta) {
+
+  Files.createDirectories(path.getParent)
+  private var out = new DataOutputStream(
+    new BufferedOutputStream(new FileOutputStream(path.toFile, true)))
+
+  def append(rv: RowVersion): Unit = this.synchronized {
+    val row = RowCodec.encode(rv.values, meta)
+    val payload = new java.io.ByteArrayOutputStream()
+    val p = new DataOutputStream(payload)
+    p.writeLong(rv.seq)
+    p.writeByte(if (rv.tombstone) 1 else 0)
+    p.write(row)
+    p.flush()
+    val bytes = payload.toByteArray
+    val crc = new CRC32(); crc.update(bytes)
+    out.writeInt(bytes.length)
+    out.write(bytes)
+    out.writeLong(crc.getValue)
+    out.flush()
+  }
+
+  /** Replay every intact record, oldest→newest; corrupt tail records
+    * are skipped (reference wal.hpp recover()).
+    */
+  def replay(): Vector[RowVersion] = this.synchronized {
+    if (!Files.exists(path)) return Vector.empty
+    val in = new DataInputStream(new ByteArrayInputStream(Files.readAllBytes(path)))
+    val acc = Vector.newBuilder[RowVersion]
+    try {
+      while (true) {
+        val len = in.readInt()
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        val expected = in.readLong()
+        val crc = new CRC32(); crc.update(bytes)
+        if (crc.getValue != expected)
+          throw new EOFException("corrupt record")
+        val rec = new DataInputStream(new ByteArrayInputStream(bytes))
+        val seq = rec.readLong()
+        val tomb = rec.readByte() == 1
+        acc += RowVersion(seq, tomb, RowCodec.decode(rec, meta))
+      }
+    } catch { case _: EOFException => () }
+    acc.result()
+  }
+
+  /** Reset after a flush made the log's contents durable in parquet. */
+  def truncate(): Unit = this.synchronized {
+    out.close()
+    Files.deleteIfExists(path)
+    out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path.toFile, true)))
+  }
+
+  def close(): Unit = this.synchronized { out.close() }
+}

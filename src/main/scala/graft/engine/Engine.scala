@@ -25,34 +25,51 @@ import graft.sqlfront.{Literal, Parser, Pred, SelectItem, Stmt}
   * µs-scale OLTP path has no Spark-job analogue and must not pay one
   * (SURVEY §7.3 risk 1). Analytical reads go through Catalyst.
   */
-final class Engine(val spark: SparkSession) {
+final class Engine(
+    val spark: SparkSession,
+    val dataDir: Option[String] = None,
+    val hotLimit: Int = 100000,
+    val compactTrigger: Int = 4) {
 
   private val catalog = mutable.LinkedHashMap.empty[String, TableMeta]
   private val stores  = mutable.HashMap.empty[String, HotStore]
   private val seqGen  = new AtomicLong(0L)
+  private val flushCounter = new AtomicLong(0L)
 
   /** Hot store: last-writer-wins map for reads + full version log
-    * (kept for flush/compaction and snapshot-dedup tests).
+    * (kept for flush/compaction and snapshot-dedup tests), plus the
+    * cold Parquet tier dirs and the durability log.
     */
   final class HotStore(val meta: TableMeta) {
     val latest = mutable.LinkedHashMap.empty[Any, RowVersion]
     val log    = mutable.ArrayBuffer.empty[RowVersion]
     var coldDirs: Vector[String] = Vector.empty
+    var delta: Option[DeltaLog] = None
 
     def put(values: Array[Any], tombstone: Boolean = false): Long = {
       val seq = seqGen.incrementAndGet()
       val rv = RowVersion(seq, tombstone, values)
       this.synchronized {
-        log += rv
-        latest(values(meta.pkIndex)) = rv
+        delta.foreach(_.append(rv))
+        apply(rv)
       }
       seq
+    }
+    /** mutate without logging (used by replay). */
+    def apply(rv: RowVersion): Unit = this.synchronized {
+      log += rv
+      latest(rv.values(meta.pkIndex)) = rv
     }
     def liveRows: Vector[RowVersion] =
       this.synchronized { latest.values.filterNot(_.tombstone).toVector }
     def get(pk: Any): Option[RowVersion] =
       this.synchronized { latest.get(pk) }
   }
+
+  // recover persisted state (reference recoverFromWAL +
+  // schema/LSM-metadata load, memtable.hpp:481-526,
+  // schema_registry.hpp:248-344, lsm_levels.hpp:452-588)
+  dataDir.foreach(recover)
 
   // -------------------------------------------------------------------------
   // public API (reference StorageEngine/QueryExecutor surface, SURVEY §3.3)
