@@ -15,8 +15,8 @@ import java.util.zip.CRC32
 final class DeltaLog(path: Path, meta: TableMeta) {
 
   Files.createDirectories(path.getParent)
-  private var out = new DataOutputStream(
-    new BufferedOutputStream(new FileOutputStream(path.toFile, true)))
+  private var fos = new FileOutputStream(path.toFile, true)
+  private var out = new DataOutputStream(new BufferedOutputStream(fos))
 
   def append(rv: RowVersion): Unit = this.synchronized {
     val row = RowCodec.encode(rv.values, meta)
@@ -32,6 +32,9 @@ final class DeltaLog(path: Path, meta: TableMeta) {
     out.write(bytes)
     out.writeLong(crc.getValue)
     out.flush()
+    // fsync per mutation — the reference WAL's durability contract
+    // (includes/wal.hpp:128-148 append + flush per op).
+    fos.getFD.sync()
   }
 
   /** Replay every intact record, oldest→newest; corrupt tail records
@@ -63,8 +66,8 @@ final class DeltaLog(path: Path, meta: TableMeta) {
   def truncate(): Unit = this.synchronized {
     out.close()
     Files.deleteIfExists(path)
-    out = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(path.toFile, true)))
+    fos = new FileOutputStream(path.toFile, true)
+    out = new DataOutputStream(new BufferedOutputStream(fos))
   }
 
   def close(): Unit = this.synchronized { out.close() }

@@ -34,7 +34,6 @@ final class Engine(
   private val catalog = mutable.LinkedHashMap.empty[String, TableMeta]
   private val stores  = mutable.HashMap.empty[String, HotStore]
   private val seqGen  = new AtomicLong(0L)
-  private val flushCounter = new AtomicLong(0L)
 
   /** Hot store: last-writer-wins map for reads + full version log
     * (kept for flush/compaction and snapshot-dedup tests), plus the
@@ -45,18 +44,19 @@ final class Engine(
     val log    = mutable.ArrayBuffer.empty[RowVersion]
     var coldDirs: Vector[String] = Vector.empty
     var delta: Option[DeltaLog] = None
+    var maxFlushedSeq: Long = 0L
 
     def put(values: Array[Any], tombstone: Boolean = false): Long = {
       val seq = seqGen.incrementAndGet()
       val rv = RowVersion(seq, tombstone, values)
       this.synchronized {
         delta.foreach(_.append(rv))
-        apply(rv)
+        applyVersion(rv)
       }
       seq
     }
     /** mutate without logging (used by replay). */
-    def apply(rv: RowVersion): Unit = this.synchronized {
+    def applyVersion(rv: RowVersion): Unit = this.synchronized {
       log += rv
       latest(rv.values(meta.pkIndex)) = rv
     }
@@ -66,10 +66,98 @@ final class Engine(
       this.synchronized { latest.get(pk) }
   }
 
-  // recover persisted state (reference recoverFromWAL +
-  // schema/LSM-metadata load, memtable.hpp:481-526,
-  // schema_registry.hpp:248-344, lsm_levels.hpp:452-588)
+  private def catalogPath(dir: String) = java.nio.file.Paths.get(dir, "catalog.sdb")
+  private def deltaPath(dir: String, table: String) =
+    java.nio.file.Paths.get(dir, "delta", s"$table.log")
+  private def coldRoot(dir: String, table: String) =
+    java.nio.file.Paths.get(dir, "cold", table)
+
+  /** Recover persisted state: load the catalog, re-attach cold tiers
+    * from each table's manifest, replay the delta log into the hot
+    * store, and restart the sequence counter above everything seen
+    * (reference recoverFromWAL + schema/LSM-metadata load,
+    * memtable.hpp:481-526, schema_registry.hpp:248-344,
+    * lsm_levels.hpp:452-588).
+    */
+  private def recover(dir: String): Unit = this.synchronized {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    var maxSeq = 0L
+    Persist.loadCatalog(catalogPath(dir)).foreach { m =>
+      val store = new HotStore(m)
+      val (tiers, flushedMax) = Persist.loadManifest(coldRoot(dir, m.name))
+      store.coldDirs = tiers
+      store.maxFlushedSeq = flushedMax
+      maxSeq = math.max(maxSeq, flushedMax)
+      val dl = new DeltaLog(deltaPath(dir, m.name), m)
+      dl.replay().foreach { rv =>
+        store.applyVersion(rv)
+        maxSeq = math.max(maxSeq, rv.seq)
+      }
+      store.delta = Some(dl)
+      catalog(m.name) = m
+      stores(m.name) = store
+    }
+    seqGen.set(maxSeq)
+  }
+
   dataDir.foreach(recover)
+
+  /** Flush the hot store to a new cold Parquet tier, then truncate the
+    * delta log — the reference's memtable freeze-and-flush (M1,
+    * memtable.hpp:114-299), synchronous by design (same observable
+    * semantics, SURVEY §2.5). Triggers compaction when the tier count
+    * reaches compactTrigger (reference L0 trigger, lsm_levels.hpp:276-384).
+    */
+  def forceFlush(table: String): Unit = flushStore(storeOf(table))
+
+  private def flushStore(store: HotStore): Unit = store.synchronized {
+    val dir = dataDir.getOrElse(return)
+    if (store.latest.isEmpty) return
+    val m = store.meta
+    val rows = store.latest.values.map(rv =>
+      Row.fromSeq(rv.values.toIndexedSeq :+ rv.seq :+ rv.tombstone)).toVector
+    val flushedMax = store.latest.values.map(_.seq).max
+    val tier = coldRoot(dir, m.name).resolve(f"tier-$flushedMax%012d").toString
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), versionedSchema(m))
+      .coalesce(1)
+      .sortWithinPartitions(col(m.pk))   // pk-sorted files → parquet row-group
+      .write.mode("overwrite").parquet(tier)   //   min/max pruning on pk scans
+    store.coldDirs = store.coldDirs :+ tier
+    store.maxFlushedSeq = math.max(store.maxFlushedSeq, flushedMax)
+    Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
+    store.latest.clear()
+    store.log.clear()
+    store.delta.foreach(_.truncate())
+    if (store.coldDirs.size >= compactTrigger) compactStore(store)
+  }
+
+  /** K-tier merge compaction: window-dedup all cold tiers into one,
+    * dropping tombstones (bottom-tier GC) — the reference's k-way
+    * merge compaction (M2, compaction.hpp:193-361) as one Spark job.
+    */
+  def compact(table: String): Unit = compactStore(storeOf(table))
+
+  private def compactStore(store: HotStore): Unit = store.synchronized {
+    val dir = dataDir.getOrElse(return)
+    if (store.coldDirs.size < 2) return
+    val m = store.meta
+    val cold = store.coldDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val w = Window.partitionBy(col(m.pk)).orderBy(col("__seq").desc)
+    val target = coldRoot(dir, m.name).resolve(f"tier-c${seqGen.get()}%012d").toString
+    cold.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__tombstone"))
+      .drop("__rn")
+      .coalesce(1).sortWithinPartitions(col(m.pk))
+      .write.mode("overwrite").parquet(target)
+    val old = store.coldDirs
+    store.coldDirs = Vector(target)
+    Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
+    old.foreach(p => Persist.deleteRecursively(java.nio.file.Paths.get(p)))
+  }
+
+  /** Size-triggered flush (reference memtable freeze threshold). */
+  private def maybeFlush(store: HotStore): Unit =
+    if (dataDir.isDefined && store.latest.size >= hotLimit) flushStore(store)
 
   // -------------------------------------------------------------------------
   // public API (reference StorageEngine/QueryExecutor surface, SURVEY §3.3)
@@ -163,7 +251,12 @@ final class Engine(
       .getOrElse(c.cols.head.name)
     val m = TableMeta(key, cols, pk)
     catalog(key) = m
-    stores(key) = new HotStore(m)
+    val store = new HotStore(m)
+    dataDir.foreach { dir =>
+      store.delta = Some(new DeltaLog(deltaPath(dir, key), m))
+      Persist.saveCatalog(catalogPath(dir), catalog.values)
+    }
+    stores(key) = store
     ResultSet.affected(0L)
   }
 
@@ -172,9 +265,15 @@ final class Engine(
     if (!catalog.contains(key))
       return ResultSet.err(s"Table '$table' does not exist")
     // unlike the reference (which leaves orphan rows, SURVEY §4.3.7)
-    // we actually drop the data.
+    // we actually drop the data: delta log, cold tiers, catalog entry.
     catalog.remove(key)
-    stores.remove(key)
+    val store = stores.remove(key)
+    dataDir.foreach { dir =>
+      store.flatMap(_.delta).foreach(_.close())
+      Persist.deleteRecursively(deltaPath(dir, key))
+      Persist.deleteRecursively(coldRoot(dir, key))
+      Persist.saveCatalog(catalogPath(dir), catalog.values)
+    }
     ResultSet.affected(0L)
   }
 
@@ -183,7 +282,7 @@ final class Engine(
     val m = store.meta
     val targetCols: Vector[Int] = i.cols match {
       case Some(names) =>
-        names.map(n => m.colIndex.getOrElse(n,
+        names.map(n => m.indexOf(n).getOrElse(
           return ResultSet.err(s"Column '$n' does not exist in table '${i.table}'")))
       case None => m.cols.indices.toVector
     }
@@ -202,6 +301,7 @@ final class Engine(
         return ResultSet.err(s"Column '${cd.name}' cannot be NULL")
     }
     store.put(values)   // upsert: same PK overwrites (skiplist.hpp:170-186)
+    maybeFlush(store)
     ResultSet.affected(1L)
   }
 
@@ -244,9 +344,9 @@ final class Engine(
     val m = store.meta
     // validate plain column refs
     s.items.foreach {
-      case SelectItem.Col(n) if !m.colIndex.contains(n) =>
+      case SelectItem.Col(n) if m.indexOf(n).isEmpty =>
         return ResultSet.err(s"Column '$n' does not exist in table '${s.table}'")
-      case SelectItem.Agg(_, Some(c)) if !m.colIndex.contains(c) =>
+      case SelectItem.Agg(_, Some(c)) if m.indexOf(c).isEmpty =>
         return ResultSet.err(s"Column '$c' does not exist in table '${s.table}'")
       case _ => ()
     }
@@ -280,7 +380,7 @@ final class Engine(
   private def projection(m: TableMeta, items: Vector[SelectItem]): Vector[Int] = {
     val idx = items.flatMap {
       case SelectItem.Star   => m.cols.indices
-      case SelectItem.Col(n) => Vector(m.colIndex(n))
+      case SelectItem.Col(n) => Vector(m.indexOf(n).get)
       case _: SelectItem.Agg => Vector.empty
     }
     if (idx.isEmpty) m.cols.indices.toVector else idx
@@ -305,19 +405,24 @@ final class Engine(
       case Some(c) => s"${a.fn}($c)"
       case None    => s"${a.fn}(*)"
     }
+    // `SUM(*)` etc. is rejected at parse time (Parser.select); a None
+    // column can only reach here for COUNT.
     val numeric: Option[Column] = a.col.map { c =>
-      m.cols(m.colIndex(c)).tpe match {
+      val cd = m.cols(m.indexOf(c).get)
+      cd.tpe match {
         case ColType.I64 | ColType.I32 | ColType.F64 | ColType.F32 | ColType.Ts =>
-          col(c).cast("double")
+          col(cd.name).cast("double")
         case _ => lit(null).cast("double")  // non-numeric: every value "skipped"
       }
     }
-    val resultCol: Column = a.fn match {
-      case "COUNT" => count(lit(1)).cast("double")
-      case "SUM"   => coalesce(sum(numeric.get), lit(0.0))
-      case "AVG"   => coalesce(sum(numeric.get) / count(lit(1)), lit(0.0))
-      case "MIN"   => coalesce(min(numeric.get), lit(0.0))
-      case "MAX"   => coalesce(max(numeric.get), lit(0.0))
+    val resultCol: Column = (a.fn, numeric) match {
+      case ("COUNT", _)     => count(lit(1)).cast("double")
+      case ("SUM", Some(n)) => coalesce(sum(n), lit(0.0))
+      case ("AVG", Some(n)) => coalesce(sum(n) / count(lit(1)), lit(0.0))
+      case ("MIN", Some(n)) => coalesce(min(n), lit(0.0))
+      case ("MAX", Some(n)) => coalesce(max(n), lit(0.0))
+      case (fn, _) =>
+        return ResultSet.err(s"$fn(*) is not supported")
     }
     val v = df.agg(resultCol.as("v")).collect()(0).getDouble(0)
     val shown = if (a.fn == "COUNT") v.toLong.toString else fmtDouble(v)
@@ -331,7 +436,7 @@ final class Engine(
     case Pred.And(l, r) => predToColumn(m, l) && predToColumn(m, r)
     case Pred.Or(l, r)  => predToColumn(m, l) || predToColumn(m, r)
     case Pred.Cmp(c, op, l) =>
-      m.colIndex.get(c) match {
+      m.indexOf(c) match {
         case None => lit(false)
         case Some(idx) =>
           val cd = m.cols(idx)
@@ -345,12 +450,12 @@ final class Engine(
           }
           val lc = lit(v)
           op match {
-            case "="  => col(c) === lc
-            case "!=" => col(c) =!= lc
-            case "<"  => col(c) < lc
-            case "<=" => col(c) <= lc
-            case ">"  => col(c) > lc
-            case ">=" => col(c) >= lc
+            case "="  => col(cd.name) === lc
+            case "!=" => col(cd.name) =!= lc
+            case "<"  => col(cd.name) < lc
+            case "<=" => col(cd.name) <= lc
+            case ">"  => col(cd.name) > lc
+            case ">=" => col(cd.name) >= lc
           }
       }
   }
@@ -360,7 +465,7 @@ final class Engine(
     case Pred.And(l, r) => evalPred(m, l, values) && evalPred(m, r, values)
     case Pred.Or(l, r)  => evalPred(m, l, values) || evalPred(m, r, values)
     case Pred.Cmp(c, op, litv) =>
-      m.colIndex.get(c) match {
+      m.indexOf(c) match {
         case None => false
         case Some(idx) =>
           val cd = m.cols(idx)
@@ -395,7 +500,7 @@ final class Engine(
     val store = storeOf(u.table)
     val m = store.meta
     val setIdx = u.sets.map { case (c, l) =>
-      val idx = m.colIndex.getOrElse(c,
+      val idx = m.indexOf(c).getOrElse(
         return ResultSet.err(s"Column '$c' does not exist in table '${u.table}'"))
       val v = coerce(l, m.cols(idx)) match {
         case Right(x)  => x
@@ -411,6 +516,7 @@ final class Engine(
       setIdx.foreach { case (i, v) => next(i) = v }
       store.put(next)
     }
+    maybeFlush(store)
     ResultSet.affected(matching.size.toLong)
   }
 
@@ -419,6 +525,7 @@ final class Engine(
     val m = store.meta
     val matching = currentRows(store).filter(rv => evalPred(m, d.where, rv.values))
     matching.foreach(rv => store.put(rv.values, tombstone = true))
+    maybeFlush(store)
     ResultSet.affected(matching.size.toLong)
   }
 

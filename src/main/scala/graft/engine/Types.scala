@@ -42,8 +42,13 @@ final case class ColumnDef(name: String, tpe: ColType, notNull: Boolean)
   * (reference query_executor.cpp:326-345).
   */
 final case class TableMeta(name: String, cols: Vector[ColumnDef], pk: String) {
-  val colIndex: Map[String, Int] = cols.map(_.name).zipWithIndex.toMap
-  val pkIndex: Int = colIndex(pk)
+  /** Column resolution is case-insensitive everywhere (point lookup,
+    * scan predicates, DML, projections) — the reference resolves the
+    * PK case-insensitively and we keep one rule for every path.
+    */
+  val colIndex: Map[String, Int] = cols.map(_.name.toLowerCase).zipWithIndex.toMap
+  def indexOf(colName: String): Option[Int] = colIndex.get(colName.toLowerCase)
+  val pkIndex: Int = indexOf(pk).get
   def schema: StructType =
     StructType(cols.map(c => StructField(c.name, c.tpe.spark, nullable = !c.notNull && c.name != pk)))
 }

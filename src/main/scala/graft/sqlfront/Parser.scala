@@ -120,7 +120,14 @@ object Parser {
         }
         case t => fail(s"unexpected token $t")
       }
-      // trailing ';' and anything after it is ignored (statement 0 only)
+      // statement must be complete: optional ';', then EOF — trailing
+      // tokens (e.g. an unsupported LIMIT/ORDER BY clause) are an
+      // error rather than being silently ignored.
+      if (isPunct(";")) next()
+      peek match {
+        case EOF => ()
+        case t   => fail(s"unexpected trailing input at $t")
+      }
       s
     }
 
@@ -199,7 +206,12 @@ object Parser {
             next()
             val arg = if (isPunct("*")) { next(); None } else Some(ident())
             expectPunct(")")
-            items += SelectItem.Agg(name.toUpperCase, arg)
+            val fn = name.toUpperCase
+            // `*` is only meaningful for COUNT (reference SUM(*) would
+            // crash the executor; we reject it up front)
+            if (fn != "COUNT" && arg.isEmpty)
+              fail(s"$fn(*) is not supported — $fn requires a column argument")
+            items += SelectItem.Agg(fn, arg)
           } else items += SelectItem.Col(name)
         }
         if (isPunct(",")) next() else done = true

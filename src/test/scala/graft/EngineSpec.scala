@@ -316,6 +316,129 @@ class EngineSpec extends AnyFunSuite {
     assert(!r.ok && r.error.startsWith("Parse error"))
   }
 
+  // ---- aggregate edge: SUM(*) rejected (ADVICE r01) ------------------------
+
+  test("SUM(*) / AVG(*) are parse errors, not crashes") {
+    val e = fresh()
+    seedOrders(e)
+    val r = e.sql("SELECT SUM(*) FROM orders")
+    assert(!r.ok && r.error.startsWith("Parse error"))
+    assert(!e.sql("SELECT AVG(*) FROM orders").ok)
+  }
+
+  test("trailing unsupported clauses are parse errors, not silently dropped") {
+    val e = fresh()
+    seedOrders(e)
+    assert(!e.sql("SELECT * FROM orders LIMIT 5").ok)
+    assert(!e.sql("SELECT * FROM orders ORDER BY amount").ok)
+    assert(e.sql("SELECT * FROM orders;").ok)   // bare trailing ';' is fine
+  }
+
+  test("column resolution is case-insensitive on every path") {
+    val e = fresh()
+    seedOrders(e)
+    // point-lookup path and scan path must agree (ADVICE r01 divergence)
+    assert(e.sql("SELECT * FROM orders WHERE ID = 2").rowCount == 1)
+    assert(e.sql("SELECT * FROM orders WHERE ID = 2 AND AMOUNT > 0").rowCount == 1)
+    assert(e.sql("SELECT CUSTOMER FROM orders WHERE REGION = 'APAC'").rowCount == 2)
+    assert(e.sql("UPDATE orders SET STATUS = 'x' WHERE ID = 1").rowsAffected == 1)
+    assert(e.sql("DELETE FROM orders WHERE ID = 5").rowsAffected == 1)
+    assert(e.sql("SELECT SUM(AMOUNT) FROM orders WHERE ID = 2").rows.head.head == "250")
+  }
+
+  // ---- durability: flush / compaction / recover ----------------------------
+
+  private def withDir(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-test").toString
+    try f(dir)
+    finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("schema and data survive restart (delta-log replay)") {
+    withDir { dir =>
+      val e1 = new Engine(spark, Some(dir))
+      seedUsers(e1)
+      assert(e1.sql("UPDATE users SET age = 31 WHERE id = 1").rowsAffected == 1)
+      assert(e1.sql("DELETE FROM users WHERE id = 5").rowsAffected == 1)
+      // new engine over the same dir: catalog + rows recovered
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.tableNames == Vector("users"))
+      assert(e2.sql("SELECT COUNT(*) FROM users").rows.head.head == "4")
+      assert(e2.sql("SELECT age FROM users WHERE id = 1").rows.head.head == "31")
+      assert(e2.sql("SELECT * FROM users WHERE id = 5").rowCount == 0)
+      // writes after recovery get fresh seqs (no LWW regression)
+      assert(e2.sql("INSERT INTO users VALUES (1, 'Alice3', 32, 97000.0)").ok)
+      assert(e2.sql("SELECT name FROM users WHERE id = 1").rows.head.head == "Alice3")
+    }
+  }
+
+  test("flush moves rows to cold tier without changing the snapshot") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      seedUsers(e)
+      e.forceFlush("users")
+      // hot is now empty, all reads come from parquet
+      assert(e.sql("SELECT COUNT(*) FROM users").rows.head.head == "5")
+      assert(e.sql("SELECT name FROM users WHERE id = 2").rows.head.head == "Bob")
+      // hot write shadows the cold version (HTAP freshness)
+      assert(e.sql("UPDATE users SET name = 'Bobby' WHERE id = 2").rowsAffected == 1)
+      assert(e.sql("SELECT name FROM users WHERE id = 2").rows.head.head == "Bobby")
+      // delete of a cold row is visible immediately
+      assert(e.sql("DELETE FROM users WHERE id = 3").rowsAffected == 1)
+      assert(e.sql("SELECT COUNT(*) FROM users").rows.head.head == "4")
+      // restart after flush: manifest + log replay reconstruct the same view
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.sql("SELECT COUNT(*) FROM users").rows.head.head == "4")
+      assert(e2.sql("SELECT name FROM users WHERE id = 2").rows.head.head == "Bobby")
+    }
+  }
+
+  test("compaction merges tiers, drops tombstones, preserves the snapshot") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE ct (id BIGINT NOT NULL, v INT)").ok)
+      (1 to 6).foreach(i => assert(e.sql(s"INSERT INTO ct VALUES ($i, ${i * 10})").ok))
+      e.forceFlush("ct")
+      assert(e.sql("UPDATE ct SET v = 999 WHERE id = 1").rowsAffected == 1)
+      assert(e.sql("DELETE FROM ct WHERE id = 6").rowsAffected == 1)
+      e.forceFlush("ct")
+      e.compact("ct")
+      assert(e.sql("SELECT COUNT(*) FROM ct").rows.head.head == "5")
+      assert(e.sql("SELECT v FROM ct WHERE id = 1").rows.head.head == "999")
+      assert(e.sql("SELECT * FROM ct WHERE id = 6").rowCount == 0)
+      // restart over the compacted state
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.sql("SELECT COUNT(*) FROM ct").rows.head.head == "5")
+      assert(e2.sql("SELECT v FROM ct WHERE id = 1").rows.head.head == "999")
+    }
+  }
+
+  test("size-triggered flush kicks in at hotLimit") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), hotLimit = 10)
+      assert(e.sql("CREATE TABLE ft (id BIGINT NOT NULL, v INT)").ok)
+      (1 to 25).foreach(i => assert(e.sql(s"INSERT INTO ft VALUES ($i, $i)").ok))
+      assert(e.sql("SELECT COUNT(*) FROM ft").rows.head.head == "25")
+      assert(e.sql("SELECT SUM(v) FROM ft").rows.head.head == "325")
+      assert(e.sql("SELECT v FROM ft WHERE id = 7").rows.head.head == "7")
+    }
+  }
+
+  test("DROP TABLE removes persisted state too") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE dp (id BIGINT NOT NULL, v INT)").ok)
+      assert(e.sql("INSERT INTO dp VALUES (1, 1)").ok)
+      e.forceFlush("dp")
+      assert(e.sql("DROP TABLE dp").ok)
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.tableNames.isEmpty)
+      // recreate starts empty, even after restart
+      assert(e2.sql("CREATE TABLE dp (id BIGINT NOT NULL, v INT)").ok)
+      assert(e2.sql("SELECT COUNT(*) FROM dp").rows.head.head == "0")
+    }
+  }
+
   // ---- HTAP mixed workload (:799-854) --------------------------------------
 
   test("HTAP mixed workload: interleaved reads, all aggregates, update, delete") {
