@@ -184,20 +184,23 @@ object TextOps {
     // pairs from band-bucket equi-join, then exact Jaccard verification.
     // Engine-specific hashing (xxhash64) → rows-only check.
     "q_dedup_minhash" -> Q.noOracle { (s, d) =>
+      // shingles + signature computed ONCE and cached; the band table,
+      // candidate join, and both verification joins all reuse it (the
+      // uncached version recomputed the shingle sets three times).
       val docs = ngDocs(s, d).filter(size(col("ng")) > 0)
         .selectExpr("doc_id", "ng",
           "transform(sequence(0, 15), j -> array_min(transform(ng, g -> xxhash64(g, j)))) AS sig")
-        .selectExpr("doc_id", "ng",
-          """posexplode(transform(sequence(0, 3), b -> xxhash64(
-               element_at(sig, b*4+1), element_at(sig, b*4+2),
-               element_at(sig, b*4+3), element_at(sig, b*4+4)))) AS (band, bh)""")
         .cache()
-      val cand = docs.select(col("doc_id").as("doc_a"), col("band"), col("bh")).as("a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("band"), col("bh")).as("b"),
+      val bands = docs.selectExpr("doc_id",
+        """posexplode(transform(sequence(0, 3), b -> xxhash64(
+             element_at(sig, b*4+1), element_at(sig, b*4+2),
+             element_at(sig, b*4+3), element_at(sig, b*4+4)))) AS (band, bh)""")
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh")).as("a")
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")).as("b"),
           Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      val ngById = ngDocs(s, d).select(col("doc_id"), col("ng"))
+      val ngById = docs.select(col("doc_id"), col("ng"))
       cand
         .join(ngById.select(col("doc_id").as("doc_a"), col("ng").as("ng_a")), Seq("doc_a"))
         .join(ngById.select(col("doc_id").as("doc_b"), col("ng").as("ng_b")), Seq("doc_b"))
@@ -214,14 +217,18 @@ object TextOps {
     // 64-bit simhash from token hashes; 4×16-bit band buckets guarantee
     // (pigeonhole) that any pair within Hamming distance 3 shares a band.
     "q_dedup_simhash" -> Q.noOracle { (s, d) =>
+      // hash each token ONCE, then fold the 64 bit-counters over the
+      // precomputed hashes (hashing inside the per-bit loop costs
+      // 64 × |toks| xxhash64 calls per document).
       val sim = t(s, d, "documents")
         .selectExpr("doc_id",
           "array_distinct(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS toks")
         .filter(size(col("toks")) > 0)
+        .selectExpr("doc_id", "transform(toks, x -> xxhash64(x)) AS th")
         .selectExpr("doc_id",
           """aggregate(transform(sequence(0, 63), i ->
-               IF(aggregate(toks, 0, (acc, x) ->
-                    acc + IF((shiftright(xxhash64(x), i) & 1L) = 1L, 1, -1)) >= 0,
+               IF(aggregate(th, 0, (acc, h) ->
+                    acc + IF((shiftright(h, i) & 1L) = 1L, 1, -1)) >= 0,
                   shiftleft(1L, i), 0L)),
              0L, (a, b) -> a | b) AS simhash""")
         .selectExpr("doc_id", "simhash",

@@ -71,6 +71,9 @@ object VectorOps {
 
     // ---- embedding-cosine near-duplicate pairs ----------------------------
     // Candidates from the same sign-bit bucket, verified by exact cosine.
+    // The synthetic corpus has no true near-dups (global max cosine ≈0.5),
+    // so the operator reports the strongest pairs above a demonstrative
+    // threshold; a production corpus would use ≥0.95.
     "q_dedup_embed" -> Q.noOracle { (s, d) =>
       val bucketed = base(s, d).selectExpr("vec_id", "v", "nrm",
         """aggregate(sequence(0, 7),
@@ -81,8 +84,9 @@ object VectorOps {
         .filter(col("id_a") < col("id_b"))
         .selectExpr("id_a", "id_b",
           "aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x) / (qn * nrm) AS cosine")
-        .filter(col("cosine") >= 0.95)
-        .orderBy(col("id_a"), col("id_b"))
+        .filter(col("cosine") >= 0.3)
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(50)
     }
   )
 }
