@@ -20,9 +20,13 @@ object Bench {
     // warm the JVM/codegen once so per-query timings measure the plan,
     // not first-use class loading.
     SparkEntry.entry(spark).count()
+    // noop sink: evaluates every projected column (a bare count() lets
+    // Catalyst prune unreferenced projections, under-measuring the
+    // declared work).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }

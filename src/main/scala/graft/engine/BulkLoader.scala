@@ -1,0 +1,50 @@
+package graft.engine
+
+/** C9: seeded bulk loader — mirrors the reference's synthetic
+  * `transactions` generator (API/bulk_loader.cpp:25-132): fixed seed
+  * 42, same table schema, same value pools and ranges. Unlike the
+  * reference (one INSERT statement per row through the string
+  * parser), rows flow through the batch write path (C8) in chunks:
+  * one lock acquisition and one delta-log fsync per chunk.
+  */
+object BulkLoader {
+
+  private val Regions = Vector("North", "South", "East", "West", "Central")
+  private val Categories = Vector(
+    "Electronics", "Software", "Hardware", "Services",
+    "Support", "Logistics", "Marketing", "Finance")
+  private val Statuses = Vector(
+    "completed", "pending", "refunded", "processing", "shipped")
+
+  val CreateSql: String =
+    "CREATE TABLE transactions (id INT PRIMARY KEY, region VARCHAR(50), " +
+      "category VARCHAR(50), amount DOUBLE, units INT, status VARCHAR(20))"
+
+  /** Load `n` seeded rows into `transactions` (created if absent).
+    * Deterministic for a given (n, seed, chunk).
+    *
+    * @return number of rows inserted
+    */
+  def load(engine: Engine, n: Int = 1000000, seed: Long = 42L,
+           chunk: Int = 10000): Long = {
+    engine.sql(CreateSql) // "already exists" tolerated, like the reference
+    val rng = new scala.util.Random(seed)
+    var inserted = 0L
+    var id = 1
+    while (id <= n) {
+      val hi = math.min(id.toLong + chunk - 1, n.toLong).toInt
+      val rows: Seq[Array[Any]] = (id to hi).map { i =>
+        Array[Any](
+          i,
+          Regions(rng.nextInt(Regions.size)),
+          Categories(rng.nextInt(Categories.size)),
+          math.rint((5.0 + rng.nextDouble() * (9999.99 - 5.0)) * 100) / 100,
+          Int.box(1 + rng.nextInt(500)),
+          Statuses(rng.nextInt(Statuses.size)))
+      }
+      inserted += engine.batchPut("transactions", rows).size
+      id = hi + 1
+    }
+    inserted
+  }
+}

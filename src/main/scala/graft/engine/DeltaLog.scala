@@ -19,6 +19,24 @@ final class DeltaLog(path: Path, meta: TableMeta) {
   private var out = new DataOutputStream(new BufferedOutputStream(fos))
 
   def append(rv: RowVersion): Unit = this.synchronized {
+    writeRecord(rv)
+    out.flush()
+    // fsync per mutation — the reference WAL's durability contract
+    // (includes/wal.hpp:128-148 append + flush per op).
+    fos.getFD.sync()
+  }
+
+  /** Batched append: all records buffered, ONE flush + fsync for the
+    * group — the group-commit the reference WAL declares but never
+    * wires in (wal.hpp:399-608, SURVEY C14).
+    */
+  def appendBatch(rvs: Seq[RowVersion]): Unit = this.synchronized {
+    rvs.foreach(writeRecord)
+    out.flush()
+    fos.getFD.sync()
+  }
+
+  private def writeRecord(rv: RowVersion): Unit = {
     val row = RowCodec.encode(rv.values, meta)
     val payload = new java.io.ByteArrayOutputStream()
     val p = new DataOutputStream(payload)
@@ -31,10 +49,6 @@ final class DeltaLog(path: Path, meta: TableMeta) {
     out.writeInt(bytes.length)
     out.write(bytes)
     out.writeLong(crc.getValue)
-    out.flush()
-    // fsync per mutation — the reference WAL's durability contract
-    // (includes/wal.hpp:128-148 append + flush per op).
-    fos.getFD.sync()
   }
 
   /** Replay every intact record, oldest→newest; corrupt tail records

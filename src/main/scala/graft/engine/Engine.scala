@@ -29,11 +29,18 @@ final class Engine(
     val spark: SparkSession,
     val dataDir: Option[String] = None,
     val hotLimit: Int = 100000,
-    val compactTrigger: Int = 4) {
+    val compactTrigger: Int = 4,
+    val selectRowCap: Int = 1 << 20) {
 
   private val catalog = mutable.LinkedHashMap.empty[String, TableMeta]
   private val stores  = mutable.HashMap.empty[String, HotStore]
   private val seqGen  = new AtomicLong(0L)
+
+  // op counters (M5 — reference storage_engine.hpp:44-68 stats object)
+  private val opWrites      = new AtomicLong(0L)
+  private val opReads       = new AtomicLong(0L)
+  private val opRangeScans  = new AtomicLong(0L)
+  private val opCompactions = new AtomicLong(0L)
 
   /** Hot store: last-writer-wins map for reads + full version log
     * (kept for flush/compaction and snapshot-dedup tests), plus the
@@ -55,6 +62,19 @@ final class Engine(
       }
       seq
     }
+    /** Batched put: one lock acquisition, one delta-log batch append
+      * (single fsync) for the whole group — C8's improvement over the
+      * reference's loop-over-singles.
+      */
+    def putBatch(rows: Seq[(Array[Any], Boolean)]): Vector[Long] = this.synchronized {
+      val rvs = rows.map { case (v, tomb) =>
+        RowVersion(seqGen.incrementAndGet(), tomb, v)
+      }.toVector
+      delta.foreach(_.appendBatch(rvs))
+      rvs.foreach(applyVersion)
+      rvs.map(_.seq)
+    }
+
     /** mutate without logging (used by replay). */
     def applyVersion(rv: RowVersion): Unit = this.synchronized {
       log += rv
@@ -137,6 +157,22 @@ final class Engine(
     */
   def compact(table: String): Unit = compactStore(storeOf(table))
 
+  /** Target bytes per compacted output partition (reference level size
+    * unit, lsm_levels.hpp — byte-sized, not row-counted).
+    */
+  private val compactPartBytes: Long = 64L << 20
+
+  private def dirBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
   private def compactStore(store: HotStore): Unit = store.synchronized {
     val dir = dataDir.getOrElse(return)
     if (store.coldDirs.size < 2) return
@@ -144,15 +180,23 @@ final class Engine(
     val cold = store.coldDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
     val w = Window.partitionBy(col(m.pk)).orderBy(col("__seq").desc)
     val target = coldRoot(dir, m.name).resolve(f"tier-c${seqGen.get()}%012d").toString
+    // output partition count sized by input bytes: compaction reads ALL
+    // cold tiers, so a single-task write (coalesce(1)) is a scale-killer;
+    // repartitionByRange on the pk keeps the merged tier globally
+    // pk-sorted across multiple files (parquet row-group min/max pruning
+    // still works per file, and the write parallelizes).
+    val parts = math.max(1L, math.min(4096L,
+      store.coldDirs.map(dirBytes).sum / compactPartBytes + 1L)).toInt
     cold.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("__tombstone"))
       .drop("__rn")
-      .coalesce(1).sortWithinPartitions(col(m.pk))
+      .repartitionByRange(parts, col(m.pk)).sortWithinPartitions(col(m.pk))
       .write.mode("overwrite").parquet(target)
     val old = store.coldDirs
     store.coldDirs = Vector(target)
     Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
     old.foreach(p => Persist.deleteRecursively(java.nio.file.Paths.get(p)))
+    opCompactions.incrementAndGet()
   }
 
   /** Size-triggered flush (reference memtable freeze threshold). */
@@ -202,6 +246,109 @@ final class Engine(
         .filter(col("__rn") === 1 && !col("__tombstone"))
         .select(m.cols.map(c => col(c.name)): _*)
     }
+  }
+
+  /** C7: streaming range iterator — bounded-memory batched pull over
+    * the live snapshot (reference range_query_executor.hpp:253-338).
+    * Partitions are fetched to the driver one at a time; the full
+    * result set is never materialized.
+    */
+  def scanIterator(table: String, where: Option[Pred] = None): Iterator[Row] = {
+    val store = storeOf(table)
+    opRangeScans.incrementAndGet()
+    val df0 = snapshot(table)
+    val df = where.map(p => df0.filter(predToColumn(store.meta, p))).getOrElse(df0)
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+
+  // -------------------------------------------------------------------------
+  // batch write path (C8 — reference storage_engine.hpp:174-217
+  // batchPut/batchGet/batchDel; unlike the reference's
+  // "TODO: single WAL batch entry" loop-over-singles, the whole batch
+  // lands under ONE store lock with ONE delta-log fsync)
+  // -------------------------------------------------------------------------
+
+  /** Append many typed rows at once. Rows must be in schema column
+    * order with values of the declared runtime types. Validation
+    * matches the single-row INSERT path (arity, NOT NULL, PK).
+    *
+    * @return sequence numbers assigned, in input order
+    */
+  def batchPut(table: String, rows: Seq[Array[Any]]): Vector[Long] = {
+    val store = storeOf(table)
+    val m = store.meta
+    rows.foreach { values =>
+      if (values.length != m.cols.size)
+        throw new EngineException(
+          s"Column count mismatch: expected ${m.cols.size}, got ${values.length}")
+      m.cols.zipWithIndex.foreach { case (cd, idx) =>
+        if (values(idx) == null && (cd.notNull || cd.name == m.pk))
+          throw new EngineException(s"Column '${cd.name}' cannot be NULL")
+      }
+    }
+    val seqs = store.putBatch(rows.map(v => (v, false)))
+    opWrites.addAndGet(rows.size.toLong)
+    maybeFlush(store)
+    seqs
+  }
+
+  /** Point-get many PKs at once: hot-map hits are answered driver-side;
+    * all cold misses go to parquet in ONE Spark job (an IN-filter scan),
+    * not one job per key.
+    */
+  def batchGet(table: String, pks: Seq[Any]): Map[Any, Array[Any]] = {
+    val store = storeOf(table)
+    val m = store.meta
+    opReads.addAndGet(pks.size.toLong)
+    val hot = pks.flatMap(pk => store.get(pk).map(pk -> _)).toMap
+    val hotLive = hot.collect { case (pk, rv) if !rv.tombstone => pk -> rv.values }
+    val misses = pks.filterNot(hot.contains)
+    if (misses.isEmpty || store.coldDirs.isEmpty) hotLive
+    else {
+      val coldHits = snapshot(m.name)
+        .filter(col(m.pk).isin(misses: _*))
+        .collect()
+        .map(r => r.get(m.pkIndex) -> m.cols.indices.map(i => r.get(i)).toArray)
+        .toMap
+      hotLive ++ coldHits
+    }
+  }
+
+  /** Tombstone many PKs at once (existing keys only), one log batch. */
+  def batchDel(table: String, pks: Seq[Any]): Long = {
+    val store = storeOf(table)
+    val existing = batchGet(table, pks)
+    val seqs = store.putBatch(existing.values.map(v => (v, true)).toSeq)
+    opWrites.addAndGet(seqs.size.toLong)
+    maybeFlush(store)
+    seqs.size.toLong
+  }
+
+  // -------------------------------------------------------------------------
+  // stats & monitoring (M5 — reference storage_engine.hpp:517-553,
+  // API/json_helpers.hpp:73-104)
+  // -------------------------------------------------------------------------
+
+  def stats: EngineStats = {
+    val tables = this.synchronized { stores.values.toVector }.map { st =>
+      st.synchronized {
+        TableStats(
+          name = st.meta.name,
+          hotRows = st.latest.valuesIterator.count(!_.tombstone),
+          hotVersions = st.log.size,
+          coldTiers = st.coldDirs.size,
+          coldBytes = st.coldDirs.map(dirBytes).sum,
+          maxFlushedSeq = st.maxFlushedSeq)
+      }
+    }
+    EngineStats(
+      tables = tables,
+      totalWrites = opWrites.get(),
+      totalReads = opReads.get(),
+      totalRangeQueries = opRangeScans.get(),
+      totalCompactions = opCompactions.get(),
+      currentSeq = seqGen.get())
   }
 
   private[graft] def versionedSchema(m: TableMeta) =
@@ -301,6 +448,7 @@ final class Engine(
         return ResultSet.err(s"Column '${cd.name}' cannot be NULL")
     }
     store.put(values)   // upsert: same PK overwrites (skiplist.hpp:170-186)
+    opWrites.incrementAndGet()
     maybeFlush(store)
     ResultSet.affected(1L)
   }
@@ -359,20 +507,31 @@ final class Engine(
         // top-level only; AND-nested pk= goes to the scan path)
         pointLookupKey(store, s.where) match {
           case Some(pk) if store.coldDirs.isEmpty =>
+            opReads.incrementAndGet()
             val cols = projection(m, s.items)
             val rows = store.get(pk).filterNot(_.tombstone).toVector
               .map(rv => cols.map(i => fmt(rv.values(i), m.cols(i).tpe)))
             ResultSet(ok = true, cols.map(m.cols(_).name), rows)
           case _ =>
+            opRangeScans.incrementAndGet()
             val cols = projection(m, s.items)
             val df0 = snapshot(s.table)
             val df = s.where.map(p => df0.filter(predToColumn(m, p))).getOrElse(df0)
               .select(cols.map(i => col(m.cols(i).name)): _*)
-            val rows = df.collect().toVector.map { r =>
-              cols.indices.toVector.map(i =>
-                fmt(r.get(i), m.cols(cols(i)).tpe))
+            // bounded-memory materialization: toLocalIterator pulls one
+            // partition at a time (an unbounded collect() of
+            // `SELECT * FROM big` OOMs the driver); results are capped
+            // at selectRowCap rows — callers needing the full stream
+            // use scanIterator (C7).
+            val it = df.toLocalIterator()
+            val buf = Vector.newBuilder[Vector[String]]
+            var n = 0
+            while (it.hasNext && n < selectRowCap) {
+              val r = it.next()
+              buf += cols.indices.toVector.map(i => fmt(r.get(i), m.cols(cols(i)).tpe))
+              n += 1
             }
-            ResultSet(ok = true, cols.map(m.cols(_).name), rows)
+            ResultSet(ok = true, cols.map(m.cols(_).name), buf.result())
         }
     }
   }
@@ -398,6 +557,7 @@ final class Engine(
     */
   private def execAggregate(store: HotStore, a: SelectItem.Agg,
                             where: Option[Pred]): ResultSet = {
+    opRangeScans.incrementAndGet()
     val m = store.meta
     val df0 = snapshot(m.name)
     val df = where.map(p => df0.filter(predToColumn(m, p))).getOrElse(df0)
@@ -510,37 +670,45 @@ final class Engine(
         return ResultSet.err(s"Column '${m.cols(idx).name}' cannot be NULL")
       (idx, v)
     }
-    val matching = currentRows(store).filter(rv => evalPred(m, u.where, rv.values))
+    val matching = currentRows(store, u.where)
     matching.foreach { rv =>
       val next = rv.values.clone()
       setIdx.foreach { case (i, v) => next(i) = v }
       store.put(next)
     }
+    opWrites.addAndGet(matching.size.toLong)
     maybeFlush(store)
     ResultSet.affected(matching.size.toLong)
   }
 
   private def execDelete(d: Stmt.Delete): ResultSet = {
     val store = storeOf(d.table)
-    val m = store.meta
-    val matching = currentRows(store).filter(rv => evalPred(m, d.where, rv.values))
+    val matching = currentRows(store, d.where)
     matching.foreach(rv => store.put(rv.values, tombstone = true))
+    opWrites.addAndGet(matching.size.toLong)
     maybeFlush(store)
     ResultSet.affected(matching.size.toLong)
   }
 
-  /** live rows across hot+cold for DML matching. Cold rows shadowed by
-    * hot versions are excluded via the LWW snapshot.
+  /** live rows matching `pred` across hot+cold, for DML. The predicate
+    * is applied BEFORE collecting: on the cold path it becomes a
+    * Catalyst filter pushed into the parquet scan, so only matching
+    * rows ever cross the driver boundary (an unfiltered collect here
+    * is a full-table driver materialization per DML statement).
+    * Cold rows shadowed by hot versions are excluded via the LWW
+    * snapshot.
     */
-  private def currentRows(store: HotStore): Vector[RowVersion] =
-    if (store.coldDirs.isEmpty) store.liveRows
+  private def currentRows(store: HotStore, pred: Pred): Vector[RowVersion] = {
+    val m = store.meta
+    if (store.coldDirs.isEmpty)
+      store.liveRows.filter(rv => evalPred(m, pred, rv.values))
     else {
-      val m = store.meta
-      snapshot(m.name).collect().toVector.map { r =>
+      snapshot(m.name).filter(predToColumn(m, pred)).collect().toVector.map { r =>
         RowVersion(0L, tombstone = false,
           m.cols.indices.map(i => r.get(i)).toArray)
       }
     }
+  }
 
   // ---- EXPLAIN / DESCRIBE --------------------------------------------------
 
@@ -554,12 +722,27 @@ final class Engine(
       else if (sel.where.isDefined) "RANGE_SCAN"
       else "FULL_SCAN"
     val hotCount = store.liveRows.size
+    val tiers = store.coldDirs.size
+    // estimated I/O cost: the reference router's formulas
+    // (hybrid_query_router.hpp:255,274-275,293-294,321-322) with our
+    // hot store standing in for the memtable and parquet tiers for
+    // the row levels.
+    val ioCost = qtype match {
+      case "POINT_LOOKUP" => 1.0 + 0.5 * tiers
+      case "AGGREGATION"  => 1.0 + 1.3 * tiers
+      case _              => 1.0 + tiers.toDouble
+    }
+    val storageLine =
+      if (tiers == 0) "Storage Layers: hot store"
+      else s"Storage Layers: hot store + ${store.coldDirs.map(p => java.nio.file.Paths.get(p).getFileName).mkString(", ")}"
     val lines = Vector(
       s"Query Type: $qtype",
       s"Table: ${m.name}",
       s"Hot Rows: $hotCount",
-      s"Cold Tiers: ${store.coldDirs.size}",
+      s"Cold Tiers: $tiers",
       s"Estimated Rows: ${if (qtype == "POINT_LOOKUP") 1 else hotCount}",
+      f"Estimated I/O Cost: $ioCost%.1f",
+      storageLine,
       s"Filter Pushdown: ${if (sel.where.isDefined) "YES" else "NO"}",
       s"Projection Pushdown: ${if (sel.items.contains(SelectItem.Star)) "NO" else "YES"}")
     ResultSet(ok = true, Vector("Explain"), lines.map(Vector(_)))

@@ -76,3 +76,25 @@ object ResultSet {
 }
 
 final class EngineException(msg: String) extends RuntimeException(msg)
+
+/** Per-table storage stats (M5 — reference level stats,
+  * storage_engine.hpp:517-553).
+  */
+final case class TableStats(
+    name: String,
+    hotRows: Int,
+    hotVersions: Int,
+    coldTiers: Int,
+    coldBytes: Long,
+    maxFlushedSeq: Long)
+
+/** Engine-wide stats for monitoring / the REST status endpoint
+  * (reference StorageEngineStats, API/json_helpers.hpp:73-104).
+  */
+final case class EngineStats(
+    tables: Vector[TableStats],
+    totalWrites: Long,
+    totalReads: Long,
+    totalRangeQueries: Long,
+    totalCompactions: Long,
+    currentSeq: Long)

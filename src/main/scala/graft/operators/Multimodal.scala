@@ -88,11 +88,22 @@ object Multimodal {
     }
   }
 
-  /** Full pipeline as a DataFrame (used by SparkEntry + tests). */
-  def pipeline(spark: SparkSession, dir: String): DataFrame =
+  /** Feature vectors with full arrays — internal / downstream-ANN use. */
+  def featureFrame(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(asMediaRecords(spark, dir))
       .toDF()
       .select(col("id"), col("modality"), col("nBytes").as("n_bytes"),
         col("checksum"), col("features"))
+
+  /** Declared pipeline output (SparkEntry/Verify): scalar columns only —
+    * the raw array<float> is folded to a single hash so the result is
+    * sortable/hashable by any downstream tool; the array variant stays
+    * available via [[featureFrame]].
+    */
+  def pipeline(spark: SparkSession, dir: String): DataFrame =
+    featureFrame(spark, dir)
+      .withColumn("feat_hash",
+        xxhash64(concat_ws(",", col("features").cast("array<string>"))))
+      .drop("features")
       .orderBy(col("id"))
 }

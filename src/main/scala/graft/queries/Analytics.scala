@@ -29,9 +29,14 @@ object Analytics {
     // ---- joins ------------------------------------------------------------
     // customer ⋈ nation ⋈ region: both dims broadcast; one shuffle for the
     // final group-by only.
+    // Final CAST(… AS DOUBLE) on decimal sums throughout this file pins
+    // the output type: Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2),
+    // DuckDB to DECIMAL(38,2) — value-identical but hash-mismatched in
+    // the driver compare without the cast. The sum itself still folds
+    // exactly in decimal; only the final value is converted.
     "q_join_bcast_dims" -> Q(
       """SELECT r_name, n_name, count(*) AS n_cust,
-                sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
@@ -42,7 +47,7 @@ object Analytics {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-             sum(col("c_acctbal").cast(dec)).as("sum_bal"))
+             sum(col("c_acctbal").cast(dec)).cast("double").as("sum_bal"))
         .orderBy(col("r_name"), col("n_name"))
     },
 
@@ -97,10 +102,10 @@ object Analytics {
     // TPC-H Q1 shape: the flagship aggregation.
     "q_groupby_q1" -> Q(
       """SELECT l_returnflag, l_linestatus,
-                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-                sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
                 count(*) AS count_order
@@ -113,9 +118,9 @@ object Analytics {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(qty).as("sum_qty"),
-          sum(price).as("sum_base"),
-          sum(price * disc).as("sum_disc_price"),
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base"),
+          sum(price * disc).cast("double").as("sum_disc_price"),
           (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
           (sum(price).cast("double") / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -223,9 +228,9 @@ object Analytics {
     // running (cumulative) sum — exact via decimal accumulation.
     "q_window_running" -> Q(
       """SELECT o_custkey, o_orderkey,
-                sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
          FROM orders
          ORDER BY o_custkey, o_orderkey""") { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -233,22 +238,22 @@ object Analytics {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec)).over(w).as("running_spend"))
+          sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("running_spend"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
     "q_window_lag" -> Q(
       """SELECT o_custkey, o_orderkey,
-                CAST(o_totalprice AS DECIMAL(18,2)) -
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) -
                 lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_prev
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS delta_prev
          FROM orders ORDER BY o_custkey, o_orderkey""") { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val p = col("o_totalprice").cast(dec)
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          (p - lag(p, 1).over(w)).as("delta_prev"))
+          (p - lag(p, 1).over(w)).cast("double").as("delta_prev"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
@@ -321,19 +326,19 @@ object Analytics {
     "q_event_window" -> Q(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
                 event_type, count(*) AS n,
-                sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""") { (s, d) =>
       t(s, d, "events")
         .groupBy(
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("win_start"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec6)).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec6)).cast("double").as("sum_value"))
         .orderBy(col("win_start"), col("event_type"))
     },
 
     // sessionization: 30-minute inactivity gap, per user.
     "q_sessionize" -> Q(
-      """SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions FROM (
+      """SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
            SELECT user_id,
                   CASE WHEN prev_ts IS NULL
                             OR date_diff('microsecond', prev_ts, ts) > 1800000000

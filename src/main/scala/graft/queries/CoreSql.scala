@@ -167,21 +167,24 @@ object CoreSql {
 
     // reference empty-set quirk: SUM/MIN/MAX/AVG of zero rows return 0,
     // not NULL (query_executor.cpp:256-263) — reproduced via coalesce.
+    // Final CAST to DOUBLE pins the output type on both sides: Spark's
+    // sum(DECIMAL(18,2)) widens to DECIMAL(28,2) while DuckDB's widens
+    // to DECIMAL(38,2) — value-identical but hash-mismatched without it.
     "q_agg_empty_zero" -> Q(
-      """SELECT coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS sum_qty,
+      """SELECT CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_qty,
                 count(*) AS n
          FROM lineitem WHERE l_quantity < 0.0""") { (s, d) =>
       t(s, d, "lineitem").filter(col("l_quantity") < 0.0).agg(
-        coalesce(sum(col("l_quantity").cast(dec)), lit(0).cast(dec)).as("sum_qty"),
+        coalesce(sum(col("l_quantity").cast(dec)), lit(0).cast(dec)).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
     },
 
     // BASELINE.md bench shape 3: filtered SUM.
     "q_agg_filtered" -> Q(
-      """SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      """SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders WHERE o_orderstatus = 'O'""") { (s, d) =>
       t(s, d, "orders").filter(col("o_orderstatus") === "O")
-        .agg(sum(col("o_totalprice").cast(dec)).as("sum_price"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
     },
 
     "q_agg_count_distinct" -> Q(

@@ -24,18 +24,45 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** tokens + distinct word-3-gram shingles per document. */
-  private def ngDocs(s: SparkSession, d: String): DataFrame =
+  /** One row per (doc_id, distinct word-3-gram shingle).
+    *
+    * Plan shape matters here, twice:
+    *  - the explicit-count repartition spreads the (locally
+    *    single-file) scan across cores before the per-doc shingle
+    *    transform — at 100 TB file parallelism provides this
+    *    naturally, and the shuffle is proportional to the text, not
+    *    the shingles; the explicit count keeps AQE from coalescing
+    *    the tiny-by-bytes but CPU-heavy stage back to one partition;
+    *  - the persist() between the array computation and the explode
+    *    is a hard plan barrier: Catalyst inlines a computed array
+    *    into Generate and re-evaluates it per OUTPUT row, turning the
+    *    O(tokens) transform into O(tokens²) — measured 10.7 s vs
+    *    0.23 s at sf0.1 for the same explode. A repartition between
+    *    them does NOT survive the optimizer (adjacent repartitions
+    *    collapse); the cache boundary does. The cached frame is one
+    *    small array row per document, spill-safe (MEMORY_AND_DISK).
+    *
+    * Everything downstream of the explode is plain columns — hashing
+    * and aggregation stay inside whole-stage codegen (higher-order
+    * array lambdas are interpreted; per-element work in them is the
+    * slow path).
+    */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     t(s, d, "documents")
+      .repartition(parts, col("doc_id"))
       .selectExpr(
-        "doc_id", "source", "text",
+        "doc_id",
         "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
       .selectExpr(
-        "doc_id", "source", "toks",
+        "doc_id",
         """CASE WHEN size(toks) >= 3 THEN
              array_distinct(transform(sequence(0, size(toks)-3),
                i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2), ' ', element_at(toks, i+3))))
            ELSE array() END AS ng""")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), explode(col("ng")).as("sh"))
+  }
 
   /** DuckDB mirror of ngDocs as a CTE body. */
   private val ngCte =
@@ -151,10 +178,21 @@ object TextOps {
     },
 
     // ---- exact n-gram Jaccard near-dup (inverted-index co-count) ----------
+    // Stop-shingle cutoff: a shingle occurring in more than `maxDf`
+    // documents is dropped before the self-join — one hot shingle
+    // ("of the and") otherwise produces |docs|² candidate pairs, a
+    // quadratic blowup on skew at scale. Jaccard is computed in the
+    // filtered shingle space (sizes counted post-cutoff) so the metric
+    // stays a true Jaccard of the compared sets; the oracle applies
+    // the identical cutoff. The hot-shingle set is tiny by construction
+    // (≤ |shingles| / maxDf entries) → broadcast anti-join, no shuffle
+    // of the inverted index.
     "q_dedup_ngram" -> Q(
       s"""$ngCte,
-          inv AS (SELECT doc_id, unnest(ng) AS sh FROM docs),
-          sizes AS (SELECT doc_id, len(ng) AS n FROM docs),
+          inv0 AS (SELECT doc_id, unnest(ng) AS sh FROM docs),
+          inv AS (SELECT doc_id, sh FROM inv0
+                  WHERE sh NOT IN (SELECT sh FROM inv0 GROUP BY sh HAVING count(*) > 100)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
           co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
@@ -164,9 +202,12 @@ object TextOps {
             FROM co JOIN sizes sa ON sa.doc_id = doc_a
                     JOIN sizes sb ON sb.doc_id = doc_b)
           WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""") { (s, d) =>
-      val docs  = ngDocs(s, d).cache()
-      val inv   = docs.select(col("doc_id"), explode(col("ng")).as("sh"))
-      val sizes = docs.select(col("doc_id"), size(col("ng")).as("n"))
+      val maxDf = 100
+      val inv0 = shingleRows(s, d)
+      val hot = inv0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("sh"))
+      val inv = inv0.join(broadcast(hot), Seq("sh"), "left_anti")
+      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val co = inv.as("a").join(inv.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -183,32 +224,45 @@ object TextOps {
     // 16 minhashes over word-3-gram shingles, 4 bands × 4 rows; candidate
     // pairs from band-bucket equi-join, then exact Jaccard verification.
     // Engine-specific hashing (xxhash64) → rows-only check.
+    //
+    // Plan notes (the r2 version cost 31 s / 44% of the bench): the
+    // signature is computed over EXPLODED shingle rows — 16 codegen'd
+    // xxhash64 projections + a hash-aggregate of 16 mins — instead of
+    // nested array lambdas (higher-order functions are interpreted and
+    // the per-shingle hashing dominated the whole bench). Verification
+    // is a co-count over the inverted index restricted to candidate
+    // documents (broadcast semi-join): the co-count IS the intersection
+    // size, so no shingle arrays are ever shipped across a join. The
+    // shingle exchange and the signature exchange are each computed once
+    // and reused across branches (ReusedExchange).
     "q_dedup_minhash" -> Q.noOracle { (s, d) =>
-      // shingles + signature computed ONCE and cached; the band table,
-      // candidate join, and both verification joins all reuse it (the
-      // uncached version recomputed the shingle sets three times).
-      val docs = ngDocs(s, d).filter(size(col("ng")) > 0)
-        .selectExpr("doc_id", "ng",
-          "transform(sequence(0, 15), j -> array_min(transform(ng, g -> xxhash64(g, j)))) AS sig")
-        .cache()
-      val bands = docs.selectExpr("doc_id",
-        """posexplode(transform(sequence(0, 3), b -> xxhash64(
-             element_at(sig, b*4+1), element_at(sig, b*4+2),
-             element_at(sig, b*4+3), element_at(sig, b*4+4)))) AS (band, bh)""")
+      val shingles = shingleRows(s, d)
+      val hashed = shingles.select(
+        col("doc_id") +: (0 until 16).map(j => xxhash64(col("sh"), lit(j)).as(s"h$j")): _*)
+      val sig = hashed.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n"),
+        (0 until 16).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+      val bands = sig.select(col("doc_id"), posexplode(array(
+        (0 until 4).map(b => xxhash64((b * 4 until b * 4 + 4).map(j => col(s"m$j")): _*)): _*
+      ))).toDF("doc_id", "band", "bh")
       val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh")).as("a")
         .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")).as("b"),
           Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      val ngById = docs.select(col("doc_id"), col("ng"))
-      cand
-        .join(ngById.select(col("doc_id").as("doc_a"), col("ng").as("ng_a")), Seq("doc_a"))
-        .join(ngById.select(col("doc_id").as("doc_b"), col("ng").as("ng_b")), Seq("doc_b"))
-        .selectExpr("doc_a", "doc_b",
-          "size(array_intersect(ng_a, ng_b)) AS inter",
-          "size(ng_a) + size(ng_b) AS tot")
-        .selectExpr("doc_a", "doc_b",
-          "CAST(inter AS DOUBLE) / (tot - inter) AS jaccard")
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val inv = shingles.join(broadcast(candDocs), Seq("doc_id"))
+      val co = inv.as("a").join(inv.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = sig.select(col("doc_id"), col("n"))
+      cand.join(co, Seq("doc_a", "doc_b"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= 0.6)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -217,23 +271,28 @@ object TextOps {
     // 64-bit simhash from token hashes; 4×16-bit band buckets guarantee
     // (pigeonhole) that any pair within Hamming distance 3 shares a band.
     "q_dedup_simhash" -> Q.noOracle { (s, d) =>
-      // hash each token ONCE, then fold the 64 bit-counters over the
-      // precomputed hashes (hashing inside the per-bit loop costs
-      // 64 × |toks| xxhash64 calls per document).
-      val sim = t(s, d, "documents")
+      // tokens EXPLODED to rows: one codegen'd xxhash64 per token, then
+      // a 64-column conditional-sum hash aggregate builds the bit
+      // counters, and one projection folds them into the 64-bit
+      // simhash — no interpreted array lambdas in the hot path (the
+      // r2 version folded bit counters with nested higher-order
+      // functions, which Spark evaluates interpreted).
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val tokens = t(s, d, "documents")
+        .repartition(parts, col("doc_id"))
         .selectExpr("doc_id",
           "array_distinct(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS toks")
         .filter(size(col("toks")) > 0)
-        .selectExpr("doc_id", "transform(toks, x -> xxhash64(x)) AS th")
-        .selectExpr("doc_id",
-          """aggregate(transform(sequence(0, 63), i ->
-               IF(aggregate(th, 0, (acc, h) ->
-                    acc + IF((shiftright(h, i) & 1L) = 1L, 1, -1)) >= 0,
-                  shiftleft(1L, i), 0L)),
-             0L, (a, b) -> a | b) AS simhash""")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)  // barrier before explode (see shingleRows)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+      val cntCols = (0 until 64).map(i =>
+        sum(when(expr(s"(shiftright(h, $i) & 1L) = 1L"), 1).otherwise(-1)).as(s"c$i"))
+      val cnt = tokens.select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .groupBy(col("doc_id")).agg(cntCols.head, cntCols.tail: _*)
+      val simExpr = (0 until 64).map(i => s"IF(c$i >= 0, shiftleft(1L, $i), 0L)").mkString(" | ")
+      val sim = cnt.selectExpr("doc_id", s"($simExpr) AS simhash")
         .selectExpr("doc_id", "simhash",
           "posexplode(transform(sequence(0, 3), c -> shiftright(simhash, c*16) & 65535L)) AS (band, chunk)")
-        .cache()
       sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("band"), col("chunk")).as("a")
         .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("band"), col("chunk")).as("b"),
           Seq("band", "chunk"))

@@ -11,16 +11,35 @@ import org.apache.spark.sql.functions._
   * Brute-force cosine top-k is the exactness baseline: the (small)
   * query set is broadcast, so the big side streams through one scan
   * with no shuffle — at 100 TB this is the classic "broadcast the
-  * queries, map over the corpus" pattern. The LSH-bucketed variant
-  * (sign-bit buckets) is the scale path: candidates come from an
-  * equi-join on bucket id, turning the n² search into a shuffle
-  * join on a compact key.
+  * queries, map over the corpus" pattern.
   *
-  * All arithmetic is builtin zip_with/aggregate in double — inside
-  * whole-stage codegen, no UDFs. Engine-specific float math →
-  * rows-only checks (no DuckDB oracle).
+  * The scale path is multi-table sign-LSH (random-hyperplane
+  * hashing): `Tables` independent hash tables of `Bits` sign bits
+  * each, hyperplanes drawn from a fixed seed. Candidates come from
+  * equi-joins on (table, bucket) — a shuffle join on a compact key
+  * instead of the n² cross product. Query-side multi-probe (all
+  * buckets within Hamming distance 1) buys recall without adding
+  * tables. A single 8-bit table (the r1/r2 design) has only 256
+  * buckets globally — at 100 TB each bucket still holds ~0.4% of the
+  * corpus and one probe of one table has poor recall; multiple
+  * independent tables bound both candidate volume and recall loss,
+  * and `Bits` scales up (16–24) when the corpus has true near-dups.
+  *
+  * Engine-specific float math → rows-only checks (no DuckDB oracle).
+  * A recall gate vs the brute-force baseline lives in VectorOpsSpec.
   */
 object VectorOps {
+
+  val Tables = 8
+  val Bits   = 8
+
+  /** T×B seeded random hyperplanes (dim 64) — deterministic across
+    * runs and engines.
+    */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(7L)
+    Seq.fill(Tables * Bits)(Seq.fill(64)(rng.nextGaussian()))
+  }
 
   /** vec_id, v (array<double>), norm. */
   private def base(s: SparkSession, d: String): DataFrame =
@@ -28,6 +47,22 @@ object VectorOps {
       .selectExpr("vec_id", "label", "CAST(embedding AS array<double>) AS v")
       .selectExpr("vec_id", "label", "v",
         "sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) AS nrm")
+
+  /** One row per (vec_id, tbl, bucket): the multi-table LSH index.
+    * Buckets are sign-bit codes of the seeded hyperplane projections.
+    */
+  private def lshIndex(s: SparkSession, d: String): DataFrame =
+    base(s, d)
+      .withColumn("pl", typedlit(planes))
+      .selectExpr("vec_id", "v", "nrm",
+        s"""transform(sequence(0, ${Tables - 1}), t ->
+              aggregate(sequence(0, ${Bits - 1}), 0, (acc, b) ->
+                acc + IF(aggregate(zip_with(v, element_at(pl, t*$Bits + b + 1),
+                                            (x, p) -> x * p),
+                                   0D, (a, x) -> a + x) >= 0D,
+                         shiftleft(1, b), 0))) AS bkts""")
+      .selectExpr("vec_id", "v", "nrm",
+        "posexplode(bkts) AS (tbl, bucket)")
 
   private val cosExpr =
     "aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x) / (qn * nrm) AS cosine"
@@ -49,19 +84,29 @@ object VectorOps {
         .orderBy(col("q_id"), col("rank"))
     },
 
-    // ---- LSH-bucketed ANN (sign-bit coarse quantizer) ---------------------
-    // bucket = 8 sign bits of the first 8 dims; query probes only its own
-    // bucket. Recall is approximate by design; the bucket join replaces the
-    // cross product.
+    // ---- multi-table LSH ANN ----------------------------------------------
+    // Candidates: corpus rows sharing a (tbl, bucket) with any of the
+    // query's multi-probe buckets (exact bucket + all Hamming ≤ 2
+    // neighbors); exact cosine re-ranks candidates, top-5 per query.
+    // Probing only the query side keeps the index one row per
+    // (vector, table); probe count is 1 + B + B(B-1)/2 per table.
     "q_ann_lsh" -> Q.noOracle { (s, d) =>
-      val bucketed = base(s, d).selectExpr("vec_id", "v", "nrm",
-        """aggregate(sequence(0, 7),
-             0, (acc, i) -> acc + IF(element_at(v, i+1) >= 0D, shiftleft(1, i), 0)) AS bucket""")
-      val queries = bucketed.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      bucketed.join(broadcast(queries), Seq("bucket"))
+      val idx = lshIndex(s, d)
+      val probeMasks: Seq[Int] = Seq(0) ++ (0 until Bits).map(1 << _) ++
+        (for { j <- 0 until Bits; k <- j + 1 until Bits } yield (1 << j) | (1 << k))
+      val queries = idx.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+          col("tbl"), col("bucket"))
+        .withColumn("mk", typedlit(probeMasks))
+        .selectExpr("q_id", "qv", "qn", "tbl",
+          "explode(transform(mk, m -> CAST(bucket ^ m AS INT))) AS bucket")
+      val cand = idx.select(col("vec_id"), col("v"), col("nrm"), col("tbl"), col("bucket"))
+        .join(broadcast(queries), Seq("tbl", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("qv"), col("qn"), col("v"), col("nrm"))
+        .dropDuplicates("q_id", "vec_id")
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      cand
         .selectExpr("q_id", "vec_id", cosExpr)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
@@ -70,18 +115,23 @@ object VectorOps {
     },
 
     // ---- embedding-cosine near-duplicate pairs ----------------------------
-    // Candidates from the same sign-bit bucket, verified by exact cosine.
-    // The synthetic corpus has no true near-dups (global max cosine ≈0.5),
-    // so the operator reports the strongest pairs above a demonstrative
-    // threshold; a production corpus would use ≥0.95.
+    // Candidates: pairs sharing ANY (tbl, bucket) across the multi-table
+    // index (no probing needed — true near-dups agree on most sign bits,
+    // so some table matches with high probability); verified by exact
+    // cosine. The single-table version self-joined ~n²/256 pairs; with T
+    // independent tables of B bits the expected candidate volume is
+    // T · n²/2^B with much better recall, and B scales up with corpus
+    // size. The synthetic corpus has no true near-dups (global max
+    // cosine ≈0.5), so the operator reports the strongest pairs above a
+    // demonstrative threshold; a production corpus would use ≥0.95.
     "q_dedup_embed" -> Q.noOracle { (s, d) =>
-      val bucketed = base(s, d).selectExpr("vec_id", "v", "nrm",
-        """aggregate(sequence(0, 7),
-             0, (acc, i) -> acc + IF(element_at(v, i+1) >= 0D, shiftleft(1, i), 0)) AS bucket""")
-      bucketed.select(col("vec_id").as("id_a"), col("v").as("qv"), col("nrm").as("qn"), col("bucket")).as("a")
-        .join(bucketed.select(col("vec_id").as("id_b"), col("v"), col("nrm"), col("bucket")).as("b"),
-          Seq("bucket"))
+      val idx = lshIndex(s, d)
+      idx.select(col("vec_id").as("id_a"), col("v").as("qv"), col("nrm").as("qn"),
+          col("tbl"), col("bucket")).as("a")
+        .join(idx.select(col("vec_id").as("id_b"), col("v"), col("nrm"),
+          col("tbl"), col("bucket")).as("b"), Seq("tbl", "bucket"))
         .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
         .selectExpr("id_a", "id_b",
           "aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x) / (qn * nrm) AS cosine")
         .filter(col("cosine") >= 0.3)
