@@ -1,0 +1,223 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.engine.{Engine, EngineStats, ResultSet}
+
+/** REST API over the engine — the reference's primary external entry
+  * point (StorageEngine/API/api_server.hpp:103-320), same endpoint
+  * surface and response envelope, served by the JDK's built-in HTTP
+  * server (no extra dependencies):
+  *
+  *   POST /api/query                    {"sql": "..."} → result set
+  *   POST /api/explain                  {"sql": "..."} → {"plan": "..."}
+  *   GET  /api/tables                   table names
+  *   GET  /api/tables/:name             full schema
+  *   GET  /api/tables/:name/describe    text description
+  *   GET  /api/status                   engine stats (M5)
+  *   POST /api/admin/flush              force flush all tables
+  *   POST /api/admin/compact            compact all tables
+  *   GET  /api/health                   liveness + uptime
+  *   GET  /api/info                     capability discovery
+  *
+  * Envelope: {"success":true,"data":{...}} /
+  * {"success":false,"error":{"message":...,"type":...}}
+  * (reference API/json_helpers.hpp:23-51).
+  */
+final class ApiServer(engine: Engine, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val startNanos = System.nanoTime()
+
+  server.createContext("/api/", handle _)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def boundPort: Int = server.getAddress.getPort
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+
+  // ---- JSON encoding (minimal, dependency-free) ----------------------------
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jarr(items: Iterable[String]): String = items.mkString("[", ",", "]")
+  private def jobj(fields: (String, String)*): String =
+    fields.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+
+  private def success(data: String): String =
+    jobj("success" -> "true", "data" -> data)
+  private def failure(message: String, kind: String): String =
+    jobj("success" -> "false",
+      "error" -> jobj("message" -> jstr(message), "type" -> jstr(kind)))
+
+  private def resultSetJson(rs: ResultSet, ms: Double): String =
+    if (!rs.ok) failure(rs.error, "QUERY_ERROR")
+    else success(jobj(
+      "headers" -> jarr(rs.headers.map(jstr)),
+      "rows" -> jarr(rs.rows.map(r => jarr(r.map(jstr)))),
+      "rowsAffected" -> rs.rowsAffected.toString,
+      "executionTimeMs" -> f"$ms%.3f"))
+
+  private def statsJson(st: EngineStats): String =
+    success(jobj(
+      "tables" -> jarr(st.tables.map(ts => jobj(
+        "name" -> jstr(ts.name),
+        "hotRows" -> ts.hotRows.toString,
+        "hotVersions" -> ts.hotVersions.toString,
+        "coldTiers" -> ts.coldTiers.toString,
+        "coldBytes" -> ts.coldBytes.toString,
+        "maxFlushedSeq" -> ts.maxFlushedSeq.toString))),
+      "operations" -> jobj(
+        "totalWrites" -> st.totalWrites.toString,
+        "totalReads" -> st.totalReads.toString,
+        "totalRangeQueries" -> st.totalRangeQueries.toString,
+        "totalCompactions" -> st.totalCompactions.toString),
+      "currentSeq" -> st.currentSeq.toString))
+
+  /** Extract a top-level string field from a (flat) JSON body. */
+  private[api] def jsonField(body: String, key: String): Option[String] = {
+    val pat = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    pat.findFirstMatchIn(body).map { m =>
+      val raw = m.group(1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        raw(i) match {
+          case '\\' if i + 1 < raw.length =>
+            raw(i + 1) match {
+              case 'n' => sb += '\n'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case 't' => sb += '\t'; i += 2
+              case 'u' if i + 5 < raw.length + 1 =>
+                sb += Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar; i += 6
+              case c   => sb += c; i += 2
+            }
+          case c => sb += c; i += 1
+        }
+      }
+      sb.toString
+    }
+  }
+
+  // ---- routing -------------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val (code, json) =
+      try route(method, path, body)
+      catch { case e: Exception => (500, failure(s"Internal error: ${e.getMessage}", "INTERNAL_ERROR")) }
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def route(method: String, path: String, body: String): (Int, String) =
+    (method, path) match {
+      case ("POST", "/api/query") =>
+        withSql(body) { sql =>
+          val t0 = System.nanoTime()
+          val rs = engine.sql(sql)
+          val ms = (System.nanoTime() - t0) / 1e6
+          (if (rs.ok) 200 else 400, resultSetJson(rs, ms))
+        }
+
+      case ("POST", "/api/explain") =>
+        withSql(body) { sql =>
+          val stmt = if (sql.toUpperCase.startsWith("EXPLAIN")) sql else s"EXPLAIN $sql"
+          val rs = engine.sql(stmt)
+          if (!rs.ok) (400, failure(rs.error, "QUERY_ERROR"))
+          else (200, success(jobj("plan" -> jstr(rs.rows.map(_.head).mkString("\n")))))
+        }
+
+      case ("GET", "/api/tables") =>
+        val names = engine.tableNames
+        (200, success(jobj(
+          "tables" -> jarr(names.map(jstr)),
+          "count" -> names.size.toString)))
+
+      case ("GET", TablePath(name, "")) =>
+        engine.meta(name) match {
+          case None => (404, failure(s"Table '$name' does not exist", "NOT_FOUND"))
+          case Some(m) => (200, success(jobj(
+            "tableName" -> jstr(m.name),
+            "primaryKey" -> jstr(m.pk),
+            "columns" -> jarr(m.cols.map(c => jobj(
+              "name" -> jstr(c.name),
+              "type" -> jstr(c.tpe.sqlName),
+              "nullable" -> (!c.notNull && c.name != m.pk).toString))),
+            "columnCount" -> m.cols.size.toString)))
+        }
+
+      case ("GET", TablePath(name, "/describe")) =>
+        val rs = engine.sql(s"DESCRIBE $name")
+        if (!rs.ok) (404, failure(rs.error, "NOT_FOUND"))
+        else (200, success(jobj("description" ->
+          jstr(rs.rows.map(_.mkString(" ")).mkString("\n")))))
+
+      case ("GET", "/api/status") =>
+        (200, statsJson(engine.stats))
+
+      case ("POST", "/api/admin/flush") =>
+        engine.tableNames.foreach(engine.forceFlush)
+        (200, success(jobj("message" -> jstr("Hot stores flushed to parquet"))))
+
+      case ("POST", "/api/admin/compact") =>
+        engine.tableNames.foreach(engine.compact)
+        (200, success(jobj("message" -> jstr("Compaction triggered"))))
+
+      case ("GET", "/api/health") =>
+        val uptime = (System.nanoTime() - startNanos) / 1e9
+        (200, success(jobj(
+          "status" -> jstr("ok"),
+          "uptime_seconds" -> f"$uptime%.0f",
+          "engine" -> jstr("graft"))))
+
+      case ("GET", "/api/info") =>
+        (200, success(jobj(
+          "engine" -> jstr("graft — Spark-native HTAP engine"),
+          "supportedStatements" -> jarr(Seq(
+            "CREATE TABLE", "DROP TABLE", "INSERT", "SELECT", "UPDATE",
+            "DELETE", "SHOW TABLES", "EXPLAIN", "DESCRIBE").map(jstr)))))
+
+      case _ => (404, failure(s"No route for $method $path", "NOT_FOUND"))
+    }
+
+  private def withSql(body: String)(f: String => (Int, String)): (Int, String) =
+    jsonField(body, "sql") match {
+      case None => (400, failure("Missing 'sql' field in request body", "INVALID_REQUEST"))
+      case Some(raw) =>
+        val sql = raw.trim.stripSuffix(";")
+        if (sql.isEmpty) (400, failure("SQL statement cannot be empty", "INVALID_REQUEST"))
+        else f(sql)
+    }
+
+  private object TablePath {
+    def unapply(path: String): Option[(String, String)] = {
+      val prefix = "/api/tables/"
+      if (!path.startsWith(prefix)) None
+      else {
+        val rest = path.drop(prefix.length)
+        val slash = rest.indexOf('/')
+        if (slash < 0) Some((rest, ""))
+        else Some((rest.take(slash), rest.drop(slash)))
+      }
+    }
+  }
+}

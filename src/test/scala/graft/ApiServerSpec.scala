@@ -1,0 +1,105 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.ApiServer
+import graft.engine.Engine
+
+/** Ignition test for the REST surface: every endpoint of the reference
+  * API server (api_server.hpp:103-320) answered against a live engine.
+  */
+class ApiServerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def withServer(f: Int => Unit): Unit = {
+    val e = new Engine(spark)
+    assert(e.sql("CREATE TABLE api_t (id BIGINT NOT NULL, name VARCHAR(50), amount DOUBLE)").ok)
+    assert(e.sql("INSERT INTO api_t VALUES (1, 'a', 10.5)").ok)
+    assert(e.sql("INSERT INTO api_t VALUES (2, 'b', 20.0)").ok)
+    val srv = new ApiServer(e)
+    srv.start()
+    try f(srv.boundPort) finally srv.stop()
+  }
+
+  test("POST /api/query runs SQL and returns rows / errors") {
+    withServer { p =>
+      val (c1, b1) = post(p, "/api/query", """{"sql": "SELECT * FROM api_t WHERE id = 1;"}""")
+      assert(c1 == 200 && b1.contains(""""success":true""") && b1.contains("10.5"))
+      val (c2, b2) = post(p, "/api/query", """{"sql": "SELECT COUNT(*) FROM api_t"}""")
+      assert(c2 == 200 && b2.contains("\"2\""))
+      val (c3, b3) = post(p, "/api/query", """{"sql": "SELECT * FROM nope"}""")
+      assert(c3 == 400 && b3.contains("does not exist"))
+      val (c4, _) = post(p, "/api/query", """{"nosql": 1}""")
+      assert(c4 == 400)
+      // DML through the API
+      val (c5, b5) = post(p, "/api/query", """{"sql": "INSERT INTO api_t VALUES (3, 'c', 30.0)"}""")
+      assert(c5 == 200 && b5.contains(""""rowsAffected":1"""))
+    }
+  }
+
+  test("POST /api/explain returns a router plan") {
+    withServer { p =>
+      val (c, b) = post(p, "/api/explain", """{"sql": "SELECT * FROM api_t WHERE id = 1"}""")
+      assert(c == 200 && b.contains("POINT_LOOKUP") && b.contains("Estimated I/O Cost"))
+    }
+  }
+
+  test("GET /api/tables, /api/tables/:name, /api/tables/:name/describe") {
+    withServer { p =>
+      val (c1, b1) = get(p, "/api/tables")
+      assert(c1 == 200 && b1.contains("api_t") && b1.contains(""""count":1"""))
+      val (c2, b2) = get(p, "/api/tables/api_t")
+      assert(c2 == 200 && b2.contains(""""primaryKey":"id"""") && b2.contains(""""columnCount":3"""))
+      val (c3, b3) = get(p, "/api/tables/api_t/describe")
+      assert(c3 == 200 && b3.contains("amount"))
+      val (c4, _) = get(p, "/api/tables/nope")
+      assert(c4 == 404)
+    }
+  }
+
+  test("GET /api/status, /api/health, /api/info; POST /api/admin/*") {
+    withServer { p =>
+      val (c1, b1) = get(p, "/api/status")
+      assert(c1 == 200 && b1.contains(""""name":"api_t"""") && b1.contains("totalWrites"))
+      val (c2, b2) = get(p, "/api/health")
+      assert(c2 == 200 && b2.contains(""""status":"ok""""))
+      val (c3, b3) = get(p, "/api/info")
+      assert(c3 == 200 && b3.contains("SHOW TABLES"))
+      val (c4, _) = post(p, "/api/admin/flush", "")
+      assert(c4 == 200)
+      val (c5, _) = post(p, "/api/admin/compact", "")
+      assert(c5 == 200)
+      // engine still consistent after admin ops (no dataDir → no-op flush)
+      val (c6, b6) = post(p, "/api/query", """{"sql": "SELECT COUNT(*) FROM api_t"}""")
+      assert(c6 == 200 && b6.contains("\"2\""))
+    }
+  }
+}

