@@ -50,19 +50,34 @@ object VectorOps {
 
   /** One row per (vec_id, tbl, bucket): the multi-table LSH index.
     * Buckets are sign-bit codes of the seeded hyperplane projections.
+    *
+    * The projections are computed in codegen: vector components are
+    * exploded to (vec_id, pos, x) rows — posexplode of the raw
+    * parquet column, so nothing is recomputed — broadcast-joined with
+    * the 4096 plane coefficients, and folded by two hash aggregates
+    * (dot products, then sign-bit buckets). The array-lambda version
+    * of the same math runs interpreted and generates boxed-Double
+    * garbage proportional to vectors × planes × dims, which showed up
+    * as GC pauses in UNRELATED bench queries.
     */
-  private def lshIndex(s: SparkSession, d: String): DataFrame =
-    base(s, d)
-      .withColumn("pl", typedlit(planes))
-      .selectExpr("vec_id", "v", "nrm",
-        s"""transform(sequence(0, ${Tables - 1}), t ->
-              aggregate(sequence(0, ${Bits - 1}), 0, (acc, b) ->
-                acc + IF(aggregate(zip_with(v, element_at(pl, t*$Bits + b + 1),
-                                            (x, p) -> x * p),
-                                   0D, (a, x) -> a + x) >= 0D,
-                         shiftleft(1, b), 0))) AS bkts""")
-      .selectExpr("vec_id", "v", "nrm",
-        "posexplode(bkts) AS (tbl, bucket)")
+  private def lshIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planeRows = planes.zipWithIndex.flatMap { case (p, tb) =>
+      p.zipWithIndex.map { case (c, pos) => (pos, tb / Bits, tb % Bits, c) }
+    }
+    val planesDf = planeRows.toDF("pos", "tbl", "bit", "coef")
+    val comps = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
+    val buckets = comps.join(broadcast(planesDf), Seq("pos"))
+      .groupBy(col("vec_id"), col("tbl"), col("bit"))
+      .agg(sum(col("x") * col("coef")).as("dot"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(when(col("dot") >= 0d, expr("shiftleft(1, bit)")).otherwise(0))
+        .cast("int").as("bucket"))
+    base(s, d).join(buckets, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("tbl"), col("bucket"))
+  }
 
   private val cosExpr =
     "aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x) / (qn * nrm) AS cosine"
