@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.engine.Engine
+
+/** Structured Streaming surface (SURVEY §7.2 step 6 — beyond the
+  * reference, which has no streaming at all, SURVEY §2.6): continuous
+  * ingest into the HTAP hot store, event-time windowed aggregation
+  * with watermarks, and stateful sessionization.
+  *
+  * The batch-checkable analogues of the two analytics operators are
+  * q_event_window and q_sessionize (same window/gap semantics, same
+  * data) — the driver's DuckDB oracle gates those; the streaming
+  * variants here are gated by StreamingSpec against in-memory sources.
+  */
+object Streams {
+
+  /** Continuous ingest: each micro-batch lands through the engine's
+    * batch write path — one store lock and one delta-log fsync per
+    * batch (C8), not per row. Analytics over `engine.snapshot` see
+    * streamed rows the moment their batch commits: the HTAP freshness
+    * contract, fed by a stream.
+    *
+    * The per-batch collect is deliberate: the hot store lives in
+    * driver memory by design (the reference's memtable is process
+    * memory; SURVEY §3.1), and micro-batches are bounded by the
+    * trigger interval. Rows whose PK already exists upsert, matching
+    * INSERT semantics.
+    */
+  def ingest(engine: Engine, table: String, source: DataFrame): StreamingQuery = {
+    val m = engine.meta(table).getOrElse(
+      throw new IllegalArgumentException(s"Table '$table' does not exist"))
+    val colNames = m.cols.map(_.name)
+    source.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch.select(colNames.map(col): _*).collect()
+          .map(r => Array.tabulate[Any](colNames.size)(r.get))
+        if (rows.nonEmpty) engine.batchPut(table, rows.toSeq)
+        ()
+      }
+      .start()
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark: counts
+    * and value sums per (window, event_type). Late rows beyond the
+    * watermark are dropped; in append mode a window emits once, when
+    * the watermark passes its end.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Evt(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Int)
+
+  /** Stateful sessionization via flatMapGroupsWithState: sessions
+    * close after `gapMs` of inactivity, tracked per user with
+    * event-time timeouts — a session also closes when the watermark
+    * passes its gap even if the user never returns. The batch
+    * analogue (same 30-minute gap) is q_sessionize.
+    */
+  def sessionize(events: Dataset[Evt], gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start, s.last, s.n))
+          } else {
+            val evts = it.toVector.sortBy(_.ts.getTime)
+            var closed = Vector.empty[SessionOut]
+            var cur = state.getOption
+            evts.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed :+= SessionOut(uid, s.start, s.last, s.n)
+                  Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case None =>
+                  Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

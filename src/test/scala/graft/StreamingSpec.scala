@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+import graft.streaming.Streams
+
+/** Streaming surface against in-memory sources: ingest-to-engine
+  * freshness, watermarked window finalization, and stateful session
+  * closing (by gap and by timeout).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("streaming ingest lands micro-batches in the hot store (HTAP freshness)") {
+    import spark.implicits._
+    val e = new Engine(spark)
+    assert(e.sql("CREATE TABLE sink (id BIGINT NOT NULL, name VARCHAR(50), amount DOUBLE)").ok)
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Double)]
+    val q = Streams.ingest(e, "sink", src.toDF().toDF("id", "name", "amount"))
+    try {
+      src.addData((1L, "a", 1.5), (2L, "b", 2.5))
+      q.processAllAvailable()
+      assert(e.sql("SELECT COUNT(*) FROM sink").rows.head.head == "2")
+      // next batch is visible immediately after commit; same-PK row upserts
+      src.addData((2L, "b2", 9.0), (3L, "c", 3.0))
+      q.processAllAvailable()
+      assert(e.sql("SELECT COUNT(*) FROM sink").rows.head.head == "3")
+      assert(e.sql("SELECT name FROM sink WHERE id = 2").rows.head.head == "b2")
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window finalizes once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.windowedCounts(
+      src.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win").outputMode(OutputMode.Append).start()
+    try {
+      src.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(7), "view", 5.0))
+      q.processAllAvailable()
+      // watermark still inside the first window: nothing finalized
+      assert(spark.sql("SELECT * FROM win").count() == 0)
+      // an event at 10:26 pushes the watermark to 10:21 > both windows
+      src.addData((ts(26), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, sum_value FROM win ORDER BY event_type").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions by inactivity gap and by timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Streams.Evt]
+    val sess = Streams.sessionize(src.toDS(), gapMs = 5 * 60 * 1000L, watermark = "0 seconds")
+    val q = sess.writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 10:00, 10:02 (one session), then 10:20 (gap > 5m → closes first)
+      src.addData(Streams.Evt(1L, ts(0)), Streams.Evt(1L, ts(2)))
+      q.processAllAvailable()
+      src.addData(Streams.Evt(1L, ts(20)))
+      q.processAllAvailable()
+      val afterGap = spark.sql("SELECT user_id, nEvents FROM sess").collect()
+      assert(afterGap.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 2)))
+      // advancing the watermark far past 10:20 times the open session out
+      src.addData(Streams.Evt(2L, ts(50)))
+      q.processAllAvailable()
+      src.addData(Streams.Evt(2L, ts(55)))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT user_id, nEvents FROM sess ORDER BY startMs").collect()
+      assert(all.map(r => (r.getLong(0), r.getInt(1))).toSeq.contains((1L, 1)))
+    } finally q.stop()
+  }
+}
