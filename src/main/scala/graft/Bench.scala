@@ -15,6 +15,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // small sf parquet files would otherwise scan as 1-3 tasks —
+      // split finer so all cores engage and a straggling task stalls
+      // 1/Nth of a stage, not half of it (same knob you'd size on a
+      // cluster so splits fit executor memory).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen once so per-query timings measure the plan,

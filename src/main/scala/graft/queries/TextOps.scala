@@ -239,17 +239,25 @@ object TextOps {
       val shingles = shingleRows(s, d)
       val hashed = shingles.select(
         col("doc_id") +: (0 until 16).map(j => xxhash64(col("sh"), lit(j)).as(s"h$j")): _*)
+      // sig is one 17-column row per doc — persist so the band build,
+      // candidate join, and size lookups all read it instead of
+      // re-running the hash aggregate per branch.
       val sig = hashed.groupBy(col("doc_id")).agg(
         count(lit(1)).as("n"),
         (0 until 16).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sig.select(col("doc_id"), posexplode(array(
         (0 until 4).map(b => xxhash64((b * 4 until b * 4 + 4).map(j => col(s"m$j")): _*)): _*
       ))).toDF("doc_id", "band", "bh")
+      // cand is tiny (near-dup pairs only); checkpointing it collapses
+      // the DAG — without this the signature subtree executes once for
+      // the candDocs broadcast job and again inside the main job.
       val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh")).as("a")
         .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")).as("b"),
           Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
+        .localCheckpoint()
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
       val inv = shingles.join(broadcast(candDocs), Seq("doc_id"))
@@ -293,6 +301,7 @@ object TextOps {
       val sim = cnt.selectExpr("doc_id", s"($simExpr) AS simhash")
         .selectExpr("doc_id", "simhash",
           "posexplode(transform(sequence(0, 3), c -> shiftright(simhash, c*16) & 65535L)) AS (band, chunk)")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("band"), col("chunk")).as("a")
         .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("band"), col("chunk")).as("b"),
           Seq("band", "chunk"))
