@@ -41,12 +41,14 @@ object VectorOps {
     Seq.fill(Tables * Bits)(Seq.fill(64)(rng.nextGaussian()))
   }
 
-  /** vec_id, v (array<double>), norm. */
-  private def base(s: SparkSession, d: String): DataFrame =
+  /** vec_id, v (array<double>). Norms live inside the cosine kernel
+    * (graft.functions.CosineSim), so no interpreted aggregate here.
+    */
+  private def base(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, d, "embeddings")
       .selectExpr("vec_id", "label", "CAST(embedding AS array<double>) AS v")
-      .selectExpr("vec_id", "label", "v",
-        "sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) AS nrm")
+  }
 
   /** One row per (vec_id, tbl, bucket): the multi-table LSH index.
     * Buckets are sign-bit codes of the seeded hyperplane projections.
@@ -76,11 +78,12 @@ object VectorOps {
       .agg(sum(when(col("dot") >= 0d, expr("shiftleft(1, bit)")).otherwise(0))
         .cast("int").as("bucket"))
     base(s, d).join(buckets, Seq("vec_id"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("tbl"), col("bucket"))
+      .select(col("vec_id"), col("v"), col("tbl"), col("bucket"))
   }
 
-  private val cosExpr =
-    "aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x) / (qn * nrm) AS cosine"
+  // native codegen'd expression (graft.functions.CosineSim) — the
+  // builtin aggregate(zip_with(...)) form runs interpreted.
+  private val cosExpr = "cosine_sim(qv, v) AS cosine"
 
   val all: Map[String, Q] = Map(
 
@@ -88,7 +91,7 @@ object VectorOps {
     "q_ann_brute" -> Q.noOracle { (s, d) =>
       val corpus  = base(s, d)
       val queries = corpus.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
       corpus.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("q_id"))
@@ -110,15 +113,15 @@ object VectorOps {
       val probeMasks: Seq[Int] = Seq(0) ++ (0 until Bits).map(1 << _) ++
         (for { j <- 0 until Bits; k <- j + 1 until Bits } yield (1 << j) | (1 << k))
       val queries = idx.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("tbl"), col("bucket"))
         .withColumn("mk", typedlit(probeMasks))
-        .selectExpr("q_id", "qv", "qn", "tbl",
+        .selectExpr("q_id", "qv", "tbl",
           "explode(transform(mk, m -> CAST(bucket ^ m AS INT))) AS bucket")
-      val cand = idx.select(col("vec_id"), col("v"), col("nrm"), col("tbl"), col("bucket"))
+      val cand = idx.select(col("vec_id"), col("v"), col("tbl"), col("bucket"))
         .join(broadcast(queries), Seq("tbl", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), col("qv"), col("qn"), col("v"), col("nrm"))
+        .select(col("q_id"), col("vec_id"), col("qv"), col("v"))
         .dropDuplicates("q_id", "vec_id")
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
       cand
@@ -141,14 +144,13 @@ object VectorOps {
     // demonstrative threshold; a production corpus would use ≥0.95.
     "q_dedup_embed" -> Q.noOracle { (s, d) =>
       val idx = lshIndex(s, d)
-      idx.select(col("vec_id").as("id_a"), col("v").as("qv"), col("nrm").as("qn"),
+      idx.select(col("vec_id").as("id_a"), col("v").as("qv"),
           col("tbl"), col("bucket")).as("a")
-        .join(idx.select(col("vec_id").as("id_b"), col("v"), col("nrm"),
+        .join(idx.select(col("vec_id").as("id_b"), col("v"),
           col("tbl"), col("bucket")).as("b"), Seq("tbl", "bucket"))
         .filter(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
-        .selectExpr("id_a", "id_b",
-          "aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x) / (qn * nrm) AS cosine")
+        .selectExpr("id_a", "id_b", "cosine_sim(qv, v) AS cosine")
         .filter(col("cosine") >= 0.3)
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(50)
