@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val registry: Map[String, Q] =
     CoreSql.all ++ Analytics.all ++ TextOps.all ++ VectorOps.all ++ Map(
-      "q_mm_features" -> Q.noOracle((s, d) => operators.Multimodal.pipeline(s, d))
+      "q_mm_features" -> Q.noOracle((s, d) => operators.Multimodal.pipeline(s, d)),
+      "q_mm_frames"   -> Q.noOracle((s, d) => operators.Multimodal.framesPipeline(s, d))
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -76,6 +76,7 @@ final class ApiServer(engine: Engine, port: Int = 0) {
         "name" -> jstr(ts.name),
         "hotRows" -> ts.hotRows.toString,
         "hotVersions" -> ts.hotVersions.toString,
+        "hotBytes" -> ts.hotBytes.toString,
         "coldTiers" -> ts.coldTiers.toString,
         "coldBytes" -> ts.coldBytes.toString,
         "maxFlushedSeq" -> ts.maxFlushedSeq.toString))),

@@ -29,6 +29,7 @@ final class Engine(
     val spark: SparkSession,
     val dataDir: Option[String] = None,
     val hotLimit: Int = 100000,
+    val hotLimitBytes: Long = 64L << 20,
     val compactTrigger: Int = 4,
     val selectRowCap: Int = 1 << 20) {
 
@@ -52,6 +53,22 @@ final class Engine(
     var coldDirs: Vector[String] = Vector.empty
     var delta: Option[DeltaLog] = None
     var maxFlushedSeq: Long = 0L
+    /** rough retained bytes — drives the byte-sized flush trigger
+      * (the reference freezes its memtable at 64 MB, M1/M4; a pure
+      * row-count trigger lets wide rows blow the memory budget).
+      */
+    var approxBytes: Long = 0L
+
+    private def rowBytes(values: Array[Any]): Long = {
+      var b = 16L
+      values.foreach {
+        case null            => b += 1
+        case v: String       => b += v.length.toLong + 8
+        case v: Array[Byte]  => b += v.length.toLong + 8
+        case _               => b += 8
+      }
+      b
+    }
 
     def put(values: Array[Any], tombstone: Boolean = false): Long = {
       val seq = seqGen.incrementAndGet()
@@ -79,6 +96,7 @@ final class Engine(
     def applyVersion(rv: RowVersion): Unit = this.synchronized {
       log += rv
       latest(rv.values(meta.pkIndex)) = rv
+      approxBytes += rowBytes(rv.values)
     }
     def liveRows: Vector[RowVersion] =
       this.synchronized { latest.values.filterNot(_.tombstone).toVector }
@@ -147,6 +165,7 @@ final class Engine(
     Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
     store.latest.clear()
     store.log.clear()
+    store.approxBytes = 0L
     store.delta.foreach(_.truncate())
     if (store.coldDirs.size >= compactTrigger) compactStore(store)
   }
@@ -199,9 +218,13 @@ final class Engine(
     opCompactions.incrementAndGet()
   }
 
-  /** Size-triggered flush (reference memtable freeze threshold). */
+  /** Size-triggered flush: row-count OR retained-bytes threshold
+    * (reference memtable freeze at 64 MB, memtable.hpp:114-299).
+    */
   private def maybeFlush(store: HotStore): Unit =
-    if (dataDir.isDefined && store.latest.size >= hotLimit) flushStore(store)
+    if (dataDir.isDefined &&
+        (store.latest.size >= hotLimit || store.approxBytes >= hotLimitBytes))
+      flushStore(store)
 
   // -------------------------------------------------------------------------
   // public API (reference StorageEngine/QueryExecutor surface, SURVEY §3.3)
@@ -337,6 +360,7 @@ final class Engine(
           name = st.meta.name,
           hotRows = st.latest.valuesIterator.count(!_.tombstone),
           hotVersions = st.log.size,
+          hotBytes = st.approxBytes,
           coldTiers = st.coldDirs.size,
           coldBytes = st.coldDirs.map(dirBytes).sum,
           maxFlushedSeq = st.maxFlushedSeq)

@@ -84,6 +84,7 @@ final case class TableStats(
     name: String,
     hotRows: Int,
     hotVersions: Int,
+    hotBytes: Long,
     coldTiers: Int,
     coldBytes: Long,
     maxFlushedSeq: Long)

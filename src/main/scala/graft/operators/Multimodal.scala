@@ -88,6 +88,70 @@ object Multimodal {
     }
   }
 
+  case class MediaFrame(id: Long, frameIdx: Int, nBytes: Int, frameChecksum: Long)
+
+  /** Nearest-neighbor "resize" of a payload interpreted as a
+    * width×height row-major byte raster — a real decoder would resize
+    * pixels here; the sampling arithmetic, metadata rewrite, and
+    * per-partition batch shape are the production plumbing.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int,
+                 targetW: Int, targetH: Int): Array[Byte] = {
+    if (payload.isEmpty || w <= 0 || h <= 0) return Array.emptyByteArray
+    val out = new Array[Byte](targetW * targetH)
+    var y = 0
+    while (y < targetH) {
+      val srcY = y * h / targetH
+      var x = 0
+      while (x < targetW) {
+        val srcX = x * w / targetW
+        val idx = (srcY.toLong * w + srcX) % payload.length
+        out(y * targetW + x) = payload(idx.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize every record to a fixed thumbnail; metadata follows. */
+  def resizeAll(records: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val resized = resizeStub(r.payload, math.max(r.meta.width, 1),
+          math.max(r.meta.height, 1), targetW, targetH)
+        MediaRecord(r.id, r.meta.copy(width = targetW, height = targetH), resized)
+      }
+    }
+  }
+
+  /** Frame sampling: treat the payload as consecutive `frameBytes`
+    * frames and keep every `everyN`-th — the row-explosion shape of a
+    * video keyframe extractor (one input row → many frame rows),
+    * partition-parallel, payloads never on the driver.
+    */
+  def sampleFrames(records: Dataset[MediaRecord], frameBytes: Int = 64,
+                   everyN: Int = 4): Dataset[MediaFrame] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+      (0 until nFrames).by(everyN).map { f =>
+        val frame = r.payload.slice(f * frameBytes,
+          math.min((f + 1) * frameBytes, r.payload.length))
+        MediaFrame(r.id, f, frame.length, checksum(frame))
+      }
+    }
+  }
+
+  /** Declared frame-sampling query: scalar columns only (rows-only check). */
+  def framesPipeline(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(asMediaRecords(spark, dir))
+      .toDF()
+      .select(col("id"), col("frameIdx").as("frame_idx"),
+        col("nBytes").as("n_bytes"), col("frameChecksum").as("frame_checksum"))
+      .orderBy(col("id"), col("frame_idx"))
+
   /** Feature vectors with full arrays — internal / downstream-ANN use. */
   def featureFrame(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(asMediaRecords(spark, dir))

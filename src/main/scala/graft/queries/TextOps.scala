@@ -119,6 +119,25 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- BPE-ish subword token counting -----------------------------------
+    // GPT-2-style pre-tokenizer shape: contraction suffixes, space-
+    // prefixed letter runs, digit runs, punctuation runs. The pattern
+    // uses only syntax Java regex and RE2 interpret identically, so
+    // the DuckDB oracle hash-matches exactly.
+    "q_text_tokens_bpe" -> Q(
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+                  AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"),
+            lit("'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"))
+            .cast("bigint").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- quality scoring --------------------------------------------------
     // Ratios are IEEE divisions of exact integers — bit-identical across
     // engines, no rounding tolerance needed.

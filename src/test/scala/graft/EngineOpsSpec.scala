@@ -135,6 +135,22 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- M1/M4: byte-sized flush trigger -------------------------------------
+
+  test("flush triggers on retained bytes, not only row count") {
+    withDir { dir =>
+      // 10 KB byte limit, generous row limit: wide rows must still flush
+      val e = new Engine(spark, Some(dir), hotLimit = 1000000, hotLimitBytes = 10240)
+      assert(e.sql("CREATE TABLE wide (id BIGINT NOT NULL, blob VARCHAR(65535))").ok)
+      val kb = "x" * 1024
+      (1 to 30).foreach(i => assert(e.sql(s"INSERT INTO wide VALUES ($i, '$kb')").ok))
+      val ts = e.stats.tables.find(_.name == "wide").get
+      assert(ts.coldTiers >= 1, "byte threshold never flushed")
+      assert(ts.hotBytes < 10240 * 2)
+      assert(e.sql("SELECT COUNT(*) FROM wide").rows.head.head == "30")
+    }
+  }
+
   // ---- M5: stats -----------------------------------------------------------
 
   test("stats reflect tables, tiers, and op counters") {
