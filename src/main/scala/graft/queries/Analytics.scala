@@ -298,6 +298,29 @@ object Analytics {
         .orderBy(col("y"), col("m"))
     },
 
+    // ---- as-of join (graft.operators.AsOfJoin; DuckDB oracle uses its
+    // native ASOF JOIN) — each purchase matched to the user's most
+    // recent signup at or before it.
+    "q_asof_join" -> Q(
+      """SELECT p.event_id, p.user_id,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""") { (s, d) =>
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOf(purchases, signups, "user_id", "ts", "signup_raw")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          date_format(col("signup_raw"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- statistics: exact-moments stddev + interpolated median ----------
     // stddev derived from exact decimal moments so both engines run the
     // same IEEE arithmetic on identical inputs (no algorithm drift).
