@@ -321,6 +321,31 @@ object Analytics {
         .orderBy(col("event_id"))
     },
 
+    // ---- banded range join (graft.operators.RangeJoin) — price-band
+    // rollup; the oracle is the plain BETWEEN join, the Spark side is
+    // the bucketed equi-join that replaces the nested-loop at scale.
+    "q_range_join" -> Q(
+      """WITH bands AS (
+           SELECT n_nationkey AS band_id,
+                  n_nationkey * 12000.0 AS lo,
+                  n_nationkey * 12000.0 + 23999.0 AS hi
+           FROM nation)
+         SELECT band_id, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+         GROUP BY band_id ORDER BY band_id""") { (s, d) =>
+      val bands = t(s, d, "nation").select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 12000.0).as("lo"),
+        (col("n_nationkey") * 12000.0 + 23999.0).as("hi"))
+      graft.operators.RangeJoin
+        .pointInInterval(t(s, d, "orders"), bands, "o_totalprice", "lo", "hi", 12000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
+        .orderBy(col("band_id"))
+    },
+
     // ---- statistics: exact-moments stddev + interpolated median ----------
     // stddev derived from exact decimal moments so both engines run the
     // same IEEE arithmetic on identical inputs (no algorithm drift).

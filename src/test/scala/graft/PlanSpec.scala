@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards: the properties that make these queries hold up
+  * at scale must be visible in the physical plan — filters reaching
+  * the parquet scan, projections pruning the read schema, dimension
+  * joins broadcasting, window dedups not shuffling twice. A regression
+  * here can pass every correctness check while silently becoming a
+  * full-scan at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    SparkEntry.queries(q)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+  }
+
+  test("point lookup pushes the pk predicate into the parquet scan") {
+    val p = plan("q_point_lookup")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(c_custkey,42)"), p)
+  }
+
+  test("range scan pushes the range predicate into the parquet scan") {
+    val p = plan("q_range_scan")
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"), p)
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val p = plan("q_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_custkey") && readSchema.contains("c_acctbal"), readSchema)
+    assert(!readSchema.contains("c_comment") && !readSchema.contains("c_address"), readSchema)
+  }
+
+  test("dimension joins broadcast, fact join does not broadcast the fact side") {
+    val p = plan("q_join_bcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("aggregates are partial (map-side combine) before the shuffle") {
+    val p = plan("q_groupby_q1")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("whole-stage codegen covers the scan+filter+aggregate pipeline") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    // under AQE codegen subtrees exist only once stages have run —
+    // execute, then inspect the final adaptive plan (codegen'd nodes
+    // print with a '*(n)' prefix)
+    val df = SparkEntry.queries("q_agg_filtered")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(800))
+  }
+
+  test("ANN scoring runs the native cosine expression, not interpreted lambdas") {
+    val p = plan("q_ann_brute")
+    assert(p.contains("cosine_sim"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+}
