@@ -85,6 +85,74 @@ object VectorOps {
   // builtin aggregate(zip_with(...)) form runs interpreted.
   private val cosExpr = "cosine_sim(qv, v) AS cosine"
 
+  // ---- IVF coarse quantizer ------------------------------------------------
+
+  val IvfK = 16        // coarse centroids
+  val IvfIters = 4     // Lloyd iterations
+  val IvfProbes = 4    // clusters probed per query
+
+  /** (vec_id, pos, x) exploded components — posexplode of the raw
+    * parquet column, codegen all the way down.
+    */
+  private def comps(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
+
+  /** Per-vector nearest-centroid assignment for a given centroid set:
+    * dot products via exploded components ⋈ broadcast centroid rows
+    * (hash aggregates, no interpreted lambdas), argmin of
+    * ‖v−c‖² = ‖v‖² − 2v·c + ‖c‖² — the ‖v‖² term is constant per
+    * vector and drops out of the argmin.
+    */
+  private def assign(s: SparkSession, cps: DataFrame,
+                     cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val cRows = cents.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (x, pos) => (pos, cid, x) }
+    }.toSeq.toDF("pos", "cid", "c")
+    val c2 = cents.zipWithIndex.map { case (c, cid) =>
+      (cid, c.map(x => x * x).sum)
+    }.toSeq.toDF("cid", "c2")
+    cps.join(broadcast(cRows), Seq("pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("x") * col("c")).as("dot"))
+      .join(broadcast(c2), Seq("cid"))
+      .withColumn("dist", col("c2") - lit(2.0) * col("dot"))
+  }
+
+  /** Deterministic mini k-means (Lloyd, fixed iterations, seeded by
+    * the K lowest vec_ids). Centroids are K×64 doubles — model-sized,
+    * held on the driver like any ANN coarse quantizer's codebook.
+    */
+  private def ivfCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    val cps = comps(s, d)
+    var cents: Array[Array[Double]] = base(s, d)
+      .orderBy(col("vec_id")).limit(IvfK).collect()
+      .map(_.getSeq[Double](2).toArray)
+    for (_ <- 1 to IvfIters) {
+      val a = assign(s, cps, cents)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val next = a.join(cps, Seq("vec_id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("cx"))
+        .collect()
+      val byCid = next.groupBy(_.getInt(0))
+      cents = cents.indices.map { cid =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val arr = new Array[Double](64)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            arr
+          case None => cents(cid) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    cents
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- brute-force cosine top-k -----------------------------------------
@@ -125,6 +193,41 @@ object VectorOps {
         .dropDuplicates("q_id", "vec_id")
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
       cand
+        .selectExpr("q_id", "vec_id", cosExpr)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---- IVF ANN ----------------------------------------------------------
+    // Inverted-file index: vectors assigned to their nearest of K
+    // coarse centroids; each query probes its IvfProbes nearest
+    // clusters and re-ranks the candidates with exact cosine. At
+    // scale the assignment is a partitioning key (each cluster is a
+    // shard/file group), the codebook is broadcast, and a query
+    // touches Probes/K of the corpus.
+    "q_ann_ivf" -> Q.noOracle { (s, d) =>
+      val cents = ivfCentroids(s, d)
+      val cps = comps(s, d)
+      val dists = assign(s, cps, cents)
+      val clusters = dists
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val vecs = base(s, d).select(col("vec_id"), col("v"))
+      val members = clusters.join(vecs, Seq("vec_id"))
+      val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid"))
+      val probes = dists.filter(col("vec_id") < 10)
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= IvfProbes)
+        .select(col("vec_id").as("q_id"), col("cid"))
+      val qVecs = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      members.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qVecs), Seq("q_id"))
         .selectExpr("q_id", "vec_id", cosExpr)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)

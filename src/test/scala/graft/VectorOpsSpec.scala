@@ -34,6 +34,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(mean >= 0.8, f"mean recall $mean%.3f < 0.8 (per-query: $recalls)")
   }
 
+  test("IVF recall >= 0.8 vs brute-force top-5") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    val brute = topk("q_ann_brute")
+    val ivf = topk("q_ann_ivf")
+    val recalls = brute.map { case (q, bs) =>
+      ivf.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, f"mean recall $mean%.3f < 0.8 (per-query: $recalls)")
+  }
+
   test("LSH candidate generation is sub-quadratic (bounded candidate volume)") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
     // every (tbl,bucket) bucket should hold far fewer than n vectors:
