@@ -17,12 +17,18 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to microseconds
-    * (identical to DuckDB's ns→µs truncation, so oracle parity holds).
+    * reader rejects; a user-supplied schema reads the raw nanos as
+    * long — no session-wide legacy conf mutation — and truncates to
+    * microseconds (identical to DuckDB's ns→µs truncation, so oracle
+    * parity holds).
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.schema(sch).parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
 
