@@ -370,7 +370,51 @@ object Analytics {
           round(col("med"), 4).as("median_price"))
     },
 
-    // ---- event-time windows (streaming-shaped, batch-checked) -------------
+    // ---- pivot: categories to columns --------------------------------------
+    "q_pivot" -> Q(
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS n_click,
+                count(*) FILTER (event_type = 'error') AS n_error,
+                count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (event_type = 'signup') AS n_signup,
+                count(*) FILTER (event_type = 'view') AS n_view
+         FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"), col("error").as("n_error"),
+          col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+          col("view").as("n_view"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- per-group interpolated quantiles ----------------------------------
+    "q_quantile_group" -> Q(
+      """SELECT event_type,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.95), 6) AS p95
+         FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.25)"), 6).as("p25"),
+             round(expr("percentile(value, 0.5)"), 6).as("p50"),
+             round(expr("percentile(value, 0.95)"), 6).as("p95"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- ordered string aggregation ----------------------------------------
+    "q_string_agg" -> Q(
+      """SELECT n_regionkey AS rk,
+                string_agg(n_name, ',' ORDER BY n_name) AS members
+         FROM nation GROUP BY 1 ORDER BY rk""") { (s, d) =>
+      t(s, d, "nation")
+        .groupBy(col("n_regionkey").as("rk"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("members"))
+        .orderBy(col("rk"))
+    },
     "q_event_window" -> Q(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
                 event_type, count(*) AS n,
