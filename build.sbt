@@ -27,6 +27,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Bench/Verify emit JSON via the locale-sensitive f-interpolator; a
+  // comma-decimal default locale would corrupt the machine-read output
+  "-Duser.language=en", "-Duser.country=US",
   // local[32] runs 32 concurrent tasks in one JVM; 8g left the bench
   // GC-bound (dedup/ANN timings swung 2-3x run to run on a 128 GiB box)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",

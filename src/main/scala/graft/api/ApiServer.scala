@@ -31,13 +31,19 @@ final class ApiServer(engine: Engine, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val startNanos = System.nanoTime()
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
 
   server.createContext("/api/", handle _)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.setExecutor(pool)
 
   def boundPort: Int = server.getAddress.getPort
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // HttpServer.stop does not shut down a caller-supplied executor;
+    // its non-daemon threads would keep the JVM alive
+    pool.shutdown()
+  }
 
   // ---- JSON encoding (minimal, dependency-free) ----------------------------
 
@@ -68,7 +74,9 @@ final class ApiServer(engine: Engine, port: Int = 0) {
       "headers" -> jarr(rs.headers.map(jstr)),
       "rows" -> jarr(rs.rows.map(r => jarr(r.map(jstr)))),
       "rowsAffected" -> rs.rowsAffected.toString,
-      "executionTimeMs" -> f"$ms%.3f"))
+      // Locale.ROOT: the f-interpolator is locale-sensitive and a
+      // comma decimal separator breaks the JSON envelope
+      "executionTimeMs" -> String.format(java.util.Locale.ROOT, "%.3f", ms)))
 
   private def statsJson(st: EngineStats): String =
     success(jobj(
@@ -102,7 +110,9 @@ final class ApiServer(engine: Engine, port: Int = 0) {
               case 'n' => sb += '\n'; i += 2
               case 'r' => sb += '\r'; i += 2
               case 't' => sb += '\t'; i += 2
-              case 'u' if i + 5 < raw.length + 1 =>
+              case 'u' if i + 6 <= raw.length &&
+                  raw.substring(i + 2, i + 6).forall(c =>
+                    Character.digit(c, 16) >= 0) =>
                 sb += Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar; i += 6
               case c   => sb += c; i += 2
             }
@@ -187,7 +197,7 @@ final class ApiServer(engine: Engine, port: Int = 0) {
         val uptime = (System.nanoTime() - startNanos) / 1e9
         (200, success(jobj(
           "status" -> jstr("ok"),
-          "uptime_seconds" -> f"$uptime%.0f",
+          "uptime_seconds" -> uptime.toLong.toString,
           "engine" -> jstr("graft"))))
 
       case ("GET", "/api/info") =>

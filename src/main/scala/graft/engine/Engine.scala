@@ -51,6 +51,11 @@ final class Engine(
     val latest = mutable.LinkedHashMap.empty[Any, RowVersion]
     val log    = mutable.ArrayBuffer.empty[RowVersion]
     var coldDirs: Vector[String] = Vector.empty
+    /** tiers replaced by the last compaction — deleted on the NEXT
+      * compaction, not immediately, so in-flight snapshot scans that
+      * captured the previous coldDirs can finish (deferred tier GC).
+      */
+    var retiredDirs: Vector[String] = Vector.empty
     var delta: Option[DeltaLog] = None
     var maxFlushedSeq: Long = 0L
     /** rough retained bytes — drives the byte-sized flush trigger
@@ -70,15 +75,17 @@ final class Engine(
       b
     }
 
-    def put(values: Array[Any], tombstone: Boolean = false): Long = {
-      val seq = seqGen.incrementAndGet()
-      val rv = RowVersion(seq, tombstone, values)
+    def put(values: Array[Any], tombstone: Boolean = false): Long =
       this.synchronized {
+        // seq must be drawn INSIDE the lock: assigned outside, two
+        // concurrent writers can apply out of seq order and leave
+        // `latest` (and the flushed tier) holding the lower-seq row
+        // while the LWW snapshot resolves the higher one.
+        val rv = RowVersion(seqGen.incrementAndGet(), tombstone, values)
         delta.foreach(_.append(rv))
         applyVersion(rv)
+        rv.seq
       }
-      seq
-    }
     /** Batched put: one lock acquisition, one delta-log batch append
       * (single fsync) for the whole group — C8's improvement over the
       * reference's loop-over-singles.
@@ -125,6 +132,18 @@ final class Engine(
       val (tiers, flushedMax) = Persist.loadManifest(coldRoot(dir, m.name))
       store.coldDirs = tiers
       store.maxFlushedSeq = flushedMax
+      // reclaim tiers a previous run retired but never GC'd (deferred
+      // tier deletion, see compactStore): anything under coldRoot not
+      // named by the manifest is garbage.
+      val root = coldRoot(dir, m.name)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val live = tiers.toSet
+        val children = java.nio.file.Files.list(root)
+        try children.forEach { c =>
+          if (java.nio.file.Files.isDirectory(c) && !live.contains(c.toString))
+            Persist.deleteRecursively(c)
+        } finally children.close()
+      }
       maxSeq = math.max(maxSeq, flushedMax)
       val dl = new DeltaLog(deltaPath(dir, m.name), m)
       dl.replay().foreach { rv =>
@@ -214,7 +233,11 @@ final class Engine(
     val old = store.coldDirs
     store.coldDirs = Vector(target)
     Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
-    old.foreach(p => Persist.deleteRecursively(java.nio.file.Paths.get(p)))
+    // deferred GC: reclaim the PREVIOUS compaction's tiers now; park
+    // this round's inputs until the next one so concurrent snapshot
+    // scans over the old vector don't hit FileNotFound mid-job.
+    store.retiredDirs.foreach(p => Persist.deleteRecursively(java.nio.file.Paths.get(p)))
+    store.retiredDirs = old
     opCompactions.incrementAndGet()
   }
 
@@ -355,16 +378,22 @@ final class Engine(
 
   def stats: EngineStats = {
     val tables = this.synchronized { stores.values.toVector }.map { st =>
-      st.synchronized {
-        TableStats(
-          name = st.meta.name,
-          hotRows = st.latest.valuesIterator.count(!_.tombstone),
-          hotVersions = st.log.size,
-          hotBytes = st.approxBytes,
-          coldTiers = st.coldDirs.size,
-          coldBytes = st.coldDirs.map(dirBytes).sum,
-          maxFlushedSeq = st.maxFlushedSeq)
+      // capture counters under the lock; walk the filesystem AFTER
+      // releasing it (a recursive dirBytes over multi-GB tiers inside
+      // the lock would stall every write to the table)
+      val (name, hotRows, hotVersions, hotBytes, cold, flushedMax) = st.synchronized {
+        (st.meta.name,
+          st.latest.valuesIterator.count(!_.tombstone),
+          st.log.size, st.approxBytes, st.coldDirs, st.maxFlushedSeq)
       }
+      TableStats(
+        name = name,
+        hotRows = hotRows,
+        hotVersions = hotVersions,
+        hotBytes = hotBytes,
+        coldTiers = cold.size,
+        coldBytes = cold.map(dirBytes).sum,
+        maxFlushedSeq = flushedMax)
     }
     EngineStats(
       tables = tables,
@@ -555,7 +584,11 @@ final class Engine(
               buf += cols.indices.toVector.map(i => fmt(r.get(i), m.cols(cols(i)).tpe))
               n += 1
             }
-            ResultSet(ok = true, cols.map(m.cols(_).name), buf.result())
+            val truncated = it.hasNext
+            ResultSet(ok = true, cols.map(m.cols(_).name), buf.result(),
+              error = if (truncated)
+                s"Result truncated at $selectRowCap rows; use scanIterator for the full stream"
+              else "")
         }
     }
   }
