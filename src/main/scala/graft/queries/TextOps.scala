@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline text operators over `documents`
@@ -116,6 +117,40 @@ object TextOps {
         "doc_id",
         "CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT) AS n_tokens",
         "CAST(length(text) AS BIGINT) AS n_chars_m")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- winnowing fingerprint (rolling hash + min-sampling) ---------------
+    // MOSS-style document sketch: hash every word-5-gram (the rolling
+    // unit), take the minimum hash of each window of 4 consecutive
+    // grams, and keep the distinct minima — a position-robust
+    // fingerprint whose size is ~|grams|/4. Gram hashing and window
+    // minima run in codegen over exploded token rows; only the final
+    // per-doc sketch fold (tens of longs) touches array functions.
+    // Engine-specific hashing → rows-only check.
+    "q_fingerprint_winnow" -> Q.noOracle { (s, d) =>
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val toks = t(s, d, "documents")
+        .repartition(parts, col("doc_id"))
+        .selectExpr("doc_id",
+          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+        .filter(size(col("toks")) >= 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tokRows = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams = tokRows.select(col("doc_id"), col("pos"),
+          lead(col("tok"), 4).over(wLead).as("t4"),
+          xxhash64(concat_ws(" ", col("tok"),
+            lead(col("tok"), 1).over(wLead), lead(col("tok"), 2).over(wLead),
+            lead(col("tok"), 3).over(wLead), lead(col("tok"), 4).over(wLead))).as("gh"))
+        .filter(col("t4").isNotNull)
+      val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      grams
+        .select(col("doc_id"), min(col("gh")).over(wWin).as("m"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("m")).as("sketch_size"),
+             xxhash64(array_join(array_sort(collect_set(col("m"))), ",")).as("sketch_hash"))
         .orderBy(col("doc_id"))
     },
 
