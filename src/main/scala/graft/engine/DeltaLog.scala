@@ -51,13 +51,17 @@ final class DeltaLog(path: Path, meta: TableMeta) {
     out.writeLong(crc.getValue)
   }
 
-  /** Replay every intact record, oldest→newest; corrupt tail records
-    * are skipped (reference wal.hpp recover()).
+  /** Replay every intact record, oldest→newest; a corrupt tail is
+    * skipped AND truncated away (reference wal.hpp recover()):
+    * without the truncation, records appended after recovery would
+    * sit behind the garbage and be unreachable on the next restart.
     */
   def replay(): Vector[RowVersion] = this.synchronized {
     if (!Files.exists(path)) return Vector.empty
-    val in = new DataInputStream(new ByteArrayInputStream(Files.readAllBytes(path)))
+    val all = Files.readAllBytes(path)
+    val in = new DataInputStream(new ByteArrayInputStream(all))
     val acc = Vector.newBuilder[RowVersion]
+    var intactBytes = 0L
     try {
       while (true) {
         val len = in.readInt()
@@ -71,8 +75,17 @@ final class DeltaLog(path: Path, meta: TableMeta) {
         val seq = rec.readLong()
         val tomb = rec.readByte() == 1
         acc += RowVersion(seq, tomb, RowCodec.decode(rec, meta))
+        intactBytes += 4L + len + 8L
       }
     } catch { case _: EOFException => () }
+    if (intactBytes < all.length) {
+      out.close()
+      val ch = java.nio.channels.FileChannel.open(path,
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.truncate(intactBytes) finally ch.close()
+      fos = new FileOutputStream(path.toFile, true)
+      out = new DataOutputStream(new BufferedOutputStream(fos))
+    }
     acc.result()
   }
 

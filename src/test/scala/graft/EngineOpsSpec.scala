@@ -135,6 +135,31 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- C13: delta-log corruption recovery ----------------------------------
+
+  test("recovery skips a corrupt delta-log tail, keeping the intact prefix") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE cr (id BIGINT NOT NULL, v INT)").ok)
+      (1 to 10).foreach(i => assert(e.sql(s"INSERT INTO cr VALUES ($i, $i)").ok))
+      // simulate a torn write: garbage appended after the last record
+      val log = java.nio.file.Paths.get(dir, "delta", "cr.log")
+      java.nio.file.Files.write(log, Array[Byte](0, 0, 0, 42, 7, 7, 7),
+        java.nio.file.StandardOpenOption.APPEND)
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.sql("SELECT COUNT(*) FROM cr").rows.head.head == "10")
+      assert(e2.sql("SELECT v FROM cr WHERE id = 7").rows.head.head == "7")
+      // the recovered engine keeps accepting writes with fresh seqs
+      assert(e2.sql("INSERT INTO cr VALUES (11, 11)").ok)
+      assert(e2.sql("SELECT COUNT(*) FROM cr").rows.head.head == "11")
+      // recovery truncated the torn tail, so post-recovery writes are
+      // NOT stranded behind garbage on the next restart
+      val e3 = new Engine(spark, Some(dir))
+      assert(e3.sql("SELECT COUNT(*) FROM cr").rows.head.head == "11")
+      assert(e3.sql("SELECT v FROM cr WHERE id = 11").rows.head.head == "11")
+    }
+  }
+
   // ---- M1/M4: byte-sized flush trigger -------------------------------------
 
   test("flush triggers on retained bytes, not only row count") {
