@@ -50,19 +50,27 @@ object TextOps {
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    t(s, d, "documents")
+    val toks = t(s, d, "documents")
       .repartition(parts, col("doc_id"))
       .selectExpr(
         "doc_id",
         "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
-      .selectExpr(
-        "doc_id",
-        """CASE WHEN size(toks) >= 3 THEN
-             array_distinct(transform(sequence(0, size(toks)-3),
-               i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2), ' ', element_at(toks, i+3))))
-           ELSE array() END AS ng""")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .select(col("doc_id"), explode(col("ng")).as("sh"))
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        lead(col("tok"), 2).over(wLead).as("t2"),
+        concat_ws(" ", col("tok"),
+          lead(col("tok"), 1).over(wLead), lead(col("tok"), 2).over(wLead)).as("sh"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("sh"))
+      .distinct()
+      // the exploded-distinct output is the frame every consumer
+      // branches from (df counts, anti-join sides, signature hashing,
+      // co-count sides) — persist it so each branch reads rows, not
+      // the window pipeline
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** DuckDB mirror of ngDocs as a CTE body. */
