@@ -61,6 +61,7 @@ object Shell {
       rs.rows.foreach(r => println(line(r)))
       println(sep)
       println(s"${rs.rowCount} row(s) in set ($ms ms)")
+      if (rs.error.nonEmpty) println(s"WARNING: ${rs.error}")
     } else println(s"OK, ${rs.rowsAffected} row(s) affected ($ms ms)")
   }
 }

@@ -294,6 +294,18 @@ final class Engine(
     }
   }
 
+  /** Full Spark SQL over the live snapshots: every table registered
+    * as a temp view, then delegated to Catalyst — joins, GROUP BY,
+    * windows, set ops, everything the reference dialect lacks
+    * (SURVEY §2.6: each gap is native Spark once the snapshot is a
+    * DataFrame). HTAP freshness holds — views are rebuilt from the
+    * current hot+cold state on every call.
+    */
+  def sparkSql(query: String): DataFrame = {
+    tableNames.foreach(t => snapshot(t).createOrReplaceTempView(t))
+    spark.sql(query)
+  }
+
   /** C7: streaming range iterator — bounded-memory batched pull over
     * the live snapshot (reference range_query_executor.hpp:253-338).
     * Partitions are fetched to the driver one at a time; the full

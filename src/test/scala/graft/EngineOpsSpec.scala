@@ -135,6 +135,28 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- full Spark SQL over snapshots ---------------------------------------
+
+  test("sparkSql runs joins and group-bys across live hot+cold snapshots") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE cust (id BIGINT NOT NULL, name VARCHAR(50))").ok)
+      assert(e.sql("CREATE TABLE ords (oid BIGINT NOT NULL, cid BIGINT, amount DOUBLE)").ok)
+      (1 to 5).foreach(i => assert(e.sql(s"INSERT INTO cust VALUES ($i, 'c$i')").ok))
+      e.forceFlush("cust") // one side cold, one side hot
+      (1 to 20).foreach(i => assert(e.sql(s"INSERT INTO ords VALUES ($i, ${i % 5 + 1}, ${i * 10}.0)").ok))
+      val rows = e.sparkSql(
+        """SELECT c.name, count(*) AS n, sum(o.amount) AS total
+           FROM ords o JOIN cust c ON o.cid = c.id
+           GROUP BY c.name ORDER BY c.name""").collect()
+      assert(rows.length == 5)
+      assert(rows.map(_.getLong(1)).sum == 20)
+      // freshness: a hot update is visible to the next sparkSql call
+      assert(e.sql("UPDATE cust SET name = 'renamed' WHERE id = 1").rowsAffected == 1)
+      assert(e.sparkSql("SELECT name FROM cust WHERE id = 1").collect()(0).getString(0) == "renamed")
+    }
+  }
+
   // ---- C13: delta-log corruption recovery ----------------------------------
 
   test("recovery skips a corrupt delta-log tail, keeping the intact prefix") {
