@@ -65,6 +65,10 @@ final class DeltaLog(path: Path, meta: TableMeta) {
     try {
       while (true) {
         val len = in.readInt()
+        // garbage decoded as a length must not drive an allocation: a
+        // negative or larger-than-remaining value marks corruption
+        if (len <= 0 || intactBytes + 4L + len + 8L > all.length)
+          throw new EOFException("corrupt length")
         val bytes = new Array[Byte](len)
         in.readFully(bytes)
         val expected = in.readLong()
@@ -77,8 +81,18 @@ final class DeltaLog(path: Path, meta: TableMeta) {
         acc += RowVersion(seq, tomb, RowCodec.decode(rec, meta))
         intactBytes += 4L + len + 8L
       }
-    } catch { case _: EOFException => () }
+    } catch {
+      case _: EOFException => ()
+      case _: RuntimeException => () // decode failure on corrupt payload
+    }
     if (intactBytes < all.length) {
+      // preserve the unreadable tail for offline repair before cutting
+      // it off (truncation makes future appends reachable; keeping the
+      // bytes means a mid-log bit flip is not irreversible data loss)
+      Files.write(path.resolveSibling(path.getFileName.toString + ".corrupt"),
+        java.util.Arrays.copyOfRange(all, intactBytes.toInt, all.length),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       out.close()
       val ch = java.nio.channels.FileChannel.open(path,
         java.nio.file.StandardOpenOption.WRITE)

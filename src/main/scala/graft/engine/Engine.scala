@@ -480,6 +480,9 @@ final class Engine(
     // we actually drop the data: delta log, cold tiers, catalog entry.
     catalog.remove(key)
     val store = stores.remove(key)
+    // a temp view registered by sparkSql would otherwise keep serving
+    // the dropped table's last snapshot
+    spark.catalog.dropTempView(key)
     dataDir.foreach { dir =>
       store.flatMap(_.delta).foreach(_.close())
       Persist.deleteRecursively(deltaPath(dir, key))

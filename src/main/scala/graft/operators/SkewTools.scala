@@ -10,29 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
-  /** Two-phase (salted) aggregation: count/sum-style aggregates over
-    * a hot key first fold within (key, salt) — spreading one hot key
-    * over `salts` reducers — then merge the partials. Identical
-    * result to a direct groupBy for any algebraic aggregate, with the
-    * hot key's work parallelized `salts` ways.
+  /** Two-phase (salted) aggregation for SUM-MERGEABLE aggregates —
+    * sum() and count() (counts merge by summing partial counts).
+    * Aggregates whose merge is not a sum (min/max/avg/countDistinct)
+    * do NOT belong here: the merge phase sums the partials and would
+    * silently produce wrong results. Partials first fold within
+    * (key, salt) — spreading one hot key over `salts` reducers —
+    * then merge.
     *
     * The salt is a deterministic hash of stable row identity columns
     * (`saltBy`), not rand(): retries and speculative tasks must land
     * rows on the same salt or partials double-count.
+    *
+    * The output key column keeps the input column's name.
     */
   def saltedAgg(df: DataFrame, key: Column, salts: Int,
                 saltBy: Seq[Column], aggs: (String, Column)*): DataFrame = {
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    val keyName = df.select(key).columns.head
     val salted = df.withColumn("__salt",
       pmod(hash(saltBy: _*), lit(salts)))
     val partial = salted
-      .groupBy(key.as("__k"), col("__salt"))
+      .groupBy(key.as(keyName), col("__salt"))
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
     partial
-      .groupBy(col("__k"))
+      .groupBy(col(keyName))
       .agg(sum(col(aggs.head._1)).as(aggs.head._1),
         aggs.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
-      .withColumnRenamed("__k", "key")
   }
 
   /** Salted join for a skewed left side against a small-ish right

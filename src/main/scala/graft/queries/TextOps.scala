@@ -155,7 +155,15 @@ object TextOps {
       val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.currentRow, 3)
       grams
-        .select(col("doc_id"), min(col("gh")).over(wWin).as("m"))
+        // full windows only (proper winnowing): a trailing partial
+        // window would always admit the final gram's hash. The min is
+        // computed over ALL grams first; the filter then keeps only
+        // rows that START a full 4-gram window.
+        .select(col("doc_id"),
+          min(col("gh")).over(wWin).as("m"),
+          lead(col("gh"), 3).over(wLead).as("g3"))
+        .filter(col("g3").isNotNull)
+        .select(col("doc_id"), col("m"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("m")).as("sketch_size"),
              xxhash64(array_join(array_sort(collect_set(col("m"))), ",")).as("sketch_hash"))
