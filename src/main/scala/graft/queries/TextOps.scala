@@ -48,14 +48,23 @@ object TextOps {
     * array lambdas are interpreted; per-element work in them is the
     * slow path).
     */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, toks) with the split tokenization persisted — one cache
+    * shared by every consumer (shingles, winnowing): the persist is
+    * ALSO the plan barrier that keeps Generate from re-evaluating the
+    * computed array per exploded row (see shingleRows scaladoc).
+    */
+  private def toksFrame(s: SparkSession, d: String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val toks = t(s, d, "documents")
+    t(s, d, "documents")
       .repartition(parts, col("doc_id"))
       .selectExpr(
         "doc_id",
         "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val toks = toksFrame(s, d)
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     toks
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
@@ -137,13 +146,7 @@ object TextOps {
     // per-doc sketch fold (tens of longs) touches array functions.
     // Engine-specific hashing → rows-only check.
     "q_fingerprint_winnow" -> Q.noOracle { (s, d) =>
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val toks = t(s, d, "documents")
-        .repartition(parts, col("doc_id"))
-        .selectExpr("doc_id",
-          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
-        .filter(size(col("toks")) >= 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toks = toksFrame(s, d).filter(size(col("toks")) >= 5)
       val tokRows = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
       val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val grams = tokRows.select(col("doc_id"), col("pos"),

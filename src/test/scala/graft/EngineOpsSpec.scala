@@ -179,6 +179,27 @@ class EngineOpsSpec extends AnyFunSuite {
       val e3 = new Engine(spark, Some(dir))
       assert(e3.sql("SELECT COUNT(*) FROM cr").rows.head.head == "11")
       assert(e3.sql("SELECT v FROM cr WHERE id = 11").rows.head.head == "11")
+      // the unreadable tail was preserved for offline repair
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "delta", "cr.log.corrupt")))
+    }
+  }
+
+  test("recovery survives garbage that decodes to a negative/huge length") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE cg (id BIGINT NOT NULL, v INT)").ok)
+      (1 to 5).foreach(i => assert(e.sql(s"INSERT INTO cg VALUES ($i, $i)").ok))
+      val log = java.nio.file.Paths.get(dir, "delta", "cg.log")
+      // 0xFFFFFFFF reads as length -1; 0x7FFFFF00 as a ~2GB allocation
+      java.nio.file.Files.write(log,
+        Array[Byte](-1, -1, -1, -1, 0x7f, -1, -1, 0, 1, 2, 3),
+        java.nio.file.StandardOpenOption.APPEND)
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.sql("SELECT COUNT(*) FROM cg").rows.head.head == "5")
+      assert(e2.sql("INSERT INTO cg VALUES (6, 6)").ok)
+      val e3 = new Engine(spark, Some(dir))
+      assert(e3.sql("SELECT COUNT(*) FROM cg").rows.head.head == "6")
     }
   }
 
