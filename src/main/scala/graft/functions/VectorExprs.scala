@@ -94,6 +94,9 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "topk_struct", exprs => TopKStruct(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
   }
 }
 

@@ -173,6 +173,32 @@ object Analytics {
         .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
     },
 
+    // ---- custom aggregate: heap-based top-k per group ---------------------
+    // Same result contract as q_topk_per_group but computed with the
+    // graft.functions.TopKStruct TypedImperativeAggregate: bounded
+    // per-partition heaps merged associatively instead of a full
+    // per-key window sort — at scale this ships k rows per partition
+    // per group, not every row through a sort. Oracle: the
+    // row_number formulation.
+    "q_topk_agg" -> Q(
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr(
+          "topk_struct(struct(-o_totalprice AS s1, o_orderkey AS s2, o_totalprice AS p), 3)")
+          .as("top"))
+        .select(col("o_orderstatus"), explode(col("top")).as("r"))
+        .select(col("o_orderstatus"), col("r.s2").as("o_orderkey"),
+          col("r.p").as("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+
     // ---- distinct / set ops ----------------------------------------------
     "q_distinct" -> Q(
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders

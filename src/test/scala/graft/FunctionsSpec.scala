@@ -69,6 +69,21 @@ class FunctionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
   }
 
+  test("topk_struct keeps the k smallest per group across partition merges") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 10k rows over 3 groups, spread across partitions so partial
+    // heaps must serialize and merge
+    val df = (1 to 10000).map(i => (i % 3, i)).toDF("g", "v").repartition(8)
+    df.createOrReplaceTempView("tk")
+    val got = spark.sql(
+      """SELECT g, t.v FROM (
+           SELECT g, explode(topk_struct(struct(v), 2)) AS t FROM tk GROUP BY g)
+         ORDER BY g, t.v""").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // smallest two v per residue class: g=0 -> 3,6; g=1 -> 1,4; g=2 -> 2,5
+    assert(got == Seq((0, 3), (0, 6), (1, 1), (1, 4), (2, 2), (2, 5)))
+  }
+
   test("null inputs yield null, not a crash") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(CAST(NULL AS array<double>), array(1D)) AS c").collect()(0)
