@@ -147,6 +147,46 @@ object Analytics {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // ---- HAVING ------------------------------------------------------------
+    "q_having" -> Q(
+      """SELECT o_custkey, count(*) AS n
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+         ORDER BY o_custkey""") { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 15)
+        .orderBy(col("o_custkey"))
+    },
+
+    // ---- GROUPING SETS -----------------------------------------------------
+    "q_grouping_sets" -> Q(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    },
+
+    // ---- JSON extraction ---------------------------------------------------
+    "q_json_funcs" -> Q(
+      """SELECT event_type,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("bigint")).cast("bigint").as("sum_k"),
+          max(get_json_object(col("props"), "$.k").cast("bigint")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- order by / limit / top-k ----------------------------------------
     "q_orderby_limit" -> Q(
       """SELECT o_orderkey, o_totalprice FROM orders
