@@ -32,13 +32,18 @@ object Bench {
     // steady-state timing, shielding the recorded number from one-off
     // JIT/codegen warmup and shared-host straggler noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // a failed run must not contribute its (near-zero) elapsed time
+      // to the min — only successful runs count; -1 marks a query
+      // whose runs all failed
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      name -> math.min(once(), once())
+      val runs = Seq(once(), once()).flatten
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

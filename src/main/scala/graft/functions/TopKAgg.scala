@@ -45,6 +45,18 @@ case class TopKStruct(
   override def dataType: DataType = ArrayType(structType, containsNull = false)
   override def prettyName: String = "topk_struct"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!child.dataType.isInstanceOf[StructType])
+      TypeCheckFailure(s"$prettyName requires a struct input, got ${child.dataType.catalogString}")
+    else if (!kExpr.foldable)
+      TypeCheckFailure(s"$prettyName requires a literal k")
+    else kExpr.eval(null) match {
+      case n: Number if n.intValue() > 0 => TypeCheckSuccess
+      case other => TypeCheckFailure(s"$prettyName requires a positive integer k, got $other")
+    }
+  }
+
   override def createAggregationBuffer(): mutable.PriorityQueue[UnsafeRow] =
     mutable.PriorityQueue.empty[UnsafeRow]
 
@@ -52,8 +64,17 @@ case class TopKStruct(
                       input: InternalRow): mutable.PriorityQueue[UnsafeRow] = {
     val v = child.eval(input)
     if (v != null) {
-      buf.enqueue(proj(v.asInstanceOf[InternalRow]).copy())
-      if (buf.size > k) buf.dequeue()
+      val cand = v.asInstanceOf[InternalRow]
+      // hot-path guard: only project/copy/insert when the candidate
+      // can actually enter the top-k — for the typical row (worse
+      // than the current k-th) this is one comparison, no allocation,
+      // no heap rebalance
+      if (buf.size < k) {
+        buf.enqueue(proj(cand).copy())
+      } else if (rowOrd.compare(cand, buf.head) < 0) {
+        buf.dequeue()
+        buf.enqueue(proj(cand).copy())
+      }
     }
     buf
   }

@@ -165,10 +165,12 @@ object Analytics {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
-      t(s, d, "orders").createOrReplaceTempView("orders")
+      // unique view name: clobbering a view named "orders" would leak
+      // stale-session state into anything else resolving that name
+      t(s, d, "orders").createOrReplaceTempView("graft_gs_orders")
       s.sql(
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n
-           FROM orders
+           FROM graft_gs_orders
            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
     },
@@ -231,11 +233,12 @@ object Analytics {
       t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(expr(
-          "topk_struct(struct(-o_totalprice AS s1, o_orderkey AS s2, o_totalprice AS p), 3)")
+          "topk_struct(struct(-o_totalprice AS s1, o_orderkey AS s2), 3)")
           .as("top"))
         .select(col("o_orderstatus"), explode(col("top")).as("r"))
         .select(col("o_orderstatus"), col("r.s2").as("o_orderkey"),
-          col("r.p").as("o_totalprice"))
+          // double negation is bit-exact: the price rides only once
+          (-col("r.s1")).as("o_totalprice"))
         .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
     },
 
