@@ -43,12 +43,20 @@ object Bench {
         } catch { case _: Throwable => None }
       }
       val runs = Seq(once(), once()).flatten
+      // drop this query's cached/persisted blocks so the next query
+      // starts cold — leaked MEMORY_AND_DISK blocks from one pipeline
+      // otherwise bleed GC pressure into every later timing
+      spark.catalog.clearCache()
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a query whose runs all failed reports -1 in `queries` and is
+    // named in `failed`, but must not shrink the total by -1
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,243 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized ANN index artifacts.
+  *
+  * An ANN index is an artifact you build ONCE and query many times —
+  * per-query training (k-means jobs, hyperplane projections over the
+  * whole corpus) multiplies the dominant corpus-scan cost by the
+  * query count. Both indexes here are written to parquet on first use
+  * and every query afterwards only reads:
+  *
+  *  - LSH: one row per (vec_id, tbl, bucket) — ids only. Vectors are
+  *    NOT duplicated into the index (T tables would mean T copies of
+  *    a 100 TB embedding column); candidates are resolved back to
+  *    vectors with a broadcast join against the base table.
+  *  - IVF: the codebook (cid, pos, x — K×64 doubles, model-sized)
+  *    plus the inverted file itself: members written
+  *    `partitionBy("cid")`, so probing P of K clusters is PARTITION
+  *    PRUNING at the parquet scan — a query physically reads only
+  *    P/K of the corpus, which is the entire point of IVF.
+  *
+  * Artifacts are keyed by dataset dir + index parameters; a _SUCCESS
+  * marker gates reuse, and builds are serialized per-JVM. Rebuild =
+  * delete the artifact dir (they live under java.io.tmpdir).
+  */
+object AnnIndex {
+
+  val Tables = 8
+  val IvfK = 16        // coarse centroids
+  val IvfIters = 4     // Lloyd iterations
+
+  /** Sign-bit width per LSH table, derived from corpus size: expected
+    * candidate volume of a bucket self-join is T·n²/2^B, so keeping
+    * it ~linear needs 2^B ≈ n/c → B ≈ log2(n/4), floored at 8 (256
+    * buckets minimum so toy corpora still spread) and capped at 24.
+    * A fixed B=8 (the r1–r3 design) is quadratic/256 at corpus scale.
+    */
+  def bitsFor(n: Long): Int =
+    math.min(24, math.max(8, math.ceil(math.log(n.toDouble / 4.0) / math.log(2.0)).toInt))
+
+  private val countCache = TrieMap.empty[String, Long]
+
+  /** Corpus row count (memoized per dataset dir — parquet footer
+    * metadata, no data scan).
+    */
+  def corpusSize(s: SparkSession, d: String): Long =
+    countCache.getOrElseUpdate(d, t(s, d, "embeddings").count())
+
+  private val planesCache = TrieMap.empty[Int, Seq[Seq[Double]]]
+
+  /** T×B seeded random hyperplanes (dim 64) — deterministic across
+    * runs, engines, and JVMs for a given bit width.
+    */
+  def planes(bits: Int): Seq[Seq[Double]] =
+    planesCache.getOrElseUpdate(bits, {
+      val rng = new scala.util.Random(7L)
+      Seq.fill(Tables * bits)(Seq.fill(64)(rng.nextGaussian()))
+    })
+
+  private def artifactRoot: String = {
+    val r = Paths.get(System.getProperty("java.io.tmpdir"), "graft-ann")
+    Files.createDirectories(r)
+    r.toString
+  }
+
+  private def key(d: String, suffix: String): String =
+    d.replaceAll("[^A-Za-z0-9._-]", "_") + suffix
+
+  private def ready(path: String): Boolean =
+    Files.exists(Paths.get(path, "_SUCCESS"))
+
+  // ---- LSH ----------------------------------------------------------------
+
+  def lshPath(s: SparkSession, d: String): String = {
+    val bits = bitsFor(corpusSize(s, d))
+    s"$artifactRoot/${key(d, s"_lsh_T${Tables}_B$bits")}"
+  }
+
+  /** The multi-table LSH index: one row per (vec_id, tbl, bucket),
+    * built once per (dataset, T, B) and read from parquet afterwards.
+    *
+    * Build plan: vector components are exploded to (vec_id, pos, x)
+    * rows — posexplode of the raw parquet column — broadcast-joined
+    * with the T·B·64 plane coefficients, and folded by two hash
+    * aggregates (dot products, then sign-bit buckets). Everything is
+    * codegen'd; the array-lambda form of the same math runs
+    * interpreted and generates boxed-Double garbage proportional to
+    * vectors × planes × dims.
+    */
+  def lshIndex(s: SparkSession, d: String): DataFrame = {
+    val path = lshPath(s, d)
+    if (!ready(path)) synchronized {
+      if (!ready(path)) buildLsh(s, d).write.mode(SaveMode.Overwrite).parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  private def buildLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bits = bitsFor(corpusSize(s, d))
+    val planeRows = planes(bits).zipWithIndex.flatMap { case (p, tb) =>
+      p.zipWithIndex.map { case (c, pos) => (pos, tb / bits, tb % bits, c) }
+    }
+    val planesDf = planeRows.toDF("pos", "tbl", "bit", "coef")
+    t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
+      .join(broadcast(planesDf), Seq("pos"))
+      .groupBy(col("vec_id"), col("tbl"), col("bit"))
+      .agg(sum(col("x") * col("coef")).as("dot"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(when(col("dot") >= 0d, expr("shiftleft(1, bit)")).otherwise(0))
+        .cast("int").as("bucket"))
+  }
+
+  // ---- IVF ----------------------------------------------------------------
+
+  def ivfPath(s: SparkSession, d: String): String =
+    s"$artifactRoot/${key(d, s"_ivf_K${IvfK}_I$IvfIters")}"
+
+  /** Build-or-read the IVF artifact; returns the driver-held codebook
+    * (K×64 doubles — model-sized, like any coarse quantizer) and the
+    * path of the cid-partitioned member files.
+    */
+  def ivf(s: SparkSession, d: String): (Array[Array[Double]], String) = {
+    val path = ivfPath(s, d)
+    val membersPath = s"$path/members"
+    val centsPath = s"$path/centroids"
+    if (!ready(membersPath)) synchronized {
+      if (!ready(membersPath)) buildIvf(s, d, centsPath, membersPath)
+    }
+    val cents = Array.fill(IvfK)(new Array[Double](64))
+    s.read.parquet(centsPath).collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    (cents, membersPath)
+  }
+
+  private def buildIvf(s: SparkSession, d: String,
+                       centsPath: String, membersPath: String): Unit = {
+    import s.implicits._
+    val cents = trainCentroids(s, d)
+    cents.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (x, pos) => (cid, pos, x) }
+    }.toSeq.toDF("cid", "pos", "x")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centsPath)
+    val members = assign(s, comps(s, d), cents)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+      .join(base(s, d), Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"))
+    // the inverted file: vectors grouped by their cluster, one
+    // directory per cid — probing P clusters is partition pruning
+    members.write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(membersPath)
+  }
+
+  /** vec_id, v (array<double>). */
+  def base(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+
+  /** (vec_id, pos, x) exploded components — codegen all the way down. */
+  private def comps(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
+
+  /** Per-vector nearest-centroid assignment for a given codebook:
+    * dot products via exploded components ⋈ broadcast centroid rows
+    * (hash aggregates, no interpreted lambdas), argmin of
+    * ‖v−c‖² = ‖v‖² − 2v·c + ‖c‖² — the ‖v‖² term is constant per
+    * vector and drops out of the argmin.
+    */
+  private def assign(s: SparkSession, cps: DataFrame,
+                     cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val cRows = cents.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (x, pos) => (pos, cid, x) }
+    }.toSeq.toDF("pos", "cid", "c")
+    val c2 = cents.zipWithIndex.map { case (c, cid) =>
+      (cid, c.map(x => x * x).sum)
+    }.toSeq.toDF("cid", "c2")
+    cps.join(broadcast(cRows), Seq("pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("x") * col("c")).as("dot"))
+      .join(broadcast(c2), Seq("cid"))
+      .withColumn("dist", col("c2") - lit(2.0) * col("dot"))
+  }
+
+  /** Deterministic mini k-means (Lloyd, fixed iterations, seeded by
+    * the K lowest vec_ids) — runs ONLY inside the one-time artifact
+    * build, never per query.
+    */
+  private def trainCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    val cps = comps(s, d)
+    var cents: Array[Array[Double]] = base(s, d)
+      .orderBy(col("vec_id")).limit(IvfK).collect()
+      .map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to IvfIters) {
+      val a = assign(s, cps, cents)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val next = a.join(cps, Seq("vec_id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("cx"))
+        .collect()
+      val byCid = next.groupBy(_.getInt(0))
+      cents = cents.indices.map { cid =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val arr = new Array[Double](64)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            arr
+          case None => cents(cid) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    cents
+  }
+
+  /** Driver-side probe selection: distances from each query vector to
+    * the K codebook centroids. The codebook is model-sized (K×64) and
+    * the query set is client-provided — this is the client half of
+    * every IVF system, not a distributed job.
+    */
+  def probeClusters(queries: Seq[(Long, Array[Double])],
+                    cents: Array[Array[Double]], probes: Int): Seq[(Long, Int)] =
+    queries.flatMap { case (qid, q) =>
+      cents.zipWithIndex.map { case (c, cid) =>
+        var dot = 0.0; var c2 = 0.0; var i = 0
+        while (i < c.length) { dot += q(i) * c(i); c2 += c(i) * c(i); i += 1 }
+        (c2 - 2.0 * dot, cid)
+      }.sorted.take(probes).map { case (_, cid) => (qid, cid) }
+    }
+}

@@ -48,17 +48,25 @@ object TextOps {
     * array lambdas are interpreted; per-element work in them is the
     * slow path).
     */
-  /** (doc_id, toks) with the split tokenization persisted — one cache
-    * shared by every consumer (shingles, winnowing): the persist is
-    * ALSO the plan barrier that keeps Generate from re-evaluating the
-    * computed array per exploded row (see shingleRows scaladoc).
+  /** (doc_id, text, toks) with the split tokenization persisted — one
+    * cache shared by every consumer (shingles, winnowing, quality,
+    * lang-id): the persist is ALSO the plan barrier that keeps
+    * Generate from re-evaluating the computed array per exploded row
+    * (see shingleRows scaladoc) AND the barrier that keeps
+    * CollapseProject from inlining the split into each of quality's 4
+    * sibling consumers (tokenization would run 4× per row,
+    * interpreted). The cache is columnar, so consumers that never
+    * touch `text` (shingles) prune it at the InMemoryTableScan.
+    *
+    * Caches are query-scoped: Bench/Verify clearCache() between
+    * queries; embedding callers should do the same.
     */
   private def toksFrame(s: SparkSession, d: String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     t(s, d, "documents")
       .repartition(parts, col("doc_id"))
       .selectExpr(
-        "doc_id",
+        "doc_id", "text",
         "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -212,9 +220,7 @@ object TextOps {
                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
                   FROM documents))
           ORDER BY doc_id""") { (s, d) =>
-      t(s, d, "documents")
-        .selectExpr("doc_id", "text",
-          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+      toksFrame(s, d)
         .selectExpr(
           "doc_id",
           "CAST(size(toks) AS BIGINT) AS n_tokens",
@@ -238,9 +244,7 @@ object TextOps {
                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
                   FROM documents))
           ORDER BY doc_id""") { (s, d) =>
-      t(s, d, "documents")
-        .selectExpr("doc_id",
-          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+      toksFrame(s, d)
         .selectExpr("doc_id",
           "size(filter(toks, x -> x IN ('the','a','and','is','of'))) AS s_en",
           "size(filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de",

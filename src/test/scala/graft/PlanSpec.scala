@@ -75,4 +75,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cosine_sim"), p)
     assert(!p.contains("aggregate(zip_with"), p)
   }
+
+  test("text quality tokenizes once, behind the shared cache barrier") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    // CollapseProject would otherwise inline the split into each of
+    // the 4 sibling consumers (4× tokenization per row, interpreted)
+    val df = SparkEntry.queries("q_text_quality")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p.take(800))
+    assert("split\\(".r.findAllIn(p).size <= 1, p.take(1500))
+    spark.catalog.clearCache()
+  }
+
+  test("IVF query reads the materialized inverted file, training nothing") {
+    val p = plan("q_ann_ivf")
+    // partition pruning on the cid directories = probing P of K
+    // clusters touches only P/K of the corpus files
+    assert(p.contains("PartitionFilters"), p)
+    assert(!p.toLowerCase.contains("posexplode"), p) // projections are build-time only
+  }
 }

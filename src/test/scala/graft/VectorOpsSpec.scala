@@ -47,9 +47,26 @@ class VectorOpsSpec extends AnyFunSuite {
 
   test("LSH candidate generation is sub-quadratic (bounded candidate volume)") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
-    // every (tbl,bucket) bucket should hold far fewer than n vectors:
-    // the largest bucket bounds the per-probe join fan-out.
+    import graft.queries.AnnIndex
+    val n = AnnIndex.corpusSize(spark, sfDir)
+    val counts = AnnIndex.lshIndex(spark, sfDir)
+      .groupBy("tbl", "bucket").count().collect().map(_.getLong(2))
+    // the largest bucket bounds the per-probe join fan-out; the
+    // pairwise sum over buckets is exactly the self-join candidate
+    // volume of q_dedup_embed before cosine verification
+    val maxBucket = counts.max
+    val pairVolume = counts.map(c => c * (c - 1) / 2).sum
+    assert(maxBucket <= n / 4, s"max bucket $maxBucket vs n=$n")
+    assert(pairVolume <= n * n / 20, s"candidate pairs $pairVolume vs n^2=${n * n}")
     val lsh = SparkEntry.queries("q_dedup_embed")(spark, sfDir)
     assert(lsh.count() <= 50) // top-pairs contract holds
+  }
+
+  test("LSH bit width is derived from corpus size (sub-quadratic by construction)") {
+    import graft.queries.AnnIndex.bitsFor
+    assert(bitsFor(500) == 8)    // floor: 256 buckets minimum
+    assert(bitsFor(2000) == 9)
+    assert(bitsFor(1000000) == 18)
+    assert(bitsFor(1L << 40) == 24) // cap
   }
 }
