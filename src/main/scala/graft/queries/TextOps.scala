@@ -102,6 +102,61 @@ object TextOps {
                  list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
                FROM documents))"""
 
+  /** (doc_id, m) winnowing minima rows (with duplicates — consumers
+    * distinct/aggregate): every word-5-gram is hashed, each window of
+    * 4 consecutive grams contributes its minimum. Shared by the
+    * declared fingerprint query and the planted-duplicate sketch-
+    * overlap gate.
+    */
+  private[graft] def winnowMinima(s: SparkSession, d: String): DataFrame = {
+    val toks = toksFrame(s, d).filter(size(col("toks")) >= 5)
+    val tokRows = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = tokRows.select(col("doc_id"), col("pos"),
+        lead(col("tok"), 4).over(wLead).as("t4"),
+        xxhash64(concat_ws(" ", col("tok"),
+          lead(col("tok"), 1).over(wLead), lead(col("tok"), 2).over(wLead),
+          lead(col("tok"), 3).over(wLead), lead(col("tok"), 4).over(wLead))).as("gh"))
+      .filter(col("t4").isNotNull)
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    grams
+      // full windows only (proper winnowing): a trailing partial
+      // window would always admit the final gram's hash. The min is
+      // computed over ALL grams first; the filter then keeps only
+      // rows that START a full 4-gram window.
+      .select(col("doc_id"),
+        min(col("gh")).over(wWin).as("m"),
+        lead(col("gh"), 3).over(wLead).as("g3"))
+      .filter(col("g3").isNotNull)
+      .select(col("doc_id"), col("m"))
+  }
+
+  /** (doc_id, simhash): 64-bit simhash over DISTINCT lowercased
+    * tokens. Tokens are EXPLODED to rows: one codegen'd xxhash64 per
+    * token, then a 64-column conditional-sum hash aggregate builds
+    * the bit counters, and one projection folds them into the 64-bit
+    * value — no interpreted array lambdas in the hot path. Shared by
+    * the declared near-dup query and the planted-duplicate gate
+    * (which recomputes exhaustive Hamming truth from these values).
+    */
+  private[graft] def simhashes(s: SparkSession, d: String): DataFrame = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val tokens = t(s, d, "documents")
+      .repartition(parts, col("doc_id"))
+      .selectExpr("doc_id",
+        "array_distinct(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS toks")
+      .filter(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)  // barrier before explode (see shingleRows)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val cntCols = (0 until 64).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1L) = 1L"), 1).otherwise(-1)).as(s"c$i"))
+    val cnt = tokens.select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id")).agg(cntCols.head, cntCols.tail: _*)
+    val simExpr = (0 until 64).map(i => s"IF(c$i >= 0, shiftleft(1L, $i), 0L)").mkString(" | ")
+    cnt.selectExpr("doc_id", s"($simExpr) AS simhash")
+  }
+
   private val langCase =
     """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
             WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
@@ -154,27 +209,7 @@ object TextOps {
     // per-doc sketch fold (tens of longs) touches array functions.
     // Engine-specific hashing → rows-only check.
     "q_fingerprint_winnow" -> Q.noOracle { (s, d) =>
-      val toks = toksFrame(s, d).filter(size(col("toks")) >= 5)
-      val tokRows = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val grams = tokRows.select(col("doc_id"), col("pos"),
-          lead(col("tok"), 4).over(wLead).as("t4"),
-          xxhash64(concat_ws(" ", col("tok"),
-            lead(col("tok"), 1).over(wLead), lead(col("tok"), 2).over(wLead),
-            lead(col("tok"), 3).over(wLead), lead(col("tok"), 4).over(wLead))).as("gh"))
-        .filter(col("t4").isNotNull)
-      val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, 3)
-      grams
-        // full windows only (proper winnowing): a trailing partial
-        // window would always admit the final gram's hash. The min is
-        // computed over ALL grams first; the filter then keeps only
-        // rows that START a full 4-gram window.
-        .select(col("doc_id"),
-          min(col("gh")).over(wWin).as("m"),
-          lead(col("gh"), 3).over(wLead).as("g3"))
-        .filter(col("g3").isNotNull)
-        .select(col("doc_id"), col("m"))
+      winnowMinima(s, d)
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("m")).as("sketch_size"),
              xxhash64(array_join(array_sort(collect_set(col("m"))), ",")).as("sketch_hash"))
@@ -354,28 +389,11 @@ object TextOps {
 
     // ---- SimHash near-dup -------------------------------------------------
     // 64-bit simhash from token hashes; 4×16-bit band buckets guarantee
-    // (pigeonhole) that any pair within Hamming distance 3 shares a band.
+    // (pigeonhole) that any pair within Hamming distance 3 shares a
+    // band — the planted-duplicate gate asserts the bucketed result is
+    // EXACTLY the exhaustive Hamming<=3 pair set (lossless bucketing).
     "q_dedup_simhash" -> Q.noOracle { (s, d) =>
-      // tokens EXPLODED to rows: one codegen'd xxhash64 per token, then
-      // a 64-column conditional-sum hash aggregate builds the bit
-      // counters, and one projection folds them into the 64-bit
-      // simhash — no interpreted array lambdas in the hot path (the
-      // r2 version folded bit counters with nested higher-order
-      // functions, which Spark evaluates interpreted).
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val tokens = t(s, d, "documents")
-        .repartition(parts, col("doc_id"))
-        .selectExpr("doc_id",
-          "array_distinct(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS toks")
-        .filter(size(col("toks")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)  // barrier before explode (see shingleRows)
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-      val cntCols = (0 until 64).map(i =>
-        sum(when(expr(s"(shiftright(h, $i) & 1L) = 1L"), 1).otherwise(-1)).as(s"c$i"))
-      val cnt = tokens.select(col("doc_id"), xxhash64(col("tok")).as("h"))
-        .groupBy(col("doc_id")).agg(cntCols.head, cntCols.tail: _*)
-      val simExpr = (0 until 64).map(i => s"IF(c$i >= 0, shiftleft(1L, $i), 0L)").mkString(" | ")
-      val sim = cnt.selectExpr("doc_id", s"($simExpr) AS simhash")
+      val sim = simhashes(s, d)
         .selectExpr("doc_id", "simhash",
           "posexplode(transform(sequence(0, 3), c -> shiftright(simhash, c*16) & 65535L)) AS (band, chunk)")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
