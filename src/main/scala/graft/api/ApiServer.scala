@@ -70,13 +70,21 @@ final class ApiServer(engine: Engine, port: Int = 0) {
 
   private def resultSetJson(rs: ResultSet, ms: Double): String =
     if (!rs.ok) failure(rs.error, "QUERY_ERROR")
-    else success(jobj(
-      "headers" -> jarr(rs.headers.map(jstr)),
-      "rows" -> jarr(rs.rows.map(r => jarr(r.map(jstr)))),
-      "rowsAffected" -> rs.rowsAffected.toString,
-      // Locale.ROOT: the f-interpolator is locale-sensitive and a
-      // comma decimal separator breaks the JSON envelope
-      "executionTimeMs" -> String.format(java.util.Locale.ROOT, "%.3f", ms)))
+    else {
+      val fields = Seq(
+        "headers" -> jarr(rs.headers.map(jstr)),
+        "rows" -> jarr(rs.rows.map(r => jarr(r.map(jstr)))),
+        "rowsAffected" -> rs.rowsAffected.toString,
+        // Locale.ROOT: the f-interpolator is locale-sensitive and a
+        // comma decimal separator breaks the JSON envelope
+        "executionTimeMs" -> String.format(java.util.Locale.ROOT, "%.3f", ms)) ++
+        // a successful SELECT capped at selectRowCap carries its
+        // truncation notice in rs.error — surface it (the Shell
+        // prints it as a WARNING line; API clients would otherwise
+        // silently get a partial result set)
+        (if (rs.error.nonEmpty) Seq("warning" -> jstr(rs.error)) else Nil)
+      success(jobj(fields: _*))
+    }
 
   private def statsJson(st: EngineStats): String =
     success(jobj(

@@ -18,6 +18,15 @@ final class DeltaLog(path: Path, meta: TableMeta) {
   private var fos = new FileOutputStream(path.toFile, true)
   private var out = new DataOutputStream(new BufferedOutputStream(fos))
 
+  /** What the last replay() recovered and discarded; None before
+    * recovery. A nonzero truncatedBytes distinguishes a benign torn
+    * tail (small, end-of-log) from mid-log corruption whose intact
+    * successors were also cut off — the discarded bytes are preserved
+    * in the .corrupt sibling either way, but only an operator who can
+    * SEE the loss can repair it.
+    */
+  @volatile var lastRecovery: Option[DeltaLog.Recovery] = None
+
   def append(rv: RowVersion): Unit = this.synchronized {
     writeRecord(rv)
     out.flush()
@@ -85,6 +94,7 @@ final class DeltaLog(path: Path, meta: TableMeta) {
       case _: EOFException => ()
       case _: RuntimeException => () // decode failure on corrupt payload
     }
+    val recovered = acc.result()
     if (intactBytes < all.length) {
       // preserve the unreadable tail for offline repair before cutting
       // it off (truncation makes future appends reachable; keeping the
@@ -99,8 +109,22 @@ final class DeltaLog(path: Path, meta: TableMeta) {
       try ch.truncate(intactBytes) finally ch.close()
       fos = new FileOutputStream(path.toFile, true)
       out = new DataOutputStream(new BufferedOutputStream(fos))
+      System.err.println(
+        s"[graft] WAL $path: recovered ${recovered.size} records, " +
+          s"truncated ${all.length - intactBytes} corrupt bytes (kept in .corrupt)")
     }
-    acc.result()
+    lastRecovery = Some(DeltaLog.Recovery(recovered.size, all.length - intactBytes))
+    recovered
+  }
+
+  /** Checkpoint: copy the current log to `dest` (reference
+    * wal.hpp:330-397 — checkpoint is a file snapshot). Flushed and
+    * fsynced first so the copy is a complete prefix of the live log.
+    */
+  def checkpoint(dest: Path): Unit = this.synchronized {
+    out.flush()
+    fos.getFD.sync()
+    Files.copy(path, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Reset after a flush made the log's contents durable in parquet. */
@@ -112,4 +136,9 @@ final class DeltaLog(path: Path, meta: TableMeta) {
   }
 
   def close(): Unit = this.synchronized { out.close() }
+}
+
+object DeltaLog {
+  /** Result of a replay(): records recovered, corrupt bytes cut off. */
+  final case class Recovery(records: Int, truncatedBytes: Long)
 }

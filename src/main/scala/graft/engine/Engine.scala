@@ -203,11 +203,17 @@ final class Engine(
   private def dirBytes(path: String): Long = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) 0L
-    else {
+    else try {
       val s = java.nio.file.Files.walk(p)
       try s.filter(java.nio.file.Files.isRegularFile(_))
         .mapToLong(java.nio.file.Files.size(_)).sum()
       finally s.close()
+    } catch {
+      // the walk races against compaction's deferred tier GC: a tier
+      // retired mid-walk reads as size 0, not a stats failure
+      // (Files.walk surfaces mid-stream losses as UncheckedIOException)
+      case _: java.nio.file.NoSuchFileException => 0L
+      case _: java.io.UncheckedIOException      => 0L
     }
   }
 
@@ -302,9 +308,19 @@ final class Engine(
     * current hot+cold state on every call.
     */
   def sparkSql(query: String): DataFrame = {
-    tableNames.foreach(t => snapshot(t).createOrReplaceTempView(t))
+    tableNames.foreach { t =>
+      snapshot(t).createOrReplaceTempView(t)
+      registeredViews.add(t)
+    }
     spark.sql(query)
   }
+
+  /** Temp views THIS engine registered via sparkSql — DROP TABLE must
+    * not clobber same-named views owned by the user or by another
+    * engine sharing the SparkSession.
+    */
+  private val registeredViews =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** C7: streaming range iterator — bounded-memory batched pull over
     * the live snapshot (reference range_query_executor.hpp:253-338).
@@ -480,9 +496,10 @@ final class Engine(
     // we actually drop the data: delta log, cold tiers, catalog entry.
     catalog.remove(key)
     val store = stores.remove(key)
-    // a temp view registered by sparkSql would otherwise keep serving
-    // the dropped table's last snapshot
-    spark.catalog.dropTempView(key)
+    // a temp view registered by OUR sparkSql would otherwise keep
+    // serving the dropped table's last snapshot; views we did not
+    // register are someone else's and stay
+    if (registeredViews.remove(key)) spark.catalog.dropTempView(key)
     dataDir.foreach { dir =>
       store.flatMap(_.delta).foreach(_.close())
       Persist.deleteRecursively(deltaPath(dir, key))
@@ -784,6 +801,29 @@ final class Engine(
 
   // ---- EXPLAIN / DESCRIBE --------------------------------------------------
 
+  /** Row count of a cold tier from parquet footer metadata — no data
+    * scan, no Spark job. Tiers are immutable once written, so counts
+    * cache by path.
+    */
+  private val tierRowCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def tierRows(path: String): Long =
+    tierRowCache.getOrElseUpdate(path, {
+      try {
+        val conf = spark.sessionState.newHadoopConf()
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val fs = dir.getFileSystem(conf)
+        if (!fs.exists(dir)) 0L
+        else fs.listStatus(dir)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+      } catch { case _: java.io.IOException => 0L }
+    })
+
   private def execExplain(sel: Stmt.Select): ResultSet = {
     val store = storeOf(sel.table)
     val m = store.meta
@@ -795,6 +835,15 @@ final class Engine(
       else "FULL_SCAN"
     val hotCount = store.liveRows.size
     val tiers = store.coldDirs.size
+    // reference estimator (hybrid_query_router.hpp:164-218): per-level
+    // entry counts, estimate = max(maxLevel, total/2) — duplicate-
+    // aware (a key in a newer level shadows its older versions, so a
+    // plain sum over-counts). Hot store is level 0; cold parquet
+    // tiers report their footer counts.
+    val levels = hotCount.toLong +: store.coldDirs.map(tierRows)
+    val estRows =
+      if (qtype == "POINT_LOOKUP") 1L
+      else math.max(levels.max, levels.sum / 2)
     // estimated I/O cost: the reference router's formulas
     // (hybrid_query_router.hpp:255,274-275,293-294,321-322) with our
     // hot store standing in for the memtable and parquet tiers for
@@ -812,7 +861,7 @@ final class Engine(
       s"Table: ${m.name}",
       s"Hot Rows: $hotCount",
       s"Cold Tiers: $tiers",
-      s"Estimated Rows: ${if (qtype == "POINT_LOOKUP") 1 else hotCount}",
+      s"Estimated Rows: $estRows",
       f"Estimated I/O Cost: $ioCost%.1f",
       storageLine,
       s"Filter Pushdown: ${if (sel.where.isDefined) "YES" else "NO"}",

@@ -120,11 +120,14 @@ object Parser {
         }
         case t => fail(s"unexpected token $t")
       }
-      // statement must be complete: optional ';', then EOF — trailing
-      // tokens (e.g. an unsupported LIMIT/ORDER BY clause) are an
-      // error rather than being silently ignored.
+      // statement 0 must be complete: trailing tokens WITHOUT a ';'
+      // separator (e.g. an unsupported LIMIT/ORDER BY clause) are an
+      // error rather than being silently ignored. AFTER a ';', any
+      // further input is a subsequent statement, and the reference
+      // executes only statement 0 of a multi-statement string
+      // (query_executor.cpp:29) — so it is ignored, not rejected.
       if (isPunct(";")) next()
-      peek match {
+      else peek match {
         case EOF => ()
         case t   => fail(s"unexpected trailing input at $t")
       }

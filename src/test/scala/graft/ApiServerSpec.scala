@@ -85,6 +85,23 @@ class ApiServerSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated SELECT carries a warning in the success envelope") {
+    val e = new Engine(spark, selectRowCap = 2)
+    assert(e.sql("CREATE TABLE trunc_t (id BIGINT NOT NULL, v INT)").ok)
+    (1 to 5).foreach(i => assert(e.sql(s"INSERT INTO trunc_t VALUES ($i, $i)").ok))
+    val srv = new ApiServer(e)
+    srv.start()
+    try {
+      val (c, b) = post(srv.boundPort, "/api/query", """{"sql": "SELECT * FROM trunc_t"}""")
+      assert(c == 200 && b.contains(""""success":true"""), b)
+      assert(b.contains(""""warning"""") && b.contains("truncated"), b)
+      // un-truncated results carry no warning field
+      val (c2, b2) = post(srv.boundPort, "/api/query",
+        """{"sql": "SELECT * FROM trunc_t WHERE id = 1"}""")
+      assert(c2 == 200 && !b2.contains(""""warning""""), b2)
+    } finally srv.stop()
+  }
+
   test("GET /api/status, /api/health, /api/info; POST /api/admin/*") {
     withServer { p =>
       val (c1, b1) = get(p, "/api/status")

@@ -203,6 +203,49 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("recovery reports truncated bytes; checkpoint snapshots the log") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE rr (id BIGINT NOT NULL, v INT)").ok)
+      (1 to 10).foreach(i => assert(e.sql(s"INSERT INTO rr VALUES ($i, $i)").ok))
+      val log = java.nio.file.Paths.get(dir, "delta", "rr.log")
+      java.nio.file.Files.write(log, Array[Byte](0, 0, 0, 42, 7, 7, 7),
+        java.nio.file.StandardOpenOption.APPEND)
+      // an operator can now SEE the loss instead of silent truncation
+      val e2 = new Engine(spark, Some(dir))
+      val rec = e2.storeOf("rr").delta.get.lastRecovery
+      assert(rec.contains(graft.engine.DeltaLog.Recovery(10, 7L)), s"got $rec")
+      // clean restart reports zero truncation
+      assert(e2.sql("INSERT INTO rr VALUES (11, 11)").ok)
+      val e3 = new Engine(spark, Some(dir))
+      val rec3 = e3.storeOf("rr").delta.get.lastRecovery
+      assert(rec3.contains(graft.engine.DeltaLog.Recovery(11, 0L)), s"got $rec3")
+      // checkpoint = complete copy of the live log (reference
+      // wal.hpp:330-397)
+      val cp = java.nio.file.Paths.get(dir, "rr.ckpt")
+      e3.storeOf("rr").delta.get.checkpoint(cp)
+      assert(java.nio.file.Files.size(cp) == java.nio.file.Files.size(log))
+      assert(java.nio.file.Files.size(cp) > 0)
+    }
+  }
+
+  test("EXPLAIN estimates rows across hot and cold layers (footer counts)") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE exl (id BIGINT NOT NULL, v INT)").ok)
+      (1 to 6).foreach(i => assert(e.sql(s"INSERT INTO exl VALUES ($i, $i)").ok))
+      e.forceFlush("exl")
+      (7 to 8).foreach(i => assert(e.sql(s"INSERT INTO exl VALUES ($i, $i)").ok))
+      val out = e.sql("EXPLAIN SELECT * FROM exl").rows.flatten.mkString("\n")
+      // levels: hot 2, cold 6 → max(maxLevel, total/2) = max(6, 4) = 6
+      // (the reference's duplicate-aware estimate,
+      // hybrid_query_router.hpp:164-218)
+      assert(out.contains("Estimated Rows: 6"), out)
+      assert(e.sql("EXPLAIN SELECT * FROM exl WHERE id = 3")
+        .rows.flatten.mkString.contains("Estimated Rows: 1"))
+    }
+  }
+
   // ---- M1/M4: byte-sized flush trigger -------------------------------------
 
   test("flush triggers on retained bytes, not only row count") {

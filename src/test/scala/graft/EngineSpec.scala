@@ -334,6 +334,35 @@ class EngineSpec extends AnyFunSuite {
     assert(e.sql("SELECT * FROM orders;").ok)   // bare trailing ';' is fine
   }
 
+  test("multi-statement strings execute statement 0 only (reference semantics)") {
+    val e = fresh()
+    seedOrders(e)
+    // reference query_executor.cpp:29: only the first statement of a
+    // multi-statement string runs; the rest is ignored, not rejected
+    val r = e.sql("SELECT COUNT(*) FROM orders; DROP TABLE orders")
+    assert(r.ok && r.rows.head.head == "5")
+    assert(e.sql("SELECT COUNT(*) FROM orders").ok, "second statement must NOT have executed")
+    // without a ';' separator trailing tokens are still an error
+    assert(!e.sql("SELECT COUNT(*) FROM orders DROP TABLE orders").ok)
+  }
+
+  test("DROP TABLE leaves same-named user views alone, drops its own") {
+    val e = fresh()
+    assert(e.sql("CREATE TABLE vt (id BIGINT NOT NULL)").ok)
+    // a user view under the same name, NOT registered by the engine
+    spark.range(3).createOrReplaceTempView("vt")
+    assert(e.sql("DROP TABLE vt").ok)
+    assert(spark.sql("SELECT COUNT(*) FROM vt").collect()(0).getLong(0) == 3)
+    spark.catalog.dropTempView("vt")
+    // a view the engine registered via sparkSql IS cleaned up
+    val e2 = fresh()
+    assert(e2.sql("CREATE TABLE vt2 (id BIGINT NOT NULL)").ok)
+    assert(e2.sql("INSERT INTO vt2 VALUES (1)").ok)
+    assert(e2.sparkSql("SELECT * FROM vt2").collect().length == 1)
+    assert(e2.sql("DROP TABLE vt2").ok)
+    assert(!spark.catalog.tableExists("vt2"))
+  }
+
   test("column resolution is case-insensitive on every path") {
     val e = fresh()
     seedOrders(e)
