@@ -1,0 +1,116 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.Engine
+
+/** Mixed HTAP throughput harness — the analogue of the reference's
+  * multi-threaded benchmark (test/mt_benchmark_htap.cpp:155-165):
+  * seed via the batch write path, then timed phases of concurrent
+  * point lookups, full aggregates, filtered aggregates, and a mixed
+  * read/write phase, each reporting ops/s.
+  *
+  * Two point-lookup phases make the architecture's trade explicit:
+  * `point_hot` runs BEFORE the flush — the driver-side hot-store map,
+  * the reference memtable's µs path; `point_cold` runs after — a
+  * parquet-backed snapshot scan that pays Spark job latency per
+  * query. The reference's native engine has no such cliff; Spark buys
+  * it back with the OLAP phases scaling over cores and data size.
+  */
+object HtapBench {
+
+  final case class Phase(name: String, threads: Int, ops: Long, opsPerSec: Double)
+
+  /** Run one timed phase: `threads` workers looping `op` until the
+    * deadline; ops/s over successful iterations (reference
+    * runConcurrentTest shape).
+    */
+  private def phase(name: String, threads: Int, secs: Int)(op: () => Boolean): Phase = {
+    val keepRunning = new AtomicBoolean(true)
+    val total = new AtomicLong(0L)
+    val workers = (0 until threads).map { _ =>
+      new Thread(() => {
+        var mine = 0L
+        while (keepRunning.get()) if (op()) mine += 1
+        total.addAndGet(mine)
+      })
+    }
+    workers.foreach(_.start())
+    Thread.sleep(secs * 1000L)
+    keepRunning.set(false)
+    workers.foreach(_.join())
+    Phase(name, threads, total.get(), total.get().toDouble / secs)
+  }
+
+  def run(spark: SparkSession, dir: String, rows: Int, secs: Int,
+          threads: Int): Seq[Phase] = {
+    val e = new Engine(spark, Some(dir), hotLimit = rows * 4)
+    require(e.sql("CREATE TABLE mt_bench_table (id BIGINT NOT NULL, customer VARCHAR(50), amount DOUBLE, status VARCHAR(20))").ok)
+    // seed through the batch path (one lock + one fsync per group),
+    // mirroring the reference's batchPut seeding loop
+    (0 until rows).grouped(1000).foreach { chunk =>
+      e.batchPut("mt_bench_table", chunk.map { i =>
+        Array[Any](i.toLong, s"cust_$i", i * 0.01,
+          if (i % 2 == 0) "active" else "inactive")
+      })
+    }
+    val midId = rows / 2
+    val olapThreads = math.max(1, threads / 4)
+
+    val hot = phase("point_hot", threads, secs)(() =>
+      e.sql(s"SELECT * FROM mt_bench_table WHERE id = $midId").ok)
+
+    e.forceFlush("mt_bench_table")
+
+    val results = Seq(
+      hot,
+      phase("point_cold", olapThreads, secs)(() =>
+        e.sql(s"SELECT * FROM mt_bench_table WHERE id = $midId").ok),
+      phase("agg_sum", olapThreads, secs)(() =>
+        e.sql("SELECT SUM(amount) FROM mt_bench_table").ok),
+      phase("filtered_sum", olapThreads, secs)(() =>
+        e.sql("SELECT SUM(amount) FROM mt_bench_table WHERE status = 'active'").ok), {
+        // mixed: one writer thread on the batch path, the rest reading
+        val nextId = new AtomicLong(rows.toLong)
+        val role = new AtomicLong(0L)
+        phase("mixed_rw", threads, secs) { () =>
+          val r = role.getAndIncrement() % threads
+          if (r == 0) {
+            val base = nextId.getAndAdd(100L)
+            e.batchPut("mt_bench_table", (0 until 100).map(k =>
+              Array[Any](base + k, s"w_${base + k}", 1.0, "active"))).nonEmpty
+          } else if (r == 1)
+            e.sql("SELECT COUNT(*) FROM mt_bench_table").ok
+          else
+            e.sql(s"SELECT * FROM mt_bench_table WHERE id = $midId").ok
+        }
+      })
+    results
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.lift(0).map(_.toInt).getOrElse(20000)
+    val secs = args.lift(1).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-htap").toString
+    try {
+      val phases = run(spark, dir, rows, secs, cpus)
+      val pj = phases.map(p =>
+        f""""${p.name}":{"threads":${p.threads},"ops":${p.ops},"ops_per_sec":${p.opsPerSec}%.1f}""")
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"htap_mixed","rows":$rows,"secs":$secs,"threads":$cpus,"phases":$pj}""")
+    } finally {
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+      spark.stop()
+    }
+  }
+}

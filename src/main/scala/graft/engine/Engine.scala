@@ -277,6 +277,17 @@ final class Engine(
   def snapshot(table: String): DataFrame = {
     val store = storeOf(table)
     val m = store.meta
+    // read-mostly fast path: no hot versions + a single cold tier
+    // needs no merge at all — any one tier holds each pk at most once
+    // (flush writes the latest-version map; compaction dedups), so
+    // the parquet serves directly, minus tombstones. This is the
+    // common post-flush shape and skips the union + window dedup that
+    // dominate job latency for point reads and aggregates.
+    val hotEmpty = store.synchronized(store.latest.isEmpty)
+    if (hotEmpty && store.coldDirs.size == 1)
+      return spark.read.parquet(store.coldDirs.head)
+        .filter(!col("__tombstone"))
+        .select(m.cols.map(c => col(c.name)): _*)
     val hotRows = store.liveRows.map(rv => Row.fromSeq(rv.values.toIndexedSeq))
     val hot = spark.createDataFrame(
       java.util.Arrays.asList(hotRows: _*), m.schema)
