@@ -31,7 +31,13 @@ object Bench {
     // declared work). Each query runs twice and reports the minimum —
     // steady-state timing, shielding the recorded number from one-off
     // JIT/codegen warmup and shared-host straggler noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b runs a subset — the isolated-timing
+    // harness for judging a single query without the rest of the
+    // suite's noise
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // a failed run must not contribute its (near-zero) elapsed time
       // to the min — only successful runs count; -1 marks a query
       // whose runs all failed

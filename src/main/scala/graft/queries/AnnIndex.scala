@@ -69,8 +69,29 @@ object AnnIndex {
     r.toString
   }
 
+  /** Content fingerprint of the source embeddings file(s): sizes +
+    * mtimes. An index artifact keyed by path alone would silently
+    * serve stale buckets if the dataset is regenerated in place.
+    */
+  private def fingerprint(d: String): String = {
+    val p = Paths.get(d, "embeddings.parquet")
+    if (!Files.exists(p)) return "na"
+    val files: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+        } finally s.close()
+      } else Seq(p)
+    val h = files.map(f =>
+      s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+      .mkString("|").hashCode
+    f"$h%08x"
+  }
+
   private def key(d: String, suffix: String): String =
-    d.replaceAll("[^A-Za-z0-9._-]", "_") + suffix
+    d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fingerprint(d) + suffix
 
   private def ready(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))

@@ -61,13 +61,14 @@ object TextOps {
     * Caches are query-scoped: Bench/Verify clearCache() between
     * queries; embedding callers should do the same.
     */
-  private def toksFrame(s: SparkSession, d: String): DataFrame = {
+  private def toksFrame(s: SparkSession, d: String,
+                        withText: Boolean = false): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val cols = (if (withText) Seq("doc_id", "text") else Seq("doc_id")) :+
+      "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks"
     t(s, d, "documents")
       .repartition(parts, col("doc_id"))
-      .selectExpr(
-        "doc_id", "text",
-        "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+      .selectExpr(cols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -255,7 +256,7 @@ object TextOps {
                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
                   FROM documents))
           ORDER BY doc_id""") { (s, d) =>
-      toksFrame(s, d)
+      toksFrame(s, d, withText = true)
         .selectExpr(
           "doc_id",
           "CAST(size(toks) AS BIGINT) AS n_tokens",
