@@ -32,8 +32,16 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   val Tables = 8
-  val IvfK = 16        // coarse centroids
   val IvfIters = 4     // Lloyd iterations
+
+  /** IVF codebook size, derived from corpus size: K ≈ √n is the
+    * standard regime (per-cluster list length and codebook scan both
+    * grow as √n instead of one of them growing as n). Floor 16 so toy
+    * corpora still partition; cap 4096 keeps the driver-held codebook
+    * and the Lloyd collect at K×64 doubles — model-sized.
+    */
+  def ivfK(n: Long): Int =
+    math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** Sign-bit width per LSH table, derived from corpus size: expected
     * candidate volume of a bucket self-join is T·n²/2^B, so keeping
@@ -142,8 +150,10 @@ object AnnIndex {
 
   // ---- IVF ----------------------------------------------------------------
 
-  def ivfPath(s: SparkSession, d: String): String =
-    s"$artifactRoot/${key(d, s"_ivf_K${IvfK}_I$IvfIters")}"
+  def ivfPath(s: SparkSession, d: String): String = {
+    val k = ivfK(corpusSize(s, d))
+    s"$artifactRoot/${key(d, s"_ivf_K${k}_I$IvfIters")}"
+  }
 
   /** Build-or-read the IVF artifact; returns the driver-held codebook
     * (K×64 doubles — model-sized, like any coarse quantizer) and the
@@ -156,17 +166,17 @@ object AnnIndex {
     if (!ready(membersPath)) synchronized {
       if (!ready(membersPath)) buildIvf(s, d, centsPath, membersPath)
     }
-    val cents = Array.fill(IvfK)(new Array[Double](64))
-    s.read.parquet(centsPath).collect().foreach { r =>
-      cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-    }
+    val rows = s.read.parquet(centsPath).collect()
+    val k = rows.map(_.getInt(0)).max + 1
+    val cents = Array.fill(k)(new Array[Double](64))
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
     (cents, membersPath)
   }
 
   private def buildIvf(s: SparkSession, d: String,
                        centsPath: String, membersPath: String): Unit = {
     import s.implicits._
-    val cents = trainCentroids(s, d)
+    val cents = trainCentroids(s, d, ivfK(corpusSize(s, d)))
     cents.zipWithIndex.flatMap { case (c, cid) =>
       c.zipWithIndex.map { case (x, pos) => (cid, pos, x) }
     }.toSeq.toDF("cid", "pos", "x")
@@ -219,10 +229,11 @@ object AnnIndex {
     * the K lowest vec_ids) — runs ONLY inside the one-time artifact
     * build, never per query.
     */
-  private def trainCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+  private def trainCentroids(s: SparkSession, d: String,
+                             k: Int): Array[Array[Double]] = {
     val cps = comps(s, d)
     var cents: Array[Array[Double]] = base(s, d)
-      .orderBy(col("vec_id")).limit(IvfK).collect()
+      .orderBy(col("vec_id")).limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to IvfIters) {
       val a = assign(s, cps, cents)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.queries.AnnIndex.{base, bitsFor, corpusSize, IvfK}
+import graft.queries.AnnIndex.{base, bitsFor, corpusSize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  val IvfProbes = 4    // clusters probed per query
+  /** Clusters probed per query: a constant fraction (~1/4) of the
+    * size-derived codebook, floored at 4 — keeps the probed share of
+    * the corpus stable as K grows with √n.
+    */
+  def ivfProbes(k: Int): Int = math.max(4, k / 4)
 
   // native codegen'd expression (graft.functions.CosineSim) — the
   // builtin aggregate(zip_with(...)) form runs interpreted.
@@ -122,7 +126,7 @@ object VectorOps {
 
     // ---- IVF ANN ----------------------------------------------------------
     // Query half of the inverted-file index: the driver-held codebook
-    // picks each query's IvfProbes nearest clusters (the client half
+    // picks each query's ivfProbes nearest clusters (the client half
     // of every IVF system — K×64 distance computations, not a job),
     // the cid-partitioned member files are read with partition
     // pruning (only probed clusters touch disk), and exact cosine
@@ -133,7 +137,7 @@ object VectorOps {
       val (cents, membersPath) = AnnIndex.ivf(s, d)
       val qRows = registered(s, d).filter(col("vec_id") < 10).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val probes = AnnIndex.probeClusters(qRows.toSeq, cents, IvfProbes)
+      val probes = AnnIndex.probeClusters(qRows.toSeq, cents, ivfProbes(cents.length))
       val probedCids = probes.map(_._2).distinct
       val probesDf = probes.toDF("q_id", "cid")
       val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
@@ -160,6 +164,4 @@ object VectorOps {
     }
   )
 
-  /** Referenced by specs/docs: the IVF codebook size. */
-  def ivfK: Int = IvfK
 }

@@ -59,6 +59,22 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup over a document stream: fingerprint by
+    * normalized-text md5 (the same normalization as the batch
+    * q_fingerprint) and suppress duplicates WITHIN THE WATERMARK —
+    * dropDuplicatesWithinWatermark keeps state bounded (expired
+    * fingerprints age out), the only dedup that survives an unbounded
+    * stream. A duplicate arriving later than the watermark horizon
+    * passes through: that is the documented trade for bounded state;
+    * the batch q_dedup_exact sweep catches stragglers downstream.
+    */
+  def dedupDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp",
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   case class Evt(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Int)

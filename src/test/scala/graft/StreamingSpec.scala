@@ -67,6 +67,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicate fingerprints within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val deduped = Streams.dedupDocs(
+      src.toDF().toDF("doc_id", "text", "ts"), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // same text under different formatting = same fingerprint
+      src.addData((1L, "Hello, World!", ts(0)), (2L, "hello  world", ts(1)),
+        (3L, "fresh document", ts(2)))
+      q.processAllAvailable()
+      // a cross-batch duplicate within the watermark is suppressed too
+      src.addData((4L, "HELLO world", ts(3)), (5L, "another one", ts(4)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dd").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions by inactivity gap and by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

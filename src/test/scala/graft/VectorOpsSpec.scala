@@ -69,4 +69,12 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(bitsFor(1000000) == 18)
     assert(bitsFor(1L << 40) == 24) // cap
   }
+
+  test("IVF codebook size follows sqrt(n) with floor and cap") {
+    import graft.queries.AnnIndex.ivfK
+    assert(ivfK(100) == 16)        // floor
+    assert(ivfK(500) == 23)
+    assert(ivfK(1000000) == 1000)
+    assert(ivfK(1L << 40) == 4096) // cap: codebook stays model-sized
+  }
 }
