@@ -33,6 +33,23 @@ object VectorOps {
     */
   def ivfProbes(k: Int): Int = math.max(4, k / 4)
 
+  /** Multi-probe Hamming radius, scaling with the bit width: per-bit
+    * agreement p^B shrinks as B grows with the corpus, and radius-2
+    * probing drops below ~0.8 recall for mid-similarity neighbors
+    * once B passes ~10 (at p=2/3: sum_{i<=2} C(B,i) p^(B-i)(1-p)^i
+    * across 8 tables ≈ 0.98 at B=9 but 0.80 at B=12). One extra
+    * probe ring buys the recall back for mask-count that stays tiny.
+    */
+  def probeRadius(bits: Int): Int = if (bits <= 10) 2 else 3
+
+  /** All XOR masks of Hamming weight ≤ radius over `bits` bits. */
+  private[graft] def masksUpTo(bits: Int, radius: Int): Seq[Int] = {
+    def combos(start: Int, left: Int): Seq[Int] =
+      if (left == 0) Seq(0)
+      else (start until bits).flatMap(b => combos(b + 1, left - 1).map(_ | (1 << b)))
+    (0 to radius).flatMap(r => combos(0, r))
+  }
+
   // native codegen'd expression (graft.functions.CosineSim) — the
   // builtin aggregate(zip_with(...)) form runs interpreted.
   private val cosExpr = "cosine_sim(qv, v) AS cosine"
@@ -91,17 +108,18 @@ object VectorOps {
 
     // ---- multi-table LSH ANN ----------------------------------------------
     // Candidates: corpus ids sharing a (tbl, bucket) with any of the
-    // query's multi-probe buckets (exact bucket + all Hamming ≤ 2
-    // neighbors). The candidate id set is query-workload-sized, so
-    // vectors are fetched with BROADCAST joins — one corpus scan, no
-    // shuffle; exact cosine re-ranks, top-5 per query. Probing only
-    // the query side keeps the index one row per (vector, table);
-    // probe count is 1 + B + B(B-1)/2 per table.
+    // query's multi-probe buckets (exact bucket + all Hamming ≤ r
+    // neighbors, r scaling with the bit width). The candidate id set
+    // is query-workload-sized, so vectors are fetched with BROADCAST
+    // joins — one corpus scan, no shuffle; exact cosine re-ranks,
+    // top-5 per query. Probing only the query side keeps the index
+    // one row per (vector, table); probe count is sum_{i<=r} C(B,i)
+    // per table — key rows only, still broadcast-sized at radius 3
+    // on 24 bits (~2.3k masks).
     "q_ann_lsh" -> Q.noOracle { (s, d) =>
       val bits = bitsFor(corpusSize(s, d))
       val idx = AnnIndex.lshIndex(s, d)
-      val probeMasks: Seq[Int] = Seq(0) ++ (0 until bits).map(1 << _) ++
-        (for { j <- 0 until bits; k <- j + 1 until bits } yield (1 << j) | (1 << k))
+      val probeMasks: Seq[Int] = masksUpTo(bits, probeRadius(bits))
       val queries = idx.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
         .withColumn("mk", typedlit(probeMasks))

@@ -70,6 +70,18 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(bitsFor(1L << 40) == 24) // cap
   }
 
+  test("multi-probe mask generation covers exactly the Hamming ball") {
+    import graft.queries.VectorOps.masksUpTo
+    val m = masksUpTo(8, 2)
+    assert(m.size == 1 + 8 + 28)
+    assert(m.distinct.size == m.size)
+    assert(m.forall(x => Integer.bitCount(x) <= 2 && x < 256))
+    // radius scales up with the bit width
+    assert(graft.queries.VectorOps.probeRadius(8) == 2)
+    assert(graft.queries.VectorOps.probeRadius(16) == 3)
+    assert(masksUpTo(16, 3).size == 1 + 16 + 120 + 560)
+  }
+
   test("IVF codebook size follows sqrt(n) with floor and cap") {
     import graft.queries.AnnIndex.ivfK
     assert(ivfK(100) == 16)        // floor
