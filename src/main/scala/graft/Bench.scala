@@ -35,6 +35,12 @@ object Bench {
     // harness for judging a single query without the rest of the
     // suite's noise
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      // a typo must fail loudly, not print a green zero-query result
+      require(unknown.isEmpty,
+        s"Unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(",")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

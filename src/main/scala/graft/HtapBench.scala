@@ -25,7 +25,9 @@ object HtapBench {
 
   /** Run one timed phase: `threads` workers looping `op` until the
     * deadline; ops/s over successful iterations (reference
-    * runConcurrentTest shape).
+    * runConcurrentTest shape). Throughput divides by MEASURED elapsed
+    * time — an op in flight at the deadline runs to completion and
+    * counts, so the nominal duration would overstate slow-op phases.
     */
   private def phase(name: String, threads: Int, secs: Int)(op: () => Boolean): Phase = {
     val keepRunning = new AtomicBoolean(true)
@@ -37,16 +39,23 @@ object HtapBench {
         total.addAndGet(mine)
       })
     }
+    val t0 = System.nanoTime()
     workers.foreach(_.start())
     Thread.sleep(secs * 1000L)
     keepRunning.set(false)
     workers.foreach(_.join())
-    Phase(name, threads, total.get(), total.get().toDouble / secs)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    Phase(name, threads, total.get(), total.get().toDouble / elapsed)
   }
 
   def run(spark: SparkSession, dir: String, rows: Int, secs: Int,
           threads: Int): Seq[Phase] = {
-    val e = new Engine(spark, Some(dir), hotLimit = rows * 4)
+    // both flush triggers disabled for seeding: the point of the hot
+    // phase is the driver-side map path, which Engine only takes while
+    // coldDirs is empty — a byte-triggered mid-seed flush would
+    // silently turn "hot" into the Spark-job path
+    val e = new Engine(spark, Some(dir), hotLimit = Int.MaxValue,
+      hotLimitBytes = Long.MaxValue)
     require(e.sql("CREATE TABLE mt_bench_table (id BIGINT NOT NULL, customer VARCHAR(50), amount DOUBLE, status VARCHAR(20))").ok)
     // seed through the batch path (one lock + one fsync per group),
     // mirroring the reference's batchPut seeding loop
@@ -72,7 +81,8 @@ object HtapBench {
         e.sql("SELECT SUM(amount) FROM mt_bench_table").ok),
       phase("filtered_sum", olapThreads, secs)(() =>
         e.sql("SELECT SUM(amount) FROM mt_bench_table WHERE status = 'active'").ok), {
-        // mixed: one writer thread on the batch path, the rest reading
+        // mixed: iterations rotate roles — batch writes, counts, and
+        // point lookups interleave across all threads
         val nextId = new AtomicLong(rows.toLong)
         val role = new AtomicLong(0L)
         phase("mixed_rw", threads, secs) { () =>

@@ -819,21 +819,28 @@ final class Engine(
   private val tierRowCache = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private def tierRows(path: String): Long =
-    tierRowCache.getOrElseUpdate(path, {
+    tierRowCache.get(path).getOrElse {
       try {
         val conf = spark.sessionState.newHadoopConf()
         val dir = new org.apache.hadoop.fs.Path(path)
         val fs = dir.getFileSystem(conf)
-        if (!fs.exists(dir)) 0L
-        else fs.listStatus(dir)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map { st =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try r.getRecordCount finally r.close()
-          }.sum
-      } catch { case _: java.io.IOException => 0L }
-    })
+        val n =
+          if (!fs.exists(dir)) 0L
+          else fs.listStatus(dir)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map { st =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }.sum
+        tierRowCache.put(path, n)
+        n
+      } catch {
+        // transient footer-read failure: report 0 this time but do
+        // NOT cache it — a cached 0 would undercount the tier forever
+        case _: java.io.IOException => 0L
+      }
+    }
 
   private def execExplain(sel: Stmt.Select): ResultSet = {
     val store = storeOf(sel.table)

@@ -98,8 +98,30 @@ object AnnIndex {
     f"$h%08x"
   }
 
+  private def sanitize(d: String): String = d.replaceAll("[^A-Za-z0-9._-]", "_")
+
   private def key(d: String, suffix: String): String =
-    d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fingerprint(d) + suffix
+    sanitize(d) + "_" + fingerprint(d) + suffix
+
+  /** Delete EVERY artifact ever built for dataset `d`, across all
+    * fingerprints and parameterizations — for fixtures that rewrite
+    * their dataset in place (each rewrite changes the fingerprint, so
+    * the previous generation's artifacts would otherwise accumulate).
+    */
+  def pruneArtifacts(d: String): Unit = {
+    val prefix = sanitize(d) + "_"
+    val root = Paths.get(artifactRoot)
+    val entries = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      entries.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .foreach { p =>
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+    } finally entries.close()
+  }
 
   private def ready(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))

@@ -136,10 +136,10 @@ class GroundTruthSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
 
-    // derived ANN artifacts are keyed by dir — wipe any stale build
-    // from a previous fixture generation
-    rm(graft.queries.AnnIndex.lshPath(spark, dir))
-    rm(graft.queries.AnnIndex.ivfPath(spark, dir))
+    // artifacts are fingerprint-keyed, so a stale build can never be
+    // READ — but each fixture rewrite mints a new fingerprint, and
+    // the previous generation's artifacts would pile up in tmp
+    graft.queries.AnnIndex.pruneArtifacts(dir)
     dir
   }
 
