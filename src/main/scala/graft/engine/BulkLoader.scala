@@ -1,5 +1,7 @@
 package graft.engine
 
+import org.apache.spark.sql.DataFrame
+
 /** C9: seeded bulk loader — mirrors the reference's synthetic
   * `transactions` generator (API/bulk_loader.cpp:25-132): fixed seed
   * 42, same table schema, same value pools and ranges. Unlike the
@@ -44,6 +46,31 @@ object BulkLoader {
       }
       inserted += engine.batchPut("transactions", rows).size
       id = hi + 1
+    }
+    inserted
+  }
+
+  /** Load an arbitrary DataFrame — any Spark source: parquet, CSV,
+    * JSON, JDBC — into an existing engine table through the batch
+    * write path. Columns are matched by name and CAST to the table's
+    * declared types; partitions stream to the driver one at a time
+    * (the hot store is driver memory by design, SURVEY §3.1), and
+    * each chunk lands under one lock + one delta-log fsync.
+    *
+    * @return number of rows inserted (upserts count once)
+    */
+  def loadFrom(engine: Engine, table: String, df: DataFrame,
+               chunk: Int = 10000): Long = {
+    val m = engine.meta(table).getOrElse(
+      throw new EngineException(s"Table '$table' does not exist"))
+    val projected = df.select(m.schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    val width = m.cols.size
+    var inserted = 0L
+    import scala.jdk.CollectionConverters._
+    projected.toLocalIterator().asScala.grouped(chunk).foreach { rows =>
+      inserted += engine.batchPut(table,
+        rows.map(r => Array.tabulate[Any](width)(r.get))).size
     }
     inserted
   }

@@ -203,6 +203,21 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("loadFrom ingests any Spark source (CSV here) through the batch path") {
+    import graft.engine.BulkLoader
+    val e = new Engine(spark)
+    assert(e.sql("CREATE TABLE ld (id BIGINT NOT NULL, name VARCHAR(50), amount DOUBLE)").ok)
+    val csv = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.writeString(csv.resolve("data.csv"),
+      "id,name,amount\n1,a,1.5\n2,b,2.5\n3,c,3.5\n")
+    val df = spark.read.option("header", "true").csv(csv.toString)
+    assert(BulkLoader.loadFrom(e, "ld", df) == 3)
+    assert(e.sql("SELECT COUNT(*) FROM ld").rows.head.head == "3")
+    // string CSV values were cast to the table's declared types
+    assert(e.sql("SELECT amount FROM ld WHERE id = 2").rows.head.head == "2.5")
+    graft.engine.Persist.deleteRecursively(csv)
+  }
+
   test("recovery reports truncated bytes; checkpoint snapshots the log") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir))

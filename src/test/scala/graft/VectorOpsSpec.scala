@@ -89,4 +89,20 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ivfK(1000000) == 1000)
     assert(ivfK(1L << 40) == 4096) // cap: codebook stays model-sized
   }
+
+  test("artifact paths change when the dataset is regenerated in place") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    import java.nio.file.{Files, Paths}
+    import graft.queries.AnnIndex
+    val dir = Files.createTempDirectory("graft-fp").toString
+    Files.copy(Paths.get(s"$sfDir/embeddings.parquet"),
+      Paths.get(s"$dir/embeddings.parquet"))
+    val p1 = AnnIndex.lshPath(spark, dir)
+    // same content, different mtime = a regeneration must re-key
+    Files.setLastModifiedTime(Paths.get(s"$dir/embeddings.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    val p2 = AnnIndex.lshPath(spark, dir)
+    assert(p1 != p2, s"stale artifact would be served: $p1")
+    graft.engine.Persist.deleteRecursively(Paths.get(dir))
+  }
 }
