@@ -103,6 +103,18 @@ final class ApiServer(engine: Engine, port: Int = 0) {
         "totalCompactions" -> st.totalCompactions.toString),
       "currentSeq" -> st.currentSeq.toString))
 
+  /** Value formatting for arbitrary Spark SQL results — consistent
+    * with the engine's reference-parity formatter (doubles at 6
+    * significant digits, NULL as empty string).
+    */
+  private def fmtAny(v: Any): String = v match {
+    case null => ""
+    case d: java.lang.Double => engine.fmtDouble(d)
+    case f: java.lang.Float  => engine.fmtDouble(f.toDouble)
+    case b: Array[Byte]      => b.map("%02x".format(_)).mkString
+    case other => other.toString
+  }
+
   /** Extract a top-level string field from a (flat) JSON body. */
   private[api] def jsonField(body: String, key: String): Option[String] = {
     val pat = ("\"" + java.util.regex.Pattern.quote(key) +
@@ -155,6 +167,40 @@ final class ApiServer(engine: Engine, port: Int = 0) {
           val rs = engine.sql(sql)
           val ms = (System.nanoTime() - t0) / 1e6
           (if (rs.ok) 200 else 400, resultSetJson(rs, ms))
+        }
+
+      // beyond the reference surface: FULL Spark SQL over the live
+      // snapshots (joins, windows, set ops — everything the
+      // reference dialect lacks), same envelope, same row cap
+      case ("POST", "/api/sparksql") =>
+        withSql(body) { sql =>
+          try {
+            val t0 = System.nanoTime()
+            val df = engine.sparkSql(sql)
+            val headers = df.columns.toVector
+            val it = df.toLocalIterator()
+            val buf = Vector.newBuilder[Vector[String]]
+            var n = 0
+            while (it.hasNext && n < engine.selectRowCap) {
+              val r = it.next()
+              buf += headers.indices.toVector.map(i => fmtAny(r.get(i)))
+              n += 1
+            }
+            val truncated = it.hasNext
+            val ms = (System.nanoTime() - t0) / 1e6
+            val fields = Seq(
+              "headers" -> jarr(headers.map(jstr)),
+              "rows" -> jarr(buf.result().map(r => jarr(r.map(jstr)))),
+              "rowsAffected" -> "0",
+              "executionTimeMs" -> String.format(java.util.Locale.ROOT, "%.3f", ms)) ++
+              (if (truncated)
+                Seq("warning" -> jstr(s"Result truncated at ${engine.selectRowCap} rows"))
+              else Nil)
+            (200, success(jobj(fields: _*)))
+          } catch {
+            case e: Exception => (400, failure(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName), "QUERY_ERROR"))
+          }
         }
 
       case ("POST", "/api/explain") =>
@@ -213,7 +259,8 @@ final class ApiServer(engine: Engine, port: Int = 0) {
           "engine" -> jstr("graft — Spark-native HTAP engine"),
           "supportedStatements" -> jarr(Seq(
             "CREATE TABLE", "DROP TABLE", "INSERT", "SELECT", "UPDATE",
-            "DELETE", "SHOW TABLES", "EXPLAIN", "DESCRIBE").map(jstr)))))
+            "DELETE", "SHOW TABLES", "EXPLAIN", "DESCRIBE").map(jstr)),
+          "extensions" -> jarr(Seq("POST /api/sparksql (full Spark SQL)").map(jstr)))))
 
       case _ => (404, failure(s"No route for $method $path", "NOT_FOUND"))
     }

@@ -85,6 +85,18 @@ class ApiServerSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /api/sparksql runs full Spark SQL over live snapshots") {
+    withServer { p =>
+      val (c, b) = post(p, "/api/sparksql",
+        """{"sql": "SELECT name, amount * 2 AS dbl FROM api_t WHERE id <= 2 ORDER BY id"}""")
+      assert(c == 200 && b.contains(""""success":true"""), b)
+      assert(b.contains("dbl") && b.contains("\"21\"") && b.contains("\"40\""), b)
+      // analysis errors surface as QUERY_ERROR, not a 500
+      val (c2, b2) = post(p, "/api/sparksql", """{"sql": "SELECT bogus FROM api_t"}""")
+      assert(c2 == 400 && b2.contains("QUERY_ERROR"), b2)
+    }
+  }
+
   test("truncated SELECT carries a warning in the success envelope") {
     val e = new Engine(spark, selectRowCap = 2)
     assert(e.sql("CREATE TABLE trunc_t (id BIGINT NOT NULL, v INT)").ok)

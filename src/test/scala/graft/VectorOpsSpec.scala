@@ -18,8 +18,8 @@ class VectorOpsSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.01"
 
-  private def topk(q: String): Map[Long, Set[Long]] =
-    SparkEntry.queries(q)(spark, sfDir).collect()
+  private def topk(q: String, dir: String = sfDir): Map[Long, Set[Long]] =
+    SparkEntry.queries(q)(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
@@ -88,6 +88,59 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ivfK(500) == 23)
     assert(ivfK(1000000) == 1000)
     assert(ivfK(1L << 40) == 4096) // cap: codebook stays model-sized
+  }
+
+  test("wide-bit LSH (B=11, radius 3) keeps near-dup recall on a 4.6k corpus") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get("/root/testdata/sf0.1")))
+    import java.nio.file.{Files, Paths}
+    import graft.queries.AnnIndex
+    import spark.implicits._
+    // fixture: the 2000 sf0.1 vectors + 2550 seeded synthetic vectors
+    // (pushes n past 4096 so bitsFor derives 11 bits -> radius 3),
+    // + 50 clones perturbed to cosine ~0.99
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-lsh-wide").toString
+    if (Files.exists(Paths.get(dir)))
+      graft.engine.Persist.deleteRecursively(Paths.get(dir))
+    val src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    val rng = new scala.util.Random(13L)
+    val synth = (0 until 2550).map { i =>
+      (10000L + i, Array.fill(64)(rng.nextGaussian().toFloat), 0)
+    }
+    val clones = src.take(50).map { case (id, v, lab) =>
+      val prng = new scala.util.Random(id * 7 + 1)
+      val sigma = math.sqrt(v.map(x => x.toDouble * x).sum / v.length)
+      (id + 100000L, v.map(x => (x + 0.1 * sigma * prng.nextGaussian()).toFloat), lab)
+    }
+    (src ++ synth ++ clones).toSeq.map { case (id, v, l) => (id, v.toSeq, l) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    AnnIndex.pruneArtifacts(dir)
+
+    val n = AnnIndex.corpusSize(spark, dir)
+    assert(AnnIndex.bitsFor(n) == 11, s"fixture must derive 11 bits, n=$n")
+    assert(graft.queries.VectorOps.probeRadius(11) == 3)
+    val found = graft.queries.VectorOps.embedNearDups(spark, dir, 0.9, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = src.take(50).map(s => (s._1, s._1 + 100000L)).toSet
+    val rec = truth.intersect(found).size.toDouble / truth.size
+    val prec = if (found.isEmpty) 1.0 else truth.intersect(found).size.toDouble / found.size
+    info(f"wide-bit embed near-dup: recall $rec%.3f precision $prec%.3f (${found.size} pairs)")
+    assert(rec >= 0.95, f"recall $rec%.3f < 0.95 at B=11")
+    assert(prec >= 0.95, f"precision $prec%.3f < 0.95 at B=11")
+
+    // the radius-3 multi-probe path end-to-end: top-5 recall vs brute
+    // force must hold at the wider bit width too
+    val brute = topk("q_ann_brute", dir)
+    val lsh = topk("q_ann_lsh", dir)
+    val recalls = brute.map { case (q, bs) =>
+      lsh.getOrElse(q, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+    }
+    val meanR = recalls.sum / recalls.size
+    info(f"wide-bit LSH top-5 mean recall $meanR%.3f")
+    assert(meanR >= 0.8, f"radius-3 LSH recall $meanR%.3f < 0.8 (per-query $recalls)")
+    graft.engine.Persist.deleteRecursively(Paths.get(dir))
   }
 
   test("artifact paths change when the dataset is regenerated in place") {
