@@ -273,6 +273,22 @@ class GroundTruthSpec extends AnyFunSuite {
     assert(ctl.max <= 0.2, f"unrelated docs share sketches: ${ctl.max}%.3f")
   }
 
+  // ---- approx distinct: HLL error bound vs exact --------------------------
+
+  test("approx distinct stays within HLL error bounds of the exact count") {
+    assume(Files.exists(Paths.get(srcDir)))
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, srcDir)
+      .collect()(0).getLong(0)
+    val exact = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_partkey")))
+      .collect()(0).getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    info(f"approx $approx vs exact $exact (relative error $err%.4f)")
+    // default HLL++ rsd is 0.05; 2 sigma = 10%
+    assert(err <= 0.10, f"relative error $err%.4f exceeds the HLL bound")
+  }
+
   // ---- embedding near-dup at production threshold -------------------------
 
   test("embedding near-dup at cosine 0.9 returns exactly the planted pairs") {
