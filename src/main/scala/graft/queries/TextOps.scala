@@ -350,8 +350,16 @@ object TextOps {
     // and reused across branches (ReusedExchange).
     "q_dedup_minhash" -> Q.noOracle { (s, d) =>
       val shingles = shingleRows(s, d)
-      val hashed = shingles.select(
-        col("doc_id") +: (0 until 16).map(j => xxhash64(col("sh"), lit(j)).as(s"h$j")): _*)
+      // derive the 16 hash families by re-hashing ONE base hash
+      // (8-byte long) with the family index, instead of hashing the
+      // ~30-byte shingle string 16 times — same independence, a
+      // fraction of the bytes through the hash kernel. (Plain
+      // h1 + j*h2 Kirsch-Mitzenmacher would be cheaper still, but
+      // ANSI mode makes the inevitable long overflow throw.)
+      val hashed = shingles
+        .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
+        .select(col("doc_id") +:
+          (0 until 16).map(j => xxhash64(col("hb"), lit(j)).as(s"h$j")): _*)
       // sig is one 17-column row per doc — persist so the band build,
       // candidate join, and size lookups all read it instead of
       // re-running the hash aggregate per branch.
