@@ -598,14 +598,22 @@ final class Engine(
     agg match {
       case Some(a) => execAggregate(store, a, s.where)
       case None =>
-        // driver-side point-lookup fast path: top-level `pk = lit` on a
-        // fully-hot table (reference C1, query_executor.cpp:603-624 —
-        // top-level only; AND-nested pk= goes to the scan path)
+        // driver-side point-lookup fast path: top-level `pk = lit`
+        // (reference C1, query_executor.cpp:603-624 — top-level only;
+        // AND-nested pk= goes to the scan path). Hot map first — hot
+        // versions are strictly newer than anything flushed — then
+        // the cold tiers via the direct parquet point reader (no
+        // Spark job; row groups pruned by pk min/max footer stats).
         pointLookupKey(store, s.where) match {
-          case Some(pk) if store.coldDirs.isEmpty =>
+          case Some(pk) if store.coldDirs.isEmpty || ColdPointReader.supportedPk(m) =>
             opReads.incrementAndGet()
             val cols = projection(m, s.items)
-            val rows = store.get(pk).filterNot(_.tombstone).toVector
+            val rv = store.get(pk).orElse {
+              val tiers = store.synchronized(store.coldDirs)
+              if (tiers.isEmpty) None
+              else ColdPointReader.lookup(spark, m, tiers, pk)
+            }
+            val rows = rv.filterNot(_.tombstone).toVector
               .map(rv => cols.map(i => fmt(rv.values(i), m.cols(i).tpe)))
             ResultSet(ok = true, cols.map(m.cols(_).name), rows)
           case _ =>

@@ -203,6 +203,42 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cold point lookup reads tiers directly (LWW across hot, cold, tombstones)") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE cp (id BIGINT NOT NULL, name VARCHAR(50), amount DOUBLE)").ok)
+      (1 to 10).foreach(i => assert(e.sql(s"INSERT INTO cp VALUES ($i, 'n$i', $i.5)").ok))
+      e.forceFlush("cp")
+      // cold hit through the direct parquet reader (no Spark scan path)
+      assert(e.sql("SELECT name FROM cp WHERE id = 7").rows == Vector(Vector("n7")))
+      // a hot version strictly shadows the flushed one
+      assert(e.sql("UPDATE cp SET name = 'hot' WHERE id = 7").rowsAffected == 1)
+      assert(e.sql("SELECT name FROM cp WHERE id = 7").rows == Vector(Vector("hot")))
+      // across MULTIPLE tiers the highest __seq wins
+      e.forceFlush("cp")
+      assert(e.sql("SELECT name FROM cp WHERE id = 7").rows == Vector(Vector("hot")))
+      // a tombstone hides the key, hot or flushed
+      assert(e.sql("DELETE FROM cp WHERE id = 3").rowsAffected == 1)
+      assert(e.sql("SELECT * FROM cp WHERE id = 3").rowCount == 0)
+      e.forceFlush("cp")
+      assert(e.sql("SELECT * FROM cp WHERE id = 3").rowCount == 0)
+      assert(e.sql("SELECT * FROM cp WHERE id = 99").rowCount == 0)
+    }
+  }
+
+  test("cold point lookup works for string pks") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE cps (k VARCHAR(20) NOT NULL, v INT)").ok)
+      Seq("alpha" -> 1, "beta" -> 2, "gamma" -> 3).foreach { case (k, v) =>
+        assert(e.sql(s"INSERT INTO cps VALUES ('$k', $v)").ok)
+      }
+      e.forceFlush("cps")
+      assert(e.sql("SELECT v FROM cps WHERE k = 'beta'").rows == Vector(Vector("2")))
+      assert(e.sql("SELECT v FROM cps WHERE k = 'nope'").rowCount == 0)
+    }
+  }
+
   test("loadFrom ingests any Spark source (CSV here) through the batch path") {
     import graft.engine.BulkLoader
     val e = new Engine(spark)
