@@ -391,11 +391,19 @@ final class Engine(
     val misses = pks.filterNot(hot.contains)
     if (misses.isEmpty || store.coldDirs.isEmpty) hotLive
     else {
-      val coldHits = snapshot(m.name)
-        .filter(col(m.pk).isin(misses: _*))
-        .collect()
-        .map(r => r.get(m.pkIndex) -> m.cols.indices.map(i => r.get(i)).toArray)
-        .toMap
+      // a handful of cold misses seek via the direct point reader
+      // (~ms each, no job); larger miss sets amortize better as ONE
+      // IN-filter Spark scan
+      val coldHits =
+        if (misses.size <= 8 && ColdPointReader.supportedPk(m)) {
+          val tiers = store.synchronized(store.coldDirs)
+          misses.flatMap(pk => ColdPointReader.lookup(spark, m, tiers, pk)
+            .filterNot(_.tombstone).map(rv => pk -> rv.values)).toMap
+        } else snapshot(m.name)
+          .filter(col(m.pk).isin(misses: _*))
+          .collect()
+          .map(r => r.get(m.pkIndex) -> m.cols.indices.map(i => r.get(i)).toArray)
+          .toMap
       hotLive ++ coldHits
     }
   }
@@ -810,11 +818,19 @@ final class Engine(
     val m = store.meta
     if (store.coldDirs.isEmpty)
       store.liveRows.filter(rv => evalPred(m, pred, rv.values))
-    else {
-      snapshot(m.name).filter(predToColumn(m, pred)).collect().toVector.map { r =>
-        RowVersion(0L, tombstone = false,
-          m.cols.indices.map(i => r.get(i)).toArray)
-      }
+    else pointLookupKey(store, Some(pred)) match {
+      // `UPDATE/DELETE ... WHERE pk = x` — the canonical OLTP
+      // mutation — seeks through the direct point reader instead of
+      // paying a Spark scan job per statement
+      case Some(pk) if ColdPointReader.supportedPk(m) =>
+        store.get(pk)
+          .orElse(ColdPointReader.lookup(spark, m, store.synchronized(store.coldDirs), pk))
+          .filterNot(_.tombstone).toVector
+      case _ =>
+        snapshot(m.name).filter(predToColumn(m, pred)).collect().toVector.map { r =>
+          RowVersion(0L, tombstone = false,
+            m.cols.indices.map(i => r.get(i)).toArray)
+        }
     }
   }
 
