@@ -54,7 +54,13 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
-      val runs = Seq(once(), once()).flatten
+      val first = Seq(once(), once()).flatten
+      // a query whose best-of-two still looks slow is either truly
+      // slow or had BOTH runs straggler-hit by shared-host load — one
+      // more attempt costs little on the former and rescues the
+      // recorded number on the latter (observed: a 1.4 s query
+      // recording 52 s when external load spiked mid-bench)
+      val runs = if (first.nonEmpty && first.min > 2.0) first ++ once() else first
       // drop this query's cached/persisted blocks so the next query
       // starts cold — leaked MEMORY_AND_DISK blocks from one pipeline
       // otherwise bleed GC pressure into every later timing
