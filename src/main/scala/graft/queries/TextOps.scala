@@ -158,6 +158,28 @@ object TextOps {
     cnt.selectExpr("doc_id", s"($simExpr) AS simhash")
   }
 
+  /** Exact n-gram Jaccard near-dup pairs (doc_a, doc_b, jaccard >= 0.6)
+    * with the stop-shingle cutoff — shared by the declared pair query
+    * and the connected-components clustering.
+    */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val maxDf = 100
+    val inv0 = shingleRows(s, d)
+    val hot = inv0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val inv = inv0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+  }
+
   private val langCase =
     """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
             WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
@@ -315,22 +337,71 @@ object TextOps {
             FROM co JOIN sizes sa ON sa.doc_id = doc_a
                     JOIN sizes sb ON sb.doc_id = doc_b)
           WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""") { (s, d) =>
-      val maxDf = 100
-      val inv0 = shingleRows(s, d)
-      val hot = inv0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select(col("sh"))
-      val inv = inv0.join(broadcast(hot), Seq("sh"), "left_anti")
-      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val co = inv.as("a").join(inv.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      co.join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.6)
-        .orderBy(col("doc_a"), col("doc_b"))
+      ngramPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- dedup clusters: connected components over near-dup pairs ---------
+    // The deliverable of a dedup pipeline is not the pair list but the
+    // KEEP-LIST: transitive closure of the near-dup relation, one
+    // canonical doc (min doc_id) kept per component. Spark side:
+    // iterative min-label propagation — O(component diameter) rounds,
+    // each one hash-shuffled join + aggregate, labels localCheckpointed
+    // per round so lineage stays flat (the production-scale variant of
+    // the same idea alternates large-star/small-star to cut rounds;
+    // diameters here are tiny). Oracle: DuckDB recursive CTE computes
+    // the same closure exactly.
+    "q_dedup_clusters" -> Q(
+      s"""${ngCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          inv0 AS (SELECT doc_id, unnest(ng) AS sh FROM docs),
+          inv AS (SELECT doc_id, sh FROM inv0
+                  WHERE sh NOT IN (SELECT sh FROM inv0 GROUP BY sh HAVING count(*) > 100)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+          co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          pairs AS (SELECT doc_a, doc_b FROM (
+                      SELECT doc_a, doc_b,
+                             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+                      FROM co JOIN sizes sa ON sa.doc_id = doc_a
+                              JOIN sizes sb ON sb.doc_id = doc_b)
+                    WHERE jaccard >= 0.6),
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          reach(a, b) AS (SELECT a, b FROM edges
+                          UNION
+                          SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a),
+          roots AS (SELECT a AS doc_id, least(a, min(b)) AS root FROM reach GROUP BY a)
+          SELECT d.doc_id,
+                 coalesce(r.root, d.doc_id) AS cluster_id,
+                 CAST(d.doc_id = coalesce(r.root, d.doc_id) AS INT) AS keep
+          FROM documents d LEFT JOIN roots r USING (doc_id)
+          ORDER BY d.doc_id""") { (s, d) =>
+      val pairs = ngramPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val adj = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+        .unionByName(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+        .localCheckpoint()
+      var labels = t(s, d, "documents")
+        .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 30) {
+        val nbrMin = adj
+          .join(labels.select(col("doc_id").as("nbr"), col("lbl").as("nl")), Seq("nbr"))
+          .groupBy(col("node").as("doc_id")).agg(min(col("nl")).as("nbl"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        converged = next
+          .join(labels.select(col("doc_id"), col("lbl").as("old")), Seq("doc_id"))
+          .filter(col("lbl") =!= col("old")).isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+          (col("doc_id") === col("lbl")).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- MinHash + LSH near-dup (sub-quadratic scale path) ----------------
