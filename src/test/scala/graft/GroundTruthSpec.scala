@@ -273,6 +273,28 @@ class GroundTruthSpec extends AnyFunSuite {
     assert(ctl.max <= 0.2, f"unrelated docs share sketches: ${ctl.max}%.3f")
   }
 
+  // ---- dedup clustering: planted clones land in their source's cluster ----
+
+  test("dedup clusters put every planted clone with its source, one keep each") {
+    val rows = SparkEntry.queries("q_dedup_clusters")(spark, fixDir).collect()
+    spark.catalog.clearCache()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep = rows.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    // every planted pair is transitively connected => same cluster
+    (planted(ExactOff, exactIds) ++ planted(NearOff, nearIds) ++
+      planted(FarOff, farIds) ++ planted(FmtOff, fmtIds)).foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"clone $b not clustered with source $a")
+    }
+    // exactly one keeper per cluster, and it is the minimum member
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      val keepers = members.filter(_.getInt(2) == 1).map(_.getLong(0))
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      assert(keepers.head == members.map(_.getLong(0)).min && keepers.head == cid)
+    }
+    info(s"${byCluster.size} clusters over ${rows.length} docs, ${keep.size} kept")
+  }
+
   // ---- approx distinct: HLL error bound vs exact --------------------------
 
   test("approx distinct stays within HLL error bounds of the exact count") {
