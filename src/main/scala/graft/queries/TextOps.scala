@@ -223,6 +223,41 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- reproducible stratified sampling ---------------------------------
+    // Hash-based sampling is THE reproducible sampling for training
+    // pipelines: membership is a pure function of the key, so the
+    // sample is stable across runs, engines, and partitionings — no
+    // RNG state, no per-partition seeds. The md5-prefix string
+    // comparison evaluates identically in Spark and DuckDB, so this
+    // is oracle-exact. Per-source rates (even sources kept at ~25%,
+    // odd at ~6%) are how real pipelines down-weight low-quality
+    // sources. Map-only: the filter is codegen'd per row.
+    "q_sample_stratified" -> Q(
+      """SELECT doc_id, source FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '40' ELSE '10' END
+         ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 0, "40").otherwise("10"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- document-length histogram ----------------------------------------
+    // The length distribution drives every truncation/filter threshold
+    // choice in a data pipeline; floor-bucketing keeps it exact in
+    // both engines. One partial-aggregated shuffle of |buckets| rows.
+    "q_text_histogram" -> Q(
+      """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+                count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
+         FROM documents GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(floor(col("n_chars") / 50).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
     // ---- winnowing fingerprint (rolling hash + min-sampling) ---------------
     // MOSS-style document sketch: hash every word-5-gram (the rolling
     // unit), take the minimum hash of each window of 4 consecutive
