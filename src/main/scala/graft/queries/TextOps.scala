@@ -258,6 +258,51 @@ object TextOps {
         .orderBy(col("bucket"))
     },
 
+    // ---- sequence packing ---------------------------------------------------
+    // Assign documents to fixed-token-budget training sequences: the
+    // running token count within each source stream determines which
+    // sequence a doc starts in (floor(preceding-cum / budget)). The
+    // window is PARTITIONED by source — packing parallelizes across
+    // sources and never needs a global order, which is what makes it
+    // viable at corpus scale (a single global cumsum would serialize).
+    "q_pack_sequences" -> Q(
+      """SELECT doc_id, source, n_tokens,
+                CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_id
+         FROM (SELECT doc_id, source, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+               FROM (SELECT doc_id, source,
+                       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+                     FROM documents))
+         ORDER BY doc_id""") { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      t(s, d, "documents")
+        .selectExpr("doc_id", "source",
+          "CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT) AS n_tokens")
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 512).cast("bigint").as("seq_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- PII-style masking --------------------------------------------------
+    // Curation normalization: digit runs and email-shaped tokens are
+    // replaced with placeholder tags. The patterns use only syntax
+    // Java regex and RE2 interpret identically, so the rewritten text
+    // hash-matches the oracle. Map-only, codegen'd.
+    "q_text_mask" -> Q(
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+                  '[0-9]+', '<NUM>', 'g') AS masked
+         FROM documents ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+            "[0-9]+", "<NUM>").as("masked"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- winnowing fingerprint (rolling hash + min-sampling) ---------------
     // MOSS-style document sketch: hash every word-5-gram (the rolling
     // unit), take the minimum hash of each window of 4 consecutive
