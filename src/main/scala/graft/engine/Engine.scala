@@ -31,7 +31,10 @@ final class Engine(
     val hotLimit: Int = 100000,
     val hotLimitBytes: Long = 64L << 20,
     val compactTrigger: Int = 4,
-    val selectRowCap: Int = 1 << 20) {
+    val selectRowCap: Int = 1 << 20,
+    val levelBytesBase: Long = 64L << 20,
+    val levelMult: Double = 10.0,
+    val maxLevels: Int = 7) {
 
   private val catalog = mutable.LinkedHashMap.empty[String, TableMeta]
   private val stores  = mutable.HashMap.empty[String, HotStore]
@@ -51,11 +54,14 @@ final class Engine(
     val latest = mutable.LinkedHashMap.empty[Any, RowVersion]
     val log    = mutable.ArrayBuffer.empty[RowVersion]
     var coldDirs: Vector[String] = Vector.empty
-    /** tiers replaced by the last compaction — deleted on the NEXT
-      * compaction, not immediately, so in-flight snapshot scans that
-      * captured the previous coldDirs can finish (deferred tier GC).
+    /** tiers replaced by recent compactions, batched per compaction —
+      * each batch is retained for `tierRetainGens` further compactions
+      * before deletion, so in-flight snapshot scans / toLocalIterator
+      * consumers that captured an older coldDirs vector can finish
+      * even when several compactions complete during their run
+      * (deferred, generation-depth tier GC).
       */
-    var retiredDirs: Vector[String] = Vector.empty
+    var retiredGens: Vector[Vector[String]] = Vector.empty
     var delta: Option[DeltaLog] = None
     var maxFlushedSeq: Long = 0L
     /** rough retained bytes — drives the byte-sized flush trigger
@@ -186,14 +192,98 @@ final class Engine(
     store.log.clear()
     store.approxBytes = 0L
     store.delta.foreach(_.truncate())
-    if (store.coldDirs.size >= compactTrigger) compactStore(store)
+    maybeCompactLeveled(store)
   }
 
-  /** K-tier merge compaction: window-dedup all cold tiers into one,
-    * dropping tombstones (bottom-tier GC) — the reference's k-way
-    * merge compaction (M2, compaction.hpp:193-361) as one Spark job.
+  /** MAJOR compaction: window-dedup ALL cold tiers into one bottom-level
+    * tier, dropping tombstones — the admin-triggered full merge
+    * (reference compaction.hpp:193-361 k-way merge with bottom-tier GC).
+    * The automatic flush-path trigger runs [[maybeCompactLeveled]]
+    * instead, which never rewrites the whole cold dataset.
     */
   def compact(table: String): Unit = compactStore(storeOf(table))
+
+  // ---- leveled (size-tiered) compaction -------------------------------------
+  // The r4 design merged every cold tier into one on each trigger, so
+  // each compaction cycle rewrote the ENTIRE cold dataset — write
+  // amplification linear in table size. This is the reference's leveling
+  // (lsm_levels.hpp:276-384) mapped onto tier dirs: L0 is count-triggered
+  // (level0CompactionThreshold = 4 flushes), higher levels byte-triggered
+  // at levelBytesBase·levelMult^(L-1), and a merge only ever reads the
+  // tiers OF ONE LEVEL — each flushed byte is rewritten at most once per
+  // level it descends through, O(maxLevels) total write amplification.
+
+  /** tier level from its directory name: flush outputs are L0
+    * (`tier-<seq>`), leveled-merge outputs carry their level
+    * (`tier-l<level>-<seq>`), and major-compaction outputs
+    * (`tier-c<seq>`) are bottom-level by construction — the encoding
+    * makes levels survive manifest save/load with no format change.
+    */
+  private[graft] def levelOf(path: String): Int = {
+    val name = java.nio.file.Paths.get(path).getFileName.toString
+    if (name.startsWith("tier-l")) {
+      val digits = name.drop("tier-l".length).takeWhile(_.isDigit)
+      if (digits.isEmpty) 0 else math.min(digits.toInt, maxLevels - 1)
+    }
+    else if (name.startsWith("tier-c")) maxLevels - 1
+    else 0
+  }
+
+  /** byte budget for level L >= 1 (reference getLevelSizeLimit,
+    * lsm_levels.hpp:116-124: base · mult^(L-1); L0 is count-triggered).
+    */
+  private def levelLimit(level: Int): Long =
+    (levelBytesBase * math.pow(levelMult, (level - 1).toDouble)).toLong
+
+  /** Leveled trigger pass, run after every flush. Levels are checked
+    * bottom-up so a merge that lands bytes in level L+1 cascades in
+    * the same pass (reference shouldTriggerCompaction,
+    * lsm_levels.hpp:276-299). A single over-budget tier is left alone
+    * — rewriting one tier into the next level reclaims nothing; it
+    * merges when a sibling arrives.
+    */
+  private def maybeCompactLeveled(store: HotStore): Unit = store.synchronized {
+    if (store.coldDirs.count(levelOf(_) == 0) >= compactTrigger)
+      mergeLevel(store, 0)
+    var l = 1
+    while (l < maxLevels - 1) {
+      val tiers = store.coldDirs.filter(levelOf(_) == l)
+      if (tiers.size >= 2 && tiers.map(dirBytes).sum > levelLimit(l))
+        mergeLevel(store, l)
+      l += 1
+    }
+  }
+
+  /** Merge ALL tiers at `level` into ONE tier at level+1. Tombstones
+    * are dropped only when the merge happens to consume every cold
+    * tier — otherwise an older level may still hold a version of the
+    * key the tombstone shadows (reference: tombstone GC is bottom-tier
+    * only, compaction.hpp:193-361). Correctness of merging a SUBSET of
+    * tiers: within the subset the max-__seq version per pk is kept, and
+    * any version it discards would lose the global LWW window anyway.
+    */
+  private def mergeLevel(store: HotStore, level: Int): Unit = {
+    val dir = dataDir.getOrElse(return)
+    val m = store.meta
+    val inputs = store.coldDirs.filter(levelOf(_) == level)
+    if (inputs.size < 2) return
+    val outLevel = math.min(level + 1, maxLevels - 1)
+    val target = coldRoot(dir, m.name)
+      .resolve(f"tier-l$outLevel%d-${seqGen.get()}%012d").toString
+    writeMerged(m, inputs, target,
+      dropTombstones = inputs.size == store.coldDirs.size)
+    // coldDirs stays age-ordered (oldest first = deepest level first):
+    // the new tier is younger than every existing >= outLevel tier and
+    // older than every remaining < outLevel tier, because the merged
+    // inputs were a contiguous age range. Age order is what lets the
+    // cold point reader early-exit on the newest tier containing a key.
+    store.coldDirs = store.coldDirs.filter(t => levelOf(t) >= outLevel) ++
+      Vector(target) ++
+      store.coldDirs.filter(t => levelOf(t) < level)
+    Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
+    retire(store, inputs)
+    opCompactions.incrementAndGet()
+  }
 
   /** Target bytes per compacted output partition (reference level size
     * unit, lsm_levels.hpp — byte-sized, not row-counted).
@@ -221,30 +311,51 @@ final class Engine(
     val dir = dataDir.getOrElse(return)
     if (store.coldDirs.size < 2) return
     val m = store.meta
-    val cold = store.coldDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-    val w = Window.partitionBy(col(m.pk)).orderBy(col("__seq").desc)
     val target = coldRoot(dir, m.name).resolve(f"tier-c${seqGen.get()}%012d").toString
-    // output partition count sized by input bytes: compaction reads ALL
-    // cold tiers, so a single-task write (coalesce(1)) is a scale-killer;
-    // repartitionByRange on the pk keeps the merged tier globally
-    // pk-sorted across multiple files (parquet row-group min/max pruning
-    // still works per file, and the write parallelizes).
-    val parts = math.max(1L, math.min(4096L,
-      store.coldDirs.map(dirBytes).sum / compactPartBytes + 1L)).toInt
-    cold.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !col("__tombstone"))
-      .drop("__rn")
-      .repartitionByRange(parts, col(m.pk)).sortWithinPartitions(col(m.pk))
-      .write.mode("overwrite").parquet(target)
+    writeMerged(m, store.coldDirs, target, dropTombstones = true)
     val old = store.coldDirs
     store.coldDirs = Vector(target)
     Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
-    // deferred GC: reclaim the PREVIOUS compaction's tiers now; park
-    // this round's inputs until the next one so concurrent snapshot
-    // scans over the old vector don't hit FileNotFound mid-job.
-    store.retiredDirs.foreach(p => Persist.deleteRecursively(java.nio.file.Paths.get(p)))
-    store.retiredDirs = old
+    retire(store, old)
     opCompactions.incrementAndGet()
+  }
+
+  /** The merge job shared by leveled and major compaction: union the
+    * input tiers, keep the max-__seq version per pk (LWW window dedup).
+    * Output partition count is sized by input bytes — a single-task
+    * write (coalesce(1)) is a scale-killer; repartitionByRange on the
+    * pk keeps the merged tier globally pk-sorted across multiple files
+    * (parquet row-group min/max pruning still works per file, and the
+    * write parallelizes).
+    */
+  private def writeMerged(m: TableMeta, inputs: Vector[String], target: String,
+                          dropTombstones: Boolean): Unit = {
+    val cold = inputs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val w = Window.partitionBy(col(m.pk)).orderBy(col("__seq").desc)
+    val parts = math.max(1L, math.min(4096L,
+      inputs.map(dirBytes).sum / compactPartBytes + 1L)).toInt
+    val merged = cold.withColumn("__rn", row_number().over(w))
+      .filter(if (dropTombstones) col("__rn") === 1 && !col("__tombstone")
+              else col("__rn") === 1)
+    merged.drop("__rn")
+      .repartitionByRange(parts, col(m.pk)).sortWithinPartitions(col(m.pk))
+      .write.mode("overwrite").parquet(target)
+  }
+
+  /** How many compactions a retired tier batch survives before its
+    * files are deleted (deferred tier GC depth — more than one
+    * generation so a slow scanIterator consumer holding an older
+    * coldDirs vector is safe even if two compactions complete mid-scan).
+    */
+  private val tierRetainGens = 2
+
+  private def retire(store: HotStore, dirs: Vector[String]): Unit = {
+    store.retiredGens = store.retiredGens :+ dirs
+    while (store.retiredGens.size > tierRetainGens) {
+      store.retiredGens.head.foreach(p =>
+        Persist.deleteRecursively(java.nio.file.Paths.get(p)))
+      store.retiredGens = store.retiredGens.tail
+    }
   }
 
   /** Size-triggered flush: row-count OR retained-bytes threshold
