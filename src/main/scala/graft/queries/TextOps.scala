@@ -61,18 +61,67 @@ object TextOps {
     * Caches are query-scoped: Bench/Verify clearCache() between
     * queries; embedding callers should do the same.
     */
-  private def toksFrame(s: SparkSession, d: String,
-                        withText: Boolean = false): DataFrame = {
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val cols = (if (withText) Seq("doc_id", "text") else Seq("doc_id")) :+
-      "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks"
-    t(s, d, "documents")
-      .repartition(parts, col("doc_id"))
-      .selectExpr(cols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Shared-frame memo, keyed per (session, dataset, variant): repeat
+    * queries reuse ONE persisted frame instead of re-registering an
+    * identical plan per call (CacheManager dedups those, but each
+    * registration logs an already-cached warning and leaks a plan
+    * reference). A memoized frame whose blocks were dropped by
+    * `spark.catalog.clearCache()` (Bench/Verify do this between
+    * queries) is detected via `storageLevel` and rebuilt — reusing it
+    * uncached would silently lose the persist plan barrier that keeps
+    * Generate from re-evaluating computed arrays per output row.
+    */
+  private val frameMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(s), key)
+    frameMemo.get(k) match {
+      case Some(df) if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE => df
+      case _ =>
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        frameMemo.put(k, df)
+        df
+    }
   }
 
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  /** Unpersist every memoized frame (long-lived drivers embedding
+    * these pipelines call this after a batch; Bench/Verify use
+    * clearCache, which the memo also detects).
+    */
+  def releaseCaches(): Unit = {
+    frameMemo.values.foreach(_.unpersist(blocking = false))
+    frameMemo.clear()
+  }
+
+  /** Document count per dataset — parquet-metadata cheap, memoized;
+    * drives the corpus-derived stop-shingle cutoff.
+    */
+  private val nDocsMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def nDocs(s: SparkSession, d: String): Long =
+    nDocsMemo.getOrElseUpdate(d, t(s, d, "documents").count())
+
+  /** Stop-shingle document-frequency cutoff, derived from corpus size
+    * (the same treatment as `AnnIndex.bitsFor`): a fixed cutoff drops
+    * an ever-larger shingle fraction as the corpus grows — df > n/1000
+    * keeps "stop" meaning "in a constant fraction of documents" at any
+    * scale, floored at 100 so small corpora keep today's behavior.
+    * The oracle CTE applies the identical formula.
+    */
+  private[graft] def maxDfFor(n: Long): Long = math.max(100L, n / 1000L)
+
+  private def toksFrame(s: SparkSession, d: String,
+                        withText: Boolean = false): DataFrame =
+    memoized(s, s"toks:$d:$withText") {
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val cols = (if (withText) Seq("doc_id", "text") else Seq("doc_id")) :+
+        "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks"
+      t(s, d, "documents")
+        .repartition(parts, col("doc_id"))
+        .selectExpr(cols: _*)
+    }
+
+  private def shingleRows(s: SparkSession, d: String): DataFrame = memoized(s, s"shingles:$d") {
     val toks = toksFrame(s, d)
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     toks
@@ -83,12 +132,11 @@ object TextOps {
           lead(col("tok"), 1).over(wLead), lead(col("tok"), 2).over(wLead)).as("sh"))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("sh"))
-      .distinct()
       // the exploded-distinct output is the frame every consumer
       // branches from (df counts, anti-join sides, signature hashing,
-      // co-count sides) — persist it so each branch reads rows, not
-      // the window pipeline
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // co-count sides) — the memoized persist makes each branch read
+      // rows, not the window pipeline
+      .distinct()
   }
 
   /** DuckDB mirror of ngDocs as a CTE body. */
@@ -162,8 +210,14 @@ object TextOps {
     * with the stop-shingle cutoff — shared by the declared pair query
     * and the connected-components clustering.
     */
+  /** DuckDB mirror of maxDfFor — `//` is DuckDB integer floor
+    * division, matching the Scala Long division exactly.
+    */
+  private val maxDfSql =
+    "greatest(100, (SELECT count(*) // 1000 FROM documents))"
+
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    val maxDf = 100
+    val maxDf = maxDfFor(nDocs(s, d))
     val inv0 = shingleRows(s, d)
     val hot = inv0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sh"))
@@ -178,6 +232,77 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
+  }
+
+  /** Connected components over an undirected edge list via alternating
+    * large-star / small-star contraction (the MapReduce CC algorithm of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    * the production-scale replacement for plain min-label propagation):
+    * O(log n) rounds for ANY component diameter, and every round
+    * shuffles only |edges| rows — the corpus never enters the loop.
+    *
+    * large-star: each node connects its LARGER neighbors to the minimum
+    * of its closed neighborhood; small-star connects the smaller ones.
+    * Alternating the two contracts every component to a star rooted at
+    * its minimum; the fixed point is detected with one tiny aggregate
+    * per round (count + order-independent hash-sum), not a separate
+    * isEmpty job over relabeled data.
+    *
+    * @param edges (src, dst) pairs, any orientation, self-loops ignored
+    * @return ((node, root) for every node present in `edges`,
+    *         changed-rounds until the fixed point)
+    */
+  private[graft] def starComponents(edges: DataFrame): (DataFrame, Int) = {
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent like sum but overflow-free under
+      // ANSI mode (edges are distinct, so xor can't self-cancel a dup)
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // large-star: symmetrize, m = min(neighborhood ∪ {self}); emit
+    // (v, m) for neighbors v > u. Output is oriented src > dst.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val w = Window.partitionBy(col("src"))
+      sym.select(col("src"), col("dst"),
+          least(min(col("dst")).over(w), col("src")).as("m"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star: on src>dst-oriented edges, m = min of the smaller
+    // neighborhood; reconnect the smaller neighbors and self to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src"))
+      val withM = e.select(col("src"), col("dst"), min(col("dst")).over(w).as("m"))
+      withM.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(withM.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var sig = signature(e)
+    var rounds = 0
+    var converged = sig._1 == 0L
+    while (!converged && rounds < 50) {
+      // localCheckpoint per round keeps lineage flat; the frames are
+      // |edges|-sized, never corpus-sized
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      if (!converged) rounds += 1
+      e = next
+      sig = nextSig
+    }
+    // fixed point: every edge is (member, component-min); roots appear
+    // only on the dst side and map to themselves
+    val labels = e.select(col("src").as("node"), col("dst").as("root"))
+      .unionByName(
+        e.select(col("dst").as("node"), col("dst").as("root")).distinct())
+    (labels, rounds)
   }
 
   private val langCase =
@@ -406,7 +531,7 @@ object TextOps {
       s"""$ngCte,
           inv0 AS (SELECT doc_id, unnest(ng) AS sh FROM docs),
           inv AS (SELECT doc_id, sh FROM inv0
-                  WHERE sh NOT IN (SELECT sh FROM inv0 GROUP BY sh HAVING count(*) > 100)),
+                  WHERE sh NOT IN (SELECT sh FROM inv0 GROUP BY sh HAVING count(*) > $maxDfSql)),
           sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
           co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -424,17 +549,16 @@ object TextOps {
     // The deliverable of a dedup pipeline is not the pair list but the
     // KEEP-LIST: transitive closure of the near-dup relation, one
     // canonical doc (min doc_id) kept per component. Spark side:
-    // iterative min-label propagation — O(component diameter) rounds,
-    // each one hash-shuffled join + aggregate, labels localCheckpointed
-    // per round so lineage stays flat (the production-scale variant of
-    // the same idea alternates large-star/small-star to cut rounds;
-    // diameters here are tiny). Oracle: DuckDB recursive CTE computes
-    // the same closure exactly.
+    // large-star/small-star contraction over the EDGE set only
+    // (starComponents above) — O(log n) rounds regardless of diameter,
+    // per-round shuffle sized by |pairs|, corpus joined once at the
+    // end. Oracle: DuckDB recursive CTE computes the same closure
+    // exactly.
     "q_dedup_clusters" -> Q(
       s"""${ngCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
           inv0 AS (SELECT doc_id, unnest(ng) AS sh FROM docs),
           inv AS (SELECT doc_id, sh FROM inv0
-                  WHERE sh NOT IN (SELECT sh FROM inv0 GROUP BY sh HAVING count(*) > 100)),
+                  WHERE sh NOT IN (SELECT sh FROM inv0 GROUP BY sh HAVING count(*) > $maxDfSql)),
           sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
           co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -456,31 +580,23 @@ object TextOps {
                  CAST(d.doc_id = coalesce(r.root, d.doc_id) AS INT) AS keep
           FROM documents d LEFT JOIN roots r USING (doc_id)
           ORDER BY d.doc_id""") { (s, d) =>
-      val pairs = ngramPairs(s, d).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
-      val adj = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-        .unionByName(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-        .localCheckpoint()
-      var labels = t(s, d, "documents")
-        .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 30) {
-        val nbrMin = adj
-          .join(labels.select(col("doc_id").as("nbr"), col("lbl").as("nl")), Seq("nbr"))
-          .groupBy(col("node").as("doc_id")).agg(min(col("nl")).as("nbl"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        converged = next
-          .join(labels.select(col("doc_id"), col("lbl").as("old")), Seq("doc_id"))
-          .filter(col("lbl") =!= col("old")).isEmpty
-        labels = next
-        iter += 1
-      }
-      labels.select(col("doc_id"), col("lbl").as("cluster_id"),
-          (col("doc_id") === col("lbl")).cast("int").as("keep"))
+      // the iteration runs ONLY over pair-touched nodes (≈ 2·|pairs|,
+      // a vanishing fraction of the corpus); the full documents table
+      // is touched exactly once, by the final left join — the same
+      // shape as the oracle's roots / LEFT JOIN documents. No explicit
+      // broadcast hint on roots: it is tiny here, but at 100 TB a
+      // billion-pair root set must be allowed to shuffle-join (AQE
+      // picks broadcast when it fits).
+      // no pre-checkpoint: starComponents materializes the pair
+      // pipeline exactly once via its own distinct + localCheckpoint
+      val pairs = ngramPairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val (roots, _) = starComponents(pairs)
+      t(s, d, "documents").select(col("doc_id"))
+        .join(roots.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster_id"),
+          (col("doc_id") === coalesce(col("root"), col("doc_id"))).cast("int").as("keep"))
         .orderBy(col("doc_id"))
     },
 

@@ -335,4 +335,27 @@ class GroundTruthSpec extends AnyFunSuite {
     assert(rec >= 0.95, f"recall $rec%.3f < 0.95")
     assert(prec >= 0.95, f"precision $prec%.3f < 0.95")
   }
+
+  // ---- star-contraction convergence: O(log n), not O(diameter) ------------
+
+  test("star contraction converges in <= log2(n) rounds on a long chain") {
+    import spark.implicits._
+    // a chain 0–1–2–…–63 is the worst case for plain min-label
+    // propagation (diameter = 63 rounds); large-star/small-star must
+    // close it in log2(64) = 6 changed rounds, with the same keep-list
+    val n = 64
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val (labels, rounds) = graft.queries.TextOps.starComponents(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    (0 until n).foreach(i => assert(got(i.toLong) == 0L, s"node $i root ${got(i.toLong)}"))
+    info(s"chain of $n nodes converged in $rounds rounds")
+    assert(rounds <= 6, s"chain of $n took $rounds rounds (> log2(n))")
+
+    // multi-component + reversed orientation + self-loop shape check
+    val mixed = Seq((12L, 11L), (11L, 10L), (20L, 21L), (5L, 5L)).toDF("src", "dst")
+    val (l2, _) = graft.queries.TextOps.starComponents(mixed)
+    val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
 }
