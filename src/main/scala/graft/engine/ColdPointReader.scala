@@ -4,8 +4,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
-import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.SparkSession
 
@@ -13,17 +14,25 @@ import org.apache.spark.sql.SparkSession
   * SSTable point-read path (hybrid_query_router POINT_LOOKUP via
   * bloom/index, never a scan): for `pk = lit` the pk-sorted tier
   * files are read DIRECTLY through parquet-hadoop with the predicate
-  * pushed into the reader, so row groups whose pk min/max exclude the
-  * key are skipped from their footer stats alone. No Spark job, no
-  * scheduler latency — a cold point read costs file-open + one row
-  * group, the same shape as the reference's native path.
+  * pushed into the reader. No Spark job, no scheduler latency.
   *
-  * LWW across tiers: every tier may hold at most one version of the
-  * key (flush writes the latest-version map; compaction dedups); the
-  * highest __seq wins, tombstone included — the caller treats a
-  * winning tombstone as "no row". Hot-store versions are strictly
-  * newer than anything cold (flush drains the hot map), so the caller
-  * consults the hot map first and only falls here on a miss.
+  * Tier files are immutable once written, so everything knowable from
+  * their metadata is cached per path (the reference caches a bloom
+  * filter + sparse index per SSTable for the same reason,
+  * sstable.hpp): the Hadoop conf, each tier's file listing, and each
+  * file's pk min/max from its footer stats. A lookup then touches the
+  * footer-parse + page-decode path ONLY for files whose pk range
+  * covers the key — every other file is excluded without I/O.
+  *
+  * LWW across tiers: tiers are age-ordered in `coldDirs` (flush
+  * drains hot rows whose seqs exceed everything flushed before, and a
+  * leveled merge consumes a contiguous age range and lands in its
+  * place), so every seq in a younger tier is greater than every seq
+  * in an older one. The NEWEST tier containing the key therefore
+  * holds its latest version — the scan early-exits there, tombstone
+  * included (the caller treats a winning tombstone as "no row").
+  * Hot-store versions are strictly newer than anything cold, so the
+  * caller consults the hot map first and only falls here on a miss.
   */
 object ColdPointReader {
 
@@ -49,21 +58,117 @@ object ColdPointReader {
     }
   }
 
+  // ---- observability (spec gates, not hot-path logic) -----------------------
+
+  /** Files actually opened for data reads / footer metadata parses.
+    * Spec-gated: after the metadata cache is warm, a point lookup must
+    * open only files whose pk range covers the key, and must parse no
+    * footers at all.
+    */
+  val dataFilesOpened = new java.util.concurrent.atomic.AtomicLong(0)
+  val footersParsed   = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // ---- immutable-tier metadata caches ---------------------------------------
+
+  /** One Hadoop conf per session — `newHadoopConf()` copies the full
+    * configuration and costs more than the point read itself.
+    */
+  private val confCache =
+    scala.collection.concurrent.TrieMap.empty[Int, org.apache.hadoop.conf.Configuration]
+
+  private def confOf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    confCache.getOrElseUpdate(System.identityHashCode(spark),
+      spark.sessionState.newHadoopConf())
+
+  /** pk min/max of one tier file, from its footer row-group stats;
+    * None when stats are absent (then the file must be read).
+    */
+  private final case class FileMeta(path: Path, range: Option[(Any, Any)])
+
+  private val tierCache =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[FileMeta]]
+
+  /** Drop cached metadata (tests / bounded memory in very long-lived
+    * drivers; stale entries for deleted tiers are otherwise harmless —
+    * lookups never consult dirs outside the live coldDirs vector).
+    */
+  def invalidateCache(): Unit = tierCache.clear()
+
+  private def tierFiles(conf: org.apache.hadoop.conf.Configuration,
+                        m: TableMeta, dir: String): Vector[FileMeta] =
+    tierCache.getOrElseUpdate(dir, {
+      val d = new Path(dir)
+      val fs = d.getFileSystem(conf)
+      if (!fs.exists(d)) Vector.empty
+      else fs.listStatus(d).toVector
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val range =
+            try {
+              footersParsed.incrementAndGet()
+              val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+              try {
+                import scala.jdk.CollectionConverters._
+                val stats = r.getFooter.getBlocks.asScala.toVector.flatMap { b =>
+                  b.getColumns.asScala.find(
+                    _.getPath.toDotString == m.cols(m.pkIndex).name)
+                    .filter(c => c.getStatistics != null && !c.getStatistics.isEmpty
+                      && c.getStatistics.hasNonNullValue)
+                    .map(_.getStatistics)
+                }
+                if (stats.isEmpty) None
+                else {
+                  val mins = stats.map(s => statValue(m, s.genericGetMin))
+                  val maxs = stats.map(s => statValue(m, s.genericGetMax))
+                  Some((mins.minBy(identity)(ordering(m)),
+                    maxs.maxBy(identity)(ordering(m))))
+                }
+              } finally r.close()
+            } catch { case _: java.io.IOException => None }
+          FileMeta(st.getPath, range)
+        }
+    })
+
+  private def statValue(m: TableMeta, v: Any): Any = m.cols(m.pkIndex).tpe match {
+    case ColType.Str => v.asInstanceOf[Binary].toStringUsingUTF8
+    case _           => v
+  }
+
+  private def ordering(m: TableMeta): Ordering[Any] = (m.cols(m.pkIndex).tpe match {
+    case ColType.I64 | ColType.Ts => Ordering.Long.on[Any](_.asInstanceOf[java.lang.Long].longValue)
+    case ColType.I32              => Ordering.Int.on[Any](_.asInstanceOf[java.lang.Integer].intValue)
+    case ColType.Str              => Ordering.String.on[Any](_.asInstanceOf[String])
+    case t => throw new IllegalArgumentException(s"unsupported pk type $t")
+  })
+
+  private def mayContain(fm: FileMeta, m: TableMeta, pk: Any): Boolean =
+    fm.range match {
+      case None             => true // no stats: must read
+      case Some((lo, hi))   =>
+        val ord = ordering(m)
+        ord.lteq(lo, pk) && ord.lteq(pk, hi)
+    }
+
   /** Latest cold version of `pk` across `coldDirs` (tombstones
     * included — the caller interprets), or None if no tier holds it.
     */
   def lookup(spark: SparkSession, m: TableMeta, coldDirs: Seq[String],
              pk: Any): Option[RowVersion] = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = confOf(spark)
     val filter = FilterCompat.get(pkPredicate(m, pk))
-    var best: Option[RowVersion] = None
-    coldDirs.foreach { dir =>
-      val d = new Path(dir)
-      val fs = d.getFileSystem(conf)
-      if (fs.exists(d)) fs.listStatus(d)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .foreach { st =>
-          val reader = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+    // newest tier first — the first tier containing the key holds its
+    // latest version (age-order invariant, scaladoc above)
+    val it = coldDirs.reverseIterator
+    while (it.hasNext) {
+      val dir = it.next()
+      // within one tier a pk occurs at most once (flush writes the
+      // latest-version map; merges dedup), but keep max-seq across the
+      // tier's files anyway — robustness over assumption
+      var best: Option[RowVersion] = None
+      tierFiles(conf, m, dir).foreach { fm =>
+        if (mayContain(fm, m, pk)) {
+          dataFilesOpened.incrementAndGet()
+          val reader = ParquetReader.builder(new GroupReadSupport(), fm.path)
             .withConf(conf).withFilter(filter).build()
           try {
             var g = reader.read()
@@ -74,8 +179,10 @@ object ColdPointReader {
             }
           } finally reader.close()
         }
+      }
+      if (best.isDefined) return best
     }
-    best
+    None
   }
 
   private def toRowVersion(g: Group, m: TableMeta): RowVersion = {

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{ColdPointReader, Engine}
+
+/** Cold point-read metadata cache (VERDICT r4 #3): tier files are
+  * immutable, so footer stats are parsed once per file and every
+  * subsequent lookup prunes on the cached pk min/max — a warm-cache
+  * point read opens ONLY the files whose range covers the key, and a
+  * miss outside every range opens none (the reference's per-SSTable
+  * bloom + sparse-index cache, sstable.hpp).
+  */
+class ColdPointReaderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def withDir(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpr").toString
+    try f(dir)
+    finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("warm cache: lookups open only range-covering files and parse no footers") {
+    withDir { dir =>
+      // compactTrigger high: keep the three disjoint-range L0 tiers as-is
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql("CREATE TABLE cp (id BIGINT NOT NULL, v INT)").ok)
+      for (t <- 0 until 3) {
+        val rows = (t * 1000 + 1 to t * 1000 + 100)
+          .map(i => Array[Any](i.toLong, Int.box(i)))
+        e.batchPut("cp", rows)
+        e.forceFlush("cp")          // one pk-sorted file per tier (coalesce(1))
+      }
+
+      ColdPointReader.invalidateCache()
+      val footers0 = ColdPointReader.footersParsed.get()
+      assert(e.sql("SELECT v FROM cp WHERE id = 50").rows.head.head == "50")
+      assert(ColdPointReader.footersParsed.get() > footers0,
+        "cold cache must parse footers once")
+
+      // warm cache, key in the middle tier: exactly one file touched
+      val footers1 = ColdPointReader.footersParsed.get()
+      val opened1  = ColdPointReader.dataFilesOpened.get()
+      assert(e.sql("SELECT v FROM cp WHERE id = 1050").rows.head.head == "1050")
+      assert(ColdPointReader.footersParsed.get() == footers1,
+        "warm cache must not re-parse footers")
+      assert(ColdPointReader.dataFilesOpened.get() == opened1 + 1,
+        "only the covering tier's file may be opened")
+
+      // key outside every tier's pk range: pruned without any I/O
+      val opened2 = ColdPointReader.dataFilesOpened.get()
+      assert(e.sql("SELECT v FROM cp WHERE id = 99999").rows.isEmpty)
+      assert(ColdPointReader.dataFilesOpened.get() == opened2,
+        "a miss outside all ranges must open no files")
+    }
+  }
+
+  test("newest-first early exit: a shadowed key reads one tier and wins LWW") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql("CREATE TABLE lw (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("lw", (1L to 50L).map(i => Array[Any](i, Int.box(1))))
+      e.forceFlush("lw")
+      e.batchPut("lw", Seq(Array[Any](7L, Int.box(2))))  // shadow in a younger tier
+      e.forceFlush("lw")
+
+      ColdPointReader.invalidateCache()
+      e.sql("SELECT v FROM lw WHERE id = 1")             // warm the metadata cache
+
+      val opened = ColdPointReader.dataFilesOpened.get()
+      val rs = e.sql("SELECT v FROM lw WHERE id = 7")
+      assert(rs.rows.head.head == "2", "younger tier must win LWW")
+      assert(ColdPointReader.dataFilesOpened.get() == opened + 1,
+        "early exit on the newest tier containing the key")
+    }
+  }
+}
