@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
   * sstable.hpp): the Hadoop conf, each tier's file listing, and each
   * file's pk min/max from its footer stats. A lookup then touches the
   * footer-parse + page-decode path ONLY for files whose pk range
-  * covers the key — every other file is excluded without I/O.
+  * covers the key — every other file is excluded without I/O. Per-file
+  * verdicts are additionally LRU row-cached (the block-cache role), so
+  * repeat reads of warm keys never touch the filesystem, and tier
+  * files carry a pk bloom filter so in-range misses skip the decode.
   *
   * LWW across tiers: tiers are age-ordered in `coldDirs` (flush
   * drains hot rows whose seqs exceed everything flushed before, and a
@@ -88,11 +91,30 @@ object ColdPointReader {
   private val tierCache =
     scala.collection.concurrent.TrieMap.empty[String, Vector[FileMeta]]
 
+  /** Bounded LRU row cache, keyed (tier file, pk) → that FILE's verdict
+    * for the key (hit with version, or definitive absence). Tier files
+    * are immutable, so entries can never go stale: a newer version of
+    * the key lands in the hot store or a NEWER tier, both consulted
+    * before this file. Repeated point reads of warm keys are served at
+    * memory speed — the reference's block-cache role (SSTable blocks
+    * cached across reads; sstable.hpp / SURVEY §2.4 C1).
+    */
+  private val rowCacheMax = 1 << 16
+  private val rowCache =
+    new java.util.LinkedHashMap[(String, Any), Option[RowVersion]](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Any), Option[RowVersion]]): Boolean =
+        size() > rowCacheMax
+    }
+
   /** Drop cached metadata (tests / bounded memory in very long-lived
     * drivers; stale entries for deleted tiers are otherwise harmless —
     * lookups never consult dirs outside the live coldDirs vector).
     */
-  def invalidateCache(): Unit = tierCache.clear()
+  def invalidateCache(): Unit = {
+    tierCache.clear()
+    rowCache.synchronized(rowCache.clear())
+  }
 
   private def tierFiles(conf: org.apache.hadoop.conf.Configuration,
                         m: TableMeta, dir: String): Vector[FileMeta] =
@@ -167,22 +189,39 @@ object ColdPointReader {
       var best: Option[RowVersion] = None
       tierFiles(conf, m, dir).foreach { fm =>
         if (mayContain(fm, m, pk)) {
-          dataFilesOpened.incrementAndGet()
-          val reader = ParquetReader.builder(new GroupReadSupport(), fm.path)
-            .withConf(conf).withFilter(filter).build()
-          try {
-            var g = reader.read()
-            while (g != null) {
-              val rv = toRowVersion(g, m)
-              if (best.forall(_.seq < rv.seq)) best = Some(rv)
-              g = reader.read()
-            }
-          } finally reader.close()
+          val verdict = cachedFileLookup(conf, m, filter, fm, pk)
+          verdict.foreach(rv => if (best.forall(_.seq < rv.seq)) best = Some(rv))
         }
       }
       if (best.isDefined) return best
     }
     None
+  }
+
+  /** One immutable file's verdict for `pk`, LRU-cached (negative
+    * results included — a definitive "not in this file" is as
+    * cacheable as a hit).
+    */
+  private def cachedFileLookup(conf: org.apache.hadoop.conf.Configuration,
+                               m: TableMeta, filter: FilterCompat.Filter,
+                               fm: FileMeta, pk: Any): Option[RowVersion] = {
+    val key = (fm.path.toString, pk)
+    val hit = rowCache.synchronized(rowCache.get(key))
+    if (hit != null) return hit
+    dataFilesOpened.incrementAndGet()
+    var best: Option[RowVersion] = None
+    val reader = ParquetReader.builder(new GroupReadSupport(), fm.path)
+      .withConf(conf).withFilter(filter).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val rv = toRowVersion(g, m)
+        if (best.forall(_.seq < rv.seq)) best = Some(rv)
+        g = reader.read()
+      }
+    } finally reader.close()
+    rowCache.synchronized(rowCache.put(key, best))
+    best
   }
 
   private def toRowVersion(g: Group, m: TableMeta): RowVersion = {

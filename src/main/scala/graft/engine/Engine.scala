@@ -149,6 +149,9 @@ final class Engine(
           if (java.nio.file.Files.isDirectory(c) && !live.contains(c.toString))
             Persist.deleteRecursively(c)
         } finally children.close()
+        // tier paths derive from seqs; a fresh engine on a reused dir
+        // could mint a path the point reader cached in a past life
+        ColdPointReader.invalidateCache()
       }
       maxSeq = math.max(maxSeq, flushedMax)
       val dl = new DeltaLog(deltaPath(dir, m.name), m)
@@ -184,7 +187,11 @@ final class Engine(
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), versionedSchema(m))
       .coalesce(1)
       .sortWithinPartitions(col(m.pk))   // pk-sorted files → parquet row-group
-      .write.mode("overwrite").parquet(tier)   //   min/max pruning on pk scans
+      .write.mode("overwrite")           //   min/max pruning on pk scans
+      // pk bloom filter per tier file — the SSTable bloom (SURVEY C1):
+      // in-range point MISSES skip the row-group decode entirely
+      .option(s"parquet.bloom.filter.enabled#${m.pk}", "true")
+      .parquet(tier)
     store.coldDirs = store.coldDirs :+ tier
     store.maxFlushedSeq = math.max(store.maxFlushedSeq, flushedMax)
     Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
@@ -339,7 +346,9 @@ final class Engine(
               else col("__rn") === 1)
     merged.drop("__rn")
       .repartitionByRange(parts, col(m.pk)).sortWithinPartitions(col(m.pk))
-      .write.mode("overwrite").parquet(target)
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#${m.pk}", "true")
+      .parquet(target)
   }
 
   /** How many compactions a retired tier batch survives before its
@@ -635,6 +644,9 @@ final class Engine(
       Persist.deleteRecursively(deltaPath(dir, key))
       Persist.deleteRecursively(coldRoot(dir, key))
       Persist.saveCatalog(catalogPath(dir), catalog.values)
+      // the deleted tier paths may be re-minted by a future engine on
+      // this dir — drop any point-reader metadata cached against them
+      ColdPointReader.invalidateCache()
     }
     ResultSet.affected(0L)
   }

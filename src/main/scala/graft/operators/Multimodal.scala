@@ -46,6 +46,29 @@ object Multimodal {
     acc.map(v => (v.toDouble / n / (1L << 24)).toFloat)
   }
 
+  /** Container-format detection from magic bytes — the one part of
+    * media handling that needs NO codec, so unlike decode it is real,
+    * not stubbed: pure byte inspection, the first step of any ingest
+    * pipeline routing blobs to per-format decoders (ref treats media
+    * as opaque blobs; format sniffing follows the published magic
+    * numbers of each container).
+    */
+  def sniffFormat(payload: Array[Byte]): String = {
+    def at(i: Int, bs: Int*): Boolean =
+      payload.length >= i + bs.length &&
+        bs.indices.forall(j => (payload(i + j) & 0xff) == bs(j))
+    if (at(0, 0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) "png"
+    else if (at(0, 0xff, 0xd8, 0xff)) "jpeg"
+    else if (at(0, 'G', 'I', 'F', '8')) "gif"
+    else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'W', 'A', 'V', 'E')) "wav"
+    else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'A', 'V', 'I', ' ')) "avi"
+    else if (at(4, 'f', 't', 'y', 'p')) "mp4"
+    else if (at(0, 'O', 'g', 'g', 'S')) "ogg"
+    else if (at(0, 'I', 'D', '3') || at(0, 0xff, 0xfb)) "mp3"
+    else if (at(0, 0x1a, 0x45, 0xdf, 0xa3)) "mkv"
+    else "unknown"
+  }
+
   def checksum(payload: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0

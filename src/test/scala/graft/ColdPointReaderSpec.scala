@@ -79,6 +79,12 @@ class ColdPointReaderSpec extends AnyFunSuite {
       assert(rs.rows.head.head == "2", "younger tier must win LWW")
       assert(ColdPointReader.dataFilesOpened.get() == opened + 1,
         "early exit on the newest tier containing the key")
+
+      // row cache: the repeat lookup is served without any file I/O
+      val opened2 = ColdPointReader.dataFilesOpened.get()
+      assert(e.sql("SELECT v FROM lw WHERE id = 7").rows.head.head == "2")
+      assert(ColdPointReader.dataFilesOpened.get() == opened2,
+        "warm-key repeat must hit the row cache, not the file")
     }
   }
 }
