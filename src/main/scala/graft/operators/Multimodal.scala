@@ -24,8 +24,8 @@ object Multimodal {
 
   case class MediaMeta(modality: String, width: Int, height: Int, sampleRateHz: Int)
   case class MediaRecord(id: Long, meta: MediaMeta, payload: Array[Byte])
-  case class MediaFeatures(id: Long, modality: String, nBytes: Long, checksum: Long,
-                           features: Array[Float])
+  case class MediaFeatures(id: Long, modality: String, format: String, nBytes: Long,
+                           checksum: Long, features: Array[Float])
 
   val FeatureDim = 8
 
@@ -105,8 +105,8 @@ object Multimodal {
     records.mapPartitions { it =>
       // per-partition init point for a real decoder/codec context
       it.map { r =>
-        MediaFeatures(r.id, r.meta.modality, r.payload.length.toLong,
-          checksum(r.payload), decodeStub(r.payload))
+        MediaFeatures(r.id, r.meta.modality, sniffFormat(r.payload),
+          r.payload.length.toLong, checksum(r.payload), decodeStub(r.payload))
       }
     }
   }
@@ -179,8 +179,8 @@ object Multimodal {
   def featureFrame(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(asMediaRecords(spark, dir))
       .toDF()
-      .select(col("id"), col("modality"), col("nBytes").as("n_bytes"),
-        col("checksum"), col("features"))
+      .select(col("id"), col("modality"), col("format"),
+        col("nBytes").as("n_bytes"), col("checksum"), col("features"))
 
   /** Declared pipeline output (SparkEntry/Verify): scalar columns only —
     * the raw array<float> is folded to a single hash so the result is

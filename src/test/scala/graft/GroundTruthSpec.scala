@@ -336,6 +336,19 @@ class GroundTruthSpec extends AnyFunSuite {
     assert(prec >= 0.95, f"precision $prec%.3f < 0.95")
   }
 
+  // ---- corpus-derived stop-shingle cutoff (VERDICT r4 #4) -----------------
+
+  test("stop-shingle cutoff derives from corpus size, floored at 100") {
+    import graft.queries.TextOps.maxDfFor
+    assert(maxDfFor(0L) == 100L)
+    assert(maxDfFor(500L) == 100L)              // sf0.01-scale corpora keep r4 behavior
+    assert(maxDfFor(100000L) == 100L)           // floor boundary
+    assert(maxDfFor(100999L) == 100L)           // integer floor division
+    assert(maxDfFor(101000L) == 101L)
+    assert(maxDfFor(1000000L) == 1000L)         // df > 0.1% of docs = stop
+    assert(maxDfFor(5000000000L) == 5000000L)   // 100 TB-scale: still a fraction
+  }
+
   // ---- star-contraction convergence: O(log n), not O(diameter) ------------
 
   test("star contraction converges in <= log2(n) rounds on a long chain") {
