@@ -176,6 +176,39 @@ class EngineSpec extends AnyFunSuite {
     assert(e.sql("EXPLAIN SELECT * FROM users WHERE age > 30").rows.flatten.mkString.contains("RANGE_SCAN"))
   }
 
+  test("EXPLAIN emits the reference plan-text layout verbatim") {
+    // section headers and indentation of hybrid_query_router.hpp's
+    // explainPlan (:331-393) — a reference substring test would pass
+    val dir = java.nio.file.Files.createTempDirectory("graft-explain").toString
+    try {
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      seedUsers(e)
+      e.forceFlush("users")
+
+      val point = e.sql("EXPLAIN SELECT name, age FROM users WHERE id = 2")
+        .rows.flatten.mkString("\n")
+      assert(point.contains("Query Plan:"))
+      assert(point.contains("  Type: POINT_LOOKUP"))
+      assert(point.contains("  Estimated Rows: 1"))
+      assert(point.contains("  Estimated Cost (I/O units): "))
+      assert(point.contains("  Storage Path:"))
+      assert(point.contains("    - Memtable: YES"))
+      assert(point.contains("    - Row SSTables (Levels): 0 "))   // point path = SSTable seeks
+      assert(point.contains("  Filter Pushdown: YES (column: id)"))
+      assert(point.contains("  Projection: name age "))           // ref trailing space
+
+      val agg = e.sql("EXPLAIN SELECT COUNT(*) FROM users")
+        .rows.flatten.mkString("\n")
+      assert(agg.contains("  Type: AGGREGATION"))
+      assert(agg.contains("    - Columnar Files (Levels): 0 "))   // scans read tiers columnar
+      assert(!agg.contains("Filter Pushdown: YES"), "no WHERE, no pushdown line")
+
+      // cost is std::to_string-style: six decimal places
+      assert("Estimated Cost \\(I/O units\\): \\d+\\.\\d{6}".r
+        .findFirstIn(point).isDefined, point)
+    } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   // ---- full scan + projection (:355-385) ----------------------------------
 
   test("full scan returns all rows; projection selects columns") {
