@@ -74,14 +74,20 @@ object ColdPointReader {
   // ---- immutable-tier metadata caches ---------------------------------------
 
   /** One Hadoop conf per session — `newHadoopConf()` copies the full
-    * configuration and costs more than the point read itself.
+    * configuration and costs more than the point read itself. Weak-keyed
+    * on the session itself (identity equality — SparkSession doesn't
+    * override equals): entries vanish with the session, and no identity
+    * hash can ever alias two live sessions.
     */
-  private val confCache =
-    scala.collection.concurrent.TrieMap.empty[Int, org.apache.hadoop.conf.Configuration]
+  private val confCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, org.apache.hadoop.conf.Configuration])
 
   private def confOf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
-    confCache.getOrElseUpdate(System.identityHashCode(spark),
-      spark.sessionState.newHadoopConf())
+    confCache.synchronized {
+      var c = confCache.get(spark)
+      if (c == null) { c = spark.sessionState.newHadoopConf(); confCache.put(spark, c) }
+      c
+    }
 
   /** pk min/max of one tier file, from its footer row-group stats;
     * None when stats are absent (then the file must be read).
@@ -114,6 +120,29 @@ object ColdPointReader {
   def invalidateCache(): Unit = {
     tierCache.clear()
     rowCache.synchronized(rowCache.clear())
+  }
+
+  /** Evict exactly the retired tier dirs' metadata (called from the
+    * engine's deferred tier GC when the files are deleted): without
+    * this, compaction churn in a long-lived driver grows the metadata
+    * cache without bound — and a future tier that re-mints a deleted
+    * path must not inherit its predecessor's footer stats.
+    */
+  def evictTiers(dirs: Iterable[String]): Unit = {
+    dirs.foreach(tierCache.remove)
+    // rowCache keys are fully-qualified Hadoop paths (file:/…) while
+    // coldDirs are plain paths — compare scheme-stripped
+    def bare(p: String) = p.stripPrefix("file:")
+    val prefixes = dirs.map(d => {
+      val b = bare(d); if (b.endsWith("/")) b else b + "/"
+    }).toVector
+    rowCache.synchronized {
+      val it = rowCache.keySet.iterator()
+      while (it.hasNext) {
+        val (file, _) = it.next()
+        if (prefixes.exists(bare(file).startsWith)) it.remove()
+      }
+    }
   }
 
   private def tierFiles(conf: org.apache.hadoop.conf.Configuration,
@@ -151,15 +180,32 @@ object ColdPointReader {
         }
     })
 
+  /** Stats are kept in their parquet-comparable representation: Str
+    * stays raw UTF-8 bytes, because parquet UTF8 min/max are ordered by
+    * UNSIGNED lexicographical byte comparison, and java.lang.String
+    * ordering (UTF-16 code units) disagrees for supplementary code
+    * points vs U+E000–U+FFFF — decoding before comparing could prune a
+    * file that actually holds the key.
+    */
   private def statValue(m: TableMeta, v: Any): Any = m.cols(m.pkIndex).tpe match {
-    case ColType.Str => v.asInstanceOf[Binary].toStringUsingUTF8
+    case ColType.Str => v.asInstanceOf[Binary].getBytes
     case _           => v
+  }
+
+  /** The pk literal in the same representation `statValue` uses. */
+  private def statKey(m: TableMeta, pk: Any): Any = m.cols(m.pkIndex).tpe match {
+    case ColType.Str => pk.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case _           => pk
   }
 
   private def ordering(m: TableMeta): Ordering[Any] = (m.cols(m.pkIndex).tpe match {
     case ColType.I64 | ColType.Ts => Ordering.Long.on[Any](_.asInstanceOf[java.lang.Long].longValue)
     case ColType.I32              => Ordering.Int.on[Any](_.asInstanceOf[java.lang.Integer].intValue)
-    case ColType.Str              => Ordering.String.on[Any](_.asInstanceOf[String])
+    case ColType.Str              =>
+      new Ordering[Any] { // parquet UTF8 order: unsigned lexicographical bytes
+        def compare(x: Any, y: Any): Int = java.util.Arrays.compareUnsigned(
+          x.asInstanceOf[Array[Byte]], y.asInstanceOf[Array[Byte]])
+      }
     case t => throw new IllegalArgumentException(s"unsupported pk type $t")
   })
 
@@ -168,7 +214,8 @@ object ColdPointReader {
       case None             => true // no stats: must read
       case Some((lo, hi))   =>
         val ord = ordering(m)
-        ord.lteq(lo, pk) && ord.lteq(pk, hi)
+        val k = statKey(m, pk)
+        ord.lteq(lo, k) && ord.lteq(k, hi)
     }
 
   /** Latest cold version of `pk` across `coldDirs` (tombstones

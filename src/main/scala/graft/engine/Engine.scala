@@ -363,6 +363,10 @@ final class Engine(
     while (store.retiredGens.size > tierRetainGens) {
       store.retiredGens.head.foreach(p =>
         Persist.deleteRecursively(java.nio.file.Paths.get(p)))
+      // drop the deleted dirs' point-reader metadata: bounds cache
+      // growth under compaction churn, and a re-minted path must not
+      // inherit stale footer stats
+      ColdPointReader.evictTiers(store.retiredGens.head)
       store.retiredGens = store.retiredGens.tail
     }
   }
