@@ -128,11 +128,18 @@ object ColdPointReader {
     * cache without bound — and a future tier that re-mints a deleted
     * path must not inherit its predecessor's footer stats.
     */
+  /** Test probe: whether a tier dir's listing is currently cached. */
+  private[graft] def tierCached(dir: String): Boolean = tierCache.contains(dir)
+
   def evictTiers(dirs: Iterable[String]): Unit = {
     dirs.foreach(tierCache.remove)
     // rowCache keys are fully-qualified Hadoop paths (file:/…) while
-    // coldDirs are plain paths — compare scheme-stripped
-    def bare(p: String) = p.stripPrefix("file:")
+    // coldDirs may be relative — normalize both sides to absolute bare
+    // paths so the prefix match holds regardless of how the engine was
+    // configured (a relative dataDir must not silently no-op eviction)
+    def bare(p: String) =
+      java.nio.file.Paths.get(p.stripPrefix("file:"))
+        .toAbsolutePath.normalize.toString
     val prefixes = dirs.map(d => {
       val b = bare(d); if (b.endsWith("/")) b else b + "/"
     }).toVector
@@ -147,11 +154,17 @@ object ColdPointReader {
 
   private def tierFiles(conf: org.apache.hadoop.conf.Configuration,
                         m: TableMeta, dir: String): Vector[FileMeta] =
-    tierCache.getOrElseUpdate(dir, {
+    tierCache.get(dir).getOrElse {
       val d = new Path(dir)
       val fs = d.getFileSystem(conf)
+      // A missing dir is NOT cached: a lookup holding an older coldDirs
+      // snapshot can race the deferred tier GC and observe a dir that
+      // evictTiers just deleted — caching Vector.empty here would
+      // repopulate the cache being evicted with an entry nothing ever
+      // removes again. Live dirs always exist, so the uncached miss
+      // costs one fs.exists on a path that shouldn't be consulted anyway.
       if (!fs.exists(d)) Vector.empty
-      else fs.listStatus(d).toVector
+      else tierCache.getOrElseUpdate(dir, fs.listStatus(d).toVector
         .filter(_.getPath.getName.endsWith(".parquet"))
         .map { st =>
           val range =
@@ -177,8 +190,8 @@ object ColdPointReader {
               } finally r.close()
             } catch { case _: java.io.IOException => None }
           FileMeta(st.getPath, range)
-        }
-    })
+        })
+    }
 
   /** Stats are kept in their parquet-comparable representation: Str
     * stays raw UTF-8 bytes, because parquet UTF8 min/max are ordered by

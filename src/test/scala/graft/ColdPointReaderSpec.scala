@@ -62,6 +62,64 @@ class ColdPointReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("evictTiers with a relative dataDir still evicts the row cache") {
+    // rowCache keys are fully-qualified (file:/abs/…) while a relative
+    // dataDir yields relative coldDirs strings; eviction must normalize
+    // both sides or it silently no-ops (ADVICE r6 #1).
+    val rel = s"target/graft-reldir-${System.nanoTime}"
+    try {
+      val e = new Engine(spark, Some(rel), compactTrigger = 100)
+      assert(e.sql("CREATE TABLE rd (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("rd", (1L to 50L).map(i => Array[Any](i, Int.box(i.toInt))))
+      e.forceFlush("rd")
+
+      ColdPointReader.invalidateCache()
+      e.sql("SELECT v FROM rd WHERE id = 7")              // warm metadata + row cache
+      val opened0 = ColdPointReader.dataFilesOpened.get()
+      assert(e.sql("SELECT v FROM rd WHERE id = 7").rows.head.head == "7")
+      assert(ColdPointReader.dataFilesOpened.get() == opened0,
+        "repeat lookup must be row-cache served before eviction")
+
+      val tierDir = e.storeOf("rd").coldDirs.head         // relative path
+      assert(!tierDir.startsWith("/"), s"precondition: tier dir is relative ($tierDir)")
+      ColdPointReader.evictTiers(Seq(tierDir))
+
+      val opened1 = ColdPointReader.dataFilesOpened.get()
+      assert(e.sql("SELECT v FROM rd WHERE id = 7").rows.head.head == "7")
+      assert(ColdPointReader.dataFilesOpened.get() > opened1,
+        "eviction by the relative dir must drop the qualified row-cache keys")
+    } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(rel))
+  }
+
+  test("a missing tier dir is probed but never cached (GC race)") {
+    // A lookup holding an older coldDirs snapshot can race deferred tier
+    // GC and consult a just-deleted dir; caching its empty listing would
+    // poison the cache for a path nothing evicts again (ADVICE r6 #2).
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql("CREATE TABLE gr (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("gr", (1L to 20L).map(i => Array[Any](i, Int.box(i.toInt))))
+      e.forceFlush("gr")
+
+      val store = e.storeOf("gr")
+      val real  = store.coldDirs.head
+      val ghost = real + "-ghost"
+      store.coldDirs = Vector(ghost)                      // stale-snapshot stand-in
+
+      ColdPointReader.invalidateCache()
+      assert(e.sql("SELECT v FROM gr WHERE id = 5").rows.isEmpty)
+      assert(!ColdPointReader.tierCached(ghost),
+        "a nonexistent dir's empty listing must not be cached")
+
+      // the path comes alive (re-minted tier): the earlier probe must
+      // not have poisoned the cache with Vector.empty
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(real), java.nio.file.Paths.get(ghost))
+      assert(e.sql("SELECT v FROM gr WHERE id = 5").rows.head.head == "5",
+        "a lookup after the dir appears must see its files")
+    }
+  }
+
   test("newest-first early exit: a shadowed key reads one tier and wins LWW") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir), compactTrigger = 100)
