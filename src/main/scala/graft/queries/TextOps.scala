@@ -428,6 +428,144 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- benchmark decontamination -----------------------------------------
+    // Flag training documents sharing any word-8-gram with the eval
+    // set (GPT-3/PaLM-style n-gram decontamination; 8 tokens stands in
+    // for the usual 13 because the synthetic docs are short). The eval
+    // set here is the doc_id % 50 == 0 slice — in production it is an
+    // external benchmark suite, which is exactly why the eval-gram set
+    // is BROADCAST: benchmarks are bounded (thousands of docs) while
+    // the training corpus is the 100 TB side, so contamination checking
+    // is one map-side semi-join + a partial-aggregated count, never a
+    // corpus-vs-corpus shuffle. The 8-gram window reuses the exploded-
+    // token + lead() shape of winnowMinima (codegen, no array lambdas).
+    "q_decontaminate" -> Q(
+      """WITH docs AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 8 THEN
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                              toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]
+                              for i in range(1, len(toks)-6)])
+             ELSE [] END AS ng
+           FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+                 FROM documents)),
+         inv AS (SELECT doc_id, unnest(ng) AS g FROM docs),
+         eval_g AS (SELECT DISTINCT g FROM inv WHERE doc_id % 50 = 0)
+         SELECT i.doc_id, count(*) AS n_shared
+         FROM inv i JOIN eval_g USING (g)
+         WHERE i.doc_id % 50 <> 0
+         GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams = toksFrame(s, d)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .select(col("doc_id"),
+          lead(col("tok"), 7).over(wLead).as("t7"),
+          concat_ws(" ",
+            col("tok") +: (1 to 7).map(i => lead(col("tok"), i).over(wLead)): _*).as("g"))
+        .filter(col("t7").isNotNull)
+        .select(col("doc_id"), col("g")).distinct()
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(grams.filter(col("doc_id") % 50 === 0)
+          .select(col("g")).distinct()), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- per-source boilerplate detection -----------------------------------
+    // C4-style boilerplate: a 3-gram present in > 25% of its source's
+    // documents is template text (headers, footers, nav chrome); each
+    // doc reports how much of it is boilerplate. Shape at scale: the
+    // gram-level df is one partial-aggregated shuffle keyed (source,
+    // gram); per-source doc counts are an aggregate bounded by
+    // |sources| (broadcast); the boilerplate dictionary join is left
+    // to AQE — template sets are usually broadcastable but nothing
+    // requires it. The integer `df * 4 > nd` threshold avoids float
+    // comparison drift between engines.
+    "q_text_boilerplate" -> Q(
+      s"""$ngCte,
+          inv AS (SELECT doc_id, source, unnest(ng) AS sh FROM docs),
+          src_docs AS (SELECT source, count(*) AS nd FROM documents GROUP BY 1),
+          gram_df AS (SELECT source, sh, count(*) AS df FROM inv GROUP BY 1, 2),
+          boiler AS (SELECT g.source, g.sh FROM gram_df g JOIN src_docs s USING (source)
+                     WHERE g.df * 4 > s.nd)
+          SELECT i.doc_id, count(*) AS n_grams, count(b.sh) AS n_boiler,
+                 CAST(count(b.sh) AS DOUBLE) / count(*) AS boiler_frac
+          FROM inv i LEFT JOIN boiler b ON i.source = b.source AND i.sh = b.sh
+          GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      // (doc_id, source) is a 2-column pruned scan; the join keys the
+      // memoized gram frame by doc_id — both sides hash-partition, no
+      // corpus-width rows move
+      val inv = shingleRows(s, d)
+        .join(t(s, d, "documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+      val srcDocs = t(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      val boiler = inv.groupBy(col("source"), col("sh")).agg(count(lit(1)).as("df"))
+        .join(broadcast(srcDocs), Seq("source"))
+        .filter(col("df") * 4 > col("nd"))
+        .select(col("source"), col("sh"), lit(1).as("b"))
+      inv.join(boiler, Seq("source", "sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("b")).as("n_boiler"),
+          (count(col("b")).cast("double") / count(lit(1))).as("boiler_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- intra-document repetition stats -------------------------------------
+    // Gopher-style repetition signals: token count, distinct-token
+    // count, and the most-frequent-token share — high top_frac marks
+    // degenerate/spammy text. Two partial-aggregated shuffles, both
+    // keyed by doc_id (the second collapses into the first's
+    // partitioning), nothing corpus-wide.
+    "q_text_repetition" -> Q(
+      """WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+                      FROM documents),
+          cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks, count(*) AS n_distinct,
+                 max(c) AS top_cnt,
+                 CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
+          FROM cnt GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      toksFrame(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_cnt"))
+        .select(col("doc_id"), col("n_toks"), col("n_distinct"), col("top_cnt"),
+          (col("top_cnt").cast("double") / col("n_toks").cast("double")).as("top_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- token-budget weighted sampling (domain mixing) ----------------------
+    // Down-sample each source to a fixed character budget: rate =
+    // min(1, budget / source_chars), membership decided by a pure
+    // hash of the key (md5 prefix as a 16-bit fraction — Spark's
+    // conv() and DuckDB's '0x' cast read the same hex, so acceptance
+    // is oracle-exact and reproducible across engines, partitionings,
+    // and reruns). This is how mixture weights are applied at corpus
+    // scale: per-source rates from one bounded aggregate (broadcast),
+    // then a codegen'd map-only filter — no shuffle of the corpus.
+    "q_sample_weighted" -> Q(
+      """WITH src_rate AS (
+           SELECT source,
+                  least(CAST(1.0 AS DOUBLE),
+                        CAST(2000.0 AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)) AS rate
+           FROM documents GROUP BY 1)
+         SELECT d.doc_id, d.source, r.rate
+         FROM documents d JOIN src_rate r USING (source)
+         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) / 65536.0 < r.rate
+         ORDER BY d.doc_id""") { (s, d) =>
+      val rates = t(s, d, "documents").groupBy(col("source"))
+        .agg(least(lit(1.0),
+          lit(2000.0) / sum(col("n_chars")).cast("double")).as("rate"))
+      t(s, d, "documents")
+        .join(broadcast(rates), Seq("source"))
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("bigint") / lit(65536.0) < col("rate"))
+        .select(col("doc_id"), col("source"), col("rate"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- winnowing fingerprint (rolling hash + min-sampling) ---------------
     // MOSS-style document sketch: hash every word-5-gram (the rolling
     // unit), take the minimum hash of each window of 4 consecutive
