@@ -7,17 +7,19 @@ import org.apache.spark.sql.functions._
   * payloads ride as opaque `binary` columns with a typed metadata
   * struct; decode / feature-extract run per-partition in batches.
   *
-  * The actual media decode is STUBBED (image/audio codecs are not in
-  * this container): `decodeStub` produces a deterministic fake
-  * "decoded frame" from the payload bytes. Everything around it —
-  * schema, partition-parallel batch iteration, fixed-width feature
-  * output — is the real Spark plumbing a codec-backed decoder would
-  * drop into.
+  * Decode is REAL where the JDK ships a codec: PNG/JPEG/GIF/BMP
+  * through `javax.imageio` and WAV PCM through `javax.sound.sampled`
+  * — pixels and samples are actually decoded executor-side and the
+  * extracted features (dimensions, channel means, RMS, zero-crossing
+  * rate) are asserted against planted ground truth in MultimodalSpec.
+  * Formats with no JVM codec in this container (mp4/mkv/ogg video)
+  * fall back to `decodeStub`, a deterministic byte-level feature
+  * hash — the fallback is the documented stand-in, not the path.
   *
-  * Scale notes: records are processed with mapPartitions so a real
-  * decoder can amortize per-batch init (model load, codec context)
-  * across a partition; payloads never pass through the driver; the
-  * output schema is fixed-width so downstream ANN / dedup operators
+  * Scale notes: records are processed with mapPartitions so decoder
+  * init (ImageIO cache config, codec contexts) amortizes across a
+  * partition; payloads never pass through the driver; the output
+  * schema is fixed-width so downstream ANN / dedup operators
   * (VectorOps) consume it directly.
   */
 object Multimodal {
@@ -29,9 +31,10 @@ object Multimodal {
 
   val FeatureDim = 8
 
-  /** Deterministic fake decode: rolling FNV-1a over payload bytes,
-    * folded into FeatureDim buckets. A real implementation would
-    * decode pixels/samples here — same signature, same batch shape.
+  /** Deterministic byte-level fallback features: rolling FNV-1a over
+    * payload bytes, folded into FeatureDim buckets. Used only for
+    * formats with no JVM codec (mp4/mkv/ogg) or undecodable bytes —
+    * decodable images and WAV take the real codec paths above.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Long](FeatureDim)
@@ -46,12 +49,164 @@ object Multimodal {
     acc.map(v => (v.toDouble / n / (1L << 24)).toFloat)
   }
 
-  /** Container-format detection from magic bytes — the one part of
-    * media handling that needs NO codec, so unlike decode it is real,
-    * not stubbed: pure byte inspection, the first step of any ingest
-    * pipeline routing blobs to per-format decoders (ref treats media
-    * as opaque blobs; format sniffing follows the published magic
-    * numbers of each container).
+  // ---- real JDK codecs -------------------------------------------------------
+
+  /** ImageIO's default encode path writes through a disk-backed cache
+    * — pure memory streams are both faster and safe under executor
+    * thread pools. Set once per JVM.
+    */
+  private lazy val imageIoInit: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  final case class ImageInfo(width: Int, height: Int,
+                             meanR: Double, meanG: Double, meanB: Double)
+  final case class AudioInfo(sampleRateHz: Int, nFrames: Long,
+                             rms: Double, zeroCrossRate: Double)
+
+  /** Real image decode (PNG/JPEG/GIF/BMP — the JDK's ImageIO codecs):
+    * dimensions from the decoded raster, per-channel means over every
+    * pixel. None when no installed codec accepts the bytes.
+    */
+  def decodeImage(payload: Array[Byte]): Option[ImageInfo] = {
+    imageIoInit
+    if (payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var r, g, b = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        Some(ImageInfo(img.getWidth, img.getHeight,
+          r.toDouble / n, g.toDouble / n, b.toDouble / n))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Real WAV decode (javax.sound.sampled): sample rate and frame
+    * count from the header, RMS and zero-crossing rate from the
+    * decoded 16-bit PCM samples. None for non-PCM or non-WAV bytes.
+    */
+  def decodeWav(payload: Array[Byte]): Option[AudioInfo] = {
+    if (payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val bytes = ais.readAllBytes()
+        val le = !fmt.isBigEndian
+        var sumSq = 0.0; var zc = 0L; var prevNeg = false; var n = 0
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = (if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xff))
+                   else ((bytes(i) << 8) | (bytes(i + 1) & 0xff))).toShort
+          sumSq += s.toDouble * s
+          val neg = s < 0
+          if (n > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg; n += 1
+          i += 2 * fmt.getChannels            // first channel only
+        }
+        if (n == 0) None
+        else Some(AudioInfo(fmt.getSampleRate.toInt, ais.getFrameLength,
+          math.sqrt(sumSq / n) / 32768.0, zc.toDouble / n))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic PNG payload: pixels from a splitmix-style LCG of
+    * (seed, x, y) — real encoded bytes for the ingest side of the
+    * pipeline (this container has no media files; production replaces
+    * this generator with blob-store reads, nothing downstream cares).
+    */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var z = seed + x * 0x9e3779b97f4a7c15L + y * 0xc2b2ae3d27d4eb4fL
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 16 kHz mono 16-bit WAV payload: a seed-pitched sine
+    * with LCG dither (same role as [[encodePng]]).
+    */
+  def encodeWav(nFrames: Int, seed: Long, sampleRateHz: Int = 16000): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    val freq = 100.0 + (java.lang.Long.remainderUnsigned(seed, 800L)).toDouble
+    var i = 0
+    while (i < nFrames) {
+      var z = seed + i * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      val s = (math.sin(2 * math.Pi * freq * i / sampleRateHz) * 12000 +
+        (z % 512)).toInt.max(-32768).min(32767).toShort
+      pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRateHz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real nearest-neighbor image resize: decode, sample the source
+    * raster at exact NN coordinates (manual loop — deterministic,
+    * unlike interpolating Graphics2D hints), re-encode as PNG. None
+    * when the payload isn't a decodable image.
+    */
+  def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    imageIoInit
+    if (payload.isEmpty) return None
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (src == null) return None
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < targetH) {
+        val srcY = y * src.getHeight / targetH
+        var x = 0
+        while (x < targetW) {
+          out.setRGB(x, y, src.getRGB(x * src.getWidth / targetW, srcY))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Container-format detection from magic bytes — needs no codec:
+    * pure byte inspection, the first step of any ingest pipeline
+    * routing blobs to per-format decoders (ref treats media as opaque
+    * blobs; format sniffing follows the published magic numbers of
+    * each container).
     */
   def sniffFormat(payload: Array[Byte]): String = {
     def at(i: Int, bs: Int*): Boolean =
@@ -60,6 +215,7 @@ object Multimodal {
     if (at(0, 0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) "png"
     else if (at(0, 0xff, 0xd8, 0xff)) "jpeg"
     else if (at(0, 'G', 'I', 'F', '8')) "gif"
+    else if (at(0, 'B', 'M')) "bmp"
     else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'W', 'A', 'V', 'E')) "wav"
     else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'A', 'V', 'I', ' ')) "avi"
     else if (at(4, 'f', 't', 'y', 'p')) "mp4"
@@ -79,34 +235,76 @@ object Multimodal {
     h
   }
 
-  /** Attach a media payload + metadata to the documents table (the
-    * container has no real media files; text bytes stand in for the
-    * payload, which is exactly how an opaque blob column behaves).
+  /** One media record per document id: REAL encoded payloads — PNG
+    * pixels and WAV PCM produced by the JDK codecs, deterministic per
+    * id (the container has no media files; production replaces this
+    * generator with blob-store reads, nothing downstream cares).
+    * Video has no JVM codec, so those payloads are mp4-magic synthetic
+    * bytes — the one modality whose decode stays stubbed. Payloads are
+    * generated executor-side in mapPartitions: nothing media-sized
+    * ever crosses the driver.
     */
   def asMediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
-      .selectExpr(
-        "doc_id AS id",
-        "named_struct('modality', IF(doc_id % 3 = 0, 'image', IF(doc_id % 3 = 1, 'audio', 'video'))," +
-          " 'width', CAST(64 + (doc_id % 8) * 32 AS INT)," +
-          " 'height', CAST(64 + (doc_id % 5) * 32 AS INT)," +
-          " 'sampleRateHz', CAST(IF(doc_id % 3 = 1, 16000, 0) AS INT)) AS meta",
-        "CAST(text AS BINARY) AS payload")
-      .as[MediaRecord]
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id % 3) match {
+            case 0 =>
+              val w = 16 + (id % 8).toInt * 8
+              val h = 16 + (id % 5).toInt * 8
+              MediaRecord(id, MediaMeta("image", w, h, 0), encodePng(w, h, id))
+            case 1 =>
+              val n = 800 + (id % 10).toInt * 80
+              MediaRecord(id, MediaMeta("audio", 0, 0, 16000), encodeWav(n, id))
+            case _ =>
+              val body = new Array[Byte](256 + (id % 7).toInt * 64)
+              var i = 0
+              while (i < body.length) {
+                var z = id + i * 0x9e3779b97f4a7c15L
+                z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+                body(i) = z.toByte
+                i += 1
+              }
+              MediaRecord(id, MediaMeta("video", 32, 32, 0),
+                Array[Byte](0, 0, 0, 0x20) ++ "ftypisom".getBytes ++ body)
+          }
+        }
+      }
   }
 
   /** Partition-parallel batch feature extraction (the `mapInPandas`
     * analogue in Scala: one iterator per partition, decoder state
-    * initialized once per partition).
+    * initialized once per partition). Bytes are routed by sniffed
+    * container format to the matching REAL decoder; only formats with
+    * no JVM codec (or undecodable bytes) fall back to the stub's
+    * byte-level features. Feature layout (FeatureDim = 8):
+    *   image: [w, h, meanR/255, meanG/255, meanB/255, 0, 0, 1]
+    *   audio: [rateHz, frames, rms, zeroCrossRate, 0, 0, 0, 2]
+    *   other: decodeStub byte-hash features
     */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      // per-partition init point for a real decoder/codec context
+      imageIoInit                      // per-partition decoder init
       it.map { r =>
-        MediaFeatures(r.id, r.meta.modality, sniffFormat(r.payload),
-          r.payload.length.toLong, checksum(r.payload), decodeStub(r.payload))
+        val fmt = sniffFormat(r.payload)
+        val feats = fmt match {
+          case "png" | "jpeg" | "gif" | "bmp" =>
+            decodeImage(r.payload).map(im => Array(
+              im.width.toFloat, im.height.toFloat, (im.meanR / 255).toFloat,
+              (im.meanG / 255).toFloat, (im.meanB / 255).toFloat, 0f, 0f, 1f))
+              .getOrElse(decodeStub(r.payload))
+          case "wav" =>
+            decodeWav(r.payload).map(a => Array(
+              a.sampleRateHz.toFloat, a.nFrames.toFloat, a.rms.toFloat,
+              a.zeroCrossRate.toFloat, 0f, 0f, 0f, 2f))
+              .getOrElse(decodeStub(r.payload))
+          case _ => decodeStub(r.payload)
+        }
+        MediaFeatures(r.id, r.meta.modality, fmt,
+          r.payload.length.toLong, checksum(r.payload), feats)
       }
     }
   }
@@ -137,13 +335,19 @@ object Multimodal {
     out
   }
 
-  /** Resize every record to a fixed thumbnail; metadata follows. */
+  /** Resize every record to a fixed thumbnail; metadata follows.
+    * Decodable images go through the real pixel resize ([[resizeImage]],
+    * NN-sampled and re-encoded); everything else falls back to the
+    * raster-arithmetic stub.
+    */
   def resizeAll(records: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
+      imageIoInit
       it.map { r =>
-        val resized = resizeStub(r.payload, math.max(r.meta.width, 1),
-          math.max(r.meta.height, 1), targetW, targetH)
+        val resized = resizeImage(r.payload, targetW, targetH).getOrElse(
+          resizeStub(r.payload, math.max(r.meta.width, 1),
+            math.max(r.meta.height, 1), targetW, targetH))
         MediaRecord(r.id, r.meta.copy(width = targetW, height = targetH), resized)
       }
     }
