@@ -261,7 +261,11 @@ object TextOps {
       (r.getLong(0), r.getLong(1))
     }
     // large-star: symmetrize, m = min(neighborhood ∪ {self}); emit
-    // (v, m) for neighbors v > u. Output is oriented src > dst.
+    // (v, m) for neighbors v > u. Output is oriented src > dst. NOT
+    // deduplicated: smallStar's min-window is insensitive to duplicate
+    // rows and its own distinct() canonicalizes the round's output, so
+    // a distinct here would be a whole extra shuffle per round for
+    // nothing (the dup factor is bounded by the symmetrized degree).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       val w = Window.partitionBy(col("src"))
@@ -270,7 +274,6 @@ object TextOps {
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
     }
     // small-star: on src>dst-oriented edges, m = min of the smaller
     // neighborhood; reconnect the smaller neighbors and self to m.
@@ -282,15 +285,21 @@ object TextOps {
         .unionByName(withM.select(col("src"), col("m").as("dst")))
         .distinct()
     }
+    // LAZY localCheckpoint: the signature aggregate right after is the
+    // materializing action, so each round costs ONE Spark job (the
+    // eager variant spent a second job just to checkpoint — pure
+    // scheduler overhead that compounds across rounds, and the
+    // dominant cost of the whole query under load since the frames
+    // are |edges|-sized). Lineage still truncates at materialization,
+    // which is what keeps the per-round plan flat (largeStar
+    // references e twice, so an untruncated plan doubles per round).
     var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
     var sig = signature(e)
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged && rounds < 50) {
-      // localCheckpoint per round keeps lineage flat; the frames are
-      // |edges|-sized, never corpus-sized
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       if (!converged) rounds += 1
@@ -778,12 +787,14 @@ object TextOps {
       // cand is tiny (near-dup pairs only); checkpointing it collapses
       // the DAG — without this the signature subtree executes once for
       // the candDocs broadcast job and again inside the main job.
+      // LAZY checkpoint: the candDocs broadcast right below is the
+      // materializing action, so the truncation costs no job of its own.
       val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh")).as("a")
         .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")).as("b"),
           Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
       val inv = shingles.join(broadcast(candDocs), Seq("doc_id"))
