@@ -87,6 +87,33 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("weighted sampling broadcasts the rate table and prunes text from the scan") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // neither the rate aggregate nor the probe needs the text column
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("text"), reads)
+  }
+
+  test("decontamination broadcasts the eval-gram set and combines map-side") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final count
+  }
+
+  test("boilerplate detection broadcasts per-source doc counts") {
+    val p = plan("q_text_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("repetition stats aggregate partially before both shuffles") {
+    val p = plan("q_text_repetition")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // two partial+final pairs
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("IVF query reads the materialized inverted file, training nothing") {
     val p = plan("q_ann_ivf")
     // partition pruning on the cid directories = probing P of K
