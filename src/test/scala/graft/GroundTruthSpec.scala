@@ -371,4 +371,33 @@ class GroundTruthSpec extends AnyFunSuite {
     val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("decontamination flags exactly the hand-computed 8-gram overlaps") {
+    import spark.implicits._
+    // hand-built corpus where every shared 8-gram is countable on
+    // paper: doc 50 is the eval slice (id % 50 == 0); doc 1 is its
+    // exact copy (12 tokens = 5 distinct 8-grams, all shared), doc 2
+    // copies only the first 9 tokens (windows 0 and 1 shared = 2),
+    // doc 3 is disjoint, doc 100 is a second eval doc sharing nothing
+    val w = (1 to 12).map(i => f"w$i%02d")
+    val x = (1 to 12).map(i => s"x$i")
+    val docs = Seq(
+      (50L,  w.mkString(" ")),
+      (1L,   w.mkString(" ")),
+      (2L,   (w.take(9) ++ Seq("y1", "y2", "y3")).mkString(" ")),
+      (3L,   x.mkString(" ")),
+      (100L, (1 to 12).map(i => s"z$i").mkString(" ")))
+    val dir = Files.createTempDirectory("graft-decont").toString
+    try {
+      docs.map { case (id, t) => (id, t, "en", "srcT", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q_decontaminate")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 5L, 2L -> 2L), s"got $got")
+    } finally {
+      graft.queries.TextOps.releaseCaches()
+      graft.engine.Persist.deleteRecursively(Paths.get(dir))
+    }
+  }
 }
