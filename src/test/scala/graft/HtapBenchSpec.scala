@@ -25,9 +25,17 @@ class HtapBenchSpec extends AnyFunSuite {
       phases.foreach(p => assert(p.ops > 0, s"phase ${p.name} did no work"))
       val hot = phases.find(_.name == "point_hot").get
       val cold = phases.find(_.name == "point_cold").get
-      // the driver-side hot path must beat the Spark-job cold path
-      assert(hot.opsPerSec > cold.opsPerSec * 10,
-        s"hot ${hot.opsPerSec} not >> cold ${cold.opsPerSec}")
+      val agg = phases.find(_.name == "agg_sum").get
+      // since the r5/r6 metadata + row caches, BOTH point paths are
+      // driver-side (no Spark job): hot (in-memory map) still beats
+      // cold (file-backed caches), but the orders-of-magnitude gap is
+      // now between any point path and the job-based OLAP phases —
+      // asserting hot >> cold would re-demand the pre-cache design
+      // (and flaked under parallel-suite CPU contention)
+      assert(hot.opsPerSec > cold.opsPerSec,
+        s"hot ${hot.opsPerSec} not > cold ${cold.opsPerSec}")
+      assert(cold.opsPerSec > agg.opsPerSec * 10,
+        s"cold point path ${cold.opsPerSec} not >> job-based agg ${agg.opsPerSec}")
     } finally {
       graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
     }
