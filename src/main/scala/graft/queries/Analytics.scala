@@ -497,6 +497,63 @@ object Analytics {
         .orderBy(col("win_start"), col("event_type"))
     },
 
+    // ---- ordered funnel: view -> click -> purchase ---------------------------
+    // Per-user first-occurrence timestamps via conditional min (one
+    // partial-aggregated shuffle keyed by user), then ordering
+    // constraints as NULL-safe comparisons and one global count —
+    // the classic funnel without self-joins, so no per-stage pass
+    // over the events table.
+    "q_funnel" -> Q(
+      """WITH f AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events GROUP BY user_id)
+         SELECT count(*) AS n_view,
+                count(CASE WHEN t_click > t_view THEN 1 END) AS n_click,
+                count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS n_purchase
+         FROM f WHERE t_view IS NOT NULL""") { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .filter(col("t_view").isNotNull)
+        .agg(
+          count(lit(1)).as("n_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("n_click"),
+          count(when(col("t_purchase") > col("t_click") &&
+            col("t_click") > col("t_view"), 1)).as("n_purchase"))
+    },
+
+    // ---- day-over-day retention ----------------------------------------------
+    // Distinct active (user, day) pairs self-joined one day forward:
+    // the join keys are (user_id, day+1) = (user_id, day), a plain
+    // hash-partitioned equi-join on pairs already deduped to at most
+    // |users|x|days| rows — never the raw event stream.
+    "q_retention" -> Q(
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+         SELECT strftime(a.day, '%Y-%m-%d') AS day, count(*) AS active,
+                count(b.user_id) AS retained
+         FROM days a LEFT JOIN days b
+           ON a.user_id = b.user_id AND b.day = a.day + 1
+         GROUP BY a.day ORDER BY day""") { (s, d) =>
+      val days = t(s, d, "events")
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .distinct()
+      days.as("a").join(days.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.day") === date_add(col("a.day"), 1), "left")
+        .groupBy(col("a.day"))
+        .agg(count(lit(1)).as("active"), count(col("b.user_id")).as("retained"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("active"), col("retained"))
+        .orderBy(col("day"))
+    },
+
     // sessionization: 30-minute inactivity gap, per user.
     "q_sessionize" -> Q(
       """SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (

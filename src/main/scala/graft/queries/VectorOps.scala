@@ -92,6 +92,25 @@ object VectorOps {
   val all: Map[String, Q] = Map(
 
     // ---- brute-force cosine top-k -----------------------------------------
+    // ---- per-row embedding norms (the one ORACLE-CHECKED vector op) -------
+    // Row-wise L2 norms are order-independent float math: both engines
+    // fold the SAME 64 doubles left-to-right (the native dot_product
+    // kernel indexes sequentially; DuckDB's list_sum aggregates in
+    // list order), so unlike every cross-row float aggregate this
+    // hash-matches exactly. Map-only, codegen'd via the native kernel.
+    "q_embed_norm" -> Q(
+      """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+         FROM embeddings ORDER BY vec_id""") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      graft.Tables.t(s, d, "embeddings")
+        .selectExpr("vec_id", "label",
+          "CAST(size(embedding) AS BIGINT) AS dim",
+          "sqrt(dot_product(CAST(embedding AS array<double>), CAST(embedding AS array<double>))) AS l2_norm")
+        .orderBy(col("vec_id"))
+    },
+
     "q_ann_brute" -> Q.noOracle { (s, d) =>
       val corpus  = registered(s, d)
       val queries = corpus.filter(col("vec_id") < 10)
