@@ -392,6 +392,69 @@ object TextOps {
         .orderBy(col("bucket"))
     },
 
+    // ---- corpus vocabulary: Zipf head by term frequency -------------------
+    // Drives stopword lists, tokenizer sanity checks, and the df
+    // cutoffs used elsewhere in this file. One partial-aggregated
+    // shuffle keyed by token: the aggregate output is VOCABULARY-
+    // sized (millions of rows at 100 TB), not corpus-sized, so the
+    // final global top-100 sort is trivial. The distinct-doc count
+    // rides the same shuffle as a two-phase distinct aggregate.
+    "q_vocab_topk" -> Q(
+      """WITH toks AS (SELECT doc_id,
+              unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+            FROM documents)
+         SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM toks GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""") { (s, d) =>
+      toksFrame(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("tok"))
+        .limit(100)
+    },
+
+    // ---- per-document TF-IDF keywords --------------------------------------
+    // Keyword extraction: tf·ln(N/df) per (doc, term), top 3 per doc.
+    // Scores are rounded to 6 decimals on BOTH sides BEFORE ranking —
+    // Java's Math.log and libm's std::log are each <1 ulp but not
+    // guaranteed bit-identical, and rounding first also merges
+    // analytic ties (2·ln10 = ln100) so the term tie-break decides
+    // identically in both engines. df comes from a count window OVER
+    // the (doc,term) aggregate — not a self-join, which would compute
+    // the tf aggregate twice and shuffle both copies. Three keyed
+    // exchanges total ((doc,term) agg → by-term window → per-doc
+    // window); every intermediate is vocabulary- or corpus-row-sized,
+    // never pairs.
+    "q_tfidf_topterms" -> Q(
+      """WITH toks AS (SELECT doc_id,
+              unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+            FROM documents),
+           tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+           dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+           n AS (SELECT count(*) AS n FROM documents),
+           ranked AS (
+             SELECT tf.doc_id, tf.tok,
+                    round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfs.df), 6) AS tfidf,
+                    row_number() OVER (PARTITION BY tf.doc_id
+                        ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfs.df), 6) DESC,
+                                 tf.tok) AS rank
+             FROM tf JOIN dfs ON tf.tok = dfs.tok CROSS JOIN n)
+         SELECT doc_id, rank, tok, tfidf
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""") { (s, d) =>
+      val n = nDocs(s, d)
+      val tf = toksFrame(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+        .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     // ---- sequence packing ---------------------------------------------------
     // Assign documents to fixed-token-budget training sequences: the
     // running token count within each source stream determines which
@@ -674,6 +737,34 @@ object TextOps {
     // the identical cutoff. The hot-shingle set is tiny by construction
     // (≤ |shingles| / maxDf entries) → broadcast anti-join, no shuffle
     // of the inverted index.
+    // ---- duplicate-shingle share: per-doc inter-document dup signal -------
+    // Gopher/MassiveText-style quality rule: the fraction of a doc's
+    // distinct 3-gram shingles that also occur in ANY other document.
+    // High shares flag boilerplate and templated spam before pairwise
+    // dedup even runs. df comes from a count window over the shared
+    // memoized shingle frame (one by-shingle exchange, no self-join),
+    // then one per-doc aggregate; the n_shared/n_grams division is a
+    // single IEEE op on two integers, so it hash-matches the oracle
+    // with no rounding.
+    "q_dup_gram_share" -> Q(
+      s"""$ngCte,
+          sh AS (SELECT doc_id, unnest(ng) AS sh FROM docs),
+          dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+          SELECT s.doc_id,
+                 count(*) AS n_grams,
+                 count(*) FILTER (dfs.df > 1) AS n_shared,
+                 CAST(count(*) FILTER (dfs.df > 1) AS DOUBLE) / count(*) AS shared_frac
+          FROM sh s JOIN dfs ON s.sh = dfs.sh
+          GROUP BY s.doc_id ORDER BY s.doc_id""") { (s, d) =>
+      shingleRows(s, d)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+             count(when(col("df") > 1, lit(1))).as("n_shared"))
+        .withColumn("shared_frac", col("n_shared").cast("double") / col("n_grams"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_dedup_ngram" -> Q(
       s"""$ngCte,
           inv0 AS (SELECT doc_id, unnest(ng) AS sh FROM docs),

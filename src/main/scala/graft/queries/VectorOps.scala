@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * trains or projects anything over the corpus — index construction
   * happens once, in AnnIndex.
   *
-  * Engine-specific float math → rows-only checks (no DuckDB oracle).
-  * Recall gates vs the brute-force baseline, and a sub-quadratic
-  * candidate-volume gate, live in VectorOpsSpec.
+  * q_knn_exact and q_embed_norm are ORACLE-CHECKED (their double
+  * math reproduces DuckDB's operation order bit-for-bit); the
+  * engine-specific LSH/IVF paths are rows-only with recall gates vs
+  * the brute-force baseline and a sub-quadratic candidate-volume
+  * gate in VectorOpsSpec.
   */
 object VectorOps {
 
@@ -91,8 +93,7 @@ object VectorOps {
 
   val all: Map[String, Q] = Map(
 
-    // ---- brute-force cosine top-k -----------------------------------------
-    // ---- per-row embedding norms (the one ORACLE-CHECKED vector op) -------
+    // ---- per-row embedding norms (oracle-checked) -------------------------
     // Row-wise L2 norms are order-independent float math: both engines
     // fold the SAME 64 doubles left-to-right (the native dot_product
     // kernel indexes sequentially; DuckDB's list_sum aggregates in
@@ -109,6 +110,44 @@ object VectorOps {
           "CAST(size(embedding) AS BIGINT) AS dim",
           "sqrt(dot_product(CAST(embedding AS array<double>), CAST(embedding AS array<double>))) AS l2_norm")
         .orderBy(col("vec_id"))
+    },
+
+    // ---- exact KNN (ORACLE-CHECKED similarity-search baseline) -------------
+    // The one neighbor query with a full DuckDB oracle: cosine is
+    // computed in DOUBLE with the exact operation order DuckDB's
+    // list_cosine_similarity uses — sequential dot/norm accumulation
+    // (VectorKernels loops left-to-right like DuckDB's element loop),
+    // then dot / (sqrt(nx)·sqrt(ny)) — so scores are BIT-identical
+    // across engines and the ranking needs no rounding. Norms are
+    // computed once per ROW, not per pair (n+q norm loops instead of
+    // n·q); the query side is broadcast, so the corpus streams
+    // through a single scan with no shuffle before the per-query
+    // top-k window.
+    "q_knn_exact" -> Q(
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              ranked AS (
+                SELECT q.q_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score,
+                       row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                                    e.vec_id) AS rank
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.q_id)
+         SELECT q_id, rank, neighbor_id, score
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""") { (s, d) =>
+      val withNorm = registered(s, d)
+        .selectExpr("vec_id", "v", "sqrt(dot_product(v, v)) AS nv")
+      val qs = withNorm.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      withNorm.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id", "dot_product(v, qv) / (nv * nq) AS score")
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
+        .orderBy(col("q_id"), col("rank"))
     },
 
     "q_ann_brute" -> Q.noOracle { (s, d) =>

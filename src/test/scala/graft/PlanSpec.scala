@@ -114,6 +114,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("exact KNN broadcasts queries and scores via the native kernels") {
+    val p = plan("q_knn_exact")
+    // the query side is broadcast (corpus never shuffles before
+    // scoring) and both dot products run the codegen'd kernel
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("dot_product"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
+  test("vocabulary top-k aggregates partially and prunes text from the final sort") {
+    val p = plan("q_vocab_topk")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final pair
+    // top-100 is a TakeOrderedAndProject over vocab-sized aggregate
+    // output, never a global sort of token rows
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tf-idf derives df from a window over the tf aggregate, not a self-join") {
+    val p = plan("q_tfidf_topterms")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("duplicate-shingle share windows over the shared shingle frame, no self-join") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    val df = SparkEntry.queries("q_dup_gram_share")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+    spark.catalog.clearCache()
+  }
+
   test("IVF query reads the materialized inverted file, training nothing") {
     val p = plan("q_ann_ivf")
     // partition pruning on the cid directories = probing P of K
