@@ -248,11 +248,26 @@ object TextOps {
     * per round (count + order-independent hash-sum), not a separate
     * isEmpty job over relabeled data.
     *
+    * Hybrid routing (the same design as the engine's no-Spark-job
+    * point-lookup path): a DRIVER-SIDE union-find serves edge sets
+    * below `driverMax` — near-dup edge sets are usually a vanishing
+    * fraction of the corpus, and a Spark job per contraction round is
+    * the wrong tool for a driver-sized graph (each round costs fixed
+    * scheduler latency regardless of size). The distributed loop is
+    * the ≥ driverMax path, where the edge set itself no longer fits
+    * one machine. Both paths produce the identical min-root labeling
+    * (union-by-min keeps every component rooted at its minimum), and
+    * the equivalence is spec-gated on the same fixtures.
+    *
     * @param edges (src, dst) pairs, any orientation, self-loops ignored
+    * @param driverMax edge-count cutoff for the driver-side fast path
+    *        (default 1M edges ≈ 16 MB collected; pass -1 to force the
+    *        distributed loop)
     * @return ((node, root) for every node present in `edges`,
-    *         changed-rounds until the fixed point)
+    *         changed-rounds until the fixed point — 0 on the driver path)
     */
-  private[graft] def starComponents(edges: DataFrame): (DataFrame, Int) = {
+  private[graft] def starComponents(edges: DataFrame,
+                                    driverMax: Long = 1L << 20): (DataFrame, Int) = {
     def signature(e: DataFrame): (Long, Long) = {
       // bit_xor: order-independent like sum but overflow-free under
       // ANSI mode (edges are distinct, so xor can't self-cancel a dup)
@@ -296,6 +311,30 @@ object TextOps {
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
     var sig = signature(e)
+    if (sig._1 <= driverMax) {
+      // union-by-min with path compression: find() returns the
+      // component minimum because every union attaches the larger
+      // root UNDER the smaller one
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      val collected = e.collect()
+      collected.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = collected.iterator
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toArray.distinct
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return (nodes.map(n => (n, find(n))).toSeq.toDF("node", "root"), 0)
+    }
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged && rounds < 50) {

@@ -91,6 +91,16 @@ object VectorOps {
     topPairs.fold(scored)(scored.limit)
   }
 
+  /** (vec_id, scale, qv: array<int>) — symmetric per-vector int8
+    * quantization, shared by the declared stats query and the
+    * quantized-search recall gate.
+    */
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
+    base(s, d)
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127"))
+      .withColumn("qv", expr("transform(v, x -> CAST(round(x / scale) AS INT))"))
+      .select(col("vec_id"), col("scale"), col("qv"))
+
   val all: Map[String, Q] = Map(
 
     // ---- per-row embedding norms (oracle-checked) -------------------------
@@ -148,6 +158,43 @@ object VectorOps {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---- int8 scalar quantization (oracle-checked) -------------------------
+    // The memory-side scale play for 100 TB of embeddings: symmetric
+    // per-vector int8 quantization (scale = max|x|/127) shrinks the
+    // corpus 4× (more with the norm factored out) while cosine ranking
+    // degrades only marginally — and because per-vector scales CANCEL
+    // in cosine, quantized search ranks by integer dot products alone
+    // (spec-gated recall vs q_knn_exact in VectorOpsSpec). The
+    // declared query emits per-vector quantization stats; it is
+    // MAP-ONLY — one scan, zero shuffles (the per-element lambdas are
+    // interpreted, but a no-shuffle single pass beats a codegen
+    // pipeline that shuffles 64× exploded component rows twice).
+    // Integer aggregates make it oracle-exact; the scale double is the
+    // same max/127 division in both engines, and round-half-up on the
+    // decimal repr equals round-half-away on the binary double, so
+    // every quantized level matches.
+    "q_quantize_int8" -> Q(
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale
+                    FROM embeddings),
+              q AS (SELECT vec_id, scale,
+                           list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+                    FROM s)
+         SELECT vec_id, scale,
+                CAST(list_sum(qv) AS BIGINT) AS sum_q,
+                CAST(list_sum(list_transform(qv, e -> CAST(e AS BIGINT) * e)) AS BIGINT) AS sum_q2,
+                CAST(len(list_filter(qv, e -> abs(e) = 127)) AS BIGINT) AS n_sat,
+                CAST(len(list_filter(qv, e -> e = 0)) AS BIGINT) AS n_zero
+         FROM q ORDER BY vec_id""") { (s, d) =>
+      quantized(s, d)
+        .selectExpr("vec_id", "scale",
+          "aggregate(qv, 0L, (a, e) -> a + e) AS sum_q",
+          "aggregate(qv, 0L, (a, e) -> a + CAST(e AS BIGINT) * e) AS sum_q2",
+          "CAST(size(filter(qv, e -> abs(e) = 127)) AS BIGINT) AS n_sat",
+          "CAST(size(filter(qv, e -> e = 0)) AS BIGINT) AS n_zero")
+        .orderBy(col("vec_id"))
     },
 
     "q_ann_brute" -> Q.noOracle { (s, d) =>

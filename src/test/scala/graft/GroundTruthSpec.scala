@@ -358,7 +358,9 @@ class GroundTruthSpec extends AnyFunSuite {
     // close it in log2(64) = 6 changed rounds, with the same keep-list
     val n = 64
     val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
-    val (labels, rounds) = graft.queries.TextOps.starComponents(chain)
+    // driverMax = -1 forces the distributed loop (the default would
+    // route 63 edges to the driver-side union-find)
+    val (labels, rounds) = graft.queries.TextOps.starComponents(chain, driverMax = -1L)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n)
     (0 until n).foreach(i => assert(got(i.toLong) == 0L, s"node $i root ${got(i.toLong)}"))
@@ -367,9 +369,30 @@ class GroundTruthSpec extends AnyFunSuite {
 
     // multi-component + reversed orientation + self-loop shape check
     val mixed = Seq((12L, 11L), (11L, 10L), (20L, 21L), (5L, 5L)).toDF("src", "dst")
-    val (l2, _) = graft.queries.TextOps.starComponents(mixed)
+    val (l2, _) = graft.queries.TextOps.starComponents(mixed, driverMax = -1L)
     val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("driver-side union-find matches the distributed contraction exactly") {
+    import spark.implicits._
+    // both routing paths of starComponents must emit the identical
+    // min-root labeling: chain (worst-case diameter), multi-component
+    // mix, reversed orientations, self-loops, and a random graph
+    val rnd = new scala.util.Random(7)
+    val random = (0 until 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    val fixtures = Seq(
+      (0 until 63).map(i => (i.toLong, (i + 1).toLong)),
+      Seq((12L, 11L), (11L, 10L), (20L, 21L), (5L, 5L)),
+      random)
+    fixtures.foreach { edges =>
+      val df = edges.toDF("src", "dst")
+      val fast = graft.queries.TextOps.starComponents(df)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = graft.queries.TextOps.starComponents(df, driverMax = -1L)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"paths diverge on ${edges.take(8)}…")
+    }
   }
 
   test("decontamination flags exactly the hand-computed 8-gram overlaps") {

@@ -45,6 +45,46 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(mean >= 0.8, f"mean recall $mean%.3f < 0.8 (per-query: $recalls)")
   }
 
+  test("int8-quantized search keeps recall and cosine accuracy vs exact") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    // per-vector scales cancel in cosine, so quantized ranking uses
+    // the int vectors alone — the property that makes int8 the 4×
+    // memory play at corpus scale
+    val qz = graft.queries.VectorOps.quantized(spark, sfDir)
+      .selectExpr("vec_id", "CAST(qv AS array<double>) AS v")
+    val qs = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val quantTop = qz.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id", "cosine_sim(qv, v) AS cosine")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk("q_knn_exact")
+    val recalls = exact.map { case (q, es) =>
+      quantTop.getOrElse(q, Set.empty[Long]).intersect(es).size.toDouble / es.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"int8 top-5 mean recall $mean%.3f")
+    assert(mean >= 0.8, f"int8 recall $mean%.3f < 0.8 (per-query: $recalls)")
+
+    // quantized cosine tracks exact cosine closely on random pairs
+    val both = graft.queries.AnnIndex.base(spark, sfDir)
+      .join(qz.withColumnRenamed("v", "qvec"), Seq("vec_id"))
+      .filter(col("vec_id") < 200)
+    val errs = both.as("a").crossJoin(both.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("abs(cosine_sim(a.v, b.v) - cosine_sim(a.qvec, b.qvec)) AS err")
+      .agg(org.apache.spark.sql.functions.max(col("err"))).head().getDouble(0)
+    info(f"max |cos_int8 - cos_exact| = $errs%.4f over 19.9k pairs")
+    assert(errs <= 0.05, f"quantized cosine error $errs%.4f > 0.05")
+  }
+
   test("LSH candidate generation is sub-quadratic (bounded candidate volume)") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
     import graft.queries.AnnIndex
