@@ -75,6 +75,51 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-duplicate suppression: banded MinHash-LSH as a
+    * chain of bounded-state dedups. The 16-slot minhash signature over
+    * word-3-gram shingles is computed entirely INSIDE each row (array
+    * transforms over the token list — map-only, no shuffle, no
+    * stateful aggregation), grouped into 4 bands of 4 rows, and each
+    * band key gets its own `dropDuplicatesWithinWatermark` stage.
+    * Chaining the per-band dedups gives OR semantics — a doc is
+    * suppressed if ANY band collides with an earlier doc — i.e. the
+    * batch q_dedup_minhash S-curve (p = 1-(1-J^4)^4), with per-band
+    * state that ages out at the watermark like the exact-dedup path.
+    * Unrelated docs never share a band (4 independent 64-bit minima
+    * must all agree), so false drops are vanishing.
+    *
+    * Shingle-less docs (< 3 tokens) band on the raw text hash —
+    * i.e. exact-dedup fallback, never a shared NULL key.
+    * Hash family derivation matches the batch pipeline: one base
+    * xxhash64 per shingle, re-hashed with the family index.
+    */
+  def nearDedupDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    (0 until 4).foldLeft(bandKeys(docs).withWatermark("ts", watermark)) { (df, k) =>
+      df.dropDuplicatesWithinWatermark(s"band$k")
+    }
+
+  /** The per-row banded-signature projection behind [[nearDedupDocs]]:
+    * adds band0..band3 to `docs`. Works on batch frames too — which is
+    * both how the spec derives its exact expected keep set and how a
+    * backfill would compute the same keys the stream dedups on.
+    */
+  def bandKeys(docs: DataFrame): DataFrame = {
+    val withSh = docs
+      .withColumn("toks", expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+      .withColumn("sh", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+             transform(sequence(0, size(toks) - 3),
+                       i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+           ELSE array(xxhash64(text)) END"""))
+    val sigs = (0 until 16).map(j =>
+      expr(s"array_min(transform(sh, h -> xxhash64(h, $j)))").as(s"s$j"))
+    (0 until 4).foldLeft(withSh.select(col("*") +: sigs: _*)) { (df, k) =>
+      df.withColumn(s"band$k", xxhash64(
+        col(s"s${4 * k}"), col(s"s${4 * k + 1}"),
+        col(s"s${4 * k + 2}"), col(s"s${4 * k + 3}")))
+    }.drop("toks", "sh").drop((0 until 16).map(j => s"s$j"): _*)
+  }
+
   case class Evt(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Int)

@@ -88,6 +88,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup suppresses banded-LSH collisions, keeps distinct docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // long doc + one-token mutation → near-identical shingle sets; the
+    // expected keep set is derived from the SAME band keys computed in
+    // batch (any band shared with an earlier doc = suppressed), so the
+    // assertion is exact regardless of hash luck
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "mutated")
+    val distinct1 = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base, ts(0)), (2L, base, ts(1)),      // exact dup of 1
+      (3L, nearDup, ts(2)),                                    // near dup of 1
+      (4L, distinct1, ts(3)), (5L, "tiny doc", ts(4)))         // distinct; shingle-less
+    // exact expected keep set from the batch band keys: a doc is kept
+    // iff none of its 4 band keys appeared on an earlier doc
+    val bands = Streams.bandKeys(docs.toDF("doc_id", "text", "ts"))
+      .select("doc_id", "band0", "band1", "band2", "band3")
+      .collect().sortBy(_.getLong(0))
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSet)
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val expected = bands.collect {
+      case (id, bs) if bs.intersect(seen).isEmpty => seen ++= bs; id
+    }.toSet
+    assert(expected.contains(1L) && !expected.contains(2L) && !expected.contains(3L),
+      s"fixture should make docs 2,3 collide with 1: $expected")
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.nearDedupDocs(
+      src.toDF().toDF("doc_id", "text", "ts"), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ndd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one micro-batch per doc: arrival order (the truth's priority
+      // order) is then deterministic — within a single batch the
+      // survivor per band key is partition-order-dependent
+      docs.foreach { d => src.addData(d); q.processAllAvailable() }
+      val ids = spark.sql("SELECT doc_id FROM ndd").collect().map(_.getLong(0)).toSet
+      assert(ids == expected, s"got $ids, batch-derived truth $expected")
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions by inactivity gap and by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
