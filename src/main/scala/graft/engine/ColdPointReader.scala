@@ -97,6 +97,17 @@ object ColdPointReader {
   private val tierCache =
     scala.collection.concurrent.TrieMap.empty[String, Vector[FileMeta]]
 
+  /** Dirs whose tiers were GC'd: a listing computed concurrently with
+    * the eviction must not re-insert dead metadata (the compute inside
+    * a plain getOrElseUpdate could finish AFTER evictTiers removed the
+    * entry and win the insert — a stale FileMeta vector nothing evicts
+    * again). Retired dirs are never cached again; tier paths embed a
+    * monotonic seq and are not re-minted in-process, so this costs
+    * nothing on live paths, and the set grows only with compaction
+    * churn — the same rate the evicted cache entries themselves did.
+    */
+  private val retired = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   /** Bounded LRU row cache, keyed (tier file, pk) → that FILE's verdict
     * for the key (hit with version, or definitive absence). Tier files
     * are immutable, so entries can never go stale: a newer version of
@@ -119,6 +130,7 @@ object ColdPointReader {
     */
   def invalidateCache(): Unit = {
     tierCache.clear()
+    retired.clear()   // full reset: retired paths may be reused across test engines
     rowCache.synchronized(rowCache.clear())
   }
 
@@ -132,11 +144,16 @@ object ColdPointReader {
   private[graft] def tierCached(dir: String): Boolean = tierCache.contains(dir)
 
   def evictTiers(dirs: Iterable[String]): Unit = {
-    dirs.foreach(tierCache.remove)
+    // retire BEFORE removing: tierFiles double-checks `retired` after
+    // any insert, so an in-flight listing that loses the race undoes
+    // its own re-insert (see `retired` scaladoc)
+    dirs.foreach { d => retired.put(d, ()); tierCache.remove(d) }
     // rowCache keys are fully-qualified Hadoop paths (file:/…) while
-    // coldDirs may be relative — normalize both sides to absolute bare
-    // paths so the prefix match holds regardless of how the engine was
-    // configured (a relative dataDir must not silently no-op eviction)
+    // coldDirs may be relative — normalize the HANDFUL of prefix dirs
+    // through NIO, but keep the per-key side to a cheap scheme strip:
+    // listStatus already returned the keys absolute and normalized,
+    // and running Paths.get over 64k keys inside the lock would stall
+    // every concurrent point read for the duration of a tier GC.
     def bare(p: String) =
       java.nio.file.Paths.get(p.stripPrefix("file:"))
         .toAbsolutePath.normalize.toString
@@ -147,7 +164,9 @@ object ColdPointReader {
       val it = rowCache.keySet.iterator()
       while (it.hasNext) {
         val (file, _) = it.next()
-        if (prefixes.exists(bare(file).startsWith)) it.remove()
+        var f = file.stripPrefix("file:")
+        while (f.startsWith("//")) f = f.substring(1)   // file:///x form
+        if (prefixes.exists(f.startsWith)) it.remove()
       }
     }
   }
@@ -164,33 +183,44 @@ object ColdPointReader {
       // removes again. Live dirs always exist, so the uncached miss
       // costs one fs.exists on a path that shouldn't be consulted anyway.
       if (!fs.exists(d)) Vector.empty
-      else tierCache.getOrElseUpdate(dir, fs.listStatus(d).toVector
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .map { st =>
-          val range =
-            try {
-              footersParsed.incrementAndGet()
-              val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      else {
+        val listing = fs.listStatus(d).toVector
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val range =
               try {
-                import scala.jdk.CollectionConverters._
-                val stats = r.getFooter.getBlocks.asScala.toVector.flatMap { b =>
-                  b.getColumns.asScala.find(
-                    _.getPath.toDotString == m.cols(m.pkIndex).name)
-                    .filter(c => c.getStatistics != null && !c.getStatistics.isEmpty
-                      && c.getStatistics.hasNonNullValue)
-                    .map(_.getStatistics)
-                }
-                if (stats.isEmpty) None
-                else {
-                  val mins = stats.map(s => statValue(m, s.genericGetMin))
-                  val maxs = stats.map(s => statValue(m, s.genericGetMax))
-                  Some((mins.minBy(identity)(ordering(m)),
-                    maxs.maxBy(identity)(ordering(m))))
-                }
-              } finally r.close()
-            } catch { case _: java.io.IOException => None }
-          FileMeta(st.getPath, range)
-        })
+                footersParsed.incrementAndGet()
+                val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+                try {
+                  import scala.jdk.CollectionConverters._
+                  val stats = r.getFooter.getBlocks.asScala.toVector.flatMap { b =>
+                    b.getColumns.asScala.find(
+                      _.getPath.toDotString == m.cols(m.pkIndex).name)
+                      .filter(c => c.getStatistics != null && !c.getStatistics.isEmpty
+                        && c.getStatistics.hasNonNullValue)
+                      .map(_.getStatistics)
+                  }
+                  if (stats.isEmpty) None
+                  else {
+                    val mins = stats.map(s => statValue(m, s.genericGetMin))
+                    val maxs = stats.map(s => statValue(m, s.genericGetMax))
+                    Some((mins.minBy(identity)(ordering(m)),
+                      maxs.maxBy(identity)(ordering(m))))
+                  }
+                } finally r.close()
+              } catch { case _: java.io.IOException => None }
+            FileMeta(st.getPath, range)
+          }
+        // cache only dirs the GC has not retired, and double-check
+        // after the insert: evictTiers marks `retired` before clearing
+        // the cache, so losing the race here is always visible on the
+        // re-check and the entry removes itself
+        if (!retired.contains(dir)) {
+          tierCache.putIfAbsent(dir, listing)
+          if (retired.contains(dir)) tierCache.remove(dir)
+        }
+        listing
+      }
     }
 
   /** Stats are kept in their parquet-comparable representation: Str

@@ -88,7 +88,7 @@ object Multimodal {
         Some(ImageInfo(img.getWidth, img.getHeight,
           r.toDouble / n, g.toDouble / n, b.toDouble / n))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Real WAV decode (javax.sound.sampled): sample rate and frame
@@ -120,7 +120,7 @@ object Multimodal {
         else Some(AudioInfo(fmt.getSampleRate.toInt, ais.getFrameLength,
           math.sqrt(sumSq / n) / 32768.0, zc.toDouble / n))
       } finally ais.close()
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Deterministic PNG payload: pixels from a splitmix-style LCG of
@@ -199,7 +199,7 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", bos)
       Some(bos.toByteArray)
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Container-format detection from magic bytes — needs no codec:

@@ -121,17 +121,30 @@ object TextOps {
         .selectExpr(cols: _*)
     }
 
-  private def shingleRows(s: SparkSession, d: String): DataFrame = memoized(s, s"shingles:$d") {
-    val toks = toksFrame(s, d)
+  /** (doc_id, pos, g) word-n-gram rows — ONE gram builder for every
+    * n-gram consumer (3-gram shingles, winnowing 5-grams, 8-gram
+    * decontamination): exploded tokens + lead() windows, so the gram
+    * concat runs codegen'd, never as interpreted array lambdas. One
+    * row per gram START; docs shorter than n tokens contribute
+    * nothing (the trailing lead is NULL). Keeping a single tokenizer/
+    * window shape here is what keeps all gram pipelines in lockstep
+    * with the oracle CTEs.
+    */
+  private def gramRows(s: SparkSession, d: String, n: Int): DataFrame = {
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks
+    toksFrame(s, d)
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .select(col("doc_id"),
-        lead(col("tok"), 2).over(wLead).as("t2"),
-        concat_ws(" ", col("tok"),
-          lead(col("tok"), 1).over(wLead), lead(col("tok"), 2).over(wLead)).as("sh"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("pos"),
+        lead(col("tok"), n - 1).over(wLead).as("tlast"),
+        concat_ws(" ",
+          col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(wLead)): _*).as("g"))
+      .filter(col("tlast").isNotNull)
+      .select(col("doc_id"), col("pos"), col("g"))
+  }
+
+  private def shingleRows(s: SparkSession, d: String): DataFrame = memoized(s, s"shingles:$d") {
+    gramRows(s, d, 3)
+      .select(col("doc_id"), col("g").as("sh"))
       // the exploded-distinct output is the frame every consumer
       // branches from (df counts, anti-join sides, signature hashing,
       // co-count sides) — the memoized persist makes each branch read
@@ -158,15 +171,9 @@ object TextOps {
     * overlap gate.
     */
   private[graft] def winnowMinima(s: SparkSession, d: String): DataFrame = {
-    val toks = toksFrame(s, d).filter(size(col("toks")) >= 5)
-    val tokRows = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = tokRows.select(col("doc_id"), col("pos"),
-        lead(col("tok"), 4).over(wLead).as("t4"),
-        xxhash64(concat_ws(" ", col("tok"),
-          lead(col("tok"), 1).over(wLead), lead(col("tok"), 2).over(wLead),
-          lead(col("tok"), 3).over(wLead), lead(col("tok"), 4).over(wLead))).as("gh"))
-      .filter(col("t4").isNotNull)
+    val grams = gramRows(s, d, 5)
+      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("gh"))
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, 3)
     grams
@@ -548,8 +555,8 @@ object TextOps {
     // is BROADCAST: benchmarks are bounded (thousands of docs) while
     // the training corpus is the 100 TB side, so contamination checking
     // is one map-side semi-join + a partial-aggregated count, never a
-    // corpus-vs-corpus shuffle. The 8-gram window reuses the exploded-
-    // token + lead() shape of winnowMinima (codegen, no array lambdas).
+    // corpus-vs-corpus shuffle. The 8-grams come from the shared
+    // gramRows builder (codegen lead() windows, no array lambdas).
     "q_decontaminate" -> Q(
       """WITH docs AS (
            SELECT doc_id,
@@ -566,14 +573,7 @@ object TextOps {
          FROM inv i JOIN eval_g USING (g)
          WHERE i.doc_id % 50 <> 0
          GROUP BY 1 ORDER BY 1""") { (s, d) =>
-      val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val grams = toksFrame(s, d)
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-        .select(col("doc_id"),
-          lead(col("tok"), 7).over(wLead).as("t7"),
-          concat_ws(" ",
-            col("tok") +: (1 to 7).map(i => lead(col("tok"), i).over(wLead)): _*).as("g"))
-        .filter(col("t7").isNotNull)
+      val grams = gramRows(s, d, 8)
         .select(col("doc_id"), col("g")).distinct()
       grams.filter(col("doc_id") % 50 =!= 0)
         .join(broadcast(grams.filter(col("doc_id") % 50 === 0)

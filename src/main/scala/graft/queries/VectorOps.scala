@@ -97,7 +97,11 @@ object VectorOps {
     */
   private[graft] def quantized(s: SparkSession, d: String): DataFrame =
     base(s, d)
-      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127"))
+      // greatest(…, tiny) guards the all-zero vector (padding rows,
+      // failed encoders): 0/0 would be NaN and CAST(round(NaN) AS INT)
+      // throws under ANSI mode; with the floor, zero vectors quantize
+      // to zero. The oracle applies the identical guard.
+      .withColumn("scale", expr("greatest(array_max(transform(v, x -> abs(x))) / 127, 1e-300)"))
       .withColumn("qv", expr("transform(v, x -> CAST(round(x / scale) AS INT))"))
       .select(col("vec_id"), col("scale"), col("qv"))
 
@@ -177,7 +181,7 @@ object VectorOps {
     // every quantized level matches.
     "q_quantize_int8" -> Q(
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale
+                           greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127, 1e-300) AS scale
                     FROM embeddings),
               q AS (SELECT vec_id, scale,
                            list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv

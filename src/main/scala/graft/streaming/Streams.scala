@@ -81,12 +81,20 @@ object Streams {
     * transforms over the token list — map-only, no shuffle, no
     * stateful aggregation), grouped into 4 bands of 4 rows, and each
     * band key gets its own `dropDuplicatesWithinWatermark` stage.
-    * Chaining the per-band dedups gives OR semantics — a doc is
-    * suppressed if ANY band collides with an earlier doc — i.e. the
-    * batch q_dedup_minhash S-curve (p = 1-(1-J^4)^4), with per-band
-    * state that ages out at the watermark like the exact-dedup path.
-    * Unrelated docs never share a band (4 independent 64-bit minima
-    * must all agree), so false drops are vanishing.
+    * Chaining the per-band dedups gives at-least-OR semantics: a doc
+    * is suppressed if ANY band collides with a key already in that
+    * stage's state — at least the batch q_dedup_minhash S-curve
+    * (p ≥ 1-(1-J^4)^4), with per-band state that ages out at the
+    * watermark like the exact-dedup path. The chain is TRANSITIVELY
+    * suppressive: a doc dropped at stage k has already registered its
+    * stage-0..k-1 band keys (it was their first occurrence), so a
+    * later doc colliding with a DROPPED doc's early band is suppressed
+    * too — the same transitivity dedup clustering embraces
+    * (near-dup-of-a-near-dup is a dup), slightly more aggressive than
+    * pure pairwise OR against kept docs. The spec's expected keep set
+    * simulates exactly this chain over batch band keys. Unrelated
+    * docs never share a band (4 independent 64-bit minima must all
+    * agree), so false drops are vanishing.
     *
     * Shingle-less docs (< 3 tokens) band on the raw text hash —
     * i.e. exact-dedup fallback, never a shared NULL key.
@@ -96,7 +104,7 @@ object Streams {
   def nearDedupDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     (0 until 4).foldLeft(bandKeys(docs).withWatermark("ts", watermark)) { (df, k) =>
       df.dropDuplicatesWithinWatermark(s"band$k")
-    }
+    }.drop((0 until 4).map(k => s"band$k"): _*)   // internal keys, not payload
 
   /** The per-row banded-signature projection behind [[nearDedupDocs]]:
     * adds band0..band3 to `docs`. Works on batch frames too — which is

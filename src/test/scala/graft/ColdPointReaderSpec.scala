@@ -120,6 +120,33 @@ class ColdPointReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("a retired tier dir is never re-cached after eviction") {
+    // the insert race: a listing computed concurrently with evictTiers
+    // could win the cache insert after the eviction removed the entry;
+    // the observable contract is that a dir, once retired, stays
+    // uncached — lookups that still hold it in a stale coldDirs
+    // snapshot list it fresh instead of reviving dead metadata
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql("CREATE TABLE rt (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("rt", (1L to 20L).map(i => Array[Any](i, Int.box(i.toInt))))
+      e.forceFlush("rt")
+      val tierDir = e.storeOf("rt").coldDirs.head
+
+      ColdPointReader.invalidateCache()
+      assert(e.sql("SELECT v FROM rt WHERE id = 5").rows.head.head == "5")
+      assert(ColdPointReader.tierCached(tierDir), "precondition: live dir caches")
+
+      ColdPointReader.evictTiers(Seq(tierDir))
+      assert(!ColdPointReader.tierCached(tierDir))
+      // tier files still on disk (deferred GC window): the lookup works
+      // by listing fresh, but must not repopulate the cache
+      assert(e.sql("SELECT v FROM rt WHERE id = 5").rows.head.head == "5")
+      assert(!ColdPointReader.tierCached(tierDir),
+        "a retired dir must not re-enter the cache")
+    }
+  }
+
   test("newest-first early exit: a shadowed key reads one tier and wins LWW") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir), compactTrigger = 100)

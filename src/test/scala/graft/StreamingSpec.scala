@@ -101,15 +101,21 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Seq((1L, base, ts(0)), (2L, base, ts(1)),      // exact dup of 1
       (3L, nearDup, ts(2)),                                    // near dup of 1
       (4L, distinct1, ts(3)), (5L, "tiny doc", ts(4)))         // distinct; shingle-less
-    // exact expected keep set from the batch band keys: a doc is kept
-    // iff none of its 4 band keys appeared on an earlier doc
+    // exact expected keep set by simulating the chained per-band
+    // dedup over the batch band keys: a doc is dropped at the first
+    // stage whose key it has seen; it registers keys for every stage
+    // it PASSED (it was their first occurrence), whether ultimately
+    // kept or dropped — the transitively-suppressive chain semantics
     val bands = Streams.bandKeys(docs.toDF("doc_id", "text", "ts"))
       .select("doc_id", "band0", "band1", "band2", "band3")
       .collect().sortBy(_.getLong(0))
-      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSet)
-    val seen = scala.collection.mutable.Set.empty[Long]
-    val expected = bands.collect {
-      case (id, bs) if bs.intersect(seen).isEmpty => seen ++= bs; id
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong))
+    val seen = Seq.fill(4)(scala.collection.mutable.Set.empty[Long])
+    val expected = bands.flatMap { case (id, bs) =>
+      (0 until 4).find(k => seen(k).contains(bs(k))) match {
+        case Some(k) => (0 until k).foreach(j => seen(j) += bs(j)); None
+        case None    => (0 until 4).foreach(j => seen(j) += bs(j)); Some(id)
+      }
     }.toSet
     assert(expected.contains(1L) && !expected.contains(2L) && !expected.contains(3L),
       s"fixture should make docs 2,3 collide with 1: $expected")
