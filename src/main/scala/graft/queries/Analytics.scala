@@ -326,6 +326,28 @@ object Analytics {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // ---- distribution windows: quartiles + percentile position ------------
+    // ntile/percent_rank per priority class — the window pair behind
+    // per-group percentile bucketing. The ORDER BY is made TOTAL with
+    // the pk tie-break, so rank (and thus percent_rank's (r-1)/(n-1)
+    // integer division, bit-identical across engines) is deterministic
+    // and no rounding is needed.
+    "q_window_ntile" -> Q(
+      """SELECT o_orderkey, o_orderpriority,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pr
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          percent_rank().over(w).as("pr"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- scalar expression surface ----------------------------------------
     "q_case_expr" -> Q(
       """SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'
