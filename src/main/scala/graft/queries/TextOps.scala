@@ -152,6 +152,24 @@ object TextOps {
       .distinct()
   }
 
+  /** DuckDB mirror of gramRows(_, _, 8) + the eval-slice gram set, as
+    * CTE bodies (inv = distinct (doc_id, g) 8-gram rows; eval_g = the
+    * doc_id % 50 == 0 slice's grams) — shared by decontamination and
+    * the curation-funnel capstone so the two oracles cannot drift.
+    */
+  private val gram8Cte =
+    """docs8 AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 8 THEN
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                              toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]
+                              for i in range(1, len(toks)-6)])
+             ELSE [] END AS ng
+           FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+                 FROM documents)),
+         inv AS (SELECT doc_id, unnest(ng) AS g FROM docs8),
+         eval_g AS (SELECT DISTINCT g FROM inv WHERE doc_id % 50 = 0)"""
+
   /** DuckDB mirror of ngDocs as a CTE body. */
   private val ngCte =
     """WITH docs AS (
@@ -558,17 +576,7 @@ object TextOps {
     // corpus-vs-corpus shuffle. The 8-grams come from the shared
     // gramRows builder (codegen lead() windows, no array lambdas).
     "q_decontaminate" -> Q(
-      """WITH docs AS (
-           SELECT doc_id,
-             CASE WHEN len(toks) >= 8 THEN
-               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
-                              toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]
-                              for i in range(1, len(toks)-6)])
-             ELSE [] END AS ng
-           FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
-                 FROM documents)),
-         inv AS (SELECT doc_id, unnest(ng) AS g FROM docs),
-         eval_g AS (SELECT DISTINCT g FROM inv WHERE doc_id % 50 = 0)
+      s"""WITH $gram8Cte
          SELECT i.doc_id, count(*) AS n_shared
          FROM inv i JOIN eval_g USING (g)
          WHERE i.doc_id % 50 <> 0
@@ -579,6 +587,45 @@ object TextOps {
         .join(broadcast(grams.filter(col("doc_id") % 50 === 0)
           .select(col("g")).distinct()), Seq("g"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- curation funnel: the capstone pipeline in ONE plan -----------------
+    // What a training-data run actually executes: exact-dedup keep-list
+    // ∘ minimum-quality filter ∘ benchmark decontamination, composed as
+    // a single declarative plan Catalyst optimizes end-to-end. Shapes
+    // at scale: the keep-list is one md5-keyed partial aggregate; the
+    // eval-gram set is broadcast (benchmarks are bounded); the
+    // contaminated-id set is an anti-join probe sized by contamination,
+    // not the corpus; the quality filter is map-side. Nothing here is
+    // pairwise or corpus²-sized — the funnel costs two keyed exchanges
+    // plus broadcast probes no matter how many TB flow through it.
+    "q_pipeline_curate" -> Q(
+      s"""WITH $gram8Cte,
+          keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          contaminated AS (SELECT DISTINCT i.doc_id FROM inv i JOIN eval_g USING (g)
+                           WHERE i.doc_id % 50 <> 0),
+          toks AS (SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS n_tokens
+                   FROM documents)
+          SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens
+          FROM toks t JOIN keepers k ON t.doc_id = k.doc_id
+          WHERE t.doc_id % 50 <> 0
+            AND t.n_tokens >= 5
+            AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          ORDER BY t.doc_id""") { (s, d) =>
+      val keepers = t(s, d, "documents")
+        .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val grams = gramRows(s, d, 8).select(col("doc_id"), col("g")).distinct()
+      val evalG = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+      val contaminated = grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalG), Seq("g")).select(col("doc_id")).distinct()
+      toksFrame(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+        .filter(col("doc_id") % 50 =!= 0 && col("n_tokens") >= 5)
+        .join(keepers, Seq("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
     },
 

@@ -215,6 +215,30 @@ object VectorOps {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // ---- int8-quantized KNN (the memory-bound scale path) ------------------
+    // Search over the QUANTIZED vectors: per-vector scales cancel in
+    // cosine, so ranking needs only the int8 vectors — the stored
+    // artifact is 4× smaller and the scan correspondingly faster at
+    // corpus scale (locally the ints ride in double arrays; the
+    // semantics — integer dot-product ranking — are what the query
+    // declares). Same broadcast-queries/one-scan shape as q_ann_brute;
+    // recall vs the exact-KNN oracle is spec-gated (≥0.8 top-5, max
+    // cosine error ≤0.05 in VectorOpsSpec).
+    "q_ann_int8" -> Q.noOracle { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val qz = quantized(s, d).selectExpr("vec_id", "CAST(qv AS array<double>) AS v")
+      val qs = qz.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      qz.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id", cosExpr)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // ---- multi-table LSH ANN ----------------------------------------------
     // Candidates: corpus ids sharing a (tbl, bucket) with any of the
     // query's multi-probe buckets (exact bucket + all Hamming ≤ r

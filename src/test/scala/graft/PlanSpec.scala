@@ -148,6 +148,13 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("curation funnel broadcasts eval grams and anti-joins contamination") {
+    val p = plan("q_pipeline_curate")
+    assert(p.contains("BroadcastHashJoin"), p)           // eval-gram semi side
+    assert(p.contains("LeftAnti"), p)                    // contaminated-id probe
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)  // partial md5 keep-list
+  }
+
   test("IVF query reads the materialized inverted file, training nothing") {
     val p = plan("q_ann_ivf")
     // partition pruning on the cid directories = probing P of K
