@@ -152,6 +152,28 @@ object TextOps {
       .distinct()
   }
 
+  /** Distinct (doc_id, g) word-8-gram rows, memoized for the same
+    * reason as shingleRows: both decontamination consumers branch
+    * into an eval side and a training side from this frame, and the
+    * persist makes each branch read rows instead of re-running the
+    * window pipeline.
+    */
+  private def gram8Rows(s: SparkSession, d: String): DataFrame = memoized(s, s"grams8:$d") {
+    gramRows(s, d, 8).select(col("doc_id"), col("g")).distinct()
+  }
+
+  /** (doc_id, g) training-gram rows that hit the eval slice's gram
+    * set — the contamination relation shared by the decontamination
+    * report (per-doc counts) and the curation funnel (distinct ids),
+    * mirroring the shared gram8Cte on the oracle side.
+    */
+  private def contaminationHits(s: SparkSession, d: String): DataFrame = {
+    val grams = gram8Rows(s, d)
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(grams.filter(col("doc_id") % 50 === 0)
+        .select(col("g")).distinct()), Seq("g"))
+  }
+
   /** DuckDB mirror of gramRows(_, _, 8) + the eval-slice gram set, as
     * CTE bodies (inv = distinct (doc_id, g) 8-gram rows; eval_g = the
     * doc_id % 50 == 0 slice's grams) — shared by decontamination and
@@ -581,11 +603,7 @@ object TextOps {
          FROM inv i JOIN eval_g USING (g)
          WHERE i.doc_id % 50 <> 0
          GROUP BY 1 ORDER BY 1""") { (s, d) =>
-      val grams = gramRows(s, d, 8)
-        .select(col("doc_id"), col("g")).distinct()
-      grams.filter(col("doc_id") % 50 =!= 0)
-        .join(broadcast(grams.filter(col("doc_id") % 50 === 0)
-          .select(col("g")).distinct()), Seq("g"))
+      contaminationHits(s, d)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
         .orderBy(col("doc_id"))
     },
@@ -617,10 +635,7 @@ object TextOps {
       val keepers = t(s, d, "documents")
         .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val grams = gramRows(s, d, 8).select(col("doc_id"), col("g")).distinct()
-      val evalG = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
-      val contaminated = grams.filter(col("doc_id") % 50 =!= 0)
-        .join(broadcast(evalG), Seq("g")).select(col("doc_id")).distinct()
+      val contaminated = contaminationHits(s, d).select(col("doc_id")).distinct()
       toksFrame(s, d)
         .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
         .filter(col("doc_id") % 50 =!= 0 && col("n_tokens") >= 5)

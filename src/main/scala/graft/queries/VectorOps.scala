@@ -61,6 +61,24 @@ object VectorOps {
     base(s, d)
   }
 
+  /** Top-5 cosine neighbors of the vec_id<10 query set over `corpus`
+    * ((vec_id, v) with cosine_sim registered) — the one broadcast-
+    * queries/single-scan top-k pipeline, shared by the exact and the
+    * int8-quantized declared queries so their shape cannot drift.
+    */
+  private def knnTop5(corpus: DataFrame): DataFrame = {
+    val qs = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs above `minCosine`: candidates are
     * pairs sharing ANY (tbl, bucket) across the multi-table LSH index
     * (no probing needed — true near-dups agree on most sign bits, so
@@ -202,17 +220,7 @@ object VectorOps {
     },
 
     "q_ann_brute" -> Q.noOracle { (s, d) =>
-      val corpus  = registered(s, d)
-      val queries = corpus.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      corpus.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id", cosExpr)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
-        .orderBy(col("q_id"), col("rank"))
+      knnTop5(registered(s, d))
     },
 
     // ---- int8-quantized KNN (the memory-bound scale path) ------------------
@@ -226,17 +234,7 @@ object VectorOps {
     // cosine error ≤0.05 in VectorOpsSpec).
     "q_ann_int8" -> Q.noOracle { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val qz = quantized(s, d).selectExpr("vec_id", "CAST(qv AS array<double>) AS v")
-      val qs = qz.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      qz.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id", cosExpr)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
-        .orderBy(col("q_id"), col("rank"))
+      knnTop5(quantized(s, d).selectExpr("vec_id", "CAST(qv AS array<double>) AS v"))
     },
 
     // ---- multi-table LSH ANN ----------------------------------------------

@@ -47,24 +47,13 @@ class VectorOpsSpec extends AnyFunSuite {
 
   test("int8-quantized search keeps recall and cosine accuracy vs exact") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
-    import org.apache.spark.sql.functions.{broadcast, col, row_number}
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.col
     graft.functions.GraftFunctions.register(spark)
     // per-vector scales cancel in cosine, so quantized ranking uses
     // the int vectors alone — the property that makes int8 the 4×
-    // memory play at corpus scale
-    val qz = graft.queries.VectorOps.quantized(spark, sfDir)
-      .selectExpr("vec_id", "CAST(qv AS array<double>) AS v")
-    val qs = qz.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    val quantTop = qz.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("q_id"))
-      .selectExpr("q_id", "vec_id", "cosine_sim(qv, v) AS cosine")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // memory play at corpus scale. Gate the DECLARED query, not a
+    // re-implementation: drift in q_ann_int8 itself must fail here.
+    val quantTop = topk("q_ann_int8")
     val exact = topk("q_knn_exact")
     val recalls = exact.map { case (q, es) =>
       quantTop.getOrElse(q, Set.empty[Long]).intersect(es).size.toDouble / es.size
@@ -74,6 +63,8 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(mean >= 0.8, f"int8 recall $mean%.3f < 0.8 (per-query: $recalls)")
 
     // quantized cosine tracks exact cosine closely on random pairs
+    val qz = graft.queries.VectorOps.quantized(spark, sfDir)
+      .selectExpr("vec_id", "CAST(qv AS array<double>) AS v")
     val both = graft.queries.AnnIndex.base(spark, sfDir)
       .join(qz.withColumnRenamed("v", "qvec"), Seq("vec_id"))
       .filter(col("vec_id") < 200)
