@@ -400,6 +400,41 @@ object TextOps {
     (labels, rounds)
   }
 
+  /** Per-doc quality frame (doc_id, n_tokens, mean_tok_len,
+    * punct_ratio, stop_ratio, quality) — shared by the per-doc quality
+    * report and the per-source quality mix; `qualitySql` is its exact
+    * DuckDB mirror as a SELECT body. All ratios are IEEE divisions of
+    * exact integers, so both consumers stay hash-exact with no
+    * rounding tolerance.
+    */
+  private val qualitySql =
+    """SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, stop_ratio,
+              CASE WHEN n_tokens >= 10 AND n_tokens <= 2000 AND stop_ratio <= 0.5
+                   THEN 'ok' ELSE 'low' END AS quality
+       FROM (
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+                  / greatest(len(toks), 1) AS mean_tok_len,
+                CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                  / greatest(length(text), 1) AS punct_ratio,
+                CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+                  / greatest(len(toks), 1) AS stop_ratio
+         FROM (SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+               FROM documents))"""
+
+  private def qualityFrame(s: SparkSession, d: String): DataFrame =
+    toksFrame(s, d, withText = true)
+      .selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS DOUBLE) / greatest(size(toks), 1) AS mean_tok_len",
+        "CAST(regexp_count(text, '[.,;:!?]') AS DOUBLE) / greatest(length(text), 1) AS punct_ratio",
+        "CAST(size(filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / greatest(size(toks), 1) AS stop_ratio")
+      .selectExpr("doc_id", "n_tokens", "mean_tok_len", "punct_ratio", "stop_ratio",
+        "CASE WHEN n_tokens >= 10 AND n_tokens <= 2000 AND stop_ratio <= 0.5 THEN 'ok' ELSE 'low' END AS quality")
+
   private val langCase =
     """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
             WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
@@ -778,32 +813,60 @@ object TextOps {
     // Ratios are IEEE divisions of exact integers — bit-identical across
     // engines, no rounding tolerance needed.
     "q_text_quality" -> Q(
-      s"""SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, stop_ratio,
-                 CASE WHEN n_tokens >= 10 AND n_tokens <= 2000 AND stop_ratio <= 0.5
-                      THEN 'ok' ELSE 'low' END AS quality
-          FROM (
-            SELECT doc_id,
-                   CAST(len(toks) AS BIGINT) AS n_tokens,
-                   CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
-                     / greatest(len(toks), 1) AS mean_tok_len,
-                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-                     / greatest(length(text), 1) AS punct_ratio,
-                   CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
-                     / greatest(len(toks), 1) AS stop_ratio
-            FROM (SELECT doc_id, text,
-                    list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
-                  FROM documents))
-          ORDER BY doc_id""") { (s, d) =>
-      toksFrame(s, d, withText = true)
-        .selectExpr(
-          "doc_id",
-          "CAST(size(toks) AS BIGINT) AS n_tokens",
-          "CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS DOUBLE) / greatest(size(toks), 1) AS mean_tok_len",
-          "CAST(regexp_count(text, '[.,;:!?]') AS DOUBLE) / greatest(length(text), 1) AS punct_ratio",
-          "CAST(size(filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / greatest(size(toks), 1) AS stop_ratio")
-        .selectExpr("doc_id", "n_tokens", "mean_tok_len", "punct_ratio", "stop_ratio",
-          "CASE WHEN n_tokens >= 10 AND n_tokens <= 2000 AND stop_ratio <= 0.5 THEN 'ok' ELSE 'low' END AS quality")
-        .orderBy(col("doc_id"))
+      s"""$qualitySql ORDER BY doc_id""") { (s, d) =>
+      qualityFrame(s, d).orderBy(col("doc_id"))
+    },
+
+    // ---- per-source quality mix (curation reporting) ----------------------
+    // The report a curation run ends with: per source, how many docs
+    // land in each quality class and what share of the source that is.
+    // Counts are integers, the share is one long/long IEEE division —
+    // exact in both engines. One (source, quality) partial-aggregated
+    // shuffle over the per-doc quality frame; at scale the aggregate
+    // output is |sources|×|classes|-sized.
+    "q_quality_by_source" -> Q(
+      s"""WITH q AS ($qualitySql)
+          SELECT d.source, q.quality, count(*) AS n,
+                 CAST(count(*) AS DOUBLE) /
+                 CAST(sum(count(*)) OVER (PARTITION BY d.source) AS DOUBLE) AS share
+          FROM q JOIN documents d USING (doc_id)
+          GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      val counts = qualityFrame(s, d)
+        .join(t(s, d, "documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("quality")).agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("share", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("source"))).cast("double"))
+        .orderBy(col("source"), col("quality"))
+    },
+
+    // ---- language-ID confusion matrix (eval reporting) --------------------
+    // Predicted vs labeled language counts — the accuracy report for
+    // the lang-ID heuristic. Map-only scoring + one tiny
+    // (|langs|²-bounded) aggregate.
+    "q_lang_confusion" -> Q(
+      s"""SELECT lang, lang_pred, count(*) AS n FROM (
+            SELECT lang, $langCase FROM (
+              SELECT lang,
+                     len(list_filter(toks, x -> x IN ('the','a','and','is','of'))) AS s_en,
+                     len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+                     len(list_filter(toks, x -> x IN ('el','la','los','que','y'))) AS s_es,
+                     len(list_filter(toks, x -> x IN ('le','les','et','des','une'))) AS s_fr
+              FROM (SELECT lang,
+                      list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+                    FROM documents)))
+          GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      t(s, d, "documents")
+        .selectExpr("lang",
+          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+        .selectExpr("lang",
+          "size(filter(toks, x -> x IN ('the','a','and','is','of'))) AS s_en",
+          "size(filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de",
+          "size(filter(toks, x -> x IN ('el','la','los','que','y'))) AS s_es",
+          "size(filter(toks, x -> x IN ('le','les','et','des','une'))) AS s_fr")
+        .selectExpr("lang", langCase)
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
     },
 
     // ---- language ID: marker-token voting heuristic -----------------------
