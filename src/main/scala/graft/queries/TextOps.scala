@@ -212,8 +212,13 @@ object TextOps {
     */
   private[graft] def winnowMinima(s: SparkSession, d: String): DataFrame = {
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // gram hash is an md5-derived 60-bit int, NOT xxhash64: DuckDB
+    // computes the identical value as ('0x'||substr(md5(g),1,15))::BIGINT
+    // (the q_sample_weighted trick), which is what makes the whole
+    // winnowing sketch engine-independent and hence fully oracle-able.
     val grams = gramRows(s, d, 5)
-      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("gh"))
+      .select(col("doc_id"), col("pos"),
+        expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gh"))
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, 3)
     grams
@@ -251,6 +256,56 @@ object TextOps {
       .groupBy(col("doc_id")).agg(cntCols.head, cntCols.tail: _*)
     val simExpr = (0 until 64).map(i => s"IF(c$i >= 0, shiftleft(1L, $i), 0L)").mkString(" | ")
     cnt.selectExpr("doc_id", s"($simExpr) AS simhash")
+  }
+
+  /** Manku-style block-permutation band keys for 64-bit simhashes
+    * (Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07 §3): the 64 bits split into 6 blocks (4×11 + 2×10 bits);
+    * a pair within Hamming distance 3 has its differing bits in at
+    * most 3 blocks, so at least one of the C(6,3)=20 3-block
+    * combinations is clean on BOTH sides (pigeonhole) — the same
+    * lossless Hamming≤3 guarantee as 4×16-bit chunks, but each table
+    * keys on ~32 concatenated bits: expected random-collision
+    * candidate volume is 20·n²/2^32 instead of 4·n²/2^16. 16-bit
+    * keys stop spreading once n passes ~10^5 (the r7 scale finding);
+    * 32-bit keys hold to ~10^9 docs, and the block split widens
+    * mechanically if corpora outgrow that.
+    */
+  private[graft] val simhashBlocks: Vector[(Int, Int)] =
+    Vector((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+
+  private[graft] def simhashBandKeys: Seq[String] = {
+    def block(i: Int): String = {
+      val (off, w) = simhashBlocks(i)
+      s"(shiftright(simhash, $off) & ${(1L << w) - 1}L)"
+    }
+    simhashBlocks.indices.combinations(3).map { c =>
+      val (i, j, k) = (c(0), c(1), c(2))
+      val (wj, wk) = (simhashBlocks(j)._2, simhashBlocks(k)._2)
+      s"(shiftleft(${block(i)}, ${wj + wk}) | shiftleft(${block(j)}, $wk) | ${block(k)})"
+    }.toSeq
+  }
+
+  /** Candidate near-dup pairs from the 20 block-permutation tables:
+    * (doc_a, doc_b, hamming) for every pair agreeing on at least one
+    * table's 3-block key. Exposed separately from the declared query
+    * so the spec can gate CANDIDATE volume (sub-quadratic growth),
+    * not just the post-Hamming-filter result.
+    */
+  private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val banded = simhashes(s, d)
+      .selectExpr("doc_id", "simhash",
+        s"posexplode(array(${simhashBandKeys.mkString(", ")})) AS (tbl, bkey)")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+        col("tbl"), col("bkey")).as("a")
+      .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+          col("tbl"), col("bkey")).as("b"),
+        Seq("tbl", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard near-dup pairs (doc_a, doc_b, jaccard >= 0.6)
@@ -308,8 +363,8 @@ object TextOps {
     *
     * @param edges (src, dst) pairs, any orientation, self-loops ignored
     * @param driverMax edge-count cutoff for the driver-side fast path
-    *        (default 1M edges ≈ 16 MB collected; pass -1 to force the
-    *        distributed loop)
+    *        (default 1M edges ≈ 40 MB collected as primitive-long
+    *        tuples; pass -1 to force the distributed loop)
     * @return ((node, root) for every node present in `edges`,
     *         changed-rounds until the fixed point — 0 on the driver path)
     */
@@ -370,16 +425,17 @@ object TextOps {
         while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      val collected = e.collect()
-      collected.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      // collect as specialized (Long, Long) tuples, not GenericRows:
+      // ~40 B/edge → ~40 MB at the 1M default cutoff, driver-safe
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val collected = e.as[(Long, Long)].collect()
+      collected.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       val nodes = collected.iterator
-        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toArray.distinct
-      val spark = edges.sparkSession
-      import spark.implicits._
+        .flatMap(p => Iterator(p._1, p._2)).toArray.distinct
       return (nodes.map(n => (n, find(n))).toSeq.toDF("node", "root"), 0)
     }
     var rounds = 0
@@ -441,6 +497,43 @@ object TextOps {
             WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
             WHEN s_fr > 0 THEN 'fr'
             ELSE 'und' END AS lang_pred"""
+
+  /** DuckDB mirror of the full MinHash-LSH pipeline. Every hash is
+    * md5-derived (base gram hash = 60-bit md5 prefix; family j
+    * re-hashes the base's decimal repr with ':j'; band keys are md5
+    * of the 4 comma-joined minima) so signature, bands, candidates,
+    * and the Jaccard-verified pair set are all engine-independent —
+    * computed identically by the Spark side below.
+    */
+  private val minhashOracleSql: String = {
+    val mins = (0 until 16).map(j =>
+      s"min(CAST(('0x'||substr(md5(CAST(hb AS VARCHAR)||':$j'),1,15)) AS BIGINT)) AS m$j")
+      .mkString(",\n                  ")
+    val bandSel = (0 until 4).map { b =>
+      val cat = (b * 4 until b * 4 + 4).map(j => s"CAST(m$j AS VARCHAR)").mkString("||','||")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n                UNION ALL ")
+    s"""$ngCte,
+          inv AS (SELECT doc_id, unnest(ng) AS sh FROM docs),
+          hashed AS (SELECT doc_id, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS hb FROM inv),
+          sig AS (SELECT doc_id, count(*) AS n,
+                  $mins
+                  FROM hashed GROUP BY doc_id),
+          bands AS ($bandSel),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                   WHERE a.doc_id < b.doc_id),
+          co AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+                 FROM cand c JOIN inv a ON a.doc_id = c.doc_a
+                             JOIN inv b ON b.doc_id = c.doc_b AND b.sh = a.sh
+                 GROUP BY 1, 2)
+          SELECT doc_a, doc_b, jaccard FROM (
+            SELECT co.doc_a, co.doc_b,
+                   CAST(co.inter AS DOUBLE) / (sa.n + sb.n - co.inter) AS jaccard
+            FROM co JOIN sig sa ON sa.doc_id = co.doc_a
+                    JOIN sig sb ON sb.doc_id = co.doc_b)
+          WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b"""
+  }
 
   val all: Map[String, Q] = Map(
 
@@ -781,12 +874,33 @@ object TextOps {
     // fingerprint whose size is ~|grams|/4. Gram hashing and window
     // minima run in codegen over exploded token rows; only the final
     // per-doc sketch fold (tens of longs) touches array functions.
-    // Engine-specific hashing → rows-only check.
-    "q_fingerprint_winnow" -> Q.noOracle { (s, d) =>
+    // Gram hashes are md5-derived 60-bit ints computed identically in
+    // DuckDB (winnowMinima scaladoc) → FULL oracle, not rows-only.
+    "q_fingerprint_winnow" -> Q(
+      """WITH docs5 AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 5 THEN
+               [{'pos': i, 'gh': CAST(('0x' || substr(md5(
+                   toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]
+                 ), 1, 15)) AS BIGINT)} for i in range(1, len(toks)-3)]
+             ELSE [] END AS gs
+           FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+                 FROM documents)),
+         g AS (SELECT doc_id, u.pos AS pos, u.gh AS gh
+               FROM (SELECT doc_id, unnest(gs) AS u FROM docs5)),
+         m AS (SELECT doc_id,
+                 min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                 lead(gh, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS g3
+               FROM g)
+         SELECT doc_id, count(DISTINCT m) AS sketch_size,
+                md5(array_to_string(list_sort(list(DISTINCT m)), ',')) AS sketch_hash
+         FROM m WHERE g3 IS NOT NULL
+         GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
       winnowMinima(s, d)
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("m")).as("sketch_size"),
-             xxhash64(array_join(array_sort(collect_set(col("m"))), ",")).as("sketch_hash"))
+             md5(array_join(array_sort(collect_set(col("m"))), ",")).as("sketch_hash"))
         .orderBy(col("doc_id"))
     },
 
@@ -1005,11 +1119,11 @@ object TextOps {
     // ---- MinHash + LSH near-dup (sub-quadratic scale path) ----------------
     // 16 minhashes over word-3-gram shingles, 4 bands × 4 rows; candidate
     // pairs from band-bucket equi-join, then exact Jaccard verification.
-    // Engine-specific hashing (xxhash64) → rows-only check.
+    // Hashing is md5-derived (minhashOracleSql scaladoc) → FULL oracle.
     //
     // Plan notes (the r2 version cost 31 s / 44% of the bench): the
     // signature is computed over EXPLODED shingle rows — 16 codegen'd
-    // xxhash64 projections + a hash-aggregate of 16 mins — instead of
+    // hash projections + a hash-aggregate of 16 mins — instead of
     // nested array lambdas (higher-order functions are interpreted and
     // the per-shingle hashing dominated the whole bench). Verification
     // is a co-count over the inverted index restricted to candidate
@@ -1017,18 +1131,20 @@ object TextOps {
     // size, so no shingle arrays are ever shipped across a join. The
     // shingle exchange and the signature exchange are each computed once
     // and reused across branches (ReusedExchange).
-    "q_dedup_minhash" -> Q.noOracle { (s, d) =>
+    "q_dedup_minhash" -> Q(minhashOracleSql) { (s, d) =>
       val shingles = shingleRows(s, d)
-      // derive the 16 hash families by re-hashing ONE base hash
-      // (8-byte long) with the family index, instead of hashing the
-      // ~30-byte shingle string 16 times — same independence, a
-      // fraction of the bytes through the hash kernel. (Plain
-      // h1 + j*h2 Kirsch-Mitzenmacher would be cheaper still, but
-      // ANSI mode makes the inevitable long overflow throw.)
+      // derive the 16 hash families by re-hashing ONE 60-bit base
+      // hash (rendered as its decimal string) with the family index,
+      // instead of hashing the ~30-byte shingle string 16 times —
+      // same independence, fewer bytes through the md5 kernel, and
+      // the construction mirrors the oracle CTE exactly.
       val hashed = shingles
-        .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("hb"))
         .select(col("doc_id") +:
-          (0 until 16).map(j => xxhash64(col("hb"), lit(j)).as(s"h$j")): _*)
+          (0 until 16).map(j =>
+            expr(s"CAST(conv(substring(md5(concat(CAST(hb AS STRING), ':$j')), 1, 15), 16, 10) AS BIGINT)")
+              .as(s"h$j")): _*)
       // sig is one 17-column row per doc — persist so the band build,
       // candidate join, and size lookups all read it instead of
       // re-running the hash aggregate per branch.
@@ -1037,7 +1153,8 @@ object TextOps {
         (0 until 16).map(j => min(col(s"h$j")).as(s"m$j")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sig.select(col("doc_id"), posexplode(array(
-        (0 until 4).map(b => xxhash64((b * 4 until b * 4 + 4).map(j => col(s"m$j")): _*)): _*
+        (0 until 4).map(b =>
+          md5(concat_ws(",", (b * 4 until b * 4 + 4).map(j => col(s"m$j").cast("string")): _*))): _*
       ))).toDF("doc_id", "band", "bh")
       // cand is tiny (near-dup pairs only); checkpointing it collapses
       // the DAG — without this the signature subtree executes once for
@@ -1068,22 +1185,14 @@ object TextOps {
     },
 
     // ---- SimHash near-dup -------------------------------------------------
-    // 64-bit simhash from token hashes; 4×16-bit band buckets guarantee
-    // (pigeonhole) that any pair within Hamming distance 3 shares a
-    // band — the planted-duplicate gate asserts the bucketed result is
-    // EXACTLY the exhaustive Hamming<=3 pair set (lossless bucketing).
+    // 64-bit simhash from token hashes; Manku block-permutation tables
+    // (simhashBandKeys above) guarantee by pigeonhole that any pair
+    // within Hamming distance 3 shares a table key — the planted-
+    // duplicate gate asserts the bucketed result is EXACTLY the
+    // exhaustive Hamming<=3 pair set (lossless bucketing), and a
+    // candidate-volume gate asserts the join stays sub-quadratic.
     "q_dedup_simhash" -> Q.noOracle { (s, d) =>
-      val sim = simhashes(s, d)
-        .selectExpr("doc_id", "simhash",
-          "posexplode(transform(sequence(0, 3), c -> shiftright(simhash, c*16) & 65535L)) AS (band, chunk)")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("band"), col("chunk")).as("a")
-        .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("band"), col("chunk")).as("b"),
-          Seq("band", "chunk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(sim_a ^ sim_b)").as("hamming"))
-        .distinct()
+      simhashCandidates(s, d)
         .filter(col("hamming") <= 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }

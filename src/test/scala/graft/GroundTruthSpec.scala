@@ -201,7 +201,7 @@ class GroundTruthSpec extends AnyFunSuite {
   test("simhash bucketing is lossless vs exhaustive Hamming<=3 truth") {
     // ground truth: per-doc simhashes (the pipeline's own hash
     // function, exposed for verification) compared ALL-PAIRS on the
-    // driver — the 4x16-bit pigeonhole bands must lose nothing
+    // driver — the Manku block-permutation tables must lose nothing
     val sims: Map[Long, Long] = graft.queries.TextOps.simhashes(spark, fixDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     spark.catalog.clearCache()
@@ -231,11 +231,53 @@ class GroundTruthSpec extends AnyFunSuite {
     assert(rFm == 1.0, f"format-clone recall $rFm%.2f < 1.0 (identical token set => Hamming 0)")
   }
 
+  test("simhash candidate volume stays sub-quadratic (32-bit block-permutation keys)") {
+    // the r7 scale finding: 16-bit chunk keys generate ~n²/2^16
+    // random-collision candidates — quadratic once n passes ~10^5.
+    // The Manku tables key on ~32 concatenated bits (3 clean blocks
+    // of 6), so random collisions are ~20·n²/2^32 ≈ 0. Gates:
+    //  (1) the distributed candidate join reproduces the driver-side
+    //      key-agreement definition exactly;
+    //  (2) candidates are a vanishing fraction of all pairs;
+    //  (3) the 32-bit keys admit FEWER candidates than the old 16-bit
+    //      chunk scheme would on the same simhashes (the actual
+    //      improvement claimed, measured on the same corpus).
+    val sims: Map[Long, Long] = graft.queries.TextOps.simhashes(spark, fixDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val ids = sims.keys.toSeq.sorted
+    val blockDefs = graft.queries.TextOps.simhashBlocks
+    def blocks(v: Long): IndexedSeq[Long] =
+      blockDefs.map { case (off, w) => (v >>> off) & ((1L << w) - 1L) }
+    val combos = blockDefs.indices.combinations(3).map(_.toVector).toVector
+    var newCand = 0L
+    var oldCand = 0L
+    for (i <- ids.indices; j <- (i + 1) until ids.size) {
+      val (a, b) = (sims(ids(i)), sims(ids(j)))
+      val (ba, bb) = (blocks(a), blocks(b))
+      if (combos.exists(c => c.forall(k => ba(k) == bb(k)))) newCand += 1
+      if ((0 until 4).exists(c => ((a >>> (c * 16)) & 0xFFFFL) == ((b >>> (c * 16)) & 0xFFFFL)))
+        oldCand += 1
+    }
+    val distCand = graft.queries.TextOps.simhashCandidates(spark, fixDir).count()
+    spark.catalog.clearCache()
+    val n = ids.size.toLong
+    val allPairs = n * (n - 1) / 2
+    info(s"simhash candidates: block-permutation $newCand vs 16-bit chunks $oldCand " +
+      s"of $allPairs all-pairs (n=$n)")
+    assert(distCand == newCand,
+      s"distributed candidate join ($distCand) diverges from driver key agreement ($newCand)")
+    assert(newCand < allPairs / 20,
+      s"candidate volume $newCand is within 20x of all-pairs $allPairs — keys are not spreading")
+    assert(newCand < oldCand,
+      s"32-bit block keys ($newCand) should admit fewer candidates than 16-bit chunks ($oldCand)")
+  }
+
   // ---- winnowing sketches -------------------------------------------------
 
   test("winnow sketches: exact clones identical, near clones overlap, no collisions") {
     val fp = SparkEntry.queries("q_fingerprint_winnow")(spark, fixDir).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
     spark.catalog.clearCache()
     exactIds.foreach { id =>
       assert(fp(id) == fp(id + ExactOff), s"exact clone $id sketch hash differs")
