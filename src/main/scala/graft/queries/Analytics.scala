@@ -348,6 +348,45 @@ object Analytics {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- scale-safe percentile bucketing (q_window_ntile's 100 TB twin) ----
+    // q_window_ntile partitions its window by o_orderpriority — 5
+    // distinct values, so parallelism caps at 5 and each partition is
+    // a full n/5-row sort: the canonical skewed-window scale-killer.
+    // The scale form is bucket-by-boundary: ONE exact-percentile
+    // aggregate computes the per-group quartile boundaries (output =
+    // |groups| rows), broadcast joins them back, and bucket assignment
+    // is a map-side comparison — no per-row window, no giant sort,
+    // parallelism follows the scan. Ties get the same bucket (value
+    // semantics), which is the honest difference from ntile's
+    // arbitrary rank-split of equal values. Boundary doubles come
+    // from the identical (n-1)*p linear interpolation in both engines
+    // and only feed > comparisons, never the output.
+    "q_ntile_bucketed" -> Q(
+      """WITH b AS (SELECT o_orderpriority,
+                           quantile_cont(o_totalprice, 0.25) AS b1,
+                           quantile_cont(o_totalprice, 0.50) AS b2,
+                           quantile_cont(o_totalprice, 0.75) AS b3
+                    FROM orders GROUP BY 1)
+         SELECT o.o_orderkey, o.o_orderpriority,
+                CAST(1 + CAST(o.o_totalprice > b.b1 AS INT)
+                       + CAST(o.o_totalprice > b.b2 AS INT)
+                       + CAST(o.o_totalprice > b.b3 AS INT) AS BIGINT) AS quartile
+         FROM orders o JOIN b USING (o_orderpriority)
+         ORDER BY o.o_orderkey""") { (s, d) =>
+      val bounds = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.50D, 0.75D))").as("bs"))
+        .select(col("o_orderpriority"),
+          col("bs")(0).as("b1"), col("bs")(1).as("b2"), col("bs")(2).as("b3"))
+      t(s, d, "orders")
+        .join(broadcast(bounds), Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (lit(1) + (col("o_totalprice") > col("b1")).cast("int")
+                  + (col("o_totalprice") > col("b2")).cast("int")
+                  + (col("o_totalprice") > col("b3")).cast("int")).cast("bigint").as("quartile"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- scalar expression surface ----------------------------------------
     "q_case_expr" -> Q(
       """SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'

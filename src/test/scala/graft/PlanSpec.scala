@@ -155,6 +155,17 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)  // partial md5 keep-list
   }
 
+  test("ntile twin assigns buckets map-side after one boundary aggregate, no window") {
+    val p = plan("q_ntile_bucketed")
+    // the scale claim: NO per-row window (that's q_window_ntile's
+    // 5-partition sort), just a partial+final percentile aggregate
+    // whose |groups|-sized output broadcasts back onto the scan
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("IVF query reads the materialized inverted file, training nothing") {
     val p = plan("q_ann_ivf")
     // partition pruning on the cid directories = probing P of K
