@@ -64,6 +64,12 @@ final class Engine(
     var retiredGens: Vector[Vector[String]] = Vector.empty
     var delta: Option[DeltaLog] = None
     var maxFlushedSeq: Long = 0L
+    /** one background-style compaction pass at a time per store: a
+      * concurrent trigger (another writer's flush) skips instead of
+      * queueing a duplicate merge of the same inputs — the next flush
+      * re-checks the triggers anyway.
+      */
+    val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
     /** rough retained bytes — drives the byte-sized flush trigger
       * (the reference freezes its memtable at 64 MB, M1/M4; a pure
       * row-count trigger lets wide rows blow the memory budget).
@@ -176,30 +182,37 @@ final class Engine(
     */
   def forceFlush(table: String): Unit = flushStore(storeOf(table))
 
-  private def flushStore(store: HotStore): Unit = store.synchronized {
+  private def flushStore(store: HotStore): Unit = {
     val dir = dataDir.getOrElse(return)
-    if (store.latest.isEmpty) return
-    val m = store.meta
-    val rows = store.latest.values.map(rv =>
-      Row.fromSeq(rv.values.toIndexedSeq :+ rv.seq :+ rv.tombstone)).toVector
-    val flushedMax = store.latest.values.map(_.seq).max
-    val tier = coldRoot(dir, m.name).resolve(f"tier-$flushedMax%012d").toString
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), versionedSchema(m))
-      .coalesce(1)
-      .sortWithinPartitions(col(m.pk))   // pk-sorted files → parquet row-group
-      .write.mode("overwrite")           //   min/max pruning on pk scans
-      // pk bloom filter per tier file — the SSTable bloom (SURVEY C1):
-      // in-range point MISSES skip the row-group decode entirely
-      .option(s"parquet.bloom.filter.enabled#${m.pk}", "true")
-      .parquet(tier)
-    store.coldDirs = store.coldDirs :+ tier
-    store.maxFlushedSeq = math.max(store.maxFlushedSeq, flushedMax)
-    Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
-    store.latest.clear()
-    store.log.clear()
-    store.approxBytes = 0L
-    store.delta.foreach(_.truncate())
-    maybeCompactLeveled(store)
+    val didFlush = store.synchronized {
+      if (store.latest.isEmpty) false
+      else {
+        val m = store.meta
+        val rows = store.latest.values.map(rv =>
+          Row.fromSeq(rv.values.toIndexedSeq :+ rv.seq :+ rv.tombstone)).toVector
+        val flushedMax = store.latest.values.map(_.seq).max
+        val tier = coldRoot(dir, m.name).resolve(f"tier-$flushedMax%012d").toString
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), versionedSchema(m))
+          .coalesce(1)
+          .sortWithinPartitions(col(m.pk))   // pk-sorted files → parquet row-group
+          .write.mode("overwrite")           //   min/max pruning on pk scans
+          // pk bloom filter per tier file — the SSTable bloom (SURVEY C1):
+          // in-range point MISSES skip the row-group decode entirely
+          .option(s"parquet.bloom.filter.enabled#${m.pk}", "true")
+          .parquet(tier)
+        store.coldDirs = store.coldDirs :+ tier
+        store.maxFlushedSeq = math.max(store.maxFlushedSeq, flushedMax)
+        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
+        store.latest.clear()
+        store.log.clear()
+        store.approxBytes = 0L
+        store.delta.foreach(_.truncate())
+        true
+      }
+    }
+    // compaction runs AFTER the lock is released: the merge job must
+    // never stall concurrent writes (see maybeCompactLeveled)
+    if (didFlush) maybeCompactLeveled(store)
   }
 
   /** MAJOR compaction: window-dedup ALL cold tiers into one bottom-level
@@ -248,17 +261,27 @@ final class Engine(
     * lsm_levels.hpp:276-299). A single over-budget tier is left alone
     * — rewriting one tier into the next level reclaims nothing; it
     * merges when a sibling arrives.
+    *
+    * NON-BLOCKING: the pass runs with the store lock RELEASED (the
+    * reference compacts on a dedicated thread, compaction.hpp:364-551
+    * — same availability contract: writes proceed while tiers merge).
+    * The `compacting` CAS keeps it to one pass per store at a time;
+    * a concurrent trigger skips, and the triggers are re-evaluated on
+    * the next flush.
     */
-  private def maybeCompactLeveled(store: HotStore): Unit = store.synchronized {
-    if (store.coldDirs.count(levelOf(_) == 0) >= compactTrigger)
-      mergeLevel(store, 0)
-    var l = 1
-    while (l < maxLevels - 1) {
-      val tiers = store.coldDirs.filter(levelOf(_) == l)
-      if (tiers.size >= 2 && tiers.map(dirBytes).sum > levelLimit(l))
-        mergeLevel(store, l)
-      l += 1
-    }
+  private def maybeCompactLeveled(store: HotStore): Unit = {
+    if (!store.compacting.compareAndSet(false, true)) return
+    try {
+      if (store.synchronized(store.coldDirs.count(levelOf(_) == 0)) >= compactTrigger)
+        mergeLevel(store, 0)
+      var l = 1
+      while (l < maxLevels - 1) {
+        val tiers = store.synchronized(store.coldDirs.filter(levelOf(_) == l))
+        if (tiers.size >= 2 && tiers.map(dirBytes).sum > levelLimit(l))
+          mergeLevel(store, l)
+        l += 1
+      }
+    } finally store.compacting.set(false)
   }
 
   /** Merge ALL tiers at `level` into ONE tier at level+1. Tombstones
@@ -272,24 +295,44 @@ final class Engine(
   private def mergeLevel(store: HotStore, level: Int): Unit = {
     val dir = dataDir.getOrElse(return)
     val m = store.meta
-    val inputs = store.coldDirs.filter(levelOf(_) == level)
+    // capture inputs under the lock; run the merge job UNLOCKED
+    val (inputs, isAll) = store.synchronized {
+      val ins = store.coldDirs.filter(levelOf(_) == level)
+      (ins, ins.size == store.coldDirs.size)
+    }
     if (inputs.size < 2) return
     val outLevel = math.min(level + 1, maxLevels - 1)
     val target = coldRoot(dir, m.name)
       .resolve(f"tier-l$outLevel%d-${seqGen.get()}%012d").toString
-    writeMerged(m, inputs, target,
-      dropTombstones = inputs.size == store.coldDirs.size)
-    // coldDirs stays age-ordered (oldest first = deepest level first):
-    // the new tier is younger than every existing >= outLevel tier and
-    // older than every remaining < outLevel tier, because the merged
-    // inputs were a contiguous age range. Age order is what lets the
-    // cold point reader early-exit on the newest tier containing a key.
-    store.coldDirs = store.coldDirs.filter(t => levelOf(t) >= outLevel) ++
-      Vector(target) ++
-      store.coldDirs.filter(t => levelOf(t) < level)
-    Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
-    retire(store, inputs)
-    opCompactions.incrementAndGet()
+    // tombstone GC is decided at CAPTURE time: when the inputs covered
+    // every cold tier, no older tier can hold a version a dropped
+    // tombstone shadows, and any tier flushed DURING the merge is
+    // strictly newer — it wins the LWW window regardless.
+    writeMerged(m, inputs, target, dropTombstones = isAll)
+    val swapped = store.synchronized {
+      // staleness re-check: a concurrent major compaction may have
+      // consumed the inputs while this merge ran — then this output
+      // is based on retired state and must be abandoned, not swapped.
+      if (!inputs.forall(store.coldDirs.contains)) false
+      else {
+        // coldDirs stays age-ordered (oldest first = deepest level
+        // first): the new tier is younger than every surviving
+        // >= outLevel tier and older than every surviving shallower
+        // tier — including tiers flushed at this level DURING the
+        // merge, which are strictly younger and land after the
+        // target. Age order is what lets the cold point reader
+        // early-exit on the newest tier containing a key.
+        store.coldDirs =
+          store.coldDirs.filter(t => !inputs.contains(t) && levelOf(t) >= outLevel) ++
+          Vector(target) ++
+          store.coldDirs.filter(t => !inputs.contains(t) && levelOf(t) < outLevel)
+        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
+        retire(store, inputs)
+        true
+      }
+    }
+    if (swapped) opCompactions.incrementAndGet()
+    else Persist.deleteRecursively(java.nio.file.Paths.get(target))
   }
 
   /** Target bytes per compacted output partition (reference level size
@@ -314,17 +357,29 @@ final class Engine(
     }
   }
 
-  private def compactStore(store: HotStore): Unit = store.synchronized {
+  private def compactStore(store: HotStore): Unit = {
     val dir = dataDir.getOrElse(return)
-    if (store.coldDirs.size < 2) return
     val m = store.meta
+    // same capture / merge-unlocked / re-checked-swap shape as
+    // mergeLevel: the full rewrite is the LONGEST merge, so it is the
+    // one that most needs to run outside the store lock
+    val inputs = store.synchronized(store.coldDirs)
+    if (inputs.size < 2) return
     val target = coldRoot(dir, m.name).resolve(f"tier-c${seqGen.get()}%012d").toString
-    writeMerged(m, store.coldDirs, target, dropTombstones = true)
-    val old = store.coldDirs
-    store.coldDirs = Vector(target)
-    Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
-    retire(store, old)
-    opCompactions.incrementAndGet()
+    writeMerged(m, inputs, target, dropTombstones = true)
+    val swapped = store.synchronized {
+      if (!inputs.forall(store.coldDirs.contains)) false
+      else {
+        // tiers flushed during the merge are strictly newer than the
+        // swapped-in bottom tier and stay live after it
+        store.coldDirs = Vector(target) ++ store.coldDirs.filterNot(inputs.contains)
+        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
+        retire(store, inputs)
+        true
+      }
+    }
+    if (swapped) opCompactions.incrementAndGet()
+    else Persist.deleteRecursively(java.nio.file.Paths.get(target))
   }
 
   /** The merge job shared by leveled and major compaction: union the
@@ -899,6 +954,41 @@ final class Engine(
 
   // ---- UPDATE / DELETE -----------------------------------------------------
 
+  /** Matching rows buffered on the driver at once for non-pk DML —
+    * one store lock + one delta-log fsync per batch (the C8 batch
+    * contract applied to mutation).
+    */
+  private val dmlBatchRows = 4096
+
+  /** Stream `currentRows` matches and apply them in bounded batches:
+    * a broad UPDATE/DELETE never materializes more than dmlBatchRows
+    * matching rows on the driver (the SELECT path's toLocalIterator
+    * pattern — pre-r8 this was an unbounded collect, a driver OOM on
+    * a 10M-row match). Statement semantics are snapshot-at-start
+    * either way: the snapshot captures hot rows at plan time and cold
+    * tiers are immutable (deferred tier GC keeps retired files alive
+    * for in-flight iterators), so mid-statement writes never feed
+    * back into the match set.
+    */
+  private def applyDml(store: HotStore, matches: Iterator[RowVersion],
+                       mutate: RowVersion => (Array[Any], Boolean)): Long = {
+    var n = 0L
+    val batch = scala.collection.mutable.ArrayBuffer.empty[(Array[Any], Boolean)]
+    def drain(): Unit = if (batch.nonEmpty) {
+      store.putBatch(batch.toSeq)
+      n += batch.size
+      batch.clear()
+      maybeFlush(store)
+    }
+    matches.foreach { rv =>
+      batch += mutate(rv)
+      if (batch.size >= dmlBatchRows) drain()
+    }
+    drain()
+    opWrites.addAndGet(n)
+    n
+  }
+
   private def execUpdate(u: Stmt.Update): ResultSet = {
     val store = storeOf(u.table)
     val m = store.meta
@@ -913,38 +1003,32 @@ final class Engine(
         return ResultSet.err(s"Column '${m.cols(idx).name}' cannot be NULL")
       (idx, v)
     }
-    val matching = currentRows(store, u.where)
-    matching.foreach { rv =>
+    val n = applyDml(store, currentRows(store, u.where), { rv =>
       val next = rv.values.clone()
       setIdx.foreach { case (i, v) => next(i) = v }
-      store.put(next)
-    }
-    opWrites.addAndGet(matching.size.toLong)
-    maybeFlush(store)
-    ResultSet.affected(matching.size.toLong)
+      (next, false)
+    })
+    ResultSet.affected(n)
   }
 
   private def execDelete(d: Stmt.Delete): ResultSet = {
     val store = storeOf(d.table)
-    val matching = currentRows(store, d.where)
-    matching.foreach(rv => store.put(rv.values, tombstone = true))
-    opWrites.addAndGet(matching.size.toLong)
-    maybeFlush(store)
-    ResultSet.affected(matching.size.toLong)
+    val n = applyDml(store, currentRows(store, d.where), rv => (rv.values, true))
+    ResultSet.affected(n)
   }
 
-  /** live rows matching `pred` across hot+cold, for DML. The predicate
-    * is applied BEFORE collecting: on the cold path it becomes a
-    * Catalyst filter pushed into the parquet scan, so only matching
-    * rows ever cross the driver boundary (an unfiltered collect here
-    * is a full-table driver materialization per DML statement).
-    * Cold rows shadowed by hot versions are excluded via the LWW
-    * snapshot.
+  /** live rows matching `pred` across hot+cold, for DML, as a BOUNDED
+    * stream. The predicate is applied BEFORE any driver pull: on the
+    * cold path it becomes a Catalyst filter pushed into the parquet
+    * scan, and toLocalIterator fetches one partition at a time, so
+    * neither non-matching rows nor the full match set ever sit on the
+    * driver at once. Cold rows shadowed by hot versions are excluded
+    * via the LWW snapshot.
     */
-  private def currentRows(store: HotStore, pred: Pred): Vector[RowVersion] = {
+  private def currentRows(store: HotStore, pred: Pred): Iterator[RowVersion] = {
     val m = store.meta
     if (store.coldDirs.isEmpty)
-      store.liveRows.filter(rv => evalPred(m, pred, rv.values))
+      store.liveRows.filter(rv => evalPred(m, pred, rv.values)).iterator
     else pointLookupKey(store, Some(pred)) match {
       // `UPDATE/DELETE ... WHERE pk = x` — the canonical OLTP
       // mutation — seeks through the direct point reader instead of
@@ -952,12 +1036,14 @@ final class Engine(
       case Some(pk) if ColdPointReader.supportedPk(m) =>
         store.get(pk)
           .orElse(ColdPointReader.lookup(spark, m, store.synchronized(store.coldDirs), pk))
-          .filterNot(_.tombstone).toVector
+          .filterNot(_.tombstone).iterator
       case _ =>
-        snapshot(m.name).filter(predToColumn(m, pred)).collect().toVector.map { r =>
-          RowVersion(0L, tombstone = false,
-            m.cols.indices.map(i => r.get(i)).toArray)
-        }
+        import scala.jdk.CollectionConverters._
+        snapshot(m.name).filter(predToColumn(m, pred))
+          .toLocalIterator().asScala.map { r =>
+            RowVersion(0L, tombstone = false,
+              m.cols.indices.map(i => r.get(i)).toArray)
+          }
     }
   }
 

@@ -114,6 +114,30 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("broad UPDATE/DELETE stream matches in bounded batches, results unchanged") {
+    withDir { dir =>
+      // 10k matching rows > 2 dmlBatchRows batches: the statement must
+      // apply across several putBatch drains (bounded driver pull, one
+      // fsync per batch) and still mutate every matching row exactly
+      // once — snapshot-at-start semantics, no feedback from the
+      // statement's own writes into its match set.
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE bdml (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("bdml", (1 to 10000).map(i => Array[Any](i.toLong, Int.box(i))))
+      e.forceFlush("bdml")
+      assert(e.sql("UPDATE bdml SET v = 7 WHERE v >= 1").rowsAffected == 10000)
+      assert(e.sql("SELECT SUM(v) FROM bdml").rows.head.head == "70000")
+      assert(e.sql("SELECT COUNT(*) FROM bdml").rows.head.head == "10000")
+      // broad delete over the mixed hot(+updated)/cold state
+      assert(e.sql("DELETE FROM bdml WHERE id <= 9000").rowsAffected == 9000)
+      assert(e.sql("SELECT COUNT(*) FROM bdml").rows.head.head == "1000")
+      // durable across restart
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.sql("SELECT COUNT(*) FROM bdml").rows.head.head == "1000")
+      assert(e2.sql("SELECT SUM(v) FROM bdml").rows.head.head == "7000")
+    }
+  }
+
   // ---- compaction writes multiple files, snapshot invariant ----------------
 
   test("compaction output is multi-file capable and snapshot-invariant") {
@@ -136,6 +160,56 @@ class EngineOpsSpec extends AnyFunSuite {
   }
 
   // ---- full Spark SQL over snapshots ---------------------------------------
+
+  test("writes proceed while a compaction merge runs (non-blocking compaction)") {
+    withDir { dir =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE nb (id BIGINT NOT NULL, v INT, s VARCHAR(64))").ok)
+      // three cold tiers big enough that the major merge is a real
+      // multi-hundred-ms Spark job (3 stays under the L0 trigger, so
+      // the merge start is OURS to schedule)
+      (0 until 3).foreach { t =>
+        val rows = (1 to 20000).map(i =>
+          Array[Any]((t * 20000L + i), Int.box(i), "x" * 40))
+        e.batchPut("nb", rows)
+        e.forceFlush("nb")
+      }
+      val merge = Future(e.compact("nb"))
+      // while the merge runs, single-row writes must not stall on the
+      // store lock (pre-r8 the merge job ran INSIDE it)
+      var maxPutNanos = 0L
+      var written = 0
+      var flushedDuringMerge = false
+      while (!merge.isCompleted && written < 2000) {
+        val t0 = System.nanoTime()
+        e.batchPut("nb", Seq(Array[Any](1000000L + written, Int.box(written), "y")))
+        maxPutNanos = math.max(maxPutNanos, System.nanoTime() - t0)
+        written += 1
+        // once some timed puts exist, land a whole NEW TIER mid-merge:
+        // the swap must keep it (it is strictly newer than the merge's
+        // captured inputs)
+        if (written == 25 && !merge.isCompleted) {
+          e.forceFlush("nb"); flushedDuringMerge = true
+        }
+        Thread.sleep(1)
+      }
+      Await.result(merge, 120.seconds)
+      info(f"puts during merge: $written (max ${maxPutNanos / 1e6}%.1f ms, " +
+        s"mid-merge flush: $flushedDuringMerge)")
+      assert(written > 0, "merge completed before any concurrent put was attempted")
+      assert(maxPutNanos < 500L * 1000 * 1000,
+        f"a put stalled ${maxPutNanos / 1e6}%.0f ms while the merge ran")
+      // nothing lost: base rows and every mid-merge write survive the swap
+      assert(e.sql("SELECT COUNT(*) FROM nb").rows.head.head == (60000 + written).toString)
+      assert(e.sql("SELECT v FROM nb WHERE id = 1000000").rows.head.head == "0")
+      // and the merged state survives restart (manifest consistency)
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.sql("SELECT COUNT(*) FROM nb").rows.head.head == (60000 + written).toString)
+    }
+  }
 
   test("sparkSql runs joins and group-bys across live hot+cold snapshots") {
     withDir { dir =>
