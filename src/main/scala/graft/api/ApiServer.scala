@@ -14,6 +14,7 @@ import graft.engine.{Engine, EngineStats, ResultSet}
   *
   *   POST /api/query                    {"sql": "..."} → result set
   *   POST /api/explain                  {"sql": "..."} → {"plan": "..."}
+  *   POST /api/explainspark             {"sql": "..."} → tier feed + Catalyst plan
   *   GET  /api/tables                   table names
   *   GET  /api/tables/:name             full schema
   *   GET  /api/tables/:name/describe    text description
@@ -211,6 +212,17 @@ final class ApiServer(engine: Engine, port: Int = 0) {
           else (200, success(jobj("plan" -> jstr(rs.rows.map(_.head).mkString("\n")))))
         }
 
+      // EXPLAIN for the Spark SQL extension surface: per-table tier
+      // feed (hot rows, cold tiers by level) + Catalyst physical plan
+      case ("POST", "/api/explainspark") =>
+        withSql(body) { sql =>
+          try (200, success(jobj("plan" -> jstr(engine.explainSpark(sql)))))
+          catch {
+            case e: Exception => (400, failure(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName), "QUERY_ERROR"))
+          }
+        }
+
       case ("GET", "/api/tables") =>
         val names = engine.tableNames
         (200, success(jobj(
@@ -260,7 +272,9 @@ final class ApiServer(engine: Engine, port: Int = 0) {
           "supportedStatements" -> jarr(Seq(
             "CREATE TABLE", "DROP TABLE", "INSERT", "SELECT", "UPDATE",
             "DELETE", "SHOW TABLES", "EXPLAIN", "DESCRIBE").map(jstr)),
-          "extensions" -> jarr(Seq("POST /api/sparksql (full Spark SQL)").map(jstr)))))
+          "extensions" -> jarr(Seq(
+            "POST /api/sparksql (full Spark SQL)",
+            "POST /api/explainspark (tier feed + Catalyst physical plan)").map(jstr)))))
 
       case _ => (404, failure(s"No route for $method $path", "NOT_FOUND"))
     }

@@ -134,25 +134,25 @@ object ColdPointReader {
     rowCache.synchronized(rowCache.clear())
   }
 
+  /** Test probe: whether a tier dir's listing is currently cached. */
+  private[graft] def tierCached(dir: String): Boolean = tierCache.contains(dir)
+
   /** Evict exactly the retired tier dirs' metadata (called from the
     * engine's deferred tier GC when the files are deleted): without
     * this, compaction churn in a long-lived driver grows the metadata
     * cache without bound — and a future tier that re-mints a deleted
     * path must not inherit its predecessor's footer stats.
     */
-  /** Test probe: whether a tier dir's listing is currently cached. */
-  private[graft] def tierCached(dir: String): Boolean = tierCache.contains(dir)
-
   def evictTiers(dirs: Iterable[String]): Unit = {
     // retire BEFORE removing: tierFiles double-checks `retired` after
     // any insert, so an in-flight listing that loses the race undoes
     // its own re-insert (see `retired` scaladoc)
     dirs.foreach { d => retired.put(d, ()); tierCache.remove(d) }
-    // rowCache keys are fully-qualified Hadoop paths (file:/…) while
-    // coldDirs may be relative — normalize the HANDFUL of prefix dirs
-    // through NIO, but keep the per-key side to a cheap scheme strip:
-    // listStatus already returned the keys absolute and normalized,
-    // and running Paths.get over 64k keys inside the lock would stall
+    // rowCache keys are fully-qualified Hadoop paths (the invariant is
+    // asserted where they are minted — see the lookup cache insert)
+    // while coldDirs may be relative — normalize the HANDFUL of prefix
+    // dirs through NIO, but keep the per-key side to cheap string ops:
+    // running Paths.get over 64k keys inside the lock would stall
     // every concurrent point read for the duration of a tier GC.
     def bare(p: String) =
       java.nio.file.Paths.get(p.stripPrefix("file:"))
@@ -165,7 +165,19 @@ object ColdPointReader {
       while (it.hasNext) {
         val (file, _) = it.next()
         var f = file.stripPrefix("file:")
-        while (f.startsWith("//")) f = f.substring(1)   // file:///x form
+        if (f.startsWith("//")) {
+          // authority form (file://host/x or file:///x): drop the
+          // authority segment — over-matching only costs a re-read,
+          // under-matching would leave a stale entry a re-minted
+          // path could inherit
+          val rest = f.drop(2)
+          val slash = rest.indexOf('/')
+          f = if (slash >= 0) rest.substring(slash) else "/" + rest
+        }
+        // non-absolute after the cheap strip (unexpected key shape):
+        // fall back to full NIO normalization rather than silently
+        // escaping eviction
+        if (!f.startsWith("/")) f = bare(f)
         if (prefixes.exists(f.startsWith)) it.remove()
       }
     }
@@ -295,6 +307,11 @@ object ColdPointReader {
   private def cachedFileLookup(conf: org.apache.hadoop.conf.Configuration,
                                m: TableMeta, filter: FilterCompat.Filter,
                                fm: FileMeta, pk: Any): Option[RowVersion] = {
+    // key invariant relied on by evictTiers' cheap prefix match:
+    // fm.path came from FileSystem.listStatus, which returns
+    // fully-qualified, normalized paths (file:/abs/... on local FS) —
+    // eviction handles authority / non-absolute forms with a slower
+    // fallback, but this is the shape that must stay canonical
     val key = (fm.path.toString, pk)
     val hit = rowCache.synchronized(rowCache.get(key))
     if (hit != null) return hit

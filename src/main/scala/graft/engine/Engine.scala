@@ -505,6 +505,46 @@ final class Engine(
     spark.sql(query)
   }
 
+  /** EXPLAIN for the Spark SQL extension surface (the HTAP EXPLAIN in
+    * execExplain covers only the reference dialect): reports which
+    * storage tiers feed each referenced table's snapshot — hot rows,
+    * cold tiers by level, footer row counts — plus Catalyst's
+    * formatted physical plan (pushed filters, pruned read schemas,
+    * join strategies, codegen spans). Tier feed + physical plan is
+    * the pair a 100 TB operator actually debugs with: the first
+    * answers "how fresh/merged is what I'm reading", the second
+    * "what will this cost".
+    *
+    * Referenced tables are matched by word boundary in the query
+    * text — a heuristic, but snapshots are rebuilt per call anyway,
+    * so an over-match only adds a report line.
+    */
+  def explainSpark(query: String): String = {
+    val df = sparkSql(query)
+    val referenced = tableNames.filter(t =>
+      java.util.regex.Pattern
+        .compile(s"(?i)\\b${java.util.regex.Pattern.quote(t)}\\b")
+        .matcher(query).find())
+    val lines = Vector.newBuilder[String]
+    lines += "Snapshot Sources:"
+    referenced.foreach { t =>
+      val store = storeOf(t)
+      val (hotRows, cold) = store.synchronized {
+        (store.latest.valuesIterator.count(!_.tombstone), store.coldDirs)
+      }
+      val byLevel =
+        if (cold.isEmpty) ""
+        else cold.groupBy(levelOf).toVector.sortBy(_._1)
+          .map { case (l, ts) => s"L$l x${ts.size}" }.mkString(" ", " ", "") +
+          s", ~${cold.map(tierRows).sum} rows cold"
+      lines += s"  - $t: hot rows $hotRows, cold tiers ${cold.size}$byLevel"
+    }
+    lines += ""
+    lines += df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    lines.result().mkString("\n")
+  }
+
   /** Temp views THIS engine registered via sparkSql — DROP TABLE must
     * not clobber same-named views owned by the user or by another
     * engine sharing the SparkSession.

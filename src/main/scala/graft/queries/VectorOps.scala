@@ -65,12 +65,19 @@ object VectorOps {
     * ((vec_id, v) with cosine_sim registered) — the one broadcast-
     * queries/single-scan top-k pipeline, shared by the exact and the
     * int8-quantized declared queries so their shape cannot drift.
+    *
+    * Zero-norm vectors (padding rows, failed encoders — the same
+    * population the int8 quantization guards against) are filtered
+    * from BOTH sides: their cosine is 0/0 = NaN, and Spark sorts NaN
+    * greatest, so one zero vector would otherwise rank #1 for every
+    * query.
     */
   private def knnTop5(corpus: DataFrame): DataFrame = {
-    val qs = corpus.filter(col("vec_id") < 10)
+    val live = corpus.filter(expr("dot_product(v, v) > 0"))
+    val qs = live.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    corpus.crossJoin(broadcast(qs))
+    live.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id", cosExpr)
       .withColumn("rank", row_number().over(w))

@@ -72,6 +72,17 @@ class ApiServerSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /api/explainspark reports tier feed and the Catalyst physical plan") {
+    withServer { p =>
+      val (c, b) = post(p, "/api/explainspark",
+        """{"sql": "SELECT COUNT(*) AS n FROM api_t WHERE id > 0"}""")
+      assert(c == 200 && b.contains("Snapshot Sources:") && b.contains("api_t: hot rows"), b)
+      assert(b.contains("Physical Plan"), b)
+      val (c2, b2) = post(p, "/api/explainspark", """{"sql": "SELECT broken syntax FROM"}""")
+      assert(c2 == 400 && b2.contains("QUERY_ERROR"), b2)
+    }
+  }
+
   test("GET /api/tables, /api/tables/:name, /api/tables/:name/describe") {
     withServer { p =>
       val (c1, b1) = get(p, "/api/tables")

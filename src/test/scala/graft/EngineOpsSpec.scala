@@ -233,6 +233,20 @@ class EngineOpsSpec extends AnyFunSuite {
 
   // ---- C13: delta-log corruption recovery ----------------------------------
 
+  test("explainSpark reports per-table tier feed plus the Catalyst physical plan") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE ex (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("ex", (1 to 100).map(i => Array[Any](i.toLong, Int.box(i))))
+      e.forceFlush("ex")
+      e.batchPut("ex", Seq(Array[Any](101L, Int.box(1))))
+      val plan = e.explainSpark("SELECT COUNT(*) AS n FROM ex")
+      assert(plan.contains("ex: hot rows 1, cold tiers 1"), plan)
+      assert(plan.contains("L0 x1") && plan.contains("~100 rows cold"), plan)
+      assert(plan.contains("Physical Plan"), plan)
+    }
+  }
+
   test("recovery skips a corrupt delta-log tail, keeping the intact prefix") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir))

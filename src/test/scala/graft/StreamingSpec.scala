@@ -134,6 +134,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("near-dedup state ages out after the watermark advances (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the at-scale claim made in Streams.nearDedupDocs — per-band
+    // dedup state is BOUNDED by the watermark horizon, not by stream
+    // length — measured directly from the state-store metrics: rows
+    // accumulate while events sit inside the horizon, then a far-
+    // future event advances the watermark and the expired keys must
+    // leave the store.
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.nearDedupDocs(
+      src.toDF().toDF("doc_id", "text", "ts"), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("nddstate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val docs = (1 to 20).map(i =>
+        (i.toLong, (1 to 10).map(t => s"w${i}_$t").mkString(" "), ts(i % 5)))
+      src.addData(docs: _*)
+      q.processAllAvailable()
+      val before = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(before >= 20 * 4,
+        s"expected ≥80 state rows (20 docs × 4 band stages), got $before")
+      // two sentinels an hour ahead: the first advances the watermark
+      // past every earlier key, the second's batch runs with that
+      // watermark and evicts them
+      src.addData((998L, "sentinel doc one far ahead", ts(60)))
+      q.processAllAvailable()
+      src.addData((999L, "sentinel doc two far ahead", ts(61)))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      info(s"state rows: $before before watermark advance, $after after")
+      assert(after < before, s"state did not shrink: $before -> $after")
+      assert(after <= 2 * 4,
+        s"only the 2 in-horizon sentinels (× 4 stages) should remain, got $after")
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions by inactivity gap and by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
