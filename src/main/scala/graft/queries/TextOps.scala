@@ -233,14 +233,19 @@ object TextOps {
       .select(col("doc_id"), col("m"))
   }
 
-  /** (doc_id, simhash): 64-bit simhash over DISTINCT lowercased
-    * tokens. Tokens are EXPLODED to rows: one codegen'd xxhash64 per
-    * token, then a 64-column conditional-sum hash aggregate builds
-    * the bit counters, and one projection folds them into the 64-bit
-    * value — no interpreted array lambdas in the hot path. Shared by
-    * the declared near-dup query and the planted-duplicate gate
-    * (which recomputes exhaustive Hamming truth from these values).
+  /** (doc_id, simhash): simhash over DISTINCT lowercased tokens.
+    * Tokens are EXPLODED to rows: one codegen'd md5-derived 60-bit
+    * hash per token (the engine-independent construction from
+    * winnowMinima — DuckDB computes the identical value, which is
+    * what gives q_dedup_simhash a full oracle), then a 60-column
+    * conditional-sum hash aggregate builds the bit counters, and one
+    * projection folds them into the hash value — no interpreted
+    * array lambdas in the hot path. Shared by the declared near-dup
+    * query and the planted-duplicate gate (which recomputes
+    * exhaustive Hamming truth from these values).
     */
+  private[graft] val simhashBits = 60
+
   private[graft] def simhashes(s: SparkSession, d: String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val tokens = t(s, d, "documents")
@@ -250,17 +255,22 @@ object TextOps {
       .filter(size(col("toks")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)  // barrier before explode (see shingleRows)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-    val cntCols = (0 until 64).map(i =>
+    val cntCols = (0 until simhashBits).map(i =>
       sum(when(expr(s"(shiftright(h, $i) & 1L) = 1L"), 1).otherwise(-1)).as(s"c$i"))
-    val cnt = tokens.select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val cnt = tokens
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .groupBy(col("doc_id")).agg(cntCols.head, cntCols.tail: _*)
-    val simExpr = (0 until 64).map(i => s"IF(c$i >= 0, shiftleft(1L, $i), 0L)").mkString(" | ")
+    val simExpr = (0 until simhashBits)
+      .map(i => s"IF(c$i >= 0, shiftleft(1L, $i), 0L)").mkString(" | ")
     cnt.selectExpr("doc_id", s"($simExpr) AS simhash")
   }
 
-  /** Manku-style block-permutation band keys for 64-bit simhashes
+  /** Manku-style block-permutation band keys for the simhashes
     * (Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling",
-    * WWW'07 §3): the 64 bits split into 6 blocks (4×11 + 2×10 bits);
+    * WWW'07 §3): the 64 bit positions split into 6 blocks (4×11 +
+    * 2×10 bits; positions ≥ simhashBits are constant-zero, which only
+    * shaves key entropy in the last block);
     * a pair within Hamming distance 3 has its differing bits in at
     * most 3 blocks, so at least one of the C(6,3)=20 3-block
     * combinations is clean on BOTH sides (pigeonhole) — the same
@@ -304,8 +314,38 @@ object TextOps {
         Seq("tbl", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+        expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)").as("hamming"))
       .distinct()
+  }
+
+  /** DuckDB mirror of the simhash near-dup result: identical per-doc
+    * simhashes (same md5-derived token hashes, same bit counters),
+    * then the EXHAUSTIVE Hamming<=3 pair set — the oracle needs no
+    * banding because correctness, not scale, is its job; the
+    * lossless-bucketing gate proves the banded Spark plan returns
+    * exactly this set.
+    */
+  private val simhashOracleSql: String = {
+    val cnts = (0 until simhashBits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS c$i")
+      .mkString(",\n                  ")
+    val simExpr = (0 until simhashBits)
+      .map(i => s"CASE WHEN c$i >= 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END")
+      .mkString(" | ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(
+              list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))) AS tok
+            FROM documents),
+          hashed AS (SELECT doc_id,
+              CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h FROM toks),
+          cnt AS (SELECT doc_id,
+                  $cnts
+                  FROM hashed GROUP BY doc_id),
+          sims AS (SELECT doc_id, ($simExpr) AS simhash FROM cnt)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY doc_a, doc_b"""
   }
 
   /** Exact n-gram Jaccard near-dup pairs (doc_a, doc_b, jaccard >= 0.6)
@@ -1185,13 +1225,14 @@ object TextOps {
     },
 
     // ---- SimHash near-dup -------------------------------------------------
-    // 64-bit simhash from token hashes; Manku block-permutation tables
-    // (simhashBandKeys above) guarantee by pigeonhole that any pair
-    // within Hamming distance 3 shares a table key — the planted-
-    // duplicate gate asserts the bucketed result is EXACTLY the
-    // exhaustive Hamming<=3 pair set (lossless bucketing), and a
-    // candidate-volume gate asserts the join stays sub-quadratic.
-    "q_dedup_simhash" -> Q.noOracle { (s, d) =>
+    // simhash from md5-derived token hashes; Manku block-permutation
+    // tables (simhashBandKeys above) guarantee by pigeonhole that any
+    // pair within Hamming distance 3 shares a table key — the
+    // planted-duplicate gate asserts the bucketed result is EXACTLY
+    // the exhaustive Hamming<=3 pair set (lossless bucketing), a
+    // candidate-volume gate asserts the join stays sub-quadratic, and
+    // the DuckDB oracle recomputes the same pair set exhaustively.
+    "q_dedup_simhash" -> Q(simhashOracleSql) { (s, d) =>
       simhashCandidates(s, d)
         .filter(col("hamming") <= 3)
         .orderBy(col("doc_a"), col("doc_b"))

@@ -62,29 +62,55 @@ object VectorOps {
   }
 
   /** Top-5 cosine neighbors of the vec_id<10 query set over `corpus`
-    * ((vec_id, v) with cosine_sim registered) — the one broadcast-
-    * queries/single-scan top-k pipeline, shared by the exact and the
-    * int8-quantized declared queries so their shape cannot drift.
+    * ((vec_id, v) with the native kernels registered) — the one
+    * broadcast-queries/single-scan top-k pipeline, shared by the
+    * exact, brute-force, and int8-quantized declared queries so their
+    * shape cannot drift. Norms are computed once per ROW, not per
+    * pair (n+q norm loops instead of n·q), and the dot/(nv·nq) form
+    * is BIT-identical to DuckDB's list_cosine_similarity (sequential
+    * accumulation, then dot over the sqrt product) — which is what
+    * lets every consumer carry a full hash-match oracle.
     *
     * Zero-norm vectors (padding rows, failed encoders — the same
     * population the int8 quantization guards against) are filtered
-    * from BOTH sides: their cosine is 0/0 = NaN, and Spark sorts NaN
-    * greatest, so one zero vector would otherwise rank #1 for every
-    * query.
+    * from BOTH sides: with per-row norms their cosine is 0/0 = NaN,
+    * and Spark sorts NaN greatest, so one zero vector would
+    * otherwise rank #1 for every query. The oracles apply the
+    * identical filter.
     */
   private def knnTop5(corpus: DataFrame): DataFrame = {
     val live = corpus.filter(expr("dot_product(v, v) > 0"))
+      .selectExpr("vec_id", "v", "sqrt(dot_product(v, v)) AS nv")
     val qs = live.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     live.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
-      .selectExpr("q_id", "vec_id", cosExpr)
-      .withColumn("rank", row_number().over(w))
+      .selectExpr("q_id", "vec_id", "dot_product(v, qv) / (nv * nq) AS cosine")
+      .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** DuckDB mirror of [[knnTop5]] over a corpus CTE named `e` with
+    * columns (vec_id, v: DOUBLE[]) — the zero-norm filter, the
+    * vec_id<10 query set, per-query top-5 by list_cosine_similarity
+    * with the vec_id tie-break.
+    */
+  private def knnOracleTail(scoreCol: String): String =
+    s"""live AS (SELECT vec_id, v FROM e
+                 WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM live WHERE vec_id < 10),
+         ranked AS (
+           SELECT q.q_id, live.vec_id AS neighbor_id,
+                  list_cosine_similarity(live.v, q.qv) AS $scoreCol,
+                  row_number() OVER (PARTITION BY q.q_id
+                      ORDER BY list_cosine_similarity(live.v, q.qv) DESC,
+                               live.vec_id) AS rank
+           FROM live CROSS JOIN q WHERE live.vec_id <> q.q_id)
+       SELECT q_id, rank, neighbor_id, $scoreCol
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
   /** Embedding near-duplicate pairs above `minCosine`: candidates are
     * pairs sharing ANY (tbl, bucket) across the multi-table LSH index
@@ -163,30 +189,9 @@ object VectorOps {
     // through a single scan with no shuffle before the per-query
     // top-k window.
     "q_knn_exact" -> Q(
-      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-                    FROM embeddings WHERE vec_id < 10),
-              ranked AS (
-                SELECT q.q_id, e.vec_id AS neighbor_id,
-                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score,
-                       row_number() OVER (PARTITION BY q.q_id
-                           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
-                                    e.vec_id) AS rank
-                FROM embeddings e CROSS JOIN q
-                WHERE e.vec_id <> q.q_id)
-         SELECT q_id, rank, neighbor_id, score
-         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""") { (s, d) =>
-      val withNorm = registered(s, d)
-        .selectExpr("vec_id", "v", "sqrt(dot_product(v, v)) AS nv")
-      val qs = withNorm.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-      withNorm.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id", "dot_product(v, qv) / (nv * nq) AS score")
-        .withColumn("rank", row_number().over(w).cast("bigint"))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
-        .orderBy(col("q_id"), col("rank"))
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          ${knnOracleTail("score")}""") { (s, d) =>
+      knnTop5(registered(s, d)).withColumnRenamed("cosine", "score")
     },
 
     // ---- int8 scalar quantization (oracle-checked) -------------------------
@@ -226,7 +231,13 @@ object VectorOps {
         .orderBy(col("vec_id"))
     },
 
-    "q_ann_brute" -> Q.noOracle { (s, d) =>
+    // same exact-KNN pipeline as q_knn_exact (the brute-force ANN
+    // baseline every approximate index is judged against) — and since
+    // the scoring is engine-independent (knnTop5 scaladoc), it carries
+    // its own full oracle rather than a rows-only check.
+    "q_ann_brute" -> Q(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          ${knnOracleTail("cosine")}""") { (s, d) =>
       knnTop5(registered(s, d))
     },
 
@@ -238,8 +249,18 @@ object VectorOps {
     // semantics — integer dot-product ranking — are what the query
     // declares). Same broadcast-queries/one-scan shape as q_ann_brute;
     // recall vs the exact-KNN oracle is spec-gated (≥0.8 top-5, max
-    // cosine error ≤0.05 in VectorOpsSpec).
-    "q_ann_int8" -> Q.noOracle { (s, d) =>
+    // cosine error ≤0.05 in VectorOpsSpec) — and because quantization
+    // is oracle-exact (q_quantize_int8) and the scoring engine-
+    // independent, the search result itself hash-matches a DuckDB
+    // mirror that quantizes and ranks the same way.
+    "q_ann_int8" -> Q(
+      s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v0,
+                 greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127, 1e-300) AS scale
+               FROM embeddings),
+          e AS (SELECT vec_id,
+                  list_transform(v0, x -> CAST(CAST(round(x / scale) AS INT) AS DOUBLE)) AS v
+                FROM s),
+          ${knnOracleTail("cosine")}""") { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       knnTop5(quantized(s, d).selectExpr("vec_id", "CAST(qv AS array<double>) AS v"))
     },

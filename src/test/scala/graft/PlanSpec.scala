@@ -70,10 +70,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p.take(800))
   }
 
-  test("ANN scoring runs the native cosine expression, not interpreted lambdas") {
+  test("ANN scoring runs the native kernels, not interpreted lambdas") {
+    // brute-force KNN: per-row norms + dot_product (the oracle-exact
+    // form); the LSH path still scores via the cosine_sim kernel
     val p = plan("q_ann_brute")
-    assert(p.contains("cosine_sim"), p)
+    assert(p.contains("dot_product"), p)
     assert(!p.contains("aggregate(zip_with"), p)
+    val pl = plan("q_ann_lsh")
+    assert(pl.contains("cosine_sim"), pl)
+    assert(!pl.contains("aggregate(zip_with"), pl)
   }
 
   test("text quality tokenizes once, behind the shared cache barrier") {
