@@ -735,6 +735,48 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- sequence packing, 100 TB form: two-phase hierarchical cumsum -------
+    // q_pack_sequences windows PARTITION BY source — with tens of
+    // sources, parallelism caps at |sources| and each partition is a
+    // full per-source sort (the q_window_ntile disease). The scale
+    // form is the classic hierarchical prefix sum: (1) local cumsum
+    // within (source, doc_id-bucket) — parallelism scales with the
+    // corpus; (2) per-bucket totals (a tiny aggregate) prefix-summed
+    // per source over |buckets| rows; (3) bucket offsets broadcast
+    // back and added map-side. The OUTPUT IS IDENTICAL to
+    // q_pack_sequences, so the same DuckDB oracle gates both — the
+    // declared pair is correctness twin + scale twin, like
+    // q_topk_per_group / q_topk_agg.
+    "q_pack_bucketed" -> Q(
+      """SELECT doc_id, source, n_tokens,
+                CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_id
+         FROM (SELECT doc_id, source, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+               FROM (SELECT doc_id, source,
+                       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+                     FROM documents))
+         ORDER BY doc_id""") { (s, d) =>
+      val base = t(s, d, "documents")
+        .selectExpr("doc_id", "source",
+          "CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT) AS n_tokens",
+          "CAST(doc_id DIV 500 AS BIGINT) AS bkt")
+      val wLocal = Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id"))
+      val local = base.withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+      // bucket totals: |sources|x|buckets| rows — the only global
+      // window runs over THIS aggregate, not the corpus
+      val offsets = base.groupBy(col("source"), col("bkt"))
+        .agg(sum(col("n_tokens")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(
+          Window.partitionBy(col("source")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("bkt"), col("off"))
+      local.join(broadcast(offsets), Seq("source", "bkt"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("lcum") + col("off") - col("n_tokens")) / 512)
+            .cast("bigint").as("seq_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- PII-style masking --------------------------------------------------
     // Curation normalization: digit runs and email-shaped tokens are
     // replaced with placeholder tags. The patterns use only syntax

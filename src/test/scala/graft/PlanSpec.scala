@@ -160,6 +160,17 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)  // partial md5 keep-list
   }
 
+  test("bucketed packing joins broadcast offsets; its corpus window is per-bucket") {
+    val p = plan("q_pack_bucketed")
+    // the offsets side is broadcast (|sources|x|buckets| rows) and the
+    // corpus-sized window partitions by (source, bkt), not source alone
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(specs.exists(l => l.contains("source") && l.contains("bkt")),
+      specs.mkString("\n"))
+  }
+
   test("ntile twin assigns buckets map-side after one boundary aggregate, no window") {
     val p = plan("q_ntile_bucketed")
     // the scale claim: NO per-row window (that's q_window_ntile's
