@@ -182,7 +182,7 @@ final class Engine(
     */
   def forceFlush(table: String): Unit = flushStore(storeOf(table))
 
-  private def flushStore(store: HotStore): Unit = {
+  private def flushStore(store: HotStore, compactAfter: Boolean = true): Unit = {
     val dir = dataDir.getOrElse(return)
     val didFlush = store.synchronized {
       if (store.latest.isEmpty) false
@@ -211,8 +211,11 @@ final class Engine(
       }
     }
     // compaction runs AFTER the lock is released: the merge job must
-    // never stall concurrent writes (see maybeCompactLeveled)
-    if (didFlush) maybeCompactLeveled(store)
+    // never stall concurrent writes (see maybeCompactLeveled).
+    // compactAfter=false is the mid-DML flush (see applyDml): a
+    // statement's own flushes must only ADD tiers, never retire the
+    // ones its read iterator is still scanning.
+    if (didFlush && compactAfter) maybeCompactLeveled(store)
   }
 
   /** MAJOR compaction: window-dedup ALL cold tiers into one bottom-level
@@ -1018,13 +1021,23 @@ final class Engine(
       store.putBatch(batch.toSeq)
       n += batch.size
       batch.clear()
-      maybeFlush(store)
+      // mid-statement flushes bound the hot store but must NOT
+      // compact: compaction retires tiers, and after tierRetainGens
+      // more generations deletes them — which would yank cold files
+      // out from under THIS statement's still-running match iterator.
+      // Flush-only grows the tier count transiently; the single
+      // compaction pass below reclaims it once the iterator is done.
+      if (dataDir.isDefined &&
+          (store.synchronized(store.latest.size) >= hotLimit ||
+            store.synchronized(store.approxBytes) >= hotLimitBytes))
+        flushStore(store, compactAfter = false)
     }
     matches.foreach { rv =>
       batch += mutate(rv)
       if (batch.size >= dmlBatchRows) drain()
     }
     drain()
+    if (dataDir.isDefined) maybeCompactLeveled(store)
     opWrites.addAndGet(n)
     n
   }

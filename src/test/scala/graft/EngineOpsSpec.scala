@@ -138,6 +138,32 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("broad UPDATE flushing mid-statement never compacts away its own inputs") {
+    withDir { dir =>
+      // hotLimit 500 forces a flush on every 4096-row DML drain: the
+      // statement's own writes land as NEW tiers while its match
+      // iterator is still scanning the original cold files — flushes
+      // mid-statement must not trigger compaction (which would retire
+      // and eventually delete those files); the deferred single pass
+      // afterwards reclaims the tier pileup
+      val e = new Engine(spark, Some(dir), hotLimit = 500)
+      assert(e.sql("CREATE TABLE mdml (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("mdml", (1 to 20000).map(i => Array[Any](i.toLong, Int.box(1))))
+      e.forceFlush("mdml")
+      val tiersBefore = e.stats.tables.find(_.name == "mdml").get.coldTiers
+      assert(e.sql("UPDATE mdml SET v = 2 WHERE v = 1").rowsAffected == 20000)
+      assert(e.sql("SELECT SUM(v) FROM mdml").rows.head.head == "40000")
+      assert(e.sql("SELECT COUNT(*) FROM mdml").rows.head.head == "20000")
+      // the statement flushed multiple times (tier churn happened) and
+      // the post-statement compaction pass merged the L0 pileup
+      val st = e.stats
+      assert(st.totalCompactions >= 1, s"expected the deferred compaction pass, got $st")
+      val tiersAfter = st.tables.find(_.name == "mdml").get.coldTiers
+      assert(tiersAfter < tiersBefore + 5,
+        s"tier pileup not reclaimed: $tiersBefore -> $tiersAfter")
+    }
+  }
+
   // ---- compaction writes multiple files, snapshot invariant ----------------
 
   test("compaction output is multi-file capable and snapshot-invariant") {
