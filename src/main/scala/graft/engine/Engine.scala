@@ -39,6 +39,11 @@ final class Engine(
   private val catalog = mutable.LinkedHashMap.empty[String, TableMeta]
   private val stores  = mutable.HashMap.empty[String, HotStore]
   private val seqGen  = new AtomicLong(0L)
+  /** uniquifier for merge-output tier names: two unlocked merges can
+    * read the same seqGen value, and a shared path would let the
+    * abandoned one delete the live one's files.
+    */
+  private val tierUniq = new AtomicLong(0L)
 
   // op counters (M5 — reference storage_engine.hpp:44-68 stats object)
   private val opWrites      = new AtomicLong(0L)
@@ -67,9 +72,17 @@ final class Engine(
     /** one background-style compaction pass at a time per store: a
       * concurrent trigger (another writer's flush) skips instead of
       * queueing a duplicate merge of the same inputs — the next flush
-      * re-checks the triggers anyway.
+      * re-checks the triggers anyway. Admin major compaction WAITS on
+      * this instead of skipping (compactStore).
       */
     val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
+    /** in-flight bounded-pull scans (DML match iterators) holding the
+      * plan-time cold file listing: while > 0, retired tier files are
+      * QUEUED for deletion, not deleted — the generation-depth cushion
+      * alone cannot bound how many compactions a long statement's own
+      * concurrent writers complete.
+      */
+    val activeScans = new java.util.concurrent.atomic.AtomicInteger(0)
     /** rough retained bytes — drives the byte-sized flush trigger
       * (the reference freezes its memtable at 64 MB, M1/M4; a pure
       * row-count trigger lets wide rows blow the memory budget).
@@ -305,8 +318,11 @@ final class Engine(
     }
     if (inputs.size < 2) return
     val outLevel = math.min(level + 1, maxLevels - 1)
+    // the -u suffix makes every merge output path unique even when two
+    // merges mint a name at the same seqGen reading (levelOf parses
+    // only the leading digits, so the suffix is level-transparent)
     val target = coldRoot(dir, m.name)
-      .resolve(f"tier-l$outLevel%d-${seqGen.get()}%012d").toString
+      .resolve(f"tier-l$outLevel%d-${seqGen.get()}%012d-u${tierUniq.incrementAndGet()}%d").toString
     // tombstone GC is decided at CAPTURE time: when the inputs covered
     // every cold tier, no older tier can hold a version a dropped
     // tombstone shadows, and any tier flushed DURING the merge is
@@ -363,26 +379,35 @@ final class Engine(
   private def compactStore(store: HotStore): Unit = {
     val dir = dataDir.getOrElse(return)
     val m = store.meta
-    // same capture / merge-unlocked / re-checked-swap shape as
-    // mergeLevel: the full rewrite is the LONGEST merge, so it is the
-    // one that most needs to run outside the store lock
-    val inputs = store.synchronized(store.coldDirs)
-    if (inputs.size < 2) return
-    val target = coldRoot(dir, m.name).resolve(f"tier-c${seqGen.get()}%012d").toString
-    writeMerged(m, inputs, target, dropTombstones = true)
-    val swapped = store.synchronized {
-      if (!inputs.forall(store.coldDirs.contains)) false
-      else {
-        // tiers flushed during the merge are strictly newer than the
-        // swapped-in bottom tier and stay live after it
-        store.coldDirs = Vector(target) ++ store.coldDirs.filterNot(inputs.contains)
-        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
-        retire(store, inputs)
-        true
+    // admin compaction SERIALIZES on the per-store pass guard (waits,
+    // unlike the flush-path trigger which skips): two concurrent
+    // majors would otherwise merge the same inputs twice, and the
+    // loser's abandon path would delete a directory the winner just
+    // made live
+    while (!store.compacting.compareAndSet(false, true)) Thread.sleep(5)
+    try {
+      // same capture / merge-unlocked / re-checked-swap shape as
+      // mergeLevel: the full rewrite is the LONGEST merge, so it is
+      // the one that most needs to run outside the store lock
+      val inputs = store.synchronized(store.coldDirs)
+      if (inputs.size < 2) return
+      val target = coldRoot(dir, m.name)
+        .resolve(f"tier-c${seqGen.get()}%012d-u${tierUniq.incrementAndGet()}%d").toString
+      writeMerged(m, inputs, target, dropTombstones = true)
+      val swapped = store.synchronized {
+        if (!inputs.forall(store.coldDirs.contains)) false
+        else {
+          // tiers flushed during the merge are strictly newer than the
+          // swapped-in bottom tier and stay live after it
+          store.coldDirs = Vector(target) ++ store.coldDirs.filterNot(inputs.contains)
+          Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
+          retire(store, inputs)
+          true
+        }
       }
-    }
-    if (swapped) opCompactions.incrementAndGet()
-    else Persist.deleteRecursively(java.nio.file.Paths.get(target))
+      if (swapped) opCompactions.incrementAndGet()
+      else Persist.deleteRecursively(java.nio.file.Paths.get(target))
+    } finally store.compacting.set(false)
   }
 
   /** The merge job shared by leveled and major compaction: union the
@@ -418,7 +443,19 @@ final class Engine(
 
   private def retire(store: HotStore, dirs: Vector[String]): Unit = {
     store.retiredGens = store.retiredGens :+ dirs
-    while (store.retiredGens.size > tierRetainGens) {
+    trimRetired(store)
+  }
+
+  /** Delete retired generations beyond the retain depth — but ONLY
+    * while no bounded-pull scan is in flight (activeScans lease): a
+    * long DML statement's match iterator holds its plan-time file
+    * listing, and concurrent writers can complete arbitrarily many
+    * compactions during it. Deferred generations are reclaimed when
+    * the last lease releases (applyDml's finally) or on the next
+    * retire.
+    */
+  private def trimRetired(store: HotStore): Unit = store.synchronized {
+    while (store.retiredGens.size > tierRetainGens && store.activeScans.get() == 0) {
       store.retiredGens.head.foreach(p =>
         Persist.deleteRecursively(java.nio.file.Paths.get(p)))
       // drop the deleted dirs' point-reader metadata: bounds cache
@@ -1032,11 +1069,22 @@ final class Engine(
             store.synchronized(store.approxBytes) >= hotLimitBytes))
         flushStore(store, compactAfter = false)
     }
-    matches.foreach { rv =>
-      batch += mutate(rv)
-      if (batch.size >= dmlBatchRows) drain()
+    // scan lease: while this statement's match iterator is live,
+    // CONCURRENT writers' compactions queue their tier deletions
+    // instead of deleting (trimRetired) — the generation cushion
+    // alone cannot bound how many compactions finish during a long
+    // statement. Released (and the queue drained) in the finally.
+    store.activeScans.incrementAndGet()
+    try {
+      matches.foreach { rv =>
+        batch += mutate(rv)
+        if (batch.size >= dmlBatchRows) drain()
+      }
+      drain()
+    } finally {
+      store.activeScans.decrementAndGet()
+      trimRetired(store)
     }
-    drain()
     if (dataDir.isDefined) maybeCompactLeveled(store)
     opWrites.addAndGet(n)
     n

@@ -303,10 +303,14 @@ object TextOps {
     * not just the post-Hamming-filter result.
     */
   private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val banded = simhashes(s, d)
-      .selectExpr("doc_id", "simhash",
-        s"posexplode(array(${simhashBandKeys.mkString(", ")})) AS (tbl, bkey)")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // memoized, not bare-persisted: repeat callers (the declared
+    // query, the lossless gate, the candidate-volume gate) reuse one
+    // cached frame instead of accreting orphaned persists
+    val banded = memoized(s, s"simhash-banded:$d") {
+      simhashes(s, d)
+        .selectExpr("doc_id", "simhash",
+          s"posexplode(array(${simhashBandKeys.mkString(", ")})) AS (tbl, bkey)")
+    }
     banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
         col("tbl"), col("bkey")).as("a")
       .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
