@@ -48,6 +48,30 @@ object HtapBench {
     Phase(name, threads, total.get(), total.get().toDouble / elapsed)
   }
 
+  /** Like [[phase]], but runs until `alive()` turns false (30 s cap):
+    * used to measure one workload for exactly as long as a concurrent
+    * background job (a major compaction) is in flight.
+    */
+  private def phaseWhile(name: String, threads: Int, alive: () => Boolean)
+                        (op: () => Boolean): Phase = {
+    val keepRunning = new AtomicBoolean(true)
+    val total = new AtomicLong(0L)
+    val workers = (0 until threads).map { _ =>
+      new Thread(() => {
+        var mine = 0L
+        while (keepRunning.get()) if (op()) mine += 1
+        total.addAndGet(mine)
+      })
+    }
+    val t0 = System.nanoTime()
+    workers.foreach(_.start())
+    while (alive() && (System.nanoTime() - t0) < 30e9.toLong) Thread.sleep(10)
+    keepRunning.set(false)
+    workers.foreach(_.join())
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    Phase(name, threads, total.get(), total.get().toDouble / elapsed)
+  }
+
   def run(spark: SparkSession, dir: String, rows: Int, secs: Int,
           threads: Int): Seq[Phase] = {
     // both flush triggers disabled for seeding: the point of the hot
@@ -96,6 +120,29 @@ object HtapBench {
           else
             e.sql(s"SELECT * FROM mt_bench_table WHERE id = $midId").ok
         }
+      }, {
+        // write availability DURING a major compaction — the merge job
+        // runs outside the store lock, so batch writes must sustain
+        // throughput for the merge's whole duration (pre-r8 they
+        // stalled on the lock until the merge finished). Several tiers
+        // first, so the merge is a real multi-tier Spark job.
+        val nextId = new AtomicLong(rows.toLong + 1000000L)
+        e.forceFlush("mt_bench_table")
+        (0 until 2).foreach { _ =>
+          val base = nextId.getAndAdd(2000L)
+          e.batchPut("mt_bench_table", (0 until 2000).map(k =>
+            Array[Any](base + k, s"c_${base + k}", 1.0, "active")))
+          e.forceFlush("mt_bench_table")
+        }
+        val compactor = new Thread(() => e.compact("mt_bench_table"))
+        compactor.start()
+        val p = phaseWhile("writes_during_compaction", threads, () => compactor.isAlive) { () =>
+          val base = nextId.getAndAdd(100L)
+          e.batchPut("mt_bench_table", (0 until 100).map(k =>
+            Array[Any](base + k, s"d_${base + k}", 1.0, "active"))).nonEmpty
+        }
+        compactor.join()
+        p
       })
     results
   }

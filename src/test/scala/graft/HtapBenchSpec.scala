@@ -21,8 +21,12 @@ class HtapBenchSpec extends AnyFunSuite {
     try {
       val phases = HtapBench.run(spark, dir, rows = 2000, secs = 1, threads = 4)
       assert(phases.map(_.name) ==
-        Seq("point_hot", "point_cold", "agg_sum", "filtered_sum", "mixed_rw"))
-      phases.foreach(p => assert(p.ops > 0, s"phase ${p.name} did no work"))
+        Seq("point_hot", "point_cold", "agg_sum", "filtered_sum", "mixed_rw",
+          "writes_during_compaction"))
+      // writes_during_compaction lasts only as long as the tiny merge
+      // at this scale — it may legitimately complete 0 batch puts
+      phases.filterNot(_.name == "writes_during_compaction")
+        .foreach(p => assert(p.ops > 0, s"phase ${p.name} did no work"))
       val hot = phases.find(_.name == "point_hot").get
       val cold = phases.find(_.name == "point_cold").get
       val agg = phases.find(_.name == "agg_sum").get
