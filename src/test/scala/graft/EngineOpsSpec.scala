@@ -237,6 +237,69 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chaos: concurrent writers, flusher, compactor, and reader stay consistent") {
+    withDir { dir =>
+      // every r8 concurrency surface at once: unlocked leveled merges
+      // (flush-triggered), serialized admin majors, swap staleness
+      // re-checks, deferred tier GC — under 3 writers with DISJOINT
+      // key ranges (each thread is sequential over its own keys, so
+      // the engine's per-key LWW order must equal each thread's
+      // program order, making the final state exactly checkable)
+      val e = new Engine(spark, Some(dir), hotLimit = 2000, compactTrigger = 3)
+      assert(e.sql("CREATE TABLE chaos (id BIGINT NOT NULL, v BIGINT)").ok)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def guard(f: => Unit): Unit =
+        try f catch { case t: Throwable => errs.add(t); stop.set(true) }
+      val lastWritten = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+      val writers = (0 until 3).map { w =>
+        new Thread(() => {
+          val rng = new scala.util.Random(42 + w)
+          var it = 0L
+          while (!stop.get()) {
+            val batch = (0 until 50).map { _ =>
+              val k = w * 100000L + rng.nextInt(3000)
+              lastWritten.put(k, it)
+              Array[Any](k, Long.box(it))
+            }
+            guard(e.batchPut("chaos", batch))
+            it += 1
+          }
+        })
+      }
+      val flusher = new Thread(() => while (!stop.get()) {
+        guard(e.forceFlush("chaos")); Thread.sleep(25)
+      })
+      val compactor = new Thread(() => while (!stop.get()) {
+        guard(e.compact("chaos")); Thread.sleep(250)
+      })
+      val reader = new Thread(() => while (!stop.get()) {
+        guard(assert(e.sql("SELECT COUNT(*) FROM chaos").ok)); Thread.sleep(50)
+      })
+      val all = writers ++ Seq(flusher, compactor, reader)
+      all.foreach(_.start())
+      Thread.sleep(2500)
+      stop.set(true)
+      all.foreach(_.join())
+      assert(errs.isEmpty, s"concurrent op failed: ${errs.peek()}")
+      // final state: a sample of keys holds each owner-thread's last
+      // value, and the table holds exactly the distinct written keys
+      import scala.jdk.CollectionConverters._
+      val keys = lastWritten.keySet.asScala.toVector.sorted
+      val sample = keys.take(200) ++ keys.takeRight(200)
+      val got = e.batchGet("chaos", sample.map(k => k: Any))
+      sample.foreach { k =>
+        assert(got.contains(k), s"key $k lost")
+        assert(got(k)(1) == lastWritten.get(k),
+          s"key $k: got ${got(k)(1)}, last written ${lastWritten.get(k)}")
+      }
+      assert(e.sql("SELECT COUNT(*) FROM chaos").rows.head.head == keys.size.toString)
+      // and the whole state survives restart (manifest + delta replay)
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.sql("SELECT COUNT(*) FROM chaos").rows.head.head == keys.size.toString)
+    }
+  }
+
   test("sparkSql runs joins and group-bys across live hot+cold snapshots") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir))
