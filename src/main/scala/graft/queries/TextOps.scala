@@ -739,6 +739,69 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- sliding-window token chunking --------------------------------------
+    // Context-window preparation: each document is cut into 128-token
+    // chunks at stride 64 (half-overlap) — the standard long-document
+    // treatment before tokenized training or embedding indexing. Pure
+    // map-side explode: chunk starts come from a codegen'd stepped
+    // sequence, the chunk hash is md5 of the joined tokens (engine-
+    // independent, so the whole op is oracle-exact). At 100 TB this is
+    // a scan-shaped operator — no shuffle, output rows ≈ 2x corpus
+    // token mass / 128.
+    "q_chunk_windows" -> Q(
+      """WITH docs AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+           FROM documents),
+         ch AS (SELECT doc_id,
+                  [{'cid': CAST(i // 64 AS BIGINT), 'st': CAST(i AS BIGINT),
+                    'nt': CAST(least(128, len(toks) - i) AS BIGINT),
+                    'h': md5(array_to_string(toks[i+1 : i+128], ' '))}
+                   for i in range(0, len(toks), 64)] AS cs
+                FROM docs WHERE len(toks) > 0)
+         SELECT doc_id, u.cid AS chunk_id, u.st AS chunk_start,
+                u.nt AS n_chunk_tokens, u.h AS chunk_hash
+         FROM (SELECT doc_id, unnest(cs) AS u FROM ch)
+         ORDER BY doc_id, chunk_id""") { (s, d) =>
+      toksFrame(s, d)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr("sequence(0, size(toks) - 1, 64)")).as(Seq("chunk_id", "st")))
+        .selectExpr("doc_id",
+          "CAST(chunk_id AS BIGINT) AS chunk_id",
+          "CAST(st AS BIGINT) AS chunk_start",
+          "CAST(least(128, size(toks) - st) AS BIGINT) AS n_chunk_tokens",
+          "md5(concat_ws(' ', slice(toks, st + 1, 128))) AS chunk_hash")
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ---- deterministic global shuffle, 100 TB form --------------------------
+    // Training-order shuffling: a reproducible global permutation by
+    // md5(doc_id). A naive row_number() OVER (ORDER BY hash) is a
+    // SINGLE-PARTITION global sort — the same disease as
+    // q_window_ntile. Scale form: the first hash byte buckets rows
+    // into 256 ordered ranges (hex-prefix order IS md5-string order),
+    // ranks are assigned per bucket in parallel, and the tiny
+    // per-bucket counts prefix-sum into offsets broadcast back —
+    // global rank = bucket offset + local rank, identical to the
+    // naive form, which is exactly what the DuckDB oracle computes.
+    "q_shuffle_bucketed" -> Q(
+      """SELECT doc_id,
+                row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank
+         FROM documents ORDER BY shuffle_rank""") { (s, d) =>
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("sk"))
+        .withColumn("bkt", expr("CAST(conv(substring(sk, 1, 2), 16, 10) AS INT)"))
+      val wLocal = Window.partitionBy(col("bkt")).orderBy(col("sk"), col("doc_id"))
+      val local = keyed.withColumn("lrank", row_number().over(wLocal))
+      val offsets = keyed.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum(col("bn")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("off"))
+      local.join(broadcast(offsets), Seq("bkt"))
+        .select(col("doc_id"), (col("off") + col("lrank")).cast("bigint").as("shuffle_rank"))
+        .orderBy(col("shuffle_rank"))
+    },
+
     // ---- sequence packing, 100 TB form: two-phase hierarchical cumsum -------
     // q_pack_sequences windows PARTITION BY source — with tens of
     // sources, parallelism caps at |sources| and each partition is a

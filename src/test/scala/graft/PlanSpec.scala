@@ -171,6 +171,16 @@ class PlanSpec extends AnyFunSuite {
       specs.mkString("\n"))
   }
 
+  test("bucketed shuffle ranks per hash bucket; offsets broadcast back") {
+    val p = plan("q_shuffle_bucketed")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the corpus-sized window must partition by the hash bucket (256
+    // ranges), never run as a single global-order window
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(specs.exists(_.contains("bkt")), specs.mkString("\n"))
+  }
+
   test("ntile twin assigns buckets map-side after one boundary aggregate, no window") {
     val p = plan("q_ntile_bucketed")
     // the scale claim: NO per-row window (that's q_window_ntile's
