@@ -75,6 +75,26 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming curation funnel — the batch q_pipeline_curate shape on
+    * a stream: map-only quality scoring (the SAME thresholds as the
+    * batch quality frame: 10..2000 tokens, stop-word ratio ≤ 0.5)
+    * followed by exact dedup within the watermark. Everything before
+    * the dedup state is stateless per row, so the funnel's cost and
+    * state bounds are exactly dedupDocs'.
+    */
+  def curateDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    dedupDocs(
+      docs
+        .withColumn("toks", expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, x -> x IN ('the','a','and','of','to','in','is')))" +
+            " / CAST(greatest(size(toks), 1) AS DOUBLE)"))
+        .filter(col("n_tokens") >= 10 && col("n_tokens") <= 2000 &&
+          col("stop_ratio") <= 0.5)
+        .drop("toks", "n_tokens", "stop_ratio"),
+      watermark)
+
   /** Streaming NEAR-duplicate suppression: banded MinHash-LSH as a
     * chain of bounded-state dedups. The 16-slot minhash signature over
     * word-3-gram shingles is computed entirely INSIDE each row (array

@@ -134,6 +134,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation drops low-quality docs and in-horizon duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.curateDocs(
+      src.toDF().toDF("doc_id", "text", "ts"), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("cur")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val good = (1 to 20).map(i => s"w$i").mkString(" ")   // 20 tokens, no stopwords
+      val short = "too few tokens"                           // < 10 tokens
+      val stoppy = (1 to 20).map(_ => "the a and of").mkString(" ")  // stop_ratio 1.0
+      src.addData((1L, good, ts(0)), (2L, short, ts(1)), (3L, stoppy, ts(2)))
+      q.processAllAvailable()
+      // a reformatted duplicate of the good doc inside the horizon
+      src.addData((4L, good.toUpperCase + "  ", ts(3)), (5L, good + " extra", ts(4)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM cur").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("near-dedup state ages out after the watermark advances (bounded state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
