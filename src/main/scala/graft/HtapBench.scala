@@ -23,34 +23,13 @@ object HtapBench {
 
   final case class Phase(name: String, threads: Int, ops: Long, opsPerSec: Double)
 
-  /** Run one timed phase: `threads` workers looping `op` until the
-    * deadline; ops/s over successful iterations (reference
-    * runConcurrentTest shape). Throughput divides by MEASURED elapsed
-    * time — an op in flight at the deadline runs to completion and
-    * counts, so the nominal duration would overstate slow-op phases.
-    */
-  private def phase(name: String, threads: Int, secs: Int)(op: () => Boolean): Phase = {
-    val keepRunning = new AtomicBoolean(true)
-    val total = new AtomicLong(0L)
-    val workers = (0 until threads).map { _ =>
-      new Thread(() => {
-        var mine = 0L
-        while (keepRunning.get()) if (op()) mine += 1
-        total.addAndGet(mine)
-      })
-    }
-    val t0 = System.nanoTime()
-    workers.foreach(_.start())
-    Thread.sleep(secs * 1000L)
-    keepRunning.set(false)
-    workers.foreach(_.join())
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    Phase(name, threads, total.get(), total.get().toDouble / elapsed)
-  }
-
-  /** Like [[phase]], but runs until `alive()` turns false (30 s cap):
-    * used to measure one workload for exactly as long as a concurrent
-    * background job (a major compaction) is in flight.
+  /** Run one timed phase until `alive()` turns false (30 s cap;
+    * reference runConcurrentTest shape):
+    * `threads` workers looping `op`; ops/s over successful iterations
+    * against MEASURED elapsed time — an op in flight at the cutoff
+    * runs to completion and counts, so a nominal duration would
+    * overstate slow-op phases. The fixed-duration [[phase]] and the
+    * run-while-a-background-job-lives variant share this one harness.
     */
   private def phaseWhile(name: String, threads: Int, alive: () => Boolean)
                         (op: () => Boolean): Phase = {
@@ -70,6 +49,11 @@ object HtapBench {
     workers.foreach(_.join())
     val elapsed = (System.nanoTime() - t0) / 1e9
     Phase(name, threads, total.get(), total.get().toDouble / elapsed)
+  }
+
+  private def phase(name: String, threads: Int, secs: Int)(op: () => Boolean): Phase = {
+    val deadline = System.nanoTime() + secs * 1000000000L
+    phaseWhile(name, threads, () => System.nanoTime() < deadline)(op)
   }
 
   def run(spark: SparkSession, dir: String, rows: Int, secs: Int,
@@ -127,10 +111,15 @@ object HtapBench {
         // stalled on the lock until the merge finished). Several tiers
         // first, so the merge is a real multi-tier Spark job.
         val nextId = new AtomicLong(rows.toLong + 1000000L)
+        def tiers(): Int =
+          e.stats.tables.find(_.name == "mt_bench_table").map(_.coldTiers).getOrElse(0)
         e.forceFlush("mt_bench_table")
-        (0 until 2).foreach { _ =>
-          val base = nextId.getAndAdd(2000L)
-          e.batchPut("mt_bench_table", (0 until 2000).map(k =>
+        // carve tiers UP TO (not into) the L0 trigger: one more flush
+        // would fire the leveled merge synchronously and leave the
+        // measured e.compact() a single-tier no-op
+        while (tiers() < math.min(3, e.compactTrigger - 1)) {
+          val base = nextId.getAndAdd(10000L)
+          e.batchPut("mt_bench_table", (0 until 10000).map(k =>
             Array[Any](base + k, s"c_${base + k}", 1.0, "active")))
           e.forceFlush("mt_bench_table")
         }

@@ -350,7 +350,7 @@ final class Engine(
         true
       }
     }
-    if (swapped) opCompactions.incrementAndGet()
+    if (swapped) { opCompactions.incrementAndGet(); trimRetired(store) }
     else Persist.deleteRecursively(java.nio.file.Paths.get(target))
   }
 
@@ -405,7 +405,7 @@ final class Engine(
           true
         }
       }
-      if (swapped) opCompactions.incrementAndGet()
+      if (swapped) { opCompactions.incrementAndGet(); trimRetired(store) }
       else Persist.deleteRecursively(java.nio.file.Paths.get(target))
     } finally store.compacting.set(false)
   }
@@ -441,28 +441,40 @@ final class Engine(
     */
   private val tierRetainGens = 2
 
-  private def retire(store: HotStore, dirs: Vector[String]): Unit = {
-    store.retiredGens = store.retiredGens :+ dirs
-    trimRetired(store)
-  }
+  /** Enqueue replaced tiers for deferred deletion. Enqueue ONLY —
+    * callers invoke [[trimRetired]] after releasing their critical
+    * section, so the filesystem sweep never runs under the store lock.
+    */
+  private def retire(store: HotStore, dirs: Vector[String]): Unit =
+    store.synchronized { store.retiredGens = store.retiredGens :+ dirs }
 
   /** Delete retired generations beyond the retain depth — but ONLY
     * while no bounded-pull scan is in flight (activeScans lease): a
     * long DML statement's match iterator holds its plan-time file
     * listing, and concurrent writers can complete arbitrarily many
-    * compactions during it. Deferred generations are reclaimed when
-    * the last lease releases (applyDml's finally) or on the next
-    * retire.
+    * compactions during it. Generations are DEQUEUED under the lock
+    * but their files deleted OUTSIDE it (a multi-directory recursive
+    * delete under the store lock would stall every concurrent write);
+    * once dequeued they are unreachable — retired dirs are never in
+    * coldDirs, so no new plan can reference them. Deferred
+    * generations are reclaimed when the last lease releases
+    * (applyDml's finally) or after the next merge swap.
     */
-  private def trimRetired(store: HotStore): Unit = store.synchronized {
-    while (store.retiredGens.size > tierRetainGens && store.activeScans.get() == 0) {
-      store.retiredGens.head.foreach(p =>
-        Persist.deleteRecursively(java.nio.file.Paths.get(p)))
+  private def trimRetired(store: HotStore): Unit = {
+    val deletable = store.synchronized {
+      val d = Vector.newBuilder[Vector[String]]
+      while (store.retiredGens.size > tierRetainGens && store.activeScans.get() == 0) {
+        d += store.retiredGens.head
+        store.retiredGens = store.retiredGens.tail
+      }
+      d.result()
+    }
+    deletable.foreach { gen =>
+      gen.foreach(p => Persist.deleteRecursively(java.nio.file.Paths.get(p)))
       // drop the deleted dirs' point-reader metadata: bounds cache
       // growth under compaction churn, and a re-minted path must not
       // inherit stale footer stats
-      ColdPointReader.evictTiers(store.retiredGens.head)
-      store.retiredGens = store.retiredGens.tail
+      ColdPointReader.evictTiers(gen)
     }
   }
 
@@ -603,7 +615,34 @@ final class Engine(
     val df0 = snapshot(table)
     val df = where.map(p => df0.filter(predToColumn(store.meta, p))).getOrElse(df0)
     import scala.jdk.CollectionConverters._
-    df.toLocalIterator().asScala
+    leasedIterator(store, df.toLocalIterator().asScala)
+  }
+
+  /** Wrap a bounded-pull iterator in an activeScans lease, released
+    * when it reports exhaustion: while the lease is live, retired
+    * tier files are queued for deletion rather than deleted
+    * (trimRetired), so a slow consumer can never have its plan-time
+    * file listing swept out from under it by concurrent compactions.
+    * An iterator ABANDONED mid-stream keeps its lease and defers tier
+    * GC indefinitely — the C7 contract is to drain (or use the capped
+    * SELECT path, which releases in a finally).
+    */
+  private def leasedIterator[A](store: HotStore, it: Iterator[A]): Iterator[A] = {
+    store.activeScans.incrementAndGet()
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (released.compareAndSet(false, true)) {
+        store.activeScans.decrementAndGet()
+        trimRetired(store)
+      }
+    new Iterator[A] {
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) release()
+        h
+      }
+      def next(): A = it.next()
+    }
   }
 
   // -------------------------------------------------------------------------
@@ -896,20 +935,29 @@ final class Engine(
             // partition at a time (an unbounded collect() of
             // `SELECT * FROM big` OOMs the driver); results are capped
             // at selectRowCap rows — callers needing the full stream
-            // use scanIterator (C7).
-            val it = df.toLocalIterator()
-            val buf = Vector.newBuilder[Vector[String]]
-            var n = 0
-            while (it.hasNext && n < selectRowCap) {
-              val r = it.next()
-              buf += cols.indices.toVector.map(i => fmt(r.get(i), m.cols(cols(i)).tpe))
-              n += 1
+            // use scanIterator (C7). The scan lease (activeScans)
+            // covers the pull: the cap means the iterator may STOP
+            // before exhaustion, so release happens in the finally,
+            // not via leasedIterator's exhaustion hook.
+            store.activeScans.incrementAndGet()
+            try {
+              val it = df.toLocalIterator()
+              val buf = Vector.newBuilder[Vector[String]]
+              var n = 0
+              while (it.hasNext && n < selectRowCap) {
+                val r = it.next()
+                buf += cols.indices.toVector.map(i => fmt(r.get(i), m.cols(cols(i)).tpe))
+                n += 1
+              }
+              val truncated = it.hasNext
+              ResultSet(ok = true, cols.map(m.cols(_).name), buf.result(),
+                error = if (truncated)
+                  s"Result truncated at $selectRowCap rows; use scanIterator for the full stream"
+                else "")
+            } finally {
+              store.activeScans.decrementAndGet()
+              trimRetired(store)
             }
-            val truncated = it.hasNext
-            ResultSet(ok = true, cols.map(m.cols(_).name), buf.result(),
-              error = if (truncated)
-                s"Result truncated at $selectRowCap rows; use scanIterator for the full stream"
-              else "")
         }
     }
   }

@@ -508,8 +508,8 @@ object TextOps {
     * rounding tolerance.
     */
   private val qualitySql =
-    """SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, stop_ratio,
-              CASE WHEN n_tokens >= 10 AND n_tokens <= 2000 AND stop_ratio <= 0.5
+    s"""SELECT doc_id, n_tokens, mean_tok_len, punct_ratio, stop_ratio,
+              CASE WHEN ${QualityRule.floorSql}
                    THEN 'ok' ELSE 'low' END AS quality
        FROM (
          SELECT doc_id,
@@ -518,10 +518,10 @@ object TextOps {
                   / greatest(len(toks), 1) AS mean_tok_len,
                 CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
                   / greatest(length(text), 1) AS punct_ratio,
-                CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+                CAST(len(list_filter(toks, x -> x IN (${QualityRule.stopListSql}))) AS DOUBLE)
                   / greatest(len(toks), 1) AS stop_ratio
          FROM (SELECT doc_id, text,
-                 list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
                FROM documents))"""
 
   private def qualityFrame(s: SparkSession, d: String): DataFrame =
@@ -531,9 +531,9 @@ object TextOps {
         "CAST(size(toks) AS BIGINT) AS n_tokens",
         "CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS DOUBLE) / greatest(size(toks), 1) AS mean_tok_len",
         "CAST(regexp_count(text, '[.,;:!?]') AS DOUBLE) / greatest(length(text), 1) AS punct_ratio",
-        "CAST(size(filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / greatest(size(toks), 1) AS stop_ratio")
+        s"CAST(size(filter(toks, x -> x IN (${QualityRule.stopListSql}))) AS DOUBLE) / greatest(size(toks), 1) AS stop_ratio")
       .selectExpr("doc_id", "n_tokens", "mean_tok_len", "punct_ratio", "stop_ratio",
-        "CASE WHEN n_tokens >= 10 AND n_tokens <= 2000 AND stop_ratio <= 0.5 THEN 'ok' ELSE 'low' END AS quality")
+        s"CASE WHEN ${QualityRule.floorSql} THEN 'ok' ELSE 'low' END AS quality")
 
   private val langCase =
     """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'

@@ -88,10 +88,9 @@ object Streams {
         .withColumn("toks", expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
         .withColumn("n_tokens", size(col("toks")))
         .withColumn("stop_ratio",
-          expr("size(filter(toks, x -> x IN ('the','a','and','of','to','in','is')))" +
+          expr(s"size(filter(toks, x -> x IN (${graft.queries.QualityRule.stopListSql})))" +
             " / CAST(greatest(size(toks), 1) AS DOUBLE)"))
-        .filter(col("n_tokens") >= 10 && col("n_tokens") <= 2000 &&
-          col("stop_ratio") <= 0.5)
+        .filter(expr(graft.queries.QualityRule.floorSql))
         .drop("toks", "n_tokens", "stop_ratio"),
       watermark)
 

@@ -166,8 +166,12 @@ class PlanSpec extends AnyFunSuite {
     // corpus-sized window partitions by (source, bkt), not source alone
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the CORPUS window is the one ordering by doc_id — it must carry
+    // the bucket key; matching any spec containing "bkt" would also
+    // accept the tiny offsets window (partitioned by source, ordered
+    // by bkt) and miss a regression to a per-source global sort
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toVector
-    assert(specs.exists(l => l.contains("source") && l.contains("bkt")),
+    assert(specs.exists(l => l.contains("source") && l.contains("bkt") && l.contains("doc_id")),
       specs.mkString("\n"))
   }
 
@@ -175,10 +179,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_shuffle_bucketed")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // the corpus-sized window must partition by the hash bucket (256
-    // ranges), never run as a single global-order window
+    // the corpus-sized window (the one ordering by the shuffle key sk)
+    // must partition by the hash bucket — matching "bkt" alone would
+    // also accept the 256-row offsets window and miss a regression to
+    // a single-partition global sort
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toVector
-    assert(specs.exists(_.contains("bkt")), specs.mkString("\n"))
+    assert(specs.exists(l => l.contains("sk") && l.contains("bkt")), specs.mkString("\n"))
   }
 
   test("ntile twin assigns buckets map-side after one boundary aggregate, no window") {
