@@ -360,7 +360,10 @@ object Analytics {
     // semantics), which is the honest difference from ntile's
     // arbitrary rank-split of equal values. Boundary doubles come
     // from the identical (n-1)*p linear interpolation in both engines
-    // and only feed > comparisons, never the output.
+    // and only feed > comparisons, never the output. Exact percentile
+    // buffers per-group value counts — fine while per-group distinct
+    // values stay executor-sized; past that, approx_percentile swaps
+    // into the SAME bucketing shape (only the aggregate changes).
     "q_ntile_bucketed" -> Q(
       """WITH b AS (SELECT o_orderpriority,
                            quantile_cont(o_totalprice, 0.25) AS b1,

@@ -778,19 +778,21 @@ object TextOps {
     // Training-order shuffling: a reproducible global permutation by
     // md5(doc_id). A naive row_number() OVER (ORDER BY hash) is a
     // SINGLE-PARTITION global sort — the same disease as
-    // q_window_ntile. Scale form: the first hash byte buckets rows
-    // into 256 ordered ranges (hex-prefix order IS md5-string order),
-    // ranks are assigned per bucket in parallel, and the tiny
-    // per-bucket counts prefix-sum into offsets broadcast back —
-    // global rank = bucket offset + local rank, identical to the
-    // naive form, which is exactly what the DuckDB oracle computes.
+    // q_window_ntile. Scale form: the first FOUR hex chars bucket
+    // rows into 65536 ordered ranges (hex-prefix order IS md5-string
+    // order; ~1.5 GB/bucket at 100 TB — widen the prefix if corpora
+    // outgrow that), ranks are assigned per bucket in parallel, and
+    // the per-bucket counts (≤64k rows, ~1 MB) prefix-sum into
+    // offsets broadcast back — global rank = bucket offset + local
+    // rank, identical to the naive form, which is exactly what the
+    // DuckDB oracle computes.
     "q_shuffle_bucketed" -> Q(
       """SELECT doc_id,
                 row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank
          FROM documents ORDER BY shuffle_rank""") { (s, d) =>
       val keyed = t(s, d, "documents")
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("sk"))
-        .withColumn("bkt", expr("CAST(conv(substring(sk, 1, 2), 16, 10) AS INT)"))
+        .withColumn("bkt", expr("CAST(conv(substring(sk, 1, 4), 16, 10) AS INT)"))
       val wLocal = Window.partitionBy(col("bkt")).orderBy(col("sk"), col("doc_id"))
       val local = keyed.withColumn("lrank", row_number().over(wLocal))
       val offsets = keyed.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
