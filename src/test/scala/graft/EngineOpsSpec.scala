@@ -237,6 +237,36 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scan lease defers retired-tier deletion until the iterator drains") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 99) // manual compaction only
+      assert(e.sql("CREATE TABLE lease (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("lease", (1 to 5000).map(i => Array[Any](i.toLong, Int.box(i))))
+      e.forceFlush("lease")
+      val store = e.storeOf("lease")
+      val originalTiers = store.synchronized(store.coldDirs)
+      val it = e.scanIterator("lease")
+      (1 to 100).foreach(_ => it.next())   // live scan, not exhausted
+      // three majors: past the 2-generation cushion the first batch's
+      // files would be DELETED mid-scan were it not for the lease
+      (0 until 3).foreach { i =>
+        e.batchPut("lease", Seq(Array[Any]((10000 + i).toLong, Int.box(i))))
+        e.forceFlush("lease")
+        e.compact("lease")
+      }
+      assert(originalTiers.forall(p =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+        "retired tiers deleted while a scan lease was live")
+      var n = 100
+      while (it.hasNext) { it.next(); n += 1 }
+      assert(n == 5000)
+      // exhaustion releases the lease and drains the deferred queue
+      assert(originalTiers.exists(p =>
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+        "deferred tier GC did not run after the scan drained")
+    }
+  }
+
   test("chaos: concurrent writers, flusher, compactor, and reader stay consistent") {
     withDir { dir =>
       // every r8 concurrency surface at once: unlocked leveled merges
