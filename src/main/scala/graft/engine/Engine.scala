@@ -460,10 +460,21 @@ final class Engine(
     * generations are reclaimed when the last lease releases
     * (applyDml's finally) or after the next merge swap.
     */
+  /** Hard ceiling on the deferred queue: an ABANDONED iterator (lease
+    * never released) must not pin retired tier files forever — past
+    * this depth the oldest generation is reclaimed even under a live
+    * lease. That restores the pre-lease exposure, but at 8× the
+    * cushion: a scan still live after 16 compaction generations is
+    * pathological, while unbounded retired-file growth at 100 TB is
+    * a disk-full outage.
+    */
+  private val maxDeferredGens = 16
+
   private def trimRetired(store: HotStore): Unit = {
     val deletable = store.synchronized {
       val d = Vector.newBuilder[Vector[String]]
-      while (store.retiredGens.size > tierRetainGens && store.activeScans.get() == 0) {
+      while (store.retiredGens.size > tierRetainGens &&
+             (store.activeScans.get() == 0 || store.retiredGens.size > maxDeferredGens)) {
         d += store.retiredGens.head
         store.retiredGens = store.retiredGens.tail
       }
