@@ -76,10 +76,11 @@ final class Engine(
       * this instead of skipping (compactStore).
       */
     val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
-    /** in-flight bounded-pull scans (DML match iterators) holding the
-      * plan-time cold file listing: while > 0, retired tier files are
-      * QUEUED for deletion, not deleted — the generation-depth cushion
-      * alone cannot bound how many compactions a long statement's own
+    /** in-flight bounded-pull scans (DML match / scan iterators)
+      * holding the plan-time cold file listing: while > 0, retired
+      * tier files are QUEUED for deletion (up to maxDeferredGens)
+      * rather than deleted — the generation-depth cushion alone
+      * cannot bound how many compactions a long statement's own
       * concurrent writers complete.
       */
     val activeScans = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -448,18 +449,6 @@ final class Engine(
   private def retire(store: HotStore, dirs: Vector[String]): Unit =
     store.synchronized { store.retiredGens = store.retiredGens :+ dirs }
 
-  /** Delete retired generations beyond the retain depth — but ONLY
-    * while no bounded-pull scan is in flight (activeScans lease): a
-    * long DML statement's match iterator holds its plan-time file
-    * listing, and concurrent writers can complete arbitrarily many
-    * compactions during it. Generations are DEQUEUED under the lock
-    * but their files deleted OUTSIDE it (a multi-directory recursive
-    * delete under the store lock would stall every concurrent write);
-    * once dequeued they are unreachable — retired dirs are never in
-    * coldDirs, so no new plan can reference them. Deferred
-    * generations are reclaimed when the last lease releases
-    * (applyDml's finally) or after the next merge swap.
-    */
   /** Hard ceiling on the deferred queue: an ABANDONED iterator (lease
     * never released) must not pin retired tier files forever — past
     * this depth the oldest generation is reclaimed even under a live
@@ -470,6 +459,19 @@ final class Engine(
     */
   private val maxDeferredGens = 16
 
+  /** Delete retired generations beyond the retain depth — deferred
+    * while a bounded-pull scan is in flight (activeScans lease), up
+    * to [[maxDeferredGens]]: a long DML statement's match iterator
+    * holds its plan-time file listing, and concurrent writers can
+    * complete arbitrarily many compactions during it. Generations are
+    * DEQUEUED under the lock but their files deleted OUTSIDE it (a
+    * multi-directory recursive delete under the store lock would
+    * stall every concurrent write); once dequeued they are
+    * unreachable — retired dirs are never in coldDirs, so no new plan
+    * can reference them. Deferred generations are reclaimed when the
+    * last lease releases (applyDml's finally, leasedIterator's
+    * exhaustion/exception hook) or after the next merge swap.
+    */
   private def trimRetired(store: HotStore): Unit = {
     val deletable = store.synchronized {
       val d = Vector.newBuilder[Vector[String]]
@@ -630,13 +632,14 @@ final class Engine(
   }
 
   /** Wrap a bounded-pull iterator in an activeScans lease, released
-    * when it reports exhaustion: while the lease is live, retired
-    * tier files are queued for deletion rather than deleted
-    * (trimRetired), so a slow consumer can never have its plan-time
-    * file listing swept out from under it by concurrent compactions.
-    * An iterator ABANDONED mid-stream keeps its lease and defers tier
-    * GC indefinitely — the C7 contract is to drain (or use the capped
-    * SELECT path, which releases in a finally).
+    * on exhaustion OR on any exception from the underlying pull:
+    * while the lease is live, retired tier files are queued for
+    * deletion rather than deleted (trimRetired), so a slow consumer's
+    * plan-time file listing stays on disk for up to maxDeferredGens
+    * compaction generations. An iterator ABANDONED mid-stream without
+    * an exception keeps its lease until the deferred queue hits that
+    * cap — the C7 contract is to drain (or use the capped SELECT
+    * path, which releases in a finally).
     */
   private def leasedIterator[A](store: HotStore, it: Iterator[A]): Iterator[A] = {
     store.activeScans.incrementAndGet()
@@ -647,12 +650,15 @@ final class Engine(
         trimRetired(store)
       }
     new Iterator[A] {
-      def hasNext: Boolean = {
-        val h = it.hasNext
-        if (!h) release()
-        h
-      }
-      def next(): A = it.next()
+      def hasNext: Boolean =
+        try {
+          val h = it.hasNext
+          if (!h) release()
+          h
+        } catch { case t: Throwable => release(); throw t }
+      def next(): A =
+        try it.next()
+        catch { case t: Throwable => release(); throw t }
     }
   }
 

@@ -267,6 +267,34 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("abandoned scan lease cannot pin retired tiers past the deferred-queue cap") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 99)
+      assert(e.sql("CREATE TABLE aband (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("aband", (1 to 200).map(i => Array[Any](i.toLong, Int.box(i))))
+      e.forceFlush("aband")
+      val store = e.storeOf("aband")
+      val originalTiers = store.synchronized(store.coldDirs)
+      // abandon a live iterator: lease acquired, never released
+      val it = e.scanIterator("aband")
+      it.next()
+      // churn past maxDeferredGens (16): each cycle retires one
+      // generation; the cap must reclaim the OLDEST ones even though
+      // the lease is still held, bounding disk growth
+      (0 until 18).foreach { i =>
+        e.batchPut("aband", Seq(Array[Any]((1000 + i).toLong, Int.box(i))))
+        e.forceFlush("aband")
+        e.compact("aband")
+      }
+      assert(store.synchronized(store.retiredGens.size) <= 16,
+        s"deferred queue grew past the cap: ${store.synchronized(store.retiredGens.size)}")
+      assert(originalTiers.exists(p =>
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+        "cap breach did not reclaim the oldest retired generation")
+      assert(e.sql("SELECT COUNT(*) FROM aband").rows.head.head == "218")
+    }
+  }
+
   test("chaos: concurrent writers, flusher, compactor, and reader stay consistent") {
     withDir { dir =>
       // every r8 concurrency surface at once: unlocked leveled merges
