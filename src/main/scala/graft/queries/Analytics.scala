@@ -78,12 +78,18 @@ object Analytics {
         .select(col("c_custkey")).orderBy(col("c_custkey"))
     },
 
+    // customers with no HIGH-VALUE order: the build-side filter makes
+    // the result non-empty at every SF (a plain customers-without-
+    // orders anti-join is vacuously 0 rows on this data — a 0-row
+    // hash match proves nothing about the join)
     "q_join_anti" -> Q(
       """SELECT c_custkey FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
          ORDER BY c_custkey""") { (s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey")).orderBy(col("c_custkey"))
     },
 
@@ -258,11 +264,17 @@ object Analytics {
         .orderBy(col("nk"))
     },
 
+    // nations with customers but no NEGATIVE-balance supplier: the
+    // subtrahend filter makes the difference non-empty at every SF
+    // (all 25 nations appear on both unfiltered sides — a 0-row hash
+    // match proves nothing about EXCEPT)
     "q_setop_except" -> Q(
       """SELECT c_nationkey AS nk FROM customer
-         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""") { (s, d) =>
+         EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
+         ORDER BY nk""") { (s, d) =>
       t(s, d, "customer").select(col("c_nationkey").as("nk"))
-        .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .except(t(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_nationkey").as("nk")))
         .orderBy(col("nk"))
     },
 
