@@ -18,7 +18,8 @@ object Shell {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val engine = new Engine(spark)
-    println("graft SQL shell — \\q to quit, \\s show tables, \\d <table> describe")
+    println("graft SQL shell — \\q quit, \\s show tables, \\d <table> describe, " +
+      "\\spark <sql> full Spark SQL, \\explain <sql> tier feed + physical plan")
     val in = scala.io.Source.stdin.getLines()
     val buf = new StringBuilder
     var done = false
@@ -30,6 +31,22 @@ object Shell {
           case "\\q" :: _          => done = true
           case "\\s" :: _          => render(engine.sql("SHOW TABLES"), 0L)
           case "\\d" :: t :: _     => render(engine.sql(s"DESCRIBE $t"), 0L)
+          // extension surface: full Spark SQL over the live snapshots
+          // (single-line; capped like the REST envelope) and the
+          // Spark-dialect EXPLAIN (tier feed + Catalyst plan)
+          case "\\spark" :: rest if rest.nonEmpty =>
+            val t0 = System.nanoTime()
+            try {
+              val df = engine.sparkSql(rest.mkString(" ").stripSuffix(";"))
+              val headers = df.columns.toVector
+              val rows = df.limit(1000).collect().toVector
+                .map(r => headers.indices.toVector.map(i => String.valueOf(r.get(i))))
+              render(ResultSet(ok = true, headers, rows),
+                (System.nanoTime() - t0) / 1000000L)
+            } catch { case e: Exception => println(s"ERROR: ${e.getMessage}") }
+          case "\\explain" :: rest if rest.nonEmpty =>
+            try println(engine.explainSpark(rest.mkString(" ").stripSuffix(";")))
+            catch { case e: Exception => println(s"ERROR: ${e.getMessage}") }
           case other               => println(s"unknown meta-command: ${other.mkString(" ")}")
         }
         if (!done) { print("sql> "); Console.out.flush() }
