@@ -536,6 +536,9 @@ object Analytics {
     },
 
     // ---- per-group interpolated quantiles ----------------------------------
+    // exact percentile buffers per-group value counts (see the
+    // q_ntile_bucketed note) — approx_percentile is the drop-in once
+    // per-group distinct values outgrow executor memory
     "q_quantile_group" -> Q(
       """SELECT event_type,
                 round(quantile_cont(value, 0.25), 6) AS p25,
