@@ -371,11 +371,16 @@ object Analytics {
     // parallelism follows the scan. Ties get the same bucket (value
     // semantics), which is the honest difference from ntile's
     // arbitrary rank-split of equal values. Boundary doubles come
-    // from the identical (n-1)*p linear interpolation in both engines
-    // and only feed > comparisons, never the output. Exact percentile
-    // buffers per-group value counts — fine while per-group distinct
-    // values stay executor-sized; past that, approx_percentile swaps
-    // into the SAME bucketing shape (only the aggregate changes).
+    // from the same (n-1)*p linear interpolation in both engines and
+    // only feed > comparisons, never the output; the two engines MAY
+    // order the interpolation's FP ops differently, so a data value
+    // landing within 1 ulp of a boundary could in principle flip a
+    // bucket — unreachable with 2-decimal TPC-H prices (boundaries
+    // are exact midpoints of cent values), but data-dependent, not
+    // guaranteed. Exact percentile buffers per-group value counts —
+    // fine while per-group distinct values stay executor-sized; past
+    // that, approx_percentile swaps into the SAME bucketing shape
+    // (only the aggregate changes — see q_ntile_bucketed_approx).
     "q_ntile_bucketed" -> Q(
       """WITH b AS (SELECT o_orderpriority,
                            quantile_cont(o_totalprice, 0.25) AS b1,
@@ -400,6 +405,45 @@ object Analytics {
                   + (col("o_totalprice") > col("b2")).cast("int")
                   + (col("o_totalprice") > col("b3")).cast("int")).cast("bigint").as("quartile"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- q_ntile_bucketed with sketch boundaries, share-gated --------------
+    // Same bucket-by-boundary shape, but the ONE aggregate that
+    // computes quartile boundaries is approx_percentile — bounded
+    // mergeable sketch state instead of a per-group value buffer, so
+    // the boundary pass survives groups with billions of distinct
+    // values. Each boundary's true rank is within n/accuracy of the
+    // target (sketch contract), so each quartile's row share can miss
+    // 0.25 by at most ~2*eps plus boundary-tie and discretization
+    // effects; the gate asserts every (group, quartile) share within
+    // 2*eps + 8/n and emits 0/1 verdicts, oracled against literal 1s.
+    // Boundary assignment stays a broadcast-join map-side comparison;
+    // the gate is one more partial-aggregated count — the whole plan,
+    // gate included, is the 100 TB form.
+    "q_ntile_bucketed_approx" -> Q(
+      """SELECT DISTINCT o_orderpriority, CAST(r.range + 1 AS BIGINT) AS quartile,
+                CAST(1 AS INT) AS share_ok
+         FROM orders CROSS JOIN range(4) r ORDER BY o_orderpriority, quartile""") { (s, d) =>
+      val acc = 1000
+      val eps = 1.0 / acc
+      val bounds = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr(s"approx_percentile(o_totalprice, array(0.25D, 0.50D, 0.75D), $acc)").as("bs"))
+        .select(col("o_orderpriority"),
+          col("bs")(0).as("b1"), col("bs")(1).as("b2"), col("bs")(2).as("b3"))
+      t(s, d, "orders")
+        .join(broadcast(bounds), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"),
+          (lit(1) + (col("o_totalprice") > col("b1")).cast("int")
+                  + (col("o_totalprice") > col("b2")).cast("int")
+                  + (col("o_totalprice") > col("b3")).cast("int")).cast("bigint").as("quartile"))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("nb"))
+        .withColumn("n", sum(col("nb")).over(Window.partitionBy(col("o_orderpriority"))))
+        .select(col("o_orderpriority"), col("quartile"),
+          (abs(col("nb") / col("n") - lit(0.25)) <= lit(2 * eps) + lit(8.0) / col("n"))
+            .cast("int").as("share_ok"))
+        .orderBy(col("o_orderpriority"), col("quartile"))
     },
 
     // ---- scalar expression surface ----------------------------------------
@@ -551,6 +595,52 @@ object Analytics {
              round(expr("percentile(value, 0.5)"), 6).as("p50"),
              round(expr("percentile(value, 0.95)"), 6).as("p95"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- the 100 TB form: sketch quantiles, rank-gated ---------------------
+    // Exact `percentile` holds every per-group value in aggregation
+    // state — the first OOM at 100 TB. `approx_percentile` keeps a
+    // bounded mergeable sketch (QuantileSummaries, Greenwald-Khanna
+    // style) with a published RANK guarantee: the returned value's
+    // true rank is within n/accuracy of the target rank, and partials
+    // combine map-side like any other aggregate.
+    //
+    // The gate holds the sketch to exactly that contract WITHOUT ever
+    // buffering values: a second partial-aggregable pass counts rows
+    // <= and >= the sketch's answer per group, which brackets the
+    // answer's true rank interval [n-ge+1, le]; the query asserts that
+    // interval intersects [(p-eps)*n, (p+eps)*n] (+2 ranks of slack
+    // for the open/closed and (n-1)-vs-n conventions). Output is the
+    // group plus 0/1 verdicts, oracled against literal 1s — a broken
+    // sketch registration flips a verdict and hash-fails the round.
+    // Every operator in the plan (sketch agg, conditional-sum agg,
+    // broadcast of |groups| sketch rows) is map-side combinable: this
+    // declared query IS the scale form, gate included.
+    "q_quantile_group_approx" -> Q(
+      """SELECT event_type,
+                CAST(1 AS INT) AS p25_ok, CAST(1 AS INT) AS p50_ok, CAST(1 AS INT) AS p95_ok
+         FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      val acc = 1000
+      val eps = 1.0 / acc
+      val ps  = Seq(0.25, 0.50, 0.95)
+      val approx = t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(expr(s"approx_percentile(value, array(${ps.map(_.toString + "D").mkString(", ")}), $acc)").as("ap"))
+      val withAp = t(s, d, "events").join(broadcast(approx), Seq("event_type"))
+      val rankAggs = ps.indices.flatMap { i =>
+        Seq(sum((col("value") <= col("ap")(i)).cast("long")).as(s"le$i"),
+            sum((col("value") >= col("ap")(i)).cast("long")).as(s"ge$i"))
+      }
+      val counted = withAp.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), rankAggs: _*)
+      val oks = ps.zipWithIndex.map { case (p, i) =>
+        val loRank = col("n") - col(s"ge$i") + lit(1)
+        val hiRank = col(s"le$i")
+        ((loRank <= col("n") * (p + eps) + lit(2)) &&
+         (hiRank >= col("n") * (p - eps) - lit(2)))
+          .cast("int").as(s"p${(p * 100).toInt}_ok")
+      }
+      counted.select(col("event_type") +: oks: _*).orderBy(col("event_type"))
     },
 
     // ---- ordered string aggregation ----------------------------------------

@@ -192,9 +192,27 @@ object CoreSql {
       t(s, d, "lineitem").agg(countDistinct(col("l_partkey")).as("n_parts"))
     },
 
-    // approximate distinct (HLL) — engine-specific sketch, rows-only check.
-    "q_agg_approx_distinct" -> Q.noOracle { (s, d) =>
-      t(s, d, "lineitem").agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    // approximate distinct (HyperLogLog++) — the sketch itself is
+    // engine-specific, but its ERROR CONTRACT is not: with the default
+    // rsd = 0.05 the estimate's relative error is ~N(0, rsd), so a
+    // 3-sigma band (15%) around the exact count catches any broken
+    // sketch registration while never flapping on a healthy one. The
+    // query emits the exact count plus a 0/1 verdict and hash-matches
+    // a DuckDB oracle asserting literal 1 — this used to be the one
+    // rows-only query with no ground-truth gate at all. Both
+    // aggregates are partial (HLL registers and count-distinct expand
+    // both combine map-side); at 100 TB you drop the exact branch and
+    // keep the sketch — the gate exists to pin the sketch to truth at
+    // test scale. FunctionsSpec repeats the gate at all three SFs.
+    "q_agg_approx_distinct" -> Q(
+      """SELECT count(DISTINCT l_partkey) AS n_exact, CAST(1 AS INT) AS hll_ok
+         FROM lineitem""") { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+             approx_count_distinct(col("l_partkey")).as("ap"))
+        .select(col("n_exact"),
+          (abs(col("ap").cast("double") / col("n_exact") - lit(1.0)) <= lit(0.15))
+            .cast("int").as("hll_ok"))
     },
 
     // ---- last-writer-wins merge (C4) — the HTAP snapshot operator --------

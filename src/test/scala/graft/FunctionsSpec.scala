@@ -89,4 +89,24 @@ class FunctionsSpec extends AnyFunSuite {
     val r = spark.sql("SELECT cosine_sim(CAST(NULL AS array<double>), array(1D)) AS c").collect()(0)
     assert(r.isNullAt(0))
   }
+
+  // The q_agg_approx_distinct gate, repeated at every available scale
+  // factor: HLL++ with the default rsd=0.05 must land within 3 sigma
+  // (15%) of the exact distinct count. A broken sketch registration
+  // (or a silently-changed default rsd) fails here on data of any
+  // size, not just the verify-gate SF.
+  test("approx_count_distinct stays inside the 3-sigma HLL band at every SF") {
+    import org.apache.spark.sql.functions.{abs => _, _}
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      val row = graft.Tables.t(spark, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("ex"),
+             approx_count_distinct(col("l_partkey")).as("ap"))
+        .collect()(0)
+      val ex = row.getLong(0); val ap = row.getLong(1)
+      val rel = math.abs(ap.toDouble / ex - 1.0)
+      assert(rel <= 0.15, s"$sf: exact=$ex approx=$ap rel=$rel")
+    }
+  }
 }

@@ -198,6 +198,32 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("approx quantile plan is a partial-aggregable sketch, no value buffering") {
+    val p = plan("q_quantile_group_approx")
+    // the scale claim: the quantile aggregate is the mergeable
+    // approx_percentile sketch in a partial+final pair (map-side
+    // combine), and the exact `percentile` buffer appears nowhere —
+    // the rank-count gate is plain partial-aggregated sums
+    assert(p.contains("approx_percentile"), p)
+    assert(p.contains("partial_approx_percentile"), p)
+    assert(!"(?<!approx_)percentile\\(".r.findAllIn(p).hasNext, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("approx ntile twin keeps the bucketed shape with sketch boundaries") {
+    val p = plan("q_ntile_bucketed_approx")
+    assert(p.contains("partial_approx_percentile"), p)
+    assert(!"(?<!approx_)percentile\\(".r.findAllIn(p).hasNext, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only window is the |groups|*4-row share normalizer, never a
+    // corpus-sized one: every windowspecdefinition must partition by
+    // the post-aggregate grouping key
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toVector
+    assert(specs.forall(_.contains("o_orderpriority")), specs.mkString("\n"))
+  }
+
   test("IVF query reads the materialized inverted file, training nothing") {
     val p = plan("q_ann_ivf")
     // partition pruning on the cid directories = probing P of K
