@@ -256,8 +256,29 @@ final class ApiServer(engine: Engine, port: Int = 0) {
         (200, success(jobj("message" -> jstr("Hot stores flushed to parquet"))))
 
       case ("POST", "/api/admin/compact") =>
-        engine.tableNames.foreach(engine.compact)
-        (200, success(jobj("message" -> jstr("Compaction triggered"))))
+        try {
+          engine.tableNames.foreach(engine.compact)
+          if (engine.compactionIsPaused)
+            (200, success(jobj(
+              "message" -> jstr("Compaction deferred — scheduler is paused"),
+              "pending" -> engine.pendingCompactions.toString)))
+          else (200, success(jobj("message" -> jstr("Compaction triggered"))))
+        } catch {
+          // a wedged in-flight pass surfaces as retriable 503, not an
+          // API thread pinned to the per-store serialization guard
+          case e: graft.engine.EngineException =>
+            (503, failure(e.getMessage, "COMPACTION_BUSY"))
+        }
+
+      // reference api_server.hpp:271-285 — pause/resume the compaction
+      // scheduler; paused triggers queue as deferred jobs, resume drains
+      case ("POST", "/api/admin/compact/pause") =>
+        engine.pauseCompaction()
+        (200, success(jobj("message" -> jstr("Compaction paused"))))
+
+      case ("POST", "/api/admin/compact/resume") =>
+        engine.resumeCompaction()
+        (200, success(jobj("message" -> jstr("Compaction resumed"))))
 
       case ("GET", "/api/health") =>
         val uptime = (System.nanoTime() - startNanos) / 1e9

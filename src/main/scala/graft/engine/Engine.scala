@@ -32,6 +32,7 @@ final class Engine(
     val hotLimitBytes: Long = 64L << 20,
     val compactTrigger: Int = 4,
     val selectRowCap: Int = 1 << 20,
+    val leaseIdleBreachMs: Long = 60000L,
     val levelBytesBase: Long = 64L << 20,
     val levelMult: Double = 10.0,
     val maxLevels: Int = 7) {
@@ -84,6 +85,13 @@ final class Engine(
       * concurrent writers complete.
       */
     val activeScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** nanoTime of the most recent bounded-pull fetch under a live
+      * scan lease (max across concurrent leases): lets trimRetired
+      * tell an ACTIVE slow consumer — still pulling, just slowly —
+      * from an abandoned iterator before breaching the deferred-queue
+      * cap. Touched on lease acquire and on every pull.
+      */
+    val lastScanPull = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     /** rough retained bytes — drives the byte-sized flush trigger
       * (the reference freezes its memtable at 64 MB, M1/M4; a pure
       * row-count trigger lets wide rows blow the memory budget).
@@ -240,6 +248,46 @@ final class Engine(
     */
   def compact(table: String): Unit = compactStore(storeOf(table))
 
+  // ---- compaction pause / resume --------------------------------------------
+  // Reference scheduler's paused_ flag (compaction.hpp:376, pause/resume
+  // :492-497; engine hooks storage_engine.hpp:503-505): while paused the
+  // worker loop stops consuming jobs but triggers keep ENQUEUEING them,
+  // and resume() notifies the worker to drain the backlog. Mirrored
+  // here without a dedicated thread: while paused, flush-path trigger
+  // passes and admin majors record a deferred job per store and return
+  // immediately; resumeCompaction() drains the recorded jobs inline
+  // (major supersedes leveled for the same store). A leveled pass
+  // deferred while paused also self-heals on the next post-resume
+  // flush, which re-evaluates the byte/count triggers from scratch.
+  private val compactionPaused = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** deferred compaction jobs recorded while paused: table -> needsMajor */
+  private val deferredCompactions = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def compactionIsPaused: Boolean = compactionPaused.get()
+  def pendingCompactions: Int = deferredCompactions.size()
+
+  def pauseCompaction(): Unit = compactionPaused.set(true)
+
+  def resumeCompaction(): Unit = {
+    compactionPaused.set(false)
+    val it = deferredCompactions.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); val table = e.getKey; val major = e.getValue.booleanValue()
+      it.remove()
+      // the table may have been dropped while paused — a vanished
+      // store simply has nothing left to compact
+      this.synchronized(stores.get(table)) match {
+        case Some(st) => if (major) compactStore(st) else maybeCompactLeveled(st)
+        case None     => ()
+      }
+    }
+  }
+
+  /** record a job deferred by pause; major wins over leveled */
+  private def deferCompaction(table: String, major: Boolean): Unit =
+    deferredCompactions.merge(table.toLowerCase, java.lang.Boolean.valueOf(major),
+      (a, b) => java.lang.Boolean.valueOf(a.booleanValue() || b.booleanValue()))
+
   // ---- leveled (size-tiered) compaction -------------------------------------
   // The r4 design merged every cold tier into one on each trigger, so
   // each compaction cycle rewrote the ENTIRE cold dataset — write
@@ -287,6 +335,7 @@ final class Engine(
     * the next flush.
     */
   private def maybeCompactLeveled(store: HotStore): Unit = {
+    if (compactionPaused.get()) { deferCompaction(store.meta.name, major = false); return }
     if (!store.compacting.compareAndSet(false, true)) return
     try {
       if (store.synchronized(store.coldDirs.count(levelOf(_) == 0)) >= compactTrigger)
@@ -377,15 +426,30 @@ final class Engine(
     }
   }
 
+  /** upper bound on how long an admin major waits for an in-flight
+    * pass to finish: past this, the caller gets a loud "busy" error
+    * instead of an API thread pinned forever to a stuck merge job.
+    */
+  private val adminCompactWaitMs: Long = 30000L
+
   private def compactStore(store: HotStore): Unit = {
     val dir = dataDir.getOrElse(return)
     val m = store.meta
+    if (compactionPaused.get()) { deferCompaction(m.name, major = true); return }
     // admin compaction SERIALIZES on the per-store pass guard (waits,
     // unlike the flush-path trigger which skips): two concurrent
     // majors would otherwise merge the same inputs twice, and the
     // loser's abandon path would delete a directory the winner just
-    // made live
-    while (!store.compacting.compareAndSet(false, true)) Thread.sleep(5)
+    // made live. The wait is BOUNDED: an in-flight pass wedged on a
+    // stuck merge job should surface as a retriable error, not pin
+    // the calling (API) thread in the spin forever.
+    val waitDeadline = System.nanoTime() + adminCompactWaitMs * 1000000L
+    while (!store.compacting.compareAndSet(false, true)) {
+      if (System.nanoTime() > waitDeadline)
+        throw new EngineException(
+          s"Compaction busy on '${m.name}' (in-flight pass exceeded ${adminCompactWaitMs / 1000}s) — retry later")
+      Thread.sleep(5)
+    }
     try {
       // same capture / merge-unlocked / re-checked-swap shape as
       // mergeLevel: the full rewrite is the LONGEST merge, so it is
@@ -455,7 +519,10 @@ final class Engine(
     * lease. That restores the pre-lease exposure, but at 8× the
     * cushion: a scan still live after 16 compaction generations is
     * pathological, while unbounded retired-file growth at 100 TB is
-    * a disk-full outage.
+    * a disk-full outage. The breach additionally requires the lease
+    * to be IDLE (no pull for [[leaseIdleBreachMs]]): a legitimately
+    * slow consumer keeps touching lastScanPull and stays safe past
+    * the cap, while an abandoned iterator stops pulling and ages out.
     */
   private val maxDeferredGens = 16
 
@@ -475,8 +542,11 @@ final class Engine(
   private def trimRetired(store: HotStore): Unit = {
     val deletable = store.synchronized {
       val d = Vector.newBuilder[Vector[String]]
+      def leaseIdle: Boolean =
+        System.nanoTime() - store.lastScanPull.get() > leaseIdleBreachMs * 1000000L
       while (store.retiredGens.size > tierRetainGens &&
-             (store.activeScans.get() == 0 || store.retiredGens.size > maxDeferredGens)) {
+             (store.activeScans.get() == 0 ||
+              (store.retiredGens.size > maxDeferredGens && leaseIdle))) {
         d += store.retiredGens.head
         store.retiredGens = store.retiredGens.tail
       }
@@ -625,39 +695,58 @@ final class Engine(
   def scanIterator(table: String, where: Option[Pred] = None): Iterator[Row] = {
     val store = storeOf(table)
     opRangeScans.incrementAndGet()
-    val df0 = snapshot(table)
-    val df = where.map(p => df0.filter(predToColumn(store.meta, p))).getOrElse(df0)
-    import scala.jdk.CollectionConverters._
-    leasedIterator(store, df.toLocalIterator().asScala)
+    // lease BEFORE the plan is built: snapshot() captures the cold
+    // file listing, and without the lease already held, back-to-back
+    // compaction swaps in the plan-to-lease window (> tierRetainGens
+    // of them) could delete files the captured plan references
+    acquireScanLease(store)
+    try {
+      val df0 = snapshot(table)
+      val df = where.map(p => df0.filter(predToColumn(store.meta, p))).getOrElse(df0)
+      import scala.jdk.CollectionConverters._
+      leasedIterator(store, df.toLocalIterator().asScala)
+    } catch { case t: Throwable => releaseScanLease(store); throw t }
   }
 
-  /** Wrap a bounded-pull iterator in an activeScans lease, released
-    * on exhaustion OR on any exception from the underlying pull:
-    * while the lease is live, retired tier files are queued for
-    * deletion rather than deleted (trimRetired), so a slow consumer's
-    * plan-time file listing stays on disk for up to maxDeferredGens
-    * compaction generations. An iterator ABANDONED mid-stream without
-    * an exception keeps its lease until the deferred queue hits that
-    * cap — the C7 contract is to drain (or use the capped SELECT
-    * path, which releases in a finally).
+  /** acquire the retired-tier GC lease and stamp the pull clock —
+    * always BEFORE building the plan whose file listing it protects
+    */
+  private def acquireScanLease(store: HotStore): Unit = {
+    store.activeScans.incrementAndGet()
+    store.lastScanPull.set(System.nanoTime())
+  }
+
+  private def releaseScanLease(store: HotStore): Unit = {
+    store.activeScans.decrementAndGet()
+    trimRetired(store)
+  }
+
+  /** Wrap a bounded-pull iterator for a lease the CALLER has already
+    * acquired (acquireScanLease, before plan capture): releases on
+    * exhaustion OR on any exception from the underlying pull, and
+    * stamps lastScanPull on every fetch so trimRetired can tell this
+    * live consumer from an abandoned one. While the lease is live,
+    * retired tier files are queued for deletion rather than deleted
+    * (trimRetired), so a slow consumer's plan-time file listing stays
+    * on disk. An iterator ABANDONED mid-stream without an exception
+    * keeps its lease until the deferred queue passes maxDeferredGens
+    * AND the lease has gone idle — the C7 contract is to drain (or
+    * use the capped SELECT path, which releases in a finally).
     */
   private def leasedIterator[A](store: HotStore, it: Iterator[A]): Iterator[A] = {
-    store.activeScans.incrementAndGet()
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     def release(): Unit =
-      if (released.compareAndSet(false, true)) {
-        store.activeScans.decrementAndGet()
-        trimRetired(store)
-      }
+      if (released.compareAndSet(false, true)) releaseScanLease(store)
     new Iterator[A] {
       def hasNext: Boolean =
         try {
+          store.lastScanPull.set(System.nanoTime())
           val h = it.hasNext
           if (!h) release()
           h
         } catch { case t: Throwable => release(); throw t }
       def next(): A =
-        try it.next()
+        try { store.lastScanPull.set(System.nanoTime()); it.next() }
         catch { case t: Throwable => release(); throw t }
     }
   }
@@ -945,23 +1034,26 @@ final class Engine(
           case _ =>
             opRangeScans.incrementAndGet()
             val cols = projection(m, s.items)
-            val df0 = snapshot(s.table)
-            val df = s.where.map(p => df0.filter(predToColumn(m, p))).getOrElse(df0)
-              .select(cols.map(i => col(m.cols(i).name)): _*)
             // bounded-memory materialization: toLocalIterator pulls one
             // partition at a time (an unbounded collect() of
             // `SELECT * FROM big` OOMs the driver); results are capped
             // at selectRowCap rows — callers needing the full stream
             // use scanIterator (C7). The scan lease (activeScans)
-            // covers the pull: the cap means the iterator may STOP
-            // before exhaustion, so release happens in the finally,
-            // not via leasedIterator's exhaustion hook.
-            store.activeScans.incrementAndGet()
+            // covers plan capture AND the pull — acquired BEFORE
+            // snapshot() so no compaction-swap window can delete files
+            // the captured plan references; the cap means the iterator
+            // may STOP before exhaustion, so release happens in the
+            // finally, not via leasedIterator's exhaustion hook.
+            acquireScanLease(store)
             try {
+              val df0 = snapshot(s.table)
+              val df = s.where.map(p => df0.filter(predToColumn(m, p))).getOrElse(df0)
+                .select(cols.map(i => col(m.cols(i).name)): _*)
               val it = df.toLocalIterator()
               val buf = Vector.newBuilder[Vector[String]]
               var n = 0
               while (it.hasNext && n < selectRowCap) {
+                store.lastScanPull.set(System.nanoTime())
                 val r = it.next()
                 buf += cols.indices.toVector.map(i => fmt(r.get(i), m.cols(cols(i)).tpe))
                 n += 1
@@ -971,10 +1063,7 @@ final class Engine(
                 error = if (truncated)
                   s"Result truncated at $selectRowCap rows; use scanIterator for the full stream"
                 else "")
-            } finally {
-              store.activeScans.decrementAndGet()
-              trimRetired(store)
-            }
+            } finally releaseScanLease(store)
         }
     }
   }
@@ -1115,7 +1204,7 @@ final class Engine(
     * for in-flight iterators), so mid-statement writes never feed
     * back into the match set.
     */
-  private def applyDml(store: HotStore, matches: Iterator[RowVersion],
+  private def applyDml(store: HotStore, matches: => Iterator[RowVersion],
                        mutate: RowVersion => (Array[Any], Boolean)): Long = {
     var n = 0L
     val batch = scala.collection.mutable.ArrayBuffer.empty[(Array[Any], Boolean)]
@@ -1138,18 +1227,18 @@ final class Engine(
     // CONCURRENT writers' compactions queue their tier deletions
     // instead of deleting (trimRetired) — the generation cushion
     // alone cannot bound how many compactions finish during a long
-    // statement. Released (and the queue drained) in the finally.
-    store.activeScans.incrementAndGet()
+    // statement. Acquired BEFORE `matches` (by-name) builds its plan,
+    // so the plan-time cold file listing is protected from the first
+    // instant. Released (and the queue drained) in the finally.
+    acquireScanLease(store)
     try {
       matches.foreach { rv =>
+        store.lastScanPull.set(System.nanoTime())
         batch += mutate(rv)
         if (batch.size >= dmlBatchRows) drain()
       }
       drain()
-    } finally {
-      store.activeScans.decrementAndGet()
-      trimRetired(store)
-    }
+    } finally releaseScanLease(store)
     if (dataDir.isDefined) maybeCompactLeveled(store)
     opWrites.addAndGet(n)
     n

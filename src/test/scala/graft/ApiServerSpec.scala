@@ -142,4 +142,21 @@ class ApiServerSpec extends AnyFunSuite {
       assert(c6 == 200 && b6.contains("\"2\""))
     }
   }
+
+  test("POST /api/admin/compact/pause and /resume round-trip") {
+    withServer { p =>
+      val (c1, b1) = post(p, "/api/admin/compact/pause", "")
+      assert(c1 == 200 && b1.contains("Compaction paused"), b1)
+      // a compact issued while paused reports deferral, not execution
+      val (c2, b2) = post(p, "/api/admin/compact", "")
+      assert(c2 == 200 && b2.contains("deferred"), b2)
+      val (c3, b3) = post(p, "/api/admin/compact/resume", "")
+      assert(c3 == 200 && b3.contains("Compaction resumed"), b3)
+      // and a post-resume compact executes normally again
+      val (c4, b4) = post(p, "/api/admin/compact", "")
+      assert(c4 == 200 && b4.contains("Compaction triggered"), b4)
+      val (c5, b5) = post(p, "/api/query", """{"sql": "SELECT COUNT(*) FROM api_t"}""")
+      assert(c5 == 200 && b5.contains("\"2\""))
+    }
+  }
 }

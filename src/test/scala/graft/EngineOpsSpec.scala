@@ -185,6 +185,38 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pause defers compaction jobs; resume drains them") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 2)
+      assert(e.sql("CREATE TABLE pz (id BIGINT NOT NULL, v INT)").ok)
+      e.pauseCompaction()
+      // four L0 flushes — double the trigger. With the scheduler live
+      // these would leveled-merge; paused, they must only accumulate.
+      (0 until 4).foreach { t =>
+        e.batchPut("pz", (1 to 200).map(i => Array[Any](t * 1000L + i, Int.box(i))))
+        e.forceFlush("pz")
+      }
+      val store = e.storeOf("pz")
+      assert(store.synchronized(store.coldDirs).size == 4,
+        "paused scheduler must not merge L0 tiers")
+      assert(e.pendingCompactions >= 1, "deferred leveled pass not recorded")
+      // admin major while paused: deferred too (reference enqueues the
+      // job; the paused worker just doesn't consume it)
+      e.compact("pz")
+      assert(store.synchronized(store.coldDirs).size == 4,
+        "paused scheduler must not run an admin major")
+      val before = e.sql("SELECT COUNT(*) FROM pz").rows.head.head
+      e.resumeCompaction()
+      // the drain runs the deferred major: all four tiers collapse
+      assert(store.synchronized(store.coldDirs).size == 1,
+        s"resume did not drain the deferred major: ${store.synchronized(store.coldDirs)}")
+      assert(e.pendingCompactions == 0)
+      assert(e.sql("SELECT COUNT(*) FROM pz").rows.head.head == before)
+      // post-resume triggers behave normally again (no lingering pause)
+      assert(!e.compactionIsPaused)
+    }
+  }
+
   // ---- full Spark SQL over snapshots ---------------------------------------
 
   test("writes proceed while a compaction merge runs (non-blocking compaction)") {
@@ -275,23 +307,38 @@ class EngineOpsSpec extends AnyFunSuite {
       e.forceFlush("aband")
       val store = e.storeOf("aband")
       val originalTiers = store.synchronized(store.coldDirs)
-      // abandon a live iterator: lease acquired, never released
+      // a live iterator holding the lease, pulled once per churn cycle:
+      // an ACTIVE slow consumer, not an abandoned one
       val it = e.scanIterator("aband")
       it.next()
       // churn past maxDeferredGens (16): each cycle retires one
-      // generation; the cap must reclaim the OLDEST ones even though
-      // the lease is still held, bounding disk growth
+      // generation. Because the consumer keeps pulling (lastScanPull
+      // stays fresh), the cap must NOT breach — an active slow scan
+      // keeps its plan-time files even past the depth limit
       (0 until 18).foreach { i =>
         e.batchPut("aband", Seq(Array[Any]((1000 + i).toLong, Int.box(i))))
         e.forceFlush("aband")
         e.compact("aband")
+        it.next() // keep the lease visibly live
       }
+      assert(store.synchronized(store.retiredGens.size) > 16,
+        s"active consumer's generations were reclaimed: ${store.synchronized(store.retiredGens.size)}")
+      assert(originalTiers.forall(p =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+        "an actively-pulling scan lost its plan-time tier files")
+      // now ABANDON it: stop pulling and age the pull clock past the
+      // idle threshold — the next trim must reclaim down to the cap,
+      // bounding disk growth under a leaked lease
+      store.lastScanPull.set(System.nanoTime() - (e.leaseIdleBreachMs + 1000) * 1000000L)
+      e.batchPut("aband", Seq(Array[Any](2000L, Int.box(0))))
+      e.forceFlush("aband")
+      e.compact("aband")
       assert(store.synchronized(store.retiredGens.size) <= 16,
         s"deferred queue grew past the cap: ${store.synchronized(store.retiredGens.size)}")
       assert(originalTiers.exists(p =>
         !java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
-        "cap breach did not reclaim the oldest retired generation")
-      assert(e.sql("SELECT COUNT(*) FROM aband").rows.head.head == "218")
+        "idle-lease cap breach did not reclaim the oldest retired generation")
+      assert(e.sql("SELECT COUNT(*) FROM aband").rows.head.head == "219")
     }
   }
 
