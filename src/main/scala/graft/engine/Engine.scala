@@ -587,6 +587,18 @@ final class Engine(
 
   /** The snapshot: what analytics sees — always includes the latest
     * un-flushed writes (the HTAP freshness contract, SURVEY §0b).
+    *
+    * Skew note: the LWW window partitions by pk, so one pk's versions
+    * colocate in one reducer — but the per-pk fan-in is BOUNDED BY
+    * ARCHITECTURE, not by data: each flush writes the latest-version
+    * map (one row per pk per tier) and each merge re-dedups, so a pk
+    * carries at most (#cold tiers + 1) versions regardless of write
+    * skew — single-digit between compactions, never a data-scaled
+    * pileup. AQE's skew handling covers joins only and would not
+    * rescue a skewed window; for UNBOUNDED changelogs (versions per
+    * key grow with the data, e.g. an event log keyed by entity) use
+    * the mergeable aggregate form instead — SkewTools.lwwLatest,
+    * gated against a planted 10%-hot key in ScaleToolsSpec.
     */
   def snapshot(table: String): DataFrame = {
     val store = storeOf(table)

@@ -40,6 +40,36 @@ object SkewTools {
         aggs.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
   }
 
+  /** Skew-proof last-writer-wins: the latest version per key as a
+    * MERGEABLE max-of-struct aggregate instead of a row_number
+    * window. The window form (q_lww_snapshot) must colocate ALL of a
+    * key's versions in one reducer task — a key holding 10% of a
+    * changelog makes that task a straggler no matter how many
+    * executors exist. max(struct(orderBy..., payload...)) merges
+    * associatively, so partial aggregation pre-reduces every map
+    * task's versions of the hot key to ONE row before the shuffle:
+    * the hot key contributes at most one record per map task to the
+    * exchange, and no reducer ever sees a version pileup.
+    * (AQE's skew handling covers sort-merge JOINS only — a skewed
+    * window has no runtime rescue, which is why the aggregate form
+    * is the 100 TB changelog shape.)
+    *
+    * `orderBy` must order versions totally WITHIN a key (e.g. ts +
+    * unique event id, or a sequence number): on an orderBy tie the
+    * comparison would fall through to payload fields, which is
+    * exactly the arbitrary tie-break a correct changelog never needs.
+    * Output columns: key, then `payload` in caller order (payload may
+    * repeat orderBy columns; struct fields are deduplicated).
+    */
+  def lwwLatest(df: DataFrame, key: String, orderBy: Seq[String],
+                payload: Seq[String]): DataFrame = {
+    require(orderBy.nonEmpty, "lwwLatest needs version-ordering columns")
+    val fields = (orderBy ++ payload.filterNot(orderBy.contains)).distinct
+    df.groupBy(col(key))
+      .agg(max(struct(fields.map(col): _*)).as("__lww"))
+      .select(col(key) +: payload.map(c => col(s"__lww.$c").as(c)): _*)
+  }
+
   /** Salted join for a skewed left side against a small-ish right
     * side that is still too big to broadcast: the left adds a
     * deterministic salt in [0, salts), the right is replicated once

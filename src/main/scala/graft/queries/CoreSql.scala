@@ -231,6 +231,22 @@ object CoreSql {
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
     },
 
+    // Skew-proof twin of q_lww_snapshot: same rows, but the latest
+    // version per key is a MERGEABLE max-of-struct aggregate
+    // (SkewTools.lwwLatest) instead of a per-key window. Partial
+    // aggregation pre-reduces a hot key map-side — one record per map
+    // task reaches the shuffle — where the window form must pile every
+    // version of the key into a single reducer. The oracle is the
+    // window-form SQL: both forms must resolve the identical snapshot.
+    "q_lww_agg" -> Q(
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""") { (s, d) =>
+      graft.operators.SkewTools.lwwLatest(t(s, d, "events"),
+        "user_id", Seq("ts", "event_id"), Seq("event_id", "event_type", "value"))
+    },
+
     // Tombstone-aware variant: 'error' events act as deletes — a key whose
     // latest version is a tombstone disappears from the snapshot
     // (reference range_query_executor.hpp:122-129 drops tombstones last).

@@ -29,6 +29,16 @@ object Streams {
     * memory; SURVEY §3.1), and micro-batches are bounded by the
     * trigger interval. Rows whose PK already exists upsert, matching
     * INSERT semantics.
+    *
+    * Delivery contract: AT-LEAST-ONCE into an upserting store, which
+    * makes the QUERYABLE STATE exactly-once. foreachBatch can replay
+    * a micro-batch after a failure; a replayed batch re-puts the same
+    * pks with NEW sequence numbers, so the LWW snapshot every reader
+    * sees is unchanged (same keys, same values — idempotent), while
+    * the internal version history carries the extra generations until
+    * flush/compaction dedups them. Readers of the version LOG (not
+    * the snapshot) must therefore not count versions as deliveries.
+    * StreamingSpec's replay case gates the snapshot idempotence.
     */
   def ingest(engine: Engine, table: String, source: DataFrame): StreamingQuery = {
     val m = engine.meta(table).getOrElse(

@@ -198,6 +198,15 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("aggregate LWW plans as a partial+final max-of-struct, no window") {
+    val p = plan("q_lww_agg")
+    // the skew claim: no per-key window (that shape colocates every
+    // version of a hot key in one reducer); a partial+final aggregate
+    // pair pre-reduces versions map-side before the one exchange
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("approx quantile plan is a partial-aggregable sketch, no value buffering") {
     val p = plan("q_quantile_group_approx")
     // the scale claim: the quantile aggregate is the mergeable
