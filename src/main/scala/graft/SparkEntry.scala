@@ -16,7 +16,19 @@ object SparkEntry {
   private val registry: Map[String, Q] =
     CoreSql.all ++ Analytics.all ++ TextOps.all ++ VectorOps.all ++ Map(
       "q_mm_features" -> Q.noOracle((s, d) => operators.Multimodal.pipeline(s, d)),
-      "q_mm_frames"   -> Q.noOracle((s, d) => operators.Multimodal.framesPipeline(s, d))
+      "q_mm_frames"   -> Q.noOracle((s, d) => operators.Multimodal.framesPipeline(s, d)),
+      // video decode IS oracle-checkable: each decoded frame's raster
+      // dimensions must reproduce the generator's closed-form (id →
+      // w, h, nFrames) arithmetic, which DuckDB recomputes directly —
+      // a broken MJPEG splitter or JPEG decode hash-fails
+      "q_mm_video_frames" -> Q(
+        """SELECT d.doc_id AS id, CAST(r.range AS INT) AS frame_idx,
+                  CAST(16 + (d.doc_id % 4) * 8 AS INT) AS frame_w,
+                  CAST(16 + (d.doc_id % 3) * 8 AS INT) AS frame_h
+           FROM documents d CROSS JOIN range(7) r
+           WHERE d.doc_id % 3 = 2 AND r.range < 3 + (d.doc_id % 4)
+           ORDER BY id, frame_idx""")(
+        (s, d) => operators.Multimodal.videoFramesPipeline(s, d))
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

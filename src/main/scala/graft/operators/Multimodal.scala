@@ -7,14 +7,18 @@ import org.apache.spark.sql.functions._
   * payloads ride as opaque `binary` columns with a typed metadata
   * struct; decode / feature-extract run per-partition in batches.
   *
-  * Decode is REAL where the JDK ships a codec: PNG/JPEG/GIF/BMP
-  * through `javax.imageio` and WAV PCM through `javax.sound.sampled`
-  * — pixels and samples are actually decoded executor-side and the
-  * extracted features (dimensions, channel means, RMS, zero-crossing
-  * rate) are asserted against planted ground truth in MultimodalSpec.
-  * Formats with no JVM codec in this container (mp4/mkv/ogg video)
-  * fall back to `decodeStub`, a deterministic byte-level feature
-  * hash — the fallback is the documented stand-in, not the path.
+  * Decode is REAL for all three modalities: PNG/JPEG/GIF/BMP stills
+  * through `javax.imageio`, WAV PCM through `javax.sound.sampled`,
+  * and video as raw MJPEG streams — per-frame JPEG rasters actually
+  * decoded executor-side (`decodeMjpeg`). Extracted features
+  * (dimensions, channel means, RMS, zero-crossing rate, frame counts)
+  * are asserted against planted ground truth in MultimodalSpec, and
+  * the video frame table is DuckDB-oracled (q_mm_video_frames): the
+  * oracle recomputes the generator's closed-form dimensions, which
+  * only a real decode reproduces. Containers with no JVM codec at all
+  * (mp4/mkv/ogg) fall back to `decodeStub`, a deterministic
+  * byte-level feature hash — the documented stand-in for bytes this
+  * container cannot decode, not the video path.
   *
   * Scale notes: records are processed with mapPartitions so decoder
   * init (ImageIO cache config, codec contexts) amortizes across a
@@ -173,6 +177,83 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic MJPEG payload: `nFrames` JPEG images back to back
+    * (the raw motion-JPEG stream format — the one video container a
+    * JVM can both write and decode with only ImageIO). Per-frame
+    * pixels come from the same splitmix LCG as [[encodePng]], keyed
+    * by (seed, frameIdx) so every frame differs.
+    */
+  def encodeMjpeg(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    imageIoInit
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          var z = seed + f * 0x632be59bd9b4e019L +
+            x * 0x9e3779b97f4a7c15L + y * 0xc2b2ae3d27d4eb4fL
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Split a raw MJPEG stream into its JPEG frames by marker scan:
+    * each frame spans SOI (FF D8 FF) to its EOI (FF D9). Entropy-coded
+    * JPEG data escapes literal FF as FF 00, so EOI never appears
+    * mid-frame; scanning is exact for well-formed streams.
+    */
+  def splitMjpegFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    def isSoi(j: Int) = j + 2 < payload.length &&
+      (payload(j) & 0xff) == 0xff && (payload(j + 1) & 0xff) == 0xd8 &&
+      (payload(j + 2) & 0xff) == 0xff
+    while (i < payload.length) {
+      if (isSoi(i)) {
+        var j = i + 2
+        var end = -1
+        while (end < 0 && j + 1 < payload.length) {
+          if ((payload(j) & 0xff) == 0xff && (payload(j + 1) & 0xff) == 0xd9) end = j + 2
+          j += 1
+        }
+        if (end < 0) { out += payload.slice(i, payload.length); i = payload.length }
+        else { out += payload.slice(i, end); i = end }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  final case class VideoInfo(width: Int, height: Int, nFrames: Int, meanLuma: Double)
+
+  /** Real video decode for MJPEG streams: every frame's raster is
+    * actually decoded (ImageIO JPEG codec); dimensions must agree
+    * across frames. meanLuma is the rec-601 luma of every pixel of
+    * every frame. None when any frame fails to decode.
+    */
+  def decodeMjpeg(payload: Array[Byte]): Option[VideoInfo] = {
+    imageIoInit
+    val frames = splitMjpegFrames(payload)
+    if (frames.isEmpty) return None
+    val infos = frames.map(decodeImage)
+    if (infos.exists(_.isEmpty)) return None
+    val is = infos.flatten
+    if (is.map(i => (i.width, i.height)).distinct.size != 1) return None
+    val luma = is.map(i => (0.299 * i.meanR + 0.587 * i.meanG + 0.114 * i.meanB) / 255).sum / is.size
+    Some(VideoInfo(is.head.width, is.head.height, is.size, luma))
+  }
+
   /** Real nearest-neighbor image resize: decode, sample the source
     * raster at exact NN coordinates (manual loop — deterministic,
     * unlike interpolating Graphics2D hints), re-encode as PNG. None
@@ -213,7 +294,19 @@ object Multimodal {
       payload.length >= i + bs.length &&
         bs.indices.forall(j => (payload(i + j) & 0xff) == bs(j))
     if (at(0, 0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) "png"
-    else if (at(0, 0xff, 0xd8, 0xff)) "jpeg"
+    else if (at(0, 0xff, 0xd8, 0xff)) {
+      // JPEG magic: a SECOND SOI after the first EOI marks a raw
+      // motion-JPEG stream (concatenated frames) rather than a still
+      var i = 2
+      var eoi = -1
+      while (eoi < 0 && i + 1 < payload.length) {
+        if ((payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xff) == 0xd9) eoi = i + 2
+        i += 1
+      }
+      if (eoi > 0 && eoi + 2 < payload.length &&
+          (payload(eoi) & 0xff) == 0xff && (payload(eoi + 1) & 0xff) == 0xd8) "mjpeg"
+      else "jpeg"
+    }
     else if (at(0, 'G', 'I', 'F', '8')) "gif"
     else if (at(0, 'B', 'M')) "bmp"
     else if (at(0, 'R', 'I', 'F', 'F') && at(8, 'W', 'A', 'V', 'E')) "wav"
@@ -259,16 +352,15 @@ object Multimodal {
               val n = 800 + (id % 10).toInt * 80
               MediaRecord(id, MediaMeta("audio", 0, 0, 16000), encodeWav(n, id))
             case _ =>
-              val body = new Array[Byte](256 + (id % 7).toInt * 64)
-              var i = 0
-              while (i < body.length) {
-                var z = id + i * 0x9e3779b97f4a7c15L
-                z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-                body(i) = z.toByte
-                i += 1
-              }
-              MediaRecord(id, MediaMeta("video", 32, 32, 0),
-                Array[Byte](0, 0, 0, 0x20) ++ "ftypisom".getBytes ++ body)
+              // real decodable video: a raw MJPEG stream (JPEG frames
+              // back to back — the JDK can encode AND decode it).
+              // Dimensions and frame count are closed-form in the id:
+              // that arithmetic is the planted truth the DuckDB oracle
+              // recomputes, so only a REAL per-frame decode matches it.
+              val w = 16 + (id % 4).toInt * 8
+              val h = 16 + (id % 3).toInt * 8
+              val nf = 3 + (id % 4).toInt
+              MediaRecord(id, MediaMeta("video", w, h, 0), encodeMjpeg(w, h, nf, id))
           }
         }
       }
@@ -282,6 +374,7 @@ object Multimodal {
     * byte-level features. Feature layout (FeatureDim = 8):
     *   image: [w, h, meanR/255, meanG/255, meanB/255, 0, 0, 1]
     *   audio: [rateHz, frames, rms, zeroCrossRate, 0, 0, 0, 2]
+    *   video: [w, h, nFrames, meanLuma, 0, 0, 0, 3]
     *   other: decodeStub byte-hash features
     */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
@@ -300,6 +393,11 @@ object Multimodal {
             decodeWav(r.payload).map(a => Array(
               a.sampleRateHz.toFloat, a.nFrames.toFloat, a.rms.toFloat,
               a.zeroCrossRate.toFloat, 0f, 0f, 0f, 2f))
+              .getOrElse(decodeStub(r.payload))
+          case "mjpeg" =>
+            decodeMjpeg(r.payload).map(v => Array(
+              v.width.toFloat, v.height.toFloat, v.nFrames.toFloat,
+              v.meanLuma.toFloat, 0f, 0f, 0f, 3f))
               .getOrElse(decodeStub(r.payload))
           case _ => decodeStub(r.payload)
         }
@@ -335,8 +433,42 @@ object Multimodal {
     out
   }
 
+  /** Real MJPEG resize: every frame decoded, NN-resampled, re-encoded
+    * as JPEG, re-concatenated — the output is itself a decodable MJPEG
+    * stream with the same frame count at the target dimensions. None
+    * when any frame fails to decode.
+    */
+  def resizeMjpeg(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    imageIoInit
+    val frames = splitMjpegFrames(payload)
+    if (frames.isEmpty) return None
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      for (f <- frames) {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        if (src == null) return None
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetH) {
+          val srcY = y * src.getHeight / targetH
+          var x = 0
+          while (x < targetW) {
+            out.setRGB(x, y, src.getRGB(x * src.getWidth / targetW, srcY))
+            x += 1
+          }
+          y += 1
+        }
+        javax.imageio.ImageIO.write(out, "jpg", bos)
+      }
+      Some(bos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Resize every record to a fixed thumbnail; metadata follows.
-    * Decodable images go through the real pixel resize ([[resizeImage]],
+    * MJPEG video goes through the real per-frame resize
+    * ([[resizeMjpeg]] — frame count preserved, output still MJPEG);
+    * decodable stills through the real pixel resize ([[resizeImage]],
     * NN-sampled and re-encoded); everything else falls back to the
     * raster-arithmetic stub.
     */
@@ -345,8 +477,10 @@ object Multimodal {
     records.mapPartitions { it =>
       imageIoInit
       it.map { r =>
-        val resized = resizeImage(r.payload, targetW, targetH).getOrElse(
-          resizeStub(r.payload, math.max(r.meta.width, 1),
+        val resized = (if (sniffFormat(r.payload) == "mjpeg")
+            resizeMjpeg(r.payload, targetW, targetH)
+          else resizeImage(r.payload, targetW, targetH))
+          .getOrElse(resizeStub(r.payload, math.max(r.meta.width, 1),
             math.max(r.meta.height, 1), targetW, targetH))
         MediaRecord(r.id, r.meta.copy(width = targetW, height = targetH), resized)
       }
@@ -377,6 +511,35 @@ object Multimodal {
       .toDF()
       .select(col("id"), col("frameIdx").as("frame_idx"),
         col("nBytes").as("n_bytes"), col("frameChecksum").as("frame_checksum"))
+      .orderBy(col("id"), col("frame_idx"))
+
+  case class VideoFrame(id: Long, frameIdx: Int, frameW: Int, frameH: Int)
+
+  /** Real video-frame explode: one row per DECODED MJPEG frame with
+    * the frame's decoded raster dimensions. The declared-query form
+    * (q_mm_video_frames) is DuckDB-oracled: the oracle recomputes the
+    * generator's closed-form (id → w, h, nFrames) arithmetic, so a
+    * broken splitter or decoder hash-fails the round — this is the
+    * honest planted-truth gate for the video modality.
+    */
+  def sampleVideoFrames(records: Dataset[MediaRecord]): Dataset[VideoFrame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      imageIoInit
+      it.filter(_.meta.modality == "video").flatMap { r =>
+        splitMjpegFrames(r.payload).iterator.zipWithIndex.flatMap { case (f, idx) =>
+          decodeImage(f).map(im => VideoFrame(r.id, idx, im.width, im.height))
+        }
+      }
+    }
+  }
+
+  /** Declared oracled query: decoded video frame table. */
+  def videoFramesPipeline(spark: SparkSession, dir: String): DataFrame =
+    sampleVideoFrames(asMediaRecords(spark, dir))
+      .toDF()
+      .select(col("id"), col("frameIdx").cast("int").as("frame_idx"),
+        col("frameW").cast("int").as("frame_w"), col("frameH").cast("int").as("frame_h"))
       .orderBy(col("id"), col("frame_idx"))
 
   /** Feature vectors with full arrays — internal / downstream-ANN use. */
