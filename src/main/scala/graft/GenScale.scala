@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for local benchmarking past the driver's
+  * sf0.1: writes `copies`× each source table with key spaces shifted
+  * per copy, PRESERVING the statistical structure the slow queries
+  * measure —
+  *  - documents: each copy applies a distinct 1-1 letter substitution
+  *    to `text`, so shingle spaces are DISJOINT across copies and the
+  *    near-duplicate RATE stays constant (naive duplication would
+  *    make every doc a 10-way near-dup and measure candidate
+  *    explosion, not scaling). n_chars survives (substitution
+  *    preserves length).
+  *  - embeddings: copy 0 keeps the source vectors; copies >0 get
+  *    deterministic hash-noise directions so cosine near-dup and ANN
+  *    structure is not artificially replicated either.
+  *  - facts (orders/lineitem/customer/supplier/part): every int64
+  *    key (pk and fk) shifts by copy*STRIDE consistently, so joins
+  *    hold within a copy and key spaces never collide across copies.
+  *  - events: read/written with the raw int64-nanos `ts` column so
+  *    Tables.t's explicit-schema reader works on the output.
+  *  - region/nation: fixed dimension tables, copied as-is.
+  *
+  * Usage: runMain graft.GenScale <srcSfDir> <outDir> <copies>
+  */
+object GenScale {
+
+  private val Stride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, copiesStr) = args
+    val copies = copiesStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def explodeCopies(df: DataFrame): DataFrame =
+      df.withColumn("__k", explode(sequence(lit(0), lit(copies - 1))))
+    def shift(c: String): Column = col(c) + col("__k") * Stride
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.drop("__k").write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[genscale] $name written")
+    }
+
+    // fixed dims: straight copy
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    write(explodeCopies(spark.read.parquet(s"$srcDir/customer.parquet"))
+      .withColumn("c_custkey", shift("c_custkey")), "customer")
+    write(explodeCopies(spark.read.parquet(s"$srcDir/supplier.parquet"))
+      .withColumn("s_suppkey", shift("s_suppkey")), "supplier")
+    write(explodeCopies(spark.read.parquet(s"$srcDir/part.parquet"))
+      .withColumn("p_partkey", shift("p_partkey")), "part")
+    write(explodeCopies(spark.read.parquet(s"$srcDir/orders.parquet"))
+      .withColumn("o_orderkey", shift("o_orderkey"))
+      .withColumn("o_custkey", shift("o_custkey")), "orders")
+    write(explodeCopies(spark.read.parquet(s"$srcDir/lineitem.parquet"))
+      .withColumn("l_orderkey", shift("l_orderkey"))
+      .withColumn("l_partkey", shift("l_partkey"))
+      .withColumn("l_suppkey", shift("l_suppkey")), "lineitem")
+
+    // events: keep ts as raw int64 nanos (Tables.t reads it that way)
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    write(explodeCopies(spark.read.schema(evSchema).parquet(s"$srcDir/events.parquet"))
+      .withColumn("event_id", shift("event_id"))
+      .withColumn("user_id", shift("user_id")), "events")
+
+    // documents: per-copy letter substitution keeps copies' shingle
+    // spaces disjoint (rotate a 10-letter alphabet of common letters
+    // by the copy index; copy 0 is the identity)
+    val alpha = "etaoinsrdl"
+    val docs = explodeCopies(spark.read.parquet(s"$srcDir/documents.parquet"))
+      .withColumn("doc_id", shift("doc_id"))
+    val translated = (1 until copies).foldLeft(
+      when(col("__k") === 0, col("text"))) { (acc, k) =>
+      val rot = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
+      acc.when(col("__k") === k, translate(col("text"), alpha, rot))
+    }
+    write(docs.withColumn("text", translated), "documents")
+
+    // embeddings: copy 0 verbatim; later copies get deterministic
+    // hash-noise directions (dup/ANN structure must not replicate)
+    val emb = explodeCopies(spark.read.parquet(s"$srcDir/embeddings.parquet"))
+    val noisy = transform(col("embedding"),
+      (x, i) => sin(col("vec_id") * 12.9898 + i * 78.233 + col("__k") * 37.719).cast("float"))
+    write(emb
+      .withColumn("embedding", when(col("__k") === 0, col("embedding")).otherwise(noisy))
+      .withColumn("vec_id", shift("vec_id")), "embeddings")
+
+    spark.stop()
+  }
+}
