@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -41,6 +41,47 @@ object VectorKernels {
       i += 1
     }
     acc
+  }
+
+  /** int8 quantization scale: max(|x|)/127, floored at 1e-300 so the
+    * all-zero vector quantizes to zero instead of NaN (mirrors the
+    * DuckDB oracle's greatest(list_max(list_transform(abs))/127, …)).
+    */
+  def int8Scale(a: ArrayData): Double = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getDouble(i))
+      if (x > m) m = x
+      i += 1
+    }
+    math.max(m / 127, 1e-300)
+  }
+
+  /** exact round-half-away-from-zero of r (|r| < 2^52): floor + an
+    * EXACT fractional comparison — no `floor(r+0.5)` addition, whose
+    * rounding can cross the boundary. Matches DuckDB's std::round and
+    * decimal HALF_UP on every value both can represent.
+    */
+  private def roundHalfAway(r: Double): Int = {
+    val f = math.floor(r)
+    val diff = r - f                        // exact for |r| < 2^52
+    (if (diff > 0.5) f + 1
+     else if (diff < 0.5) f
+     else if (r >= 0) f + 1 else f).toInt
+  }
+
+  /** per-element int8 quantization: round(x/scale) as ints. */
+  def int8Round(a: ArrayData, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = roundHalfAway(a.getDouble(i) / scale)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
@@ -84,6 +125,46 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `int8_scale(array<double>) → double`: the quantization scale
+  * max(|x|)/127 (1e-300-floored) as one primitive pass.
+  */
+case class Int8Scale(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_scale"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.int8Scale(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.int8Scale($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Scale =
+    copy(child = newChild)
+}
+
+/** `int8_round(array<double>, double) → array<int>`: round(x/scale)
+  * per element in one primitive loop — the codegen'd replacement for
+  * `transform(v, x -> CAST(round(x / scale) AS INT))`, whose
+  * higher-order lambda evaluates interpreted with boxed elements and,
+  * when project-collapse inlines it past a join, re-quantizes the
+  * corpus once per joined pair.
+  */
+case class Int8Round(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "int8_round"
+
+  override def nullSafeEval(a: Any, s: Any): Any =
+    VectorKernels.int8Round(a.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) => s"graft.functions.VectorKernels.int8Round($a, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Round =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration (idempotent) — callers that build their own
   * SparkSession can also install [[GraftExtensions]] instead.
   */
@@ -97,6 +178,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "topk_struct", exprs => TopKStruct(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "int8_scale", exprs => Int8Scale(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "int8_round", exprs => Int8Round(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -114,5 +199,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("int8_scale"),
+      new ExpressionInfo(classOf[Int8Scale].getName, "int8_scale"),
+      (exprs: Seq[Expression]) => Int8Scale(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("int8_round"),
+      new ExpressionInfo(classOf[Int8Round].getName, "int8_round"),
+      (exprs: Seq[Expression]) => Int8Round(exprs(0), exprs(1))))
   }
 }

@@ -146,15 +146,23 @@ object VectorOps {
     * quantization, shared by the declared stats query and the
     * quantized-search recall gate.
     */
-  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame = {
+    // native codegen'd kernels (Int8Scale/Int8Round) instead of the
+    // higher-order `transform(...)` chain: HOF lambdas evaluate
+    // interpreted with boxed elements, and project-collapse can
+    // inline the chain past knnTop5's join — re-quantizing the corpus
+    // once per joined PAIR (measured 12 s vs ~1 s at sf1). The scale
+    // floor (1e-300) guards the all-zero vector: 0/0 would be NaN and
+    // CAST(round(NaN) AS INT) throws under ANSI mode; with the floor,
+    // zero vectors quantize to zero. The kernels reproduce the DuckDB
+    // oracle's ops exactly (max|x|/127 floored; round half away from
+    // zero via an exact fractional compare, not floor(r+0.5)).
+    graft.functions.GraftFunctions.register(s)
     base(s, d)
-      // greatest(…, tiny) guards the all-zero vector (padding rows,
-      // failed encoders): 0/0 would be NaN and CAST(round(NaN) AS INT)
-      // throws under ANSI mode; with the floor, zero vectors quantize
-      // to zero. The oracle applies the identical guard.
-      .withColumn("scale", expr("greatest(array_max(transform(v, x -> abs(x))) / 127, 1e-300)"))
-      .withColumn("qv", expr("transform(v, x -> CAST(round(x / scale) AS INT))"))
+      .withColumn("scale", expr("int8_scale(v)"))
+      .withColumn("qv", expr("int8_round(v, scale)"))
       .select(col("vec_id"), col("scale"), col("qv"))
+  }
 
   val all: Map[String, Q] = Map(
 

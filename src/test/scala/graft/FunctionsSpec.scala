@@ -90,6 +90,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("int8_scale/int8_round match the higher-order forms element-for-element") {
+    GraftFunctions.register(spark)
+    // includes a saturating max, negatives, an exact .5 quotient via
+    // scale = 1 (max=127), and the all-zero vector (scale floor)
+    val rows = spark.sql(
+      """SELECT v,
+                int8_scale(v) AS ks,
+                greatest(array_max(transform(v, x -> abs(x))) / 127, 1e-300) AS hs,
+                int8_round(v, int8_scale(v)) AS kq,
+                transform(v, x -> CAST(round(x / greatest(array_max(transform(v, x -> abs(x))) / 127, 1e-300)) AS INT)) AS hq
+         FROM VALUES (array(127.0D, -127.0D, 63.5D, -63.5D, 0.1D, 0.0D)),
+                     (array(0.0D, 0.0D, 0.0D)),
+                     (array(-3.2D, 2.7D, 1e-9D)) AS t(v)""").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"scale mismatch: $r")
+      assert(r.getSeq[Int](3) == r.getSeq[Int](4), s"round mismatch: $r")
+    }
+    // codegen vs interpreted agreement for the kernels themselves
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(127.0, -63.5, 0.3))
+    assert(graft.functions.VectorKernels.int8Scale(arr) == 1.0)
+    assert(graft.functions.VectorKernels.int8Round(arr, 1.0).toIntArray().toSeq ==
+      Seq(127, -64, 0))   // -63.5 rounds half AWAY from zero
+  }
+
   // The q_agg_approx_distinct gate, repeated at every available scale
   // factor: HLL++ with the default rsd=0.05 must land within 3 sigma
   // (15%) of the exact distinct count. A broken sketch registration
