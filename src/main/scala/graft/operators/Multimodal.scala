@@ -70,8 +70,11 @@ object Multimodal {
     javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next())
   private val pngWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
     javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
-  private val jpgReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
-    javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next())
+  private val readerTLs: Map[String, ThreadLocal[javax.imageio.ImageReader]] =
+    Map("png" -> "png", "jpeg" -> "jpg", "gif" -> "gif", "bmp" -> "bmp").map {
+      case (fmt, spi) => fmt -> ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName(spi).next())
+    }
 
   private def writePooled(img: java.awt.image.BufferedImage,
                           tl: ThreadLocal[javax.imageio.ImageWriter],
@@ -85,11 +88,11 @@ object Multimodal {
     } finally { w.setOutput(null); ios.close() }
   }
 
-  /** decode bytes KNOWN to be one JPEG still with the pooled reader
+  /** decode bytes of a KNOWN still format with its pooled reader
     * (skips the per-call SPI probe); null when the codec rejects them
     */
-  private def readPooledJpeg(bytes: Array[Byte]): java.awt.image.BufferedImage = {
-    val r = jpgReaderTL.get()
+  private def readPooled(fmt: String, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val r = readerTLs(fmt).get()
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -112,30 +115,39 @@ object Multimodal {
     imageIoInit
     if (payload.isEmpty) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        // bulk row reads: per-pixel getRGB goes through the color
-        // model object path per call and dominates decode cost on
-        // large rasters; getRGB(x,y,w,h,...) converts a row at a time
-        val w = img.getWidth; val h = img.getHeight
-        val row = new Array[Int](w)
-        var r, g, b = 0L
-        var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, row, 0, w)
-          var x = 0
-          while (x < w) {
-            val p = row(x)
-            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toLong * h
-        Some(ImageInfo(w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n))
+      // known container -> pooled per-format reader (skips the
+      // magic-probe SPI loop ImageIO.read runs per call); anything
+      // else takes the generic probing path
+      val img = sniffFormat(payload) match {
+        case f @ ("png" | "jpeg" | "gif" | "bmp") => readPooled(f, payload)
+        case _ => javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       }
+      if (img == null) None else Some(rasterInfo(img))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** dimensions + per-channel means via bulk row reads: per-pixel
+    * getRGB goes through the color model object path per call and
+    * dominates decode cost; getRGB(x,y,w,h,...) converts a row at a
+    * time.
+    */
+  private def rasterInfo(img: java.awt.image.BufferedImage): ImageInfo = {
+    val w = img.getWidth; val h = img.getHeight
+    val row = new Array[Int](w)
+    var r, g, b = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageInfo(w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n)
   }
 
   /** Real WAV decode (javax.sound.sampled): sample rate and frame
@@ -504,7 +516,7 @@ object Multimodal {
     try {
       val bos = new java.io.ByteArrayOutputStream()
       for (f <- frames) {
-        val src = readPooledJpeg(f)
+        val src = readPooled("jpeg", f)
         if (src == null) return None
         val out = new java.awt.image.BufferedImage(
           targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -600,7 +612,12 @@ object Multimodal {
     val path = root.resolve(key)
     if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
       asMediaRecords(spark, dir).write.mode("overwrite").parquet(path.toString)
+    // decode cost is CPU per ROW, not per byte: Spark sizes scan
+    // partitions by bytes, so a compact payload file would feed all
+    // the codec work to a handful of tasks — spread rows across the
+    // full parallelism before the per-partition decoders run
     spark.read.parquet(path.toString).as[MediaRecord]
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   case class VideoFrame(id: Long, frameIdx: Int, frameW: Int, frameH: Int)
@@ -618,7 +635,7 @@ object Multimodal {
       imageIoInit
       it.filter(_.meta.modality == "video").flatMap { r =>
         splitMjpegFrames(r.payload).iterator.zipWithIndex.flatMap { case (f, idx) =>
-          Option(readPooledJpeg(f)).map(im => VideoFrame(r.id, idx, im.getWidth, im.getHeight))
+          Option(readPooled("jpeg", f)).map(im => VideoFrame(r.id, idx, im.getWidth, im.getHeight))
         }
       }
     }
