@@ -381,12 +381,21 @@ class EngineOpsSpec extends AnyFunSuite {
       val reader = new Thread(() => while (!stop.get()) {
         guard(assert(e.sql("SELECT COUNT(*) FROM chaos").ok)); Thread.sleep(50)
       })
-      val all = writers ++ Seq(flusher, compactor, reader)
+      // r9 surface: the pause/resume admin toggles WHILE writers,
+      // flusher, admin majors, and readers run — deferred jobs must
+      // drain on resume without ever corrupting state or deadlocking
+      // against the per-store pass guard
+      val pauser = new Thread(() => while (!stop.get()) {
+        guard { e.pauseCompaction(); Thread.sleep(150); e.resumeCompaction() }
+        Thread.sleep(200)
+      })
+      val all = writers ++ Seq(flusher, compactor, reader, pauser)
       all.foreach(_.start())
       Thread.sleep(2500)
       stop.set(true)
       all.foreach(_.join())
       assert(errs.isEmpty, s"concurrent op failed: ${errs.peek()}")
+      e.resumeCompaction()        // drain anything deferred at stop time
       // final state: a sample of keys holds each owner-thread's last
       // value, and the table holds exactly the distinct written keys
       import scala.jdk.CollectionConverters._

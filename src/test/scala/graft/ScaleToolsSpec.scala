@@ -117,6 +117,31 @@ class ScaleToolsSpec extends AnyFunSuite {
       s"a reducer read a hot-key pileup: max ${maxRead.get()} records in one task")
   }
 
+  test("lwwLatest equals the window form on randomized changelogs") {
+    import spark.implicits._
+    // seeds × shapes: duplicate keys, singleton keys, tombstone-ish
+    // payloads, interleaved version orders — the aggregate and window
+    // forms must agree row-for-row on every one
+    for (seed <- Seq(1, 7, 23)) {
+      val rng = new scala.util.Random(seed)
+      val n = 2000
+      val rows = (0 until n).map { i =>
+        (rng.nextInt(50).toLong,            // key: heavy duplication
+         rng.nextLong(1000000),             // ts: random, may collide
+         i.toLong,                          // seq: unique tiebreak
+         s"p${rng.nextInt(1000)}")
+      }.toDF("k", "ts", "seq", "payload").repartition(4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("ts").desc, col("seq").desc)
+      val windowed = rows.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("k"), col("seq"), col("payload"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toSet
+      val agg = SkewTools.lwwLatest(rows, "k", Seq("ts", "seq"), Seq("seq", "payload"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toSet
+      assert(agg == windowed, s"seed $seed: aggregate LWW diverged from window form")
+    }
+  }
+
   test("saltedJoin equals plain join, including hot keys") {
     import spark.implicits._
     val left = (1 to 5000).map(i => (if (i % 5 == 0) i % 3 else 42, i)).toDF("k", "lv")
