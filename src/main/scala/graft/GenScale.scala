@@ -33,12 +33,15 @@ object GenScale {
     val Array(srcDir, outDir, copiesStr) = args
     val copies = copiesStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
+    // reuse a live session when invoked in-process (GenScaleSpec);
+    // only a session this main created gets stopped at the end
+    val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = existing.getOrElse(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     def explodeCopies(df: DataFrame): DataFrame =
@@ -103,6 +106,6 @@ object GenScale {
       .withColumn("embedding", when(col("__k") === 0, col("embedding")).otherwise(noisy))
       .withColumn("vec_id", shift("vec_id")), "embeddings")
 
-    spark.stop()
+    if (existing.isEmpty) spark.stop()
   }
 }

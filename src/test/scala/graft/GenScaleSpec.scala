@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sf1 scaling measurement (BENCH_sf1) is only honest if the
+  * scale-up preserves the statistical structure the slow queries
+  * measure — these gates pin GenScale's claims on a small input:
+  * copies multiply rows exactly, key spaces never collide, joins
+  * hold within a copy, the exact-duplicate RATE stays constant
+  * (letter substitution keeps copies' shingle spaces disjoint), and
+  * the events output stays readable through Tables.t's raw-nanos
+  * schema.
+  */
+class GenScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val src = "/root/testdata/sf0.001"
+
+  test("GenScale multiplies rows, keeps keys disjoint, and preserves dup structure") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+    val out = java.nio.file.Files.createTempDirectory("graft-genscale").toString
+    try {
+      GenScale.main(Array(src, out, "3"))
+
+      def n(dir: String, t: String): Long = Tables.t(spark, dir, t).count()
+      for (t <- Seq("documents", "embeddings", "events", "orders", "lineitem",
+                    "customer", "supplier", "part"))
+        assert(n(out, t) == 3 * n(src, t), s"$t not exactly 3x")
+      for (t <- Seq("region", "nation"))
+        assert(n(out, t) == n(src, t), s"dim $t must copy as-is")
+
+      // key spaces disjoint across copies, unique where source unique
+      val docs = Tables.t(spark, out, "documents")
+      assert(docs.select(col("doc_id")).distinct().count() == n(out, "documents"))
+
+      // joins hold within a copy: every order resolves its customer
+      val dangling = Tables.t(spark, out, "orders").as("o")
+        .join(Tables.t(spark, out, "customer").as("c"),
+          col("o.o_custkey") === col("c.c_custkey"), "left_anti").count()
+      assert(dangling == 0, s"$dangling orders lost their customer")
+
+      // dup RATE preserved: exact-dup surplus scales by exactly the
+      // copy count (naive duplication would make it ~2/3 of all rows)
+      def surplus(dir: String): Long = {
+        val d = Tables.t(spark, dir, "documents")
+        d.count() - d.select(md5(col("text"))).distinct().count()
+      }
+      assert(surplus(out) == 3 * surplus(src),
+        s"dup surplus ${surplus(out)} != 3 x ${surplus(src)}")
+
+      // substitution preserves length (n_chars stays truthful)
+      assert(docs.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+
+      // events remain readable via the raw-nanos schema reader and
+      // keep their timestamp values (copy 0 ≡ source)
+      val ev0 = Tables.t(spark, src, "events").select(col("event_id"), col("ts"))
+      val evS = Tables.t(spark, out, "events").select(col("event_id"), col("ts"))
+      assert(ev0.except(evS).count() == 0, "copy-0 events lost or ts-shifted")
+    } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(out))
+  }
+}
