@@ -28,7 +28,18 @@ object SparkEntry {
            FROM documents d CROSS JOIN range(7) r
            WHERE d.doc_id % 3 = 2 AND r.range < 3 + (d.doc_id % 4)
            ORDER BY id, frame_idx""")(
-        (s, d) => operators.Multimodal.videoFramesPipeline(s, d))
+        (s, d) => operators.Multimodal.videoFramesPipeline(s, d)),
+      // decode-coverage audit: per modality, every payload must have
+      // taken its REAL decoder route (feature slot 8 carries the
+      // route code 1/2/3; the byte-hash stub never writes one). The
+      // oracle recomputes the corpus split from doc_id arithmetic —
+      // a single undecodable payload flips decoded_ok and hash-fails.
+      "q_mm_decode_audit" -> Q(
+        """SELECT CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                  count(*) AS n, CAST(1 AS INT) AS decoded_ok
+           FROM documents d GROUP BY 1 ORDER BY modality""")(
+        (s, d) => operators.Multimodal.decodeAudit(s, d))
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -649,6 +649,25 @@ object Multimodal {
         col("frameW").cast("int").as("frame_w"), col("frameH").cast("int").as("frame_h"))
       .orderBy(col("id"), col("frame_idx"))
 
+  /** Declared oracled query: per-modality decode coverage. The last
+    * feature slot carries the decode-route code (image 1 / audio 2 /
+    * video 3) and the stub fallback never writes one — so
+    * `decoded_ok` is 1 iff every payload of the modality was REALLY
+    * decoded, hash-checked against the oracle's doc_id-arithmetic
+    * corpus split.
+    */
+  def decodeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val route = element_at(col("features"), FeatureDim)
+    val expected = when(col("modality") === "image", 1f)
+      .when(col("modality") === "audio", 2f)
+      .otherwise(3f)
+    featureFrame(spark, dir)
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"),
+        (sum((route =!= expected).cast("long")) === 0).cast("int").as("decoded_ok"))
+      .orderBy(col("modality"))
+  }
+
   /** Feature vectors with full arrays — internal / downstream-ANN use. */
   def featureFrame(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir))
