@@ -277,8 +277,20 @@ final class ApiServer(engine: Engine, port: Int = 0) {
         (200, success(jobj("message" -> jstr("Compaction paused"))))
 
       case ("POST", "/api/admin/compact/resume") =>
-        engine.resumeCompaction()
-        (200, success(jobj("message" -> jstr("Compaction resumed"))))
+        try {
+          engine.resumeCompaction()
+          if (engine.pendingCompactions > 0)
+            (200, success(jobj(
+              "message" -> jstr("Compaction resumed — some deferred jobs re-deferred busy"),
+              "pending" -> engine.pendingCompactions.toString)))
+          else (200, success(jobj("message" -> jstr("Compaction resumed"))))
+        } catch {
+          // resumeCompaction re-defers failed jobs itself; this is the
+          // same retriable-503 belt as the compact endpoint in case a
+          // future drain path ever rethrows
+          case e: graft.engine.EngineException =>
+            (503, failure(e.getMessage, "COMPACTION_BUSY"))
+        }
 
       case ("GET", "/api/health") =>
         val uptime = (System.nanoTime() - startNanos) / 1e9

@@ -77,6 +77,23 @@ object ResultSet {
 
 final class EngineException(msg: String) extends RuntimeException(msg)
 
+/** Aggregate stats for ONE column over the live rows of a cold tier
+  * set (A5 — the reference's columnar files carry per-file column
+  * stats, columnar_format.hpp:143-191, and hybrid_query_router.hpp:
+  * 404-446 sketches a ColumnarAggregator that would answer aggregates
+  * from them, but the wiring into SQL was never finished; here it is).
+  * Values are in the `cast("double")` domain the SQL aggregate path
+  * uses. min/max are NaN when nonNull == 0.
+  */
+final case class ColAggStats(sum: Double, min: Double, max: Double, nonNull: Long)
+
+/** Whole-table aggregate stats over the cold-only LWW live view:
+  * total live rows plus per-column stats, indexed like TableMeta.cols
+  * (None for non-numeric columns — the SQL dialect aggregates those
+  * as a null literal, a constant needing no stats).
+  */
+final case class TableAggStats(liveRows: Long, cols: Vector[Option[ColAggStats]])
+
 /** Per-table storage stats (M5 — reference level stats,
   * storage_engine.hpp:517-553).
   */

@@ -69,6 +69,9 @@ class ColdPointReaderSpec extends AnyFunSuite {
     val rel = s"target/graft-reldir-${System.nanoTime}"
     try {
       val e = new Engine(spark, Some(rel), compactTrigger = 100)
+      // this test counts FILE OPENS of a repeated statement — the
+      // version-keyed result cache would memoize it above this layer
+      e.resultCacheEnabled = false
       assert(e.sql("CREATE TABLE rd (id BIGINT NOT NULL, v INT)").ok)
       e.batchPut("rd", (1L to 50L).map(i => Array[Any](i, Int.box(i.toInt))))
       e.forceFlush("rd")
@@ -97,6 +100,10 @@ class ColdPointReaderSpec extends AnyFunSuite {
     // poison the cache for a path nothing evicts again (ADVICE r6 #2).
     withDir { dir =>
       val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      // the spec mutates coldDirs directly (stale-snapshot stand-in)
+      // without bumping the content version — the result cache would
+      // legitimately serve the pre-mutation answer
+      e.resultCacheEnabled = false
       assert(e.sql("CREATE TABLE gr (id BIGINT NOT NULL, v INT)").ok)
       e.batchPut("gr", (1L to 20L).map(i => Array[Any](i, Int.box(i.toInt))))
       e.forceFlush("gr")

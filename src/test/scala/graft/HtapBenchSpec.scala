@@ -38,8 +38,13 @@ class HtapBenchSpec extends AnyFunSuite {
       // (and flaked under parallel-suite CPU contention)
       assert(hot.opsPerSec > cold.opsPerSec,
         s"hot ${hot.opsPerSec} not > cold ${cold.opsPerSec}")
-      assert(cold.opsPerSec > agg.opsPerSec * 10,
-        s"cold point path ${cold.opsPerSec} not >> job-based agg ${agg.opsPerSec}")
+      // r10: the no-WHERE aggregate is answered from tier stats
+      // driver-side (A5) — no longer a job-based phase. The verdict
+      // gate is >= 100 ops/s; driver-side it runs orders above, so
+      // assert the gate with real headroom rather than a brittle
+      // ratio against the point paths.
+      assert(agg.opsPerSec >= 1000,
+        s"stats-path agg ${agg.opsPerSec} below the >=100 ops/s gate (asserted at 1000 for headroom)")
     } finally {
       graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
     }
