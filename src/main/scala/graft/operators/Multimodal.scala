@@ -268,10 +268,12 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Split a raw MJPEG stream into its JPEG frames by marker scan:
-    * each frame spans SOI (FF D8 FF) to its EOI (FF D9). Entropy-coded
-    * JPEG data escapes literal FF as FF 00, so EOI never appears
-    * mid-frame; scanning is exact for well-formed streams.
+  /** Split a raw MJPEG stream into its JPEG frames: each frame spans
+    * SOI (FF D8 FF) to its EOI, found by the same segment walk the
+    * sniffer uses (jpegEnd) — metadata payloads inside a frame (APPn
+    * thumbnails) are skipped by declared length, and entropy-coded
+    * data is scanned only after SOS, where FF-stuffing guarantees a
+    * bare FFD9 is the real end of image.
     */
   def splitMjpegFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
     val out = Vector.newBuilder[Array[Byte]]
@@ -281,12 +283,7 @@ object Multimodal {
       (payload(j + 2) & 0xff) == 0xff
     while (i < payload.length) {
       if (isSoi(i)) {
-        var j = i + 2
-        var end = -1
-        while (end < 0 && j + 1 < payload.length) {
-          if ((payload(j) & 0xff) == 0xff && (payload(j + 1) & 0xff) == 0xd9) end = j + 2
-          j += 1
-        }
+        val end = jpegEnd(payload, i)
         if (end < 0) { out += payload.slice(i, payload.length); i = payload.length }
         else { out += payload.slice(i, end); i = end }
       } else i += 1
@@ -366,16 +363,15 @@ object Multimodal {
         bs.indices.forall(j => (payload(i + j) & 0xff) == bs(j))
     if (at(0, 0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) "png"
     else if (at(0, 0xff, 0xd8, 0xff)) {
-      // JPEG magic: a SECOND SOI after the first EOI marks a raw
-      // motion-JPEG stream (concatenated frames) rather than a still
-      var i = 2
-      var eoi = -1
-      while (eoi < 0 && i + 1 < payload.length) {
-        if ((payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xff) == 0xd9) eoi = i + 2
-        i += 1
-      }
-      if (eoi > 0 && eoi + 2 < payload.length &&
-          (payload(eoi) & 0xff) == 0xff && (payload(eoi + 1) & 0xff) == 0xd8) "mjpeg"
+      // JPEG magic: a SECOND SOI right after the first image's EOI
+      // marks a raw motion-JPEG stream (concatenated frames) rather
+      // than a still. The first image's end is found by WALKING the
+      // segment structure, not a raw marker scan — a still whose EXIF
+      // APP1 embeds a thumbnail JPEG contains interior FFD9/FFD8
+      // pairs that a flat scan would misread as a frame boundary.
+      val end = jpegEnd(payload)
+      if (end > 0 && end + 1 < payload.length &&
+          (payload(end) & 0xff) == 0xff && (payload(end + 1) & 0xff) == 0xd8) "mjpeg"
       else "jpeg"
     }
     else if (at(0, 'G', 'I', 'F', '8')) "gif"
@@ -389,6 +385,43 @@ object Multimodal {
     else "unknown"
   }
 
+  /** Index just past the first complete JPEG's EOI, by segment walk:
+    * marker segments advance by their declared 2-byte length (so
+    * APPn/COM payloads — including EXIF-embedded thumbnail JPEGs —
+    * are skipped wholesale, never inspected), and entropy-coded data
+    * after an SOS is scanned for the next true marker (0xFF followed
+    * by anything but the 0x00 stuffing byte or a restart marker — a
+    * bare FFD9 there IS the end of image, by the stuffing rule).
+    * -1 for a truncated or structurally malformed stream, which the
+    * sniffer then treats as a plain still.
+    */
+  private[operators] def jpegEnd(payload: Array[Byte], soi: Int = 0): Int = {
+    val n = payload.length
+    var i = soi + 2 // past the SOI the caller matched
+    while (i + 1 < n) {
+      if ((payload(i) & 0xff) != 0xff) return -1
+      val m = payload(i + 1) & 0xff
+      if (m == 0xd9) return i + 2                                  // EOI
+      else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) // standalone
+        i += 2
+      else if (m == 0xda) {
+        // SOS: skip its header by length, then scan entropy data
+        if (i + 3 >= n) return -1
+        var j = i + 2 + (((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff))
+        while (j + 1 < n && !((payload(j) & 0xff) == 0xff && {
+          val x = payload(j + 1) & 0xff
+          x != 0x00 && !(x >= 0xd0 && x <= 0xd7)
+        })) j += 1
+        if (j + 1 >= n) return -1
+        i = j
+      } else {
+        if (i + 3 >= n) return -1
+        i += 2 + (((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff))
+      }
+    }
+    -1
+  }
+
   def checksum(payload: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -399,12 +432,14 @@ object Multimodal {
     h
   }
 
-  /** One media record per document id: REAL encoded payloads — PNG
-    * pixels and WAV PCM produced by the JDK codecs, deterministic per
-    * id (the container has no media files; production replaces this
-    * generator with blob-store reads, nothing downstream cares).
-    * Video has no JVM codec, so those payloads are mp4-magic synthetic
-    * bytes — the one modality whose decode stays stubbed. Payloads are
+  /** One media record per document id: REAL encoded payloads in ALL
+    * THREE modalities — PNG pixels and WAV PCM from the JDK codecs,
+    * and video as a raw MJPEG stream (concatenated JPEG frames, which
+    * the JDK can encode AND decode; q_mm_video_frames oracles the
+    * per-frame decode against the id arithmetic below). The container
+    * has no media files; production replaces this generator with
+    * blob-store reads, nothing downstream cares. Only the mp4/mkv/ogg
+    * container paths remain stubbed (decodeStub). Payloads are
     * generated executor-side in mapPartitions: nothing media-sized
     * ever crosses the driver.
     */
