@@ -130,7 +130,9 @@ object AnnIndex {
 
   def lshPath(s: SparkSession, d: String): String = {
     val bits = bitsFor(corpusSize(s, d))
-    s"$artifactRoot/${key(d, s"_lsh_T${Tables}_B$bits")}"
+    // v2: zero-norm vectors excluded from the index (build change —
+    // the version tag keeps pre-change cached artifacts from serving)
+    s"$artifactRoot/${key(d, s"_lsh2_T${Tables}_B$bits")}"
   }
 
   /** The multi-table LSH index: one row per (vec_id, tbl, bucket),
@@ -159,7 +161,15 @@ object AnnIndex {
       p.zipWithIndex.map { case (c, pos) => (pos, tb / bits, tb % bits, c) }
     }
     val planesDf = planeRows.toDF("pos", "tbl", "bit", "coef")
+    // zero-norm vectors (padding rows, failed encoders) are excluded
+    // AT BUILD TIME: every sign bit of a zero vector is 1, so they
+    // all land in one bucket of EVERY table — T·C(m,2) degenerate
+    // candidate pairs that can never verify (their cosine is NaN).
+    // At 100 TB a few million dead rows would otherwise be the
+    // hottest bucket in the index.
     t(s, d, "embeddings")
+      .filter(expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
       .join(broadcast(planesDf), Seq("pos"))

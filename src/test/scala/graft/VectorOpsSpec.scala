@@ -93,6 +93,62 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(lsh.count() <= 50) // top-pairs contract holds
   }
 
+  test("LSH candidate volume grows LINEARLY across corpus scales (two-point curve + dead-vector guard)") {
+    // The r9-verdict watch item: one-scale bounds can hide a
+    // quadratic term. Measure the bucket self-join volume (exactly
+    // q_dedup_embed's pre-verify candidate set) at n and ~3n and
+    // assert the growth tracks the corpus ratio, not its square —
+    // bitsFor widens B with n, so pairs-per-row must stay ~constant.
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    import java.nio.file.{Files, Paths}
+    import graft.queries.AnnIndex
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+
+    def pairVolume(dir: String): (Long, Long) = {
+      val n = AnnIndex.corpusSize(spark, dir)
+      val counts = AnnIndex.lshIndex(spark, dir)
+        .groupBy("tbl", "bucket").count().collect().map(_.getLong(2))
+      (n, counts.map(c => c * (c - 1) / 2).sum)
+    }
+    val (n1, vol1) = pairVolume(sfDir)
+
+    // 3× corpus: the sf0.1 vectors + seeded gaussians, PLUS planted
+    // zero vectors — which must not appear in the index at all (every
+    // sign bit of a zero vector is 1: one degenerate bucket per table)
+    val dir = Files.createTempDirectory("graft-lsh-scale").toString
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val rng = new scala.util.Random(31L)
+    val synth = (0 until 2 * n1.toInt).map { i =>
+      (200000L + i, Array.fill(64)(rng.nextGaussian().toFloat), 0)
+    }
+    val zeros = (0 until 20).map(i => (900000L + i, Array.fill(64)(0.0f), 0))
+    (src.toSeq ++ synth ++ zeros).map { case (id, v, l) => (id, v.toSeq, l) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    try {
+      val (n3, vol3) = pairVolume(dir)
+      val corpusRatio = n3.toDouble / n1
+      val volRatio = vol3.toDouble / vol1
+      info(f"candidate volume: n=$n1 -> $vol1 pairs (${vol1.toDouble / n1}%.1f/row), " +
+        f"n=$n3 -> $vol3 pairs (${vol3.toDouble / n3}%.1f/row), " +
+        f"growth $volRatio%.2fx vs corpus $corpusRatio%.2fx")
+      assert(volRatio <= 2.0 * corpusRatio,
+        f"candidate volume grew $volRatio%.2fx at $corpusRatio%.2fx corpus — super-linear")
+      // dead vectors: none of the planted zeros may hold an index row
+      val zeroRows = AnnIndex.lshIndex(spark, dir)
+        .filter(col("vec_id") >= 900000L).count()
+      assert(zeroRows == 0L, s"$zeroRows index rows for zero-norm vectors")
+      // and the dedup pipeline still runs NaN-free over the fixture
+      assert(graft.queries.VectorOps.embedNearDups(spark, dir, 0.9, None)
+        .collect().forall(!_.getDouble(2).isNaN))
+    } finally {
+      AnnIndex.pruneArtifacts(dir)
+      graft.engine.Persist.deleteRecursively(Paths.get(dir))
+    }
+  }
+
   test("LSH bit width is derived from corpus size (sub-quadratic by construction)") {
     import graft.queries.AnnIndex.bitsFor
     assert(bitsFor(500) == 8)    // floor: 256 buckets minimum
