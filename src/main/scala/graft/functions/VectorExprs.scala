@@ -182,6 +182,10 @@ object GraftFunctions {
       "int8_scale", exprs => Int8Scale(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "int8_round", exprs => Int8Round(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nfkc_normalize", exprs => NfkcNormalize(exprs(0)), "built-in")
   }
 }
 
@@ -207,5 +211,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("int8_round"),
       new ExpressionInfo(classOf[Int8Round].getName, "int8_round"),
       (exprs: Seq[Expression]) => Int8Round(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("nfkc_normalize"),
+      new ExpressionInfo(classOf[NfkcNormalize].getName, "nfkc_normalize"),
+      (exprs: Seq[Expression]) => NfkcNormalize(exprs(0))))
   }
 }

@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Planted unicode variants for q_text_unicode_norm, indexed by
+    * doc_id % 8: decomposed combining-mark forms (NFC composes),
+    * their precomposed twins (NFC no-ops), NFC-invariant ligatures
+    * (NFKC-only folds — the spec-side contrast case), and a plain
+    * row. BMP-only, so code-point length agrees across engines.
+    */
+  private[graft] val unicodeVariants: Seq[String] = Vector(
+    "Café du Monde",            // e + U+0301 -> é
+    "Ångström units",     // A+ring, o+diaeresis -> Å ö
+    "Ångström units",       // precomposed twin (no-op)
+    "naïve résumé",    // precomposed (no-op)
+    "maître d'hôtel",     // i/o + U+0302 -> î ô
+    "ﬁnal ﬂight",           // fi/fl ligatures: NFC keeps
+    "Tür öffnen",         // u/o + U+0308 -> ü ö
+    "plain ascii row")
+
   /** One row per (doc_id, distinct word-3-gram shingle).
     *
     * Plan shape matters here, twice:
@@ -862,6 +878,44 @@ object TextOps {
           regexp_replace(
             regexp_replace(col("text"), "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
             "[0-9]+", "<NUM>").as("masked"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- unicode normalization (NFC, oracle-checked) -----------------------
+    // Composed vs decomposed forms of the same glyph defeat exact
+    // dedup, token counting, and fingerprints, so NFC normalization is
+    // the standard first curation step. The corpus is all-ASCII (a
+    // vacuous oracle on raw text), so each doc is suffixed with a
+    // PLANTED variant — composed/decomposed pairs, combining marks,
+    // NFC-invariant ligatures — chosen by doc_id arithmetic that both
+    // engines reproduce; the DuckDB oracle then hash-matches our
+    // codegen'd nfc_normalize kernel (graft.functions.NfcNormalize,
+    // the JDK's UAX #15 reference impl) against DuckDB's utf8proc one
+    // on every row: normalized string, code-point lengths both sides,
+    // and a changed-bit. Derivation-at-query-time survives GenScale
+    // unchanged (variants key off doc_id, which scaling remaps
+    // deterministically). Map-only, one scan, zero shuffles.
+    "q_text_unicode_norm" -> Q(
+      s"""WITH v AS (SELECT [${TextOps.unicodeVariants.map(x => s"'${x.replace("'", "''")}'").mkString(", ")}] AS vs),
+              r AS (SELECT doc_id,
+                           substr(text, 1, 24) || ' ' || vs[CAST(doc_id % 8 AS INT) + 1] AS raw
+                    FROM documents, v)
+         SELECT doc_id,
+                nfc_normalize(raw) AS nfc,
+                CAST(length(raw) AS BIGINT) AS len_raw,
+                CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+                CAST(CASE WHEN nfc_normalize(raw) = raw THEN 0 ELSE 1 END AS INT) AS changed
+         FROM r ORDER BY doc_id""") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .withColumn("raw", concat(substring(col("text"), 1, 24), lit(" "),
+          element_at(typedlit(TextOps.unicodeVariants),
+            (pmod(col("doc_id"), lit(8)) + 1).cast("int"))))
+        .selectExpr("doc_id",
+          "nfc_normalize(raw) AS nfc",
+          "CAST(length(raw) AS BIGINT) AS len_raw",
+          "CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc",
+          "CAST(CASE WHEN nfc_normalize(raw) = raw THEN 0 ELSE 1 END AS INT) AS changed")
         .orderBy(col("doc_id"))
     },
 

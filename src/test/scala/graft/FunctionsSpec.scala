@@ -115,6 +115,31 @@ class FunctionsSpec extends AnyFunSuite {
       Seq(127, -64, 0))   // -63.5 rounds half AWAY from zero
   }
 
+  test("nfc/nfkc normalization kernels follow UAX #15 exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val decomposed = "Café"          // e + combining acute
+    val composed   = "Café"           // precomposed é
+    val ligature   = "ﬁnal"           // fi ligature
+    val rows = Seq(decomposed, composed, ligature, "ascii", null)
+      .toDF("s")
+      .selectExpr("s", "nfc_normalize(s) AS nfc", "nfkc_normalize(s) AS nfkc")
+      .collect()
+    assert(rows(0).getString(1) == composed, "NFC must compose combining marks")
+    assert(rows(1).getString(1) == composed, "NFC is a no-op on composed input")
+    // the contrast case the oracle can't cover (DuckDB has no NFKC):
+    // NFC preserves compatibility ligatures, NFKC folds them
+    assert(rows(2).getString(1) == ligature)
+    assert(rows(2).getString(2) == "final")
+    assert(rows(3).getString(1) == "ascii" && rows(3).getString(2) == "ascii")
+    assert(rows(4).isNullAt(1) && rows(4).isNullAt(2))
+    // idempotence: normalize twice == normalize once
+    val twice = Seq(decomposed).toDF("s")
+      .selectExpr("nfc_normalize(nfc_normalize(s)) AS a", "nfc_normalize(s) AS b")
+      .collect()(0)
+    assert(twice.getString(0) == twice.getString(1))
+  }
+
   // The q_agg_approx_distinct gate, repeated at every available scale
   // factor: HLL++ with the default rsd=0.05 must land within 3 sigma
   // (15%) of the exact distinct count. A broken sketch registration
