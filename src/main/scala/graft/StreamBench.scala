@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.engine.Engine
+import graft.streaming.Streams
+
+/** Streaming throughput artifact (STREAM_r10): the Structured
+  * Streaming operators were spec-gated at toy scale but never
+  * MEASURED — this main records ingest rows/s into the HTAP hot store
+  * and nearDedupDocs rows/s over the sf-dir documents, with the
+  * state-store peak, plus a 10×-docs run at the SAME arrival rate
+  * proving the dedup state is bounded by rate × watermark, not by
+  * corpus size (the property that makes the operator run forever on
+  * an unbounded stream).
+  *
+  * The 10× corpus applies a per-copy letter substitution (the
+  * GenScale approach) so copies occupy disjoint shingle spaces — a
+  * naive 10-way duplication would be suppressed by the dedup itself
+  * and understate both throughput and state.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // ---- phase 1: continuous ingest into the engine (WAL on) -------------
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val nIngest = 200000
+    val (ingestSecs, ingestOk) = try {
+      val e = new Engine(spark, Some(dir),
+        hotLimit = Int.MaxValue, hotLimitBytes = Long.MaxValue)
+      require(e.sql(
+        "CREATE TABLE s_ingest (id BIGINT NOT NULL, name VARCHAR(50), amount DOUBLE)").ok)
+      val src = MemoryStream[(Long, String, Double)]
+      val q = Streams.ingest(e, "s_ingest", src.toDF().toDF("id", "name", "amount"))
+      val data = (0 until nIngest).map(i => (i.toLong, s"n_$i", i * 0.01))
+      val t0 = System.nanoTime()
+      data.grouped(20000).foreach { c => src.addData(c: _*); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (secs, e.sql("SELECT COUNT(*) FROM s_ingest").rows.head.head == nIngest.toString)
+    } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+
+    // ---- phases 2+3: streaming near-dedup over the documents --------------
+    val base = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val epoch = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+
+    /** run the near-dedup stream over `docs` (already time-ordered),
+      * fed in fixed-size chunks so the watermark advances at the same
+      * cadence in every run; returns (secs, kept, statePeakRows)
+      */
+    def runDedup(docs: IndexedSeq[(Long, String, Timestamp)]): (Double, Long, Long) = {
+      val src = MemoryStream[(Long, String, Timestamp)]
+      val kept = new java.util.concurrent.atomic.AtomicLong(0L)
+      var peak = 0L
+      val q = Streams.nearDedupDocs(src.toDF().toDF("doc_id", "text", "ts"))
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (b: Dataset[Row], _: Long) => kept.addAndGet(b.count()); () }
+        .start()
+      val t0 = System.nanoTime()
+      docs.grouped(500).foreach { c =>
+        src.addData(c: _*)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null) peak = math.max(peak, p.stateOperators.map(_.numRowsTotal).sum)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (secs, kept.get(), peak)
+    }
+
+    // 1×: the corpus over 5 hours of event time, 1-hour dedup watermark
+    val span1 = 5L * 3600 * 1000
+    val docs1 = base.zipWithIndex.map { case ((id, tx), i) =>
+      (id, tx, new Timestamp(epoch + i.toLong * span1 / base.length))
+    }.toIndexedSeq
+    val (secs1, kept1, peak1) = runDedup(docs1)
+
+    // 10×: ten letter-substituted copies interleaved over 50 hours —
+    // SAME docs/hour arrival rate, 10× total volume. Bounded state
+    // means the peak tracks rate × watermark, not corpus size.
+    val subs = "fghjklmnpq"
+    val flat10 = for { i <- base.indices; c <- 0 until 10 } yield {
+      val (id, tx) = base(i)
+      (id * 10 + c, if (c == 0) tx else tx.replace('e', subs(c)))
+    }
+    val span10 = 50L * 3600 * 1000
+    val docs10 = flat10.zipWithIndex.map { case ((id, tx), i) =>
+      (id, tx, new Timestamp(epoch + i.toLong * span10 / flat10.size))
+    }.toIndexedSeq
+    val (secs10, kept10, peak10) = runDedup(docs10)
+
+    val stateBoundOk = peak10 <= 3 * math.max(peak1, 1L)
+    println(
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk}""")
+    spark.stop()
+  }
+}
