@@ -15,7 +15,14 @@ import org.apache.spark.sql.functions._
   *    preserves length).
   *  - embeddings: copy 0 keeps the source vectors; copies >0 get
   *    deterministic hash-noise directions so cosine near-dup and ANN
-  *    structure is not artificially replicated either.
+  *    structure is not artificially replicated either. The per-element
+  *    hash MUST mix the dimension index with vec_id (the i*vec_id
+  *    cross term below): a phase-only variant (sin(a + i*c), one phase
+  *    per vector) puts every copy on a single sinusoid — a rank-2
+  *    subspace in which B hyperplanes cut at most 2B LSH arcs, so the
+  *    whole scaled corpus collapses into ~2B buckets per table and
+  *    candidate volume goes quadratic (measured 4,717 pairs/vec at 10x
+  *    vs 20 at 1x before the fix).
   *  - facts (orders/lineitem/customer/supplier/part): every int64
   *    key (pk and fk) shifts by copy*STRIDE consistently, so joins
   *    hold within a copy and key spaces never collide across copies.
@@ -100,8 +107,11 @@ object GenScale {
     // embeddings: copy 0 verbatim; later copies get deterministic
     // hash-noise directions (dup/ANN structure must not replicate)
     val emb = explodeCopies(spark.read.parquet(s"$srcDir/embeddings.parquet"))
-    val noisy = transform(col("embedding"),
-      (x, i) => sin(col("vec_id") * 12.9898 + i * 78.233 + col("__k") * 37.719).cast("float"))
+    val noisy = transform(col("embedding"), (x, i) => {
+      val h = sin(col("vec_id") * 12.9898 + i * 78.233 + col("__k") * 37.719 +
+        i * col("vec_id") * 0.54321) * 43758.5453
+      ((h - floor(h)) * 2 - 1).cast("float")
+    })
     write(emb
       .withColumn("embedding", when(col("__k") === 0, col("embedding")).otherwise(noisy))
       .withColumn("vec_id", shift("vec_id")), "embeddings")

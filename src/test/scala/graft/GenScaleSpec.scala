@@ -64,6 +64,18 @@ class GenScaleSpec extends AnyFunSuite {
       val ev0 = Tables.t(spark, src, "events").select(col("event_id"), col("ts"))
       val evS = Tables.t(spark, out, "events").select(col("event_id"), col("ts"))
       assert(ev0.except(evS).count() == 0, "copy-0 events lost or ts-shifted")
+
+      // embedding copies must not collapse into a low-rank subspace:
+      // hyperplane-LSH on the scaled corpus has to stay sub-quadratic
+      // (the r10 regression: phase-only sin noise put all copies on a
+      // rank-2 manifold -> ~2B buckets/table -> quadratic candidates).
+      // Same n^2/20 bound VectorOpsSpec holds the index to at 1x.
+      val idx = graft.queries.AnnIndex.lshIndex(spark, out)
+      val nVec = n(out, "embeddings")
+      val cand = idx.groupBy(col("tbl"), col("bucket")).count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0).toLong
+      assert(cand <= nVec * nVec / 20,
+        s"scaled-corpus LSH candidate pairs $cand vs n^2=${nVec * nVec} — degenerate noise")
     } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(out))
   }
 }
