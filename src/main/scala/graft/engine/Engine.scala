@@ -35,7 +35,8 @@ final class Engine(
     val leaseIdleBreachMs: Long = 60000L,
     val levelBytesBase: Long = 64L << 20,
     val levelMult: Double = 10.0,
-    val maxLevels: Int = 7) {
+    val maxLevels: Int = 7,
+    val adminCompactWaitMs: Long = 30000L) {
 
   private val catalog = mutable.LinkedHashMap.empty[String, TableMeta]
   private val stores  = mutable.HashMap.empty[String, HotStore]
@@ -541,11 +542,10 @@ final class Engine(
     }
   }
 
-  /** upper bound on how long an admin major waits for an in-flight
-    * pass to finish: past this, the caller gets a loud "busy" error
-    * instead of an API thread pinned forever to a stuck merge job.
-    */
-  private val adminCompactWaitMs: Long = 30000L
+  // adminCompactWaitMs (constructor param): upper bound on how long an
+  // admin major waits for an in-flight pass to finish — past this, the
+  // caller gets a loud "busy" error instead of an API thread pinned
+  // forever to a stuck merge job.
 
   private def compactStore(store: HotStore): Unit = {
     val dir = dataDir.getOrElse(return)

@@ -342,6 +342,76 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a single pull blocked past the idle threshold still pins its tier files") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 99)
+      assert(e.sql("CREATE TABLE blkp (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("blkp", (1 to 200).map(i => Array[Any](i.toLong, Int.box(i))))
+      e.forceFlush("blkp")
+      val store = e.storeOf("blkp")
+      val originalTiers = store.synchronized(store.coldDirs)
+      val it = e.scanIterator("blkp")
+      it.next()
+      // simulate ONE pull that blocks longer than the idle threshold
+      // (a slow downstream consumer mid-fetch): the pre-pull timestamp
+      // is stale, but the in-flight counter must keep the lease LIVE —
+      // trusting lastScanPull alone would let trimRetired delete tier
+      // files the blocked plan still references
+      store.lastScanPull.set(System.nanoTime() - (e.leaseIdleBreachMs + 1000) * 1000000L)
+      store.inFlightPulls.incrementAndGet()
+      try {
+        (0 until 18).foreach { i =>
+          e.batchPut("blkp", Seq(Array[Any]((1000 + i).toLong, Int.box(i))))
+          e.forceFlush("blkp")
+          e.compact("blkp")
+        }
+        assert(originalTiers.forall(p =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+          "a blocked in-flight pull lost its plan-time tier files")
+      } finally store.inFlightPulls.decrementAndGet()
+      // pull returns (counter back to zero, stamp still stale): the
+      // abandoned-lease cap breach applies again
+      store.lastScanPull.set(System.nanoTime() - (e.leaseIdleBreachMs + 1000) * 1000000L)
+      e.batchPut("blkp", Seq(Array[Any](2000L, Int.box(0))))
+      e.forceFlush("blkp")
+      e.compact("blkp")
+      assert(store.synchronized(store.retiredGens.size) <= 16,
+        s"deferred queue grew past the cap: ${store.synchronized(store.retiredGens.size)}")
+    }
+  }
+
+  test("resume drain survives a busy store: the failed major is re-deferred, not lost") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 99, adminCompactWaitMs = 200L)
+      assert(e.sql("CREATE TABLE rdf (id BIGINT NOT NULL, v INT)").ok)
+      (0 until 3).foreach { t =>
+        e.batchPut("rdf", (1 to 100).map(i => Array[Any](t * 1000L + i, Int.box(i))))
+        e.forceFlush("rdf")
+      }
+      e.pauseCompaction()
+      e.compact("rdf")                       // deferred admin major
+      assert(e.pendingCompactions == 1)
+      val store = e.storeOf("rdf")
+      // wedge the per-store pass guard: the drained major times out
+      // busy (bounded by adminCompactWaitMs) instead of running
+      store.compacting.set(true)
+      try {
+        e.resumeCompaction()                 // must not throw
+        assert(!e.compactionIsPaused)
+        assert(e.pendingCompactions == 1,
+          "busy-failed major was dropped from the deferred queue")
+        assert(store.synchronized(store.coldDirs).size == 3,
+          "wedged store was compacted anyway")
+      } finally store.compacting.set(false)
+      // guard released: the re-deferred major drains on the next resume
+      e.resumeCompaction()
+      assert(e.pendingCompactions == 0)
+      assert(store.synchronized(store.coldDirs).size == 1,
+        s"re-deferred major did not drain: ${store.synchronized(store.coldDirs)}")
+      assert(e.sql("SELECT COUNT(*) FROM rdf").rows.head.head == "300")
+    }
+  }
+
   test("chaos: concurrent writers, flusher, compactor, and reader stay consistent") {
     withDir { dir =>
       // every r8 concurrency surface at once: unlocked leveled merges
