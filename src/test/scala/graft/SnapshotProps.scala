@@ -154,8 +154,13 @@ object SnapshotProps extends Properties("snapshot") {
         // result must be invalidated by every write-path op too
         val viaSql = e.sql("SELECT id, v FROM pc").rows
           .map(r => r(0).toInt -> r(1).toInt).toMap
-        (Prop(got == model.toMap) :| s"after $op cached=$got model=$model ops=$ops") &&
-          (Prop(viaSql == model.toMap) :| s"after $op resultCache=$viaSql model=$model ops=$ops")
+        // snapshot the MUTABLE model NOW: Prop and :| evaluate
+        // deferred, so comparing against `model` directly would pit
+        // each iteration's reads against the scenario's FINAL state
+        // (every multi-op scenario falsified spuriously)
+        val m = model.toMap
+        (Prop(got == m) :| s"after $op cached=$got model=$m ops=$ops") &&
+          (Prop(viaSql == m) :| s"after $op resultCache=$viaSql model=$m ops=$ops")
       }
       checks.reduce(_ && _)
     } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
