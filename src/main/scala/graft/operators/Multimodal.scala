@@ -643,7 +643,10 @@ object Multimodal {
     val root = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-media")
     java.nio.file.Files.createDirectories(root)
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + mediaFingerprint(dir)
+    // canonical absolute path: a relative spelling of the same dir
+    // must hit the same artifact (same rule as the ANN index keys)
+    val key = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_") + "_" + mediaFingerprint(dir)
     val path = root.resolve(key)
     if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
       asMediaRecords(spark, dir).write.mode("overwrite").parquet(path.toString)

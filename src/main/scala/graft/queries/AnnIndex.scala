@@ -100,8 +100,14 @@ object AnnIndex {
 
   private def sanitize(d: String): String = d.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** The key's readable prefix uses the CANONICAL absolute path:
+    * a relative spelling of the same dataset dir ("." vs
+    * "/root/repo/.") must hit the same artifact, or every
+    * differently-spelled invocation silently pays a cold rebuild.
+    */
   private def key(d: String, suffix: String): String =
-    sanitize(d) + "_" + fingerprint(d) + suffix
+    sanitize(Paths.get(d).toAbsolutePath.normalize.toString) +
+      "_" + fingerprint(d) + suffix
 
   /** Delete EVERY artifact ever built for dataset `d`, across all
     * fingerprints and parameterizations — for fixtures that rewrite
@@ -109,7 +115,7 @@ object AnnIndex {
     * the previous generation's artifacts would otherwise accumulate).
     */
   def pruneArtifacts(d: String): Unit = {
-    val prefix = sanitize(d) + "_"
+    val prefix = sanitize(Paths.get(d).toAbsolutePath.normalize.toString) + "_"
     val root = Paths.get(artifactRoot)
     val entries = Files.list(root)
     try {
