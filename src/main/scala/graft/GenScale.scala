@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   *    to `text`, so shingle spaces are DISJOINT across copies and the
   *    near-duplicate RATE stays constant (naive duplication would
   *    make every doc a 10-way near-dup and measure candidate
-  *    explosion, not scaling). n_chars survives (substitution
-  *    preserves length).
+  *    explosion, not scaling). Substitutions compose two disjoint
+  *    alphabet rotations (100 distinct permutations — a single
+  *    rotation family wraps at 10 copies and replays earlier copies
+  *    verbatim). n_chars survives (substitution preserves length).
   *  - embeddings: copy 0 keeps the source vectors; copies >0 get
   *    deterministic hash-noise directions so cosine near-dup and ANN
   *    structure is not artificially replicated either. The per-element
@@ -92,15 +94,25 @@ object GenScale {
       .withColumn("user_id", shift("user_id")), "events")
 
     // documents: per-copy letter substitution keeps copies' shingle
-    // spaces disjoint (rotate a 10-letter alphabet of common letters
-    // by the copy index; copy 0 is the identity)
-    val alpha = "etaoinsrdl"
+    // spaces disjoint. TWO disjoint rotation families compose to
+    // alpha.length * alphaB.length distinct permutations: a single
+    // 10-letter rotation wraps at 10 copies, silently making copy k
+    // a VERBATIM replay of copy k-10 (the 30x corpus tripled every
+    // shingle space and measured dup explosion, not scaling). For
+    // k < 10 the second rotation is the identity, so corpora of up
+    // to 10 copies are byte-identical to the single-family output.
+    val alpha  = "etaoinsrdl"
+    val alphaB = "chumfpgwyb"
+    require(copies <= alpha.length * alphaB.length,
+      s"only ${alpha.length * alphaB.length} distinct substitutions available")
     val docs = explodeCopies(spark.read.parquet(s"$srcDir/documents.parquet"))
       .withColumn("doc_id", shift("doc_id"))
     val translated = (1 until copies).foldLeft(
       when(col("__k") === 0, col("text"))) { (acc, k) =>
-      val rot = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
-      acc.when(col("__k") === k, translate(col("text"), alpha, rot))
+      val rotA = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
+      val kb = (k / alpha.length) % alphaB.length
+      val rotB = alphaB.drop(kb) + alphaB.take(kb)
+      acc.when(col("__k") === k, translate(col("text"), alpha + alphaB, rotA + rotB))
     }
     write(docs.withColumn("text", translated), "documents")
 

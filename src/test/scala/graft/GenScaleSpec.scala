@@ -78,4 +78,23 @@ class GenScaleSpec extends AnyFunSuite {
         s"scaled-corpus LSH candidate pairs $cand vs n^2=${nVec * nVec} — degenerate noise")
     } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(out))
   }
+
+  test("substitutions stay distinct past the single-alphabet period (12 copies)") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+    val out = java.nio.file.Files.createTempDirectory("graft-genscale12").toString
+    try {
+      GenScale.main(Array(src, out, "12"))
+      val d = Tables.t(spark, out, "documents")
+      // a wrapped substitution family replays copy k-10 verbatim at
+      // copy k, so the exact-dup surplus explodes past copies x src
+      def surplus(df: org.apache.spark.sql.DataFrame): Long =
+        df.count() - df.select(md5(col("text"))).distinct().count()
+      val srcSurplus = {
+        val s = Tables.t(spark, src, "documents")
+        s.count() - s.select(md5(col("text"))).distinct().count()
+      }
+      assert(surplus(d) == 12 * srcSurplus,
+        s"dup surplus ${surplus(d)} != 12 x $srcSurplus — substitution family wrapped")
+    } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(out))
+  }
 }
