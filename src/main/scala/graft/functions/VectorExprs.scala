@@ -179,6 +179,9 @@ object GraftFunctions {
       "topk_struct", exprs => TopKStruct(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "heavy_hitters", exprs => HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "int8_scale", exprs => Int8Scale(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "int8_round", exprs => Int8Round(exprs(0), exprs(1)), "built-in")

@@ -687,6 +687,54 @@ object TextOps {
         .limit(100)
     },
 
+    // ---- approximate heavy hitters (Misra-Gries sketch) --------------------
+    // q_vocab_topk's exact plan shuffles a vocabulary-sized partial
+    // aggregate; the 100 TB form is a mergeable frequent-items sketch
+    // whose exchange is k rows PER PARTITION, independent of
+    // vocabulary size (graft.functions.HeavyHitters — Misra-Gries
+    // with the PODS'12 mergeable-summaries trim). Sketch contents
+    // depend on merge order, so the gate verifies the sketch's three
+    // PROVABLE guarantees against the exact counts instead of
+    // hash-matching items: every token with tf > n/(k+1) is present
+    // (coverage), no estimate exceeds its true count (underestimate),
+    // and no undercount exceeds n/(k+1) (bounded error). Each is a
+    // theorem, not a tuning property — a verdict flip means the
+    // sketch is WRONG, so the 0/1 columns hash-match a literal-1
+    // oracle; n_heavy (how many tokens clear the threshold) is exact
+    // arithmetic both engines compute independently.
+    "q_vocab_heavy_approx" -> Q(
+      """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+            FROM documents),
+           tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+           n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+         SELECT CAST((SELECT count(*) FROM tf, n WHERE tf > n / 201.0) AS BIGINT) AS n_heavy,
+                CAST(1 AS INT) AS coverage_ok,
+                CAST(1 AS INT) AS under_ok,
+                CAST(1 AS INT) AS error_ok""") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val kHH = 200
+      val toks = toksFrame(s, d).select(explode(col("toks")).as("tok"))
+      // one-row sketch result (<= k entries), materialized once so
+      // the two verdict consumers don't re-run the aggregate
+      val sketch = toks.agg(expr(s"heavy_hitters(tok, $kHH)").as("hh"))
+        .localCheckpoint(false)
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.tok").as("tok"), col("h.est").as("est"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val n = toks.count()
+      val thr = n.toDouble / (kHH + 1)
+      val heavy = exact.filter(col("tf") > thr)
+      val missed = heavy.join(broadcast(sketch), Seq("tok"), "left_anti")
+      val bounds = exact.join(broadcast(sketch), Seq("tok"))
+      heavy.agg(count(lit(1)).as("n_heavy"))
+        .crossJoin(missed.agg(
+          when(count(lit(1)) === 0, 1).otherwise(0).cast("int").as("coverage_ok")))
+        .crossJoin(bounds.agg(
+          when(max(col("est") - col("tf")) <= 0, 1).otherwise(0).cast("int").as("under_ok"),
+          when(max(col("tf") - col("est")) <= thr, 1).otherwise(0).cast("int").as("error_ok")))
+        .select(col("n_heavy"), col("coverage_ok"), col("under_ok"), col("error_ok"))
+    },
+
     // ---- per-document TF-IDF keywords --------------------------------------
     // Keyword extraction: tf·ln(N/df) per (doc, term), top 3 per doc.
     // Scores are rounded to 6 decimals on BOTH sides BEFORE ranking —

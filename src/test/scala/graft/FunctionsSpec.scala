@@ -84,6 +84,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq((0, 3), (0, 6), (1, 1), (1, 4), (2, 2), (2, 5)))
   }
 
+  test("heavy_hitters honors the Misra-Gries guarantees under merge with k << vocab") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // zipf-ish stream: 5 genuinely heavy tokens + 2000 singleton-ish
+    // tail tokens, spread across 8 partitions so partial sketches hit
+    // BOTH the decrement-all path (vocab >> k within a partition) and
+    // the merge trim (8 partials of <= k entries each)
+    val rows = (1 to 5).flatMap(h => Seq.fill(1000 * h)(s"heavy$h")) ++
+      (1 to 2000).flatMap(t => Seq.fill(3)(s"tail$t"))
+    val n = rows.size
+    val k = 20
+    val df = scala.util.Random.shuffle(rows).toDF("tok").repartition(8)
+    df.createOrReplaceTempView("hh")
+    val sketch = spark.sql(s"SELECT explode(heavy_hitters(tok, $k)) AS h FROM hh")
+      .select("h.tok", "h.est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= k, s"sketch kept ${sketch.size} > k=$k entries")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n.toDouble / (k + 1)
+    // coverage: every token with tf > n/(k+1) must be present
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(sketch.contains(t), s"heavy token $t (tf=${exact(t)}) missing from sketch")
+    }
+    // underestimate + bounded error for every surviving entry
+    sketch.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overestimated: $est > ${exact(t)}")
+      assert(exact(t) - est <= bound, s"$t undercount ${exact(t) - est} > $bound")
+    }
+  }
+
   test("null inputs yield null, not a crash") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(CAST(NULL AS array<double>), array(1D)) AS c").collect()(0)

@@ -207,6 +207,26 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("heavy-hitters sketch plans as a partial+final ObjectHashAggregate pair") {
+    // the scale claim: the Misra-Gries summary combines map-side, so
+    // the corpus-level exchange is k rows per partition — a
+    // partial_heavy_hitters must appear (no single-reducer fallback).
+    // Gated on the sketch subplan directly: in the full query the
+    // checkpoint boundary hides the aggregate from the outer plan.
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    graft.functions.GraftFunctions.register(spark)
+    val sk = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("explode(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS tok")
+      .selectExpr("heavy_hitters(tok, 200) AS hh")
+      .queryExecution.explainString(FormattedMode)
+    assert(sk.contains("partial_heavy_hitters"), sk)
+    assert(sk.contains("ObjectHashAggregate"), sk)
+    // and the full query's verdict joins stay broadcast end to end
+    val p = plan("q_vocab_heavy_approx")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("approx quantile plan is a partial-aggregable sketch, no value buffering") {
     val p = plan("q_quantile_group_approx")
     // the scale claim: the quantile aggregate is the mergeable
