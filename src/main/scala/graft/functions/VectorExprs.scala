@@ -181,6 +181,20 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "heavy_hitters", exprs => HeavyHitters(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
+    // Spark's own runtime-filter bloom pair (internal, so not in the
+    // public registry): bloom_agg builds a map-side-combinable
+    // BloomFilter sketch, bloom_contains probes it — the scale form
+    // of broadcast-set semi-joins (q_decontam_bloom).
+    reg.createOrReplaceTempFunction(
+      "bloom_agg",
+      exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_contains",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
     reg.createOrReplaceTempFunction(
       "int8_scale", exprs => Int8Scale(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -989,6 +989,102 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- bloom-filter decontamination (the 100 TB twin) ---------------------
+    // q_decontaminate broadcasts the EXACT eval-gram set; that is the
+    // right plan while benchmarks stay thousands of docs, but a 100 TB
+    // shop decontaminating against a large held-out corpus broadcasts
+    // a BLOOM FILTER instead: fixed bytes regardless of gram count,
+    // still probed map-side with zero shuffle on the training side.
+    // This twin builds the filter with Spark's own runtime-filter
+    // sketch (bloom_agg — a partial-aggregable BloomFilterAggregate,
+    // so partitions build partial filters that OR-merge) sized for
+    // fpp ≈ 1e-6 at the observed eval-gram cardinality, then probes
+    // it as a scalar subquery (bloom_contains), exactly how Spark
+    // injects runtime group-join filters. Sketch membership is
+    // engine-specific, so the gate verifies the two PROVABLE
+    // properties against the exact relation: a bloom filter has NO
+    // false negatives (every exactly-contaminated doc must be
+    // flagged — recall_ok is a theorem, not a tolerance) and its
+    // false-positive mass at fpp 1e-6 over ≤ millions of probes is
+    // bounded (fp_ok allows 1% of training docs, ~10⁴× the expected
+    // count); n_contam_exact is exact arithmetic both engines compute
+    // independently.
+    "q_decontam_bloom" -> Q(
+      s"""WITH $gram8Cte
+         SELECT CAST((SELECT count(DISTINCT i.doc_id) FROM inv i JOIN eval_g USING (g)
+                      WHERE i.doc_id % 50 <> 0) AS BIGINT) AS n_contam_exact,
+                CAST(1 AS INT) AS recall_ok,
+                CAST(1 AS INT) AS fp_ok""") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val grams = gram8Rows(s, d)
+      grams.filter(col("doc_id") % 50 === 0)
+        .select(xxhash64(col("g")).as("h"))
+        .createOrReplaceTempView("graft_bloom_eval")
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .createOrReplaceTempView("graft_bloom_train")
+      // size from the measured eval cardinality (the memoized gram
+      // frame makes this count cheap), inside Spark's runtime-filter
+      // caps (4M items / 64M bits); 29 bits/item ≈ fpp 1e-6
+      val nEval = s.table("graft_bloom_eval").count()
+      val estItems = math.min(4000000L, math.max(1000L, nEval))
+      val numBits = math.min(67108864L, estItems * 29L)
+      val flagged = s.sql(
+        s"""SELECT DISTINCT doc_id FROM graft_bloom_train
+            WHERE bloom_contains(
+              (SELECT bloom_agg(h, ${estItems}L, ${numBits}L) FROM graft_bloom_eval), h)""")
+        .localCheckpoint(false)
+      val exactIds = contaminationHits(s, d).select(col("doc_id")).distinct()
+      val nTrainDocs = nDocs(s, d) - (nDocs(s, d) + 49) / 50
+      exactIds.agg(count(lit(1)).cast("bigint").as("n_contam_exact"))
+        .crossJoin(exactIds.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+          .agg(when(count(lit(1)) === 0, 1).otherwise(0).cast("int").as("recall_ok")))
+        .crossJoin(flagged.agg(count(lit(1)).as("n_flagged")))
+        .select(col("n_contam_exact"), col("recall_ok"),
+          when(col("n_flagged") - col("n_contam_exact") <=
+            math.max(1L, nTrainDocs / 100L), 1).otherwise(0).cast("int").as("fp_ok"))
+    },
+
+    // ---- training-mixture construction (weighted up/down-sampling) ----------
+    // Given target mixture weights per source, emit each document
+    // 0..n times so the output corpus matches the mixture: weight
+    // 0.25 keeps a quarter of the source, 2.5 repeats every doc
+    // twice and half of them a third time. The fractional part is
+    // resolved by a DETERMINISTIC per-doc uniform — pure integer
+    // arithmetic (Knuth multiplicative hash mod 1e6) both engines
+    // reproduce exactly, so the oracle hash-matches every emitted
+    // copy, not just aggregate rates. Shape at 100 TB: map-only
+    // fan-out (weights are a broadcast-sized map, here an arithmetic
+    // derivation), zero shuffles — the explode is the plan, there is
+    // nothing to optimize away.
+    "q_mix_weighted" -> Q(
+      """WITH w AS (SELECT doc_id, source,
+                      CAST(substr(source, 4) AS INT) % 4 AS wi,
+                      (doc_id * 2654435761 + 12345) % 1000000 AS r
+                    FROM documents),
+            c AS (SELECT doc_id, source,
+                    [0,0,1,2][wi+1] +
+                    CASE WHEN r < [250000,500000,0,500000][wi+1] THEN 1 ELSE 0 END AS n_copies
+                  FROM w)
+         SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+         FROM c
+         ORDER BY doc_id, copy_idx""") { (s, d) =>
+      // weights [0.25, 0.5, 1.0, 2.5] keyed by source index % 4,
+      // split into integer base copies + a fractional threshold on
+      // the per-doc uniform r/1e6
+      val wi = (expr("CAST(substring(source, 4, 10) AS INT)") % 4 + 1).cast("int")
+      val base = element_at(typedlit(Seq(0, 0, 1, 2)), wi)
+      val thr = element_at(typedlit(Seq(250000L, 500000L, 0L, 500000L)), wi)
+      val r = pmod(col("doc_id") * lit(2654435761L) + lit(12345L), lit(1000000L))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          (base + when(r < thr, 1).otherwise(0)).as("n_copies"))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    },
+
     // ---- curation funnel: the capstone pipeline in ONE plan -----------------
     // What a training-data run actually executes: exact-dedup keep-list
     // ∘ minimum-quality filter ∘ benchmark decontamination, composed as

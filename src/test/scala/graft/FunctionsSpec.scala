@@ -114,6 +114,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom_agg/bloom_contains: zero false negatives, fp rate under the sizing target") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 10k inserted keys across 8 partitions (partial blooms OR-merge),
+    // 29 bits/item sizing (fpp ~1e-6)
+    (0L until 10000L).toDF("h").repartition(8).createOrReplaceTempView("bf_in")
+    (100000L until 120000L).toDF("h").createOrReplaceTempView("bf_probe")
+    val found = spark.sql(
+      """SELECT count(*) FROM bf_in
+         WHERE bloom_contains((SELECT bloom_agg(h, 10000L, 290000L) FROM bf_in), h)""")
+      .head().getLong(0)
+    assert(found == 10000L, s"false negatives: only $found/10000 inserted keys found")
+    val fps = spark.sql(
+      """SELECT count(*) FROM bf_probe
+         WHERE bloom_contains((SELECT bloom_agg(h, 10000L, 290000L) FROM bf_in), h)""")
+      .head().getLong(0)
+    // 20k disjoint probes at fpp 1e-6: expected ~0.02 false positives;
+    // allow 5 before calling the sizing broken
+    assert(fps <= 5, s"$fps false positives in 20k probes at 29 bits/item")
+  }
+
   test("null inputs yield null, not a crash") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(CAST(NULL AS array<double>), array(1D)) AS c").collect()(0)

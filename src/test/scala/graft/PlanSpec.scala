@@ -227,6 +227,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bloom decontamination probes map-side: partial filter build, no train-side join") {
+    // the scale claim: the bloom twin replaces the exact broadcast
+    // semi-join with a scalar-subquery probe — the filter build is a
+    // partial-aggregable sketch (partitions build partial blooms that
+    // OR-merge) and the 100 TB training side is a FILTER, not a join
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("xxhash64(text) AS h")
+      .createOrReplaceTempView("plan_bloom_side")
+    val build = spark.sql("SELECT bloom_agg(h, 1000L, 29000L) FROM plan_bloom_side")
+      .queryExecution.explainString(FormattedMode)
+    assert(build.contains("partial_bloom_filter_agg"), build)
+    assert(build.contains("ObjectHashAggregate"), build)
+    val probe = spark.sql(
+      """SELECT doc_id FROM (SELECT doc_id, xxhash64(text) AS h
+           FROM parquet.`/root/testdata/sf0.001/documents.parquet`)
+         WHERE bloom_contains((SELECT bloom_agg(h, 1000L, 29000L) FROM plan_bloom_side), h)""")
+      .queryExecution.explainString(FormattedMode)
+    assert(probe.contains("might_contain"), probe)
+    assert(!probe.contains("SortMergeJoin") && !probe.contains("BroadcastHashJoin"), probe)
+    // and the declared query's verdict joins stay broadcast
+    val p = plan("q_decontam_bloom")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mixture construction is map-only fan-out: no keyed exchange, no join") {
+    val p = plan("q_mix_weighted")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // the only exchange is the final presentation sort's range
+    // partitioning — nothing hash-partitions, nothing aggregates
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("approx quantile plan is a partial-aggregable sketch, no value buffering") {
     val p = plan("q_quantile_group_approx")
     // the scale claim: the quantile aggregate is the mergeable
