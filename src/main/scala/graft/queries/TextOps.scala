@@ -1085,6 +1085,78 @@ object TextOps {
         .orderBy(col("doc_id"), col("copy_idx"))
     },
 
+    // ---- token-budget corpus selection --------------------------------------
+    // Data selection under a token budget: per source, keep the
+    // highest-quality documents whose cumulative token count fits
+    // half the source's tokens. Quality is an integer-arithmetic
+    // proxy ((n_chars*1000) div n_tokens — mean word length in
+    // milli-chars) so ranking is bit-identical across engines; ties
+    // break on doc_id. This exact form is the oracle-parity variant:
+    // its per-source ordered window is the same low-cardinality skew
+    // the ntile/packing naive forms carry (|sources| partitions bound
+    // parallelism). The scale twin below replaces the sort+cumsum
+    // with one sketch pass.
+    "q_select_budget" -> Q(
+      """WITH tk AS (SELECT doc_id, source, n_chars,
+                       len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS n_tokens
+                     FROM documents),
+            sc AS (SELECT doc_id, source, n_tokens,
+                     (n_chars * 1000) // n_tokens AS score
+                   FROM tk WHERE n_tokens > 0),
+            b AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM sc GROUP BY 1),
+            w AS (SELECT doc_id, source, n_tokens, score,
+                    sum(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS cum
+                  FROM sc)
+         SELECT w.doc_id, w.source, CAST(w.n_tokens AS BIGINT) AS n_tokens,
+                CAST(w.cum AS BIGINT) AS cum_tokens
+         FROM w JOIN b USING (source) WHERE w.cum <= b.budget
+         ORDER BY source, doc_id""") { (s, d) =>
+      val sc = selectionScores(s, d)
+      val budgets = sc.groupBy(col("source"))
+        .agg(expr("sum(n_tokens) div 2").as("budget"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      sc.withColumn("cum", sum(col("n_tokens")).over(w))
+        .join(broadcast(budgets), Seq("source"))
+        .filter(col("cum") <= col("budget"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum").as("cum_tokens"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
+    // ---- token-budget selection, sketch-threshold twin ----------------------
+    // The 100 TB form of budget selection: nobody sorts a source's
+    // documents globally — you pick a QUALITY THRESHOLD from a
+    // distribution sketch and keep everything above it. One
+    // partial-aggregable approx_percentile pass finds each source's
+    // median score; the keep-decision is then a map-side filter (no
+    // window, no per-source sort, no skew). The threshold overshoots
+    // the budget by at most one score class, so the gate verifies the
+    // selection semantics rather than hash-matching the kept set:
+    // per source, selected tokens land in a [35%, 65%] band of the
+    // source's total (0/1 verdict vs a literal-1 oracle — the sketch
+    // at default accuracy is near-exact, the band absorbs score-class
+    // granularity), and the selection is non-empty.
+    "q_select_threshold_approx" -> Q(
+      """SELECT source, CAST(1 AS INT) AS band_ok, CAST(1 AS INT) AS nonempty_ok
+         FROM (SELECT DISTINCT source FROM documents)
+         ORDER BY source""") { (s, d) =>
+      val sc = selectionScores(s, d)
+      val cuts = sc.groupBy(col("source"))
+        .agg(expr("approx_percentile(score, 0.5)").as("cut"),
+          sum(col("n_tokens")).as("total"))
+      sc.join(broadcast(cuts), Seq("source"))
+        .groupBy(col("source"), col("total"))
+        .agg(sum(when(col("score") >= col("cut"), col("n_tokens"))
+          .otherwise(lit(0L))).as("kept"))
+        .select(col("source"),
+          when(col("kept") * 100 >= col("total") * 35 &&
+               col("kept") * 100 <= col("total") * 65, 1)
+            .otherwise(0).cast("int").as("band_ok"),
+          when(col("kept") > 0, 1).otherwise(0).cast("int").as("nonempty_ok"))
+        .orderBy(col("source"))
+    },
+
     // ---- curation funnel: the capstone pipeline in ONE plan -----------------
     // What a training-data run actually executes: exact-dedup keep-list
     // ∘ minimum-quality filter ∘ benchmark decontamination, composed as
