@@ -595,6 +595,28 @@ object TextOps {
           WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b"""
   }
 
+  /** (doc_id, source, n_tokens BIGINT, score BIGINT) for the
+    * token-budget selection pair: the quality proxy is mean word
+    * length in milli-chars — (n_chars*1000) div n_tokens — pure
+    * integer arithmetic so the ranking is bit-identical across
+    * engines (no float comparison anywhere near an ORDER BY).
+    * Tokenization is the corpus-wide standard (split lower(text) on
+    * \s+, drop empties), same as toksFrame / the oracle CTEs.
+    * Memoized+persisted: q_select_budget consumes it twice (budget
+    * totals + the ranked window) and the persist makes the second
+    * consumer read rows instead of re-tokenizing.
+    */
+  private def selectionScores(s: SparkSession, d: String): DataFrame =
+    memoized(s, s"selscores:$d") {
+      t(s, d, "documents")
+        .selectExpr(
+          "doc_id", "source", "n_chars",
+          "CAST(size(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS BIGINT) AS n_tokens")
+        .filter(col("n_tokens") > 0)
+        .selectExpr("doc_id", "source", "n_tokens",
+          "(n_chars * 1000L) div n_tokens AS score")
+    }
+
   val all: Map[String, Q] = Map(
 
     // ---- exact dedup: hash-groupBy keep-list ------------------------------
