@@ -76,21 +76,30 @@ object Bench {
     // suite — the closest this JVM gets to isolation — recording prior,
     // first, and re-run times so the artifact adjudicates its own noise
     // instead of leaving it to the judge.
-    val priorPath = sys.env.get("SPARK_GRAFT_PRIOR").orElse {
-      Option(new java.io.File(".").listFiles())
-        .map(_.filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName))
-        .flatMap(_.lastOption).map(_.getPath)
-    }
-    val prior: Map[String, Double] = priorPath.flatMap { p =>
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-          java.nio.charset.StandardCharsets.UTF_8)
-        """"queries":\{(.*?)\}""".r.findFirstMatchIn(s).map { m =>
-          """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
-            .map(g => g.group(1) -> g.group(2).toDouble).toMap
-        }
-      } catch { case _: Throwable => None }
-    }.getOrElse(Map.empty)
+    // Prior sources, most-preferred first: explicit env override, then
+    // driver round artifacts newest-first, then this host's own last
+    // local run. A candidate is unusable when its run failed (rc != 0 —
+    // the r10 compile break poisoned the chain this way) or when no
+    // per-query number survives in it (the driver captures only the
+    // tail of long output, so BENCH_r11's queries map was truncated
+    // mid-JSON). Parsing scans for bare "q_name":seconds pairs instead
+    // of requiring an intact queries object, so a half-captured tail
+    // still yields a partial — and useful — prior map.
+    val candidates: Seq[String] =
+      sys.env.get("SPARK_GRAFT_PRIOR").toSeq ++
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName).reverse.map(_.getPath) ++
+      Seq("BENCH_local.json")
+    def parsePrior(p: String): Map[String, Double] = try {
+      val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (""""rc":\s*(-?\d+)""".r.findFirstMatchIn(s).exists(_.group(1) != "0")) Map.empty
+      else """"(q_[A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r.findAllMatchIn(s)
+        .map(g => g.group(1) -> g.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val prior: Map[String, Double] =
+      candidates.iterator.map(parsePrior).find(_.nonEmpty).getOrElse(Map.empty)
     val adjudicated = results.map { case (name, t) =>
       val p = prior.getOrElse(name, -1.0)
       if (p > 0 && t > 0 && t > 5 * p && t > 0.5) {
@@ -110,7 +119,14 @@ object Bench {
     val failed = adjudicated.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = adjudicated.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_reruns":$reruns,"failed":$failed,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_reruns":$reruns,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the full line: the driver keeps only the tail of
+    // captured stdout, which truncated BENCH_r11's JSON mid-object —
+    // the on-disk copy is the durable machine-readable record and the
+    // next run's fallback prior
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

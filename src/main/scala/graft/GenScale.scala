@@ -81,17 +81,19 @@ object GenScale {
       .withColumn("l_partkey", shift("l_partkey"))
       .withColumn("l_suppkey", shift("l_suppkey")), "lineitem")
 
-    // events: keep ts as raw int64 nanos (Tables.t reads it that way)
-    val evSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    write(explodeCopies(spark.read.schema(evSchema).parquet(s"$srcDir/events.parquet"))
+    // events: unit-aware read via Tables.t (the source has shipped as
+    // both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata
+    // regenerations). Each copy shifts keys AND time-dilates by 400
+    // days, so per-user session/gap structure replicates onto disjoint
+    // users in a disjoint time range — the time axis scales with the
+    // data instead of multiplying per-hour-bucket counts in place.
+    // Output is TIMESTAMP_MICROS, the regenerated testdata's encoding,
+    // so Tables.t plain-reads it back.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    write(explodeCopies(Tables.t(spark, srcDir, "events"))
       .withColumn("event_id", shift("event_id"))
-      .withColumn("user_id", shift("user_id")), "events")
+      .withColumn("user_id", shift("user_id"))
+      .withColumn("ts", expr("timestampadd(DAY, __k * 400, ts)")), "events")
 
     // documents: per-copy letter substitution keeps copies' shingle
     // spaces disjoint. TWO disjoint rotation families compose to

@@ -16,20 +16,63 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; a user-supplied schema reads the raw nanos as
-    * long — no session-wide legacy conf mutation — and truncates to
-    * microseconds (identical to DuckDB's ns→µs truncation, so oracle
-    * parity holds).
+  /** The generator has shipped events.ts as both TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects at schema inference) and
+    * TIMESTAMP(MICROS) (plain-readable) across regenerations, so the
+    * loader decides per file: read the column's logical-type unit from
+    * the parquet footer and take the raw-int64 + ns→µs truncation path
+    * ONLY for NANOS. Assuming one fixed unit is how round 11 lost four
+    * correctness rows — a ÷1000 applied to micros collapses every
+    * event into January 1970 (see SURVEY §2.12).
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read.schema(sch).parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val path = s"$dir/events.parquet"
+    if (tsIsNanos(spark, path)) {
+      import org.apache.spark.sql.types._
+      // NANOS: a user-supplied LongType schema reads the raw nanos —
+      // no session-wide legacy conf mutation — and truncates to
+      // microseconds (identical to DuckDB's ns→µs truncation, so
+      // oracle parity holds).
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      spark.read.schema(sch).parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(path)
+  }
+
+  /** True iff the parquet footer annotates `ts` as TIMESTAMP(NANOS).
+    * One footer read per plan build (driver-side, milliseconds); INT96
+    * and MICROS/MILLIS encodings return false and take the plain
+    * reader. Works on a single file or a directory of part files.
+    */
+  private def tsIsNanos(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.getName).headOption
+          .getOrElse(sys.error(s"no parquet part files under $path"))
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val schema = reader.getFileMetaData.getSchema
+      schema.getFields.asScala.find(_.getName == "ts").exists(
+        _.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+    } finally reader.close()
   }
 
   /** Register all tables as temp views (used by SQL-string queries). */

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * copies multiply rows exactly, key spaces never collide, joins
   * hold within a copy, the exact-duplicate RATE stays constant
   * (letter substitution keeps copies' shingle spaces disjoint), and
-  * the events output stays readable through Tables.t's raw-nanos
-  * schema.
+  * events copies replicate session structure verbatim onto disjoint
+  * users in disjoint 400-day-shifted time ranges.
   */
 class GenScaleSpec extends AnyFunSuite {
 
@@ -59,11 +59,25 @@ class GenScaleSpec extends AnyFunSuite {
       // substitution preserves length (n_chars stays truthful)
       assert(docs.filter(length(col("text")) =!= col("n_chars")).count() == 0)
 
-      // events remain readable via the raw-nanos schema reader and
-      // keep their timestamp values (copy 0 ≡ source)
+      // events remain readable via the unit-aware loader and keep
+      // their timestamp values (copy 0 ≡ source)
       val ev0 = Tables.t(spark, src, "events").select(col("event_id"), col("ts"))
       val evS = Tables.t(spark, out, "events").select(col("event_id"), col("ts"))
       assert(ev0.except(evS).count() == 0, "copy-0 events lost or ts-shifted")
+
+      // time-dilation: copy 1 is copy 0 shifted exactly 400 days onto
+      // disjoint users — per-user session/gap structure replicates
+      // verbatim, so sessionize/as-of carriers measure scaling, not a
+      // structure change
+      val stride = 10000000L
+      val c0 = Tables.t(spark, src, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val c1 = Tables.t(spark, out, "events")
+        .filter(col("user_id") >= stride && col("user_id") < 2 * stride)
+        .select((col("user_id") - stride).as("user_id"),
+          expr("timestampadd(DAY, -400, ts)").as("ts"), col("event_type"))
+      assert(c1.except(c0).count() == 0 && c0.except(c1).count() == 0,
+        "copy-1 events are not a 400-day-shifted replica of copy 0")
 
       // embedding copies must not collapse into a low-rank subspace:
       // hyperplane-LSH on the scaled corpus has to stay sub-quadratic
