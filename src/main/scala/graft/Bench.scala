@@ -85,12 +85,16 @@ object Bench {
     // mid-JSON). Parsing scans for bare "q_name":seconds pairs instead
     // of requiring an intact queries object, so a half-captured tail
     // still yields a partial — and useful — prior map.
-    val candidates: Seq[String] =
-      sys.env.get("SPARK_GRAFT_PRIOR").toSeq ++
-      Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName).reverse.map(_.getPath) ++
-      Seq("BENCH_local.json")
+    val candidates: Seq[String] = sys.env.get("SPARK_GRAFT_PRIOR") match {
+      // explicit override is exclusive — /dev/null must DISABLE the
+      // protocol (isolated scale runs depend on that), not fall
+      // through to a different-scale artifact
+      case Some(p) => Seq(p)
+      case None =>
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).reverse.map(_.getPath) :+ "BENCH_local.json"
+    }
     def parsePrior(p: String): Map[String, Double] = try {
       val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -125,8 +129,11 @@ object Bench {
     // captured stdout, which truncated BENCH_r11's JSON mid-object —
     // the on-disk copy is the durable machine-readable record and the
     // next run's fallback prior
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // full-suite runs only: a SPARK_GRAFT_ONLY subset (or a scale-dir
+    // run) must not become the next run's prior
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }
