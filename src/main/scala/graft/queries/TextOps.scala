@@ -1559,6 +1559,60 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- exact-substring span dedup (repeated-span removal) ---------------
+    // Doc-level dedup keeps one copy of a duplicated DOCUMENT; training
+    // corpora also carry long verbatim SPANS duplicated across otherwise
+    // distinct documents (licenses, boilerplate headers, quoted
+    // passages). The published treatment builds one giant suffix array —
+    // a single-node construction; the Spark-first shape is duplicated
+    // k-gram seed-and-merge: every word-8-gram occurring in more than
+    // one document marks its start position, and maximal runs of
+    // consecutive duplicated starts merge into spans (gaps-and-islands,
+    // the sessionize idiom). A reported span of >= 16 tokens means every
+    // 8-gram window inside it occurs in some other document. Output is
+    // (doc_id, span_start, span_len) token offsets — exactly what a
+    // span masker/trimmer consumes downstream.
+    // Scale shape: ONE by-gram exchange (window min/max over g — the
+    // q_dup_gram_share df idiom; the >1-distinct-docs test is
+    // min(doc_id) != max(doc_id), no distinct aggregation), one by-doc
+    // window, one by-doc/island aggregate. Everything linear in corpus
+    // grams — no self-join, no candidate explosion, and unlike the
+    // suffix array it needs no global sorted structure.
+    "q_dedup_spans" -> Q(
+      """WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+                       FROM documents),
+          g8 AS (SELECT doc_id,
+                   unnest(range(1, len(toks) - 6)) - 1 AS pos,
+                   unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                           toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]
+                           for i in range(1, len(toks) - 6)]) AS g
+                 FROM toks),
+          dup AS (SELECT g FROM g8 GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+          isl AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                  FROM g8 WHERE g IN (SELECT g FROM dup))
+          SELECT doc_id,
+                 min(pos) AS span_start,
+                 max(pos) - min(pos) + 8 AS span_len
+          FROM isl GROUP BY doc_id, island
+          HAVING max(pos) - min(pos) + 8 >= 16
+          ORDER BY doc_id, span_start""") { (s, d) =>
+      val wg = Window.partitionBy(col("g"))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      gramRows(s, d, 8)
+        .withColumn("mn", min(col("doc_id")).over(wg))
+        .withColumn("mx", max(col("doc_id")).over(wg))
+        .filter(col("mn") =!= col("mx"))
+        .withColumn("island", col("pos") - row_number().over(wd))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("span_start"),
+             (max(col("pos")) - min(col("pos")) + lit(8)).as("span_len"))
+        .filter(col("span_len") >= 16)
+        .select(col("doc_id"), col("span_start"), col("span_len"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // ---- MinHash + LSH near-dup (sub-quadratic scale path) ----------------
     // 16 minhashes over word-3-gram shingles, 4 bands × 4 rows; candidate
     // pairs from band-bucket equi-join, then exact Jaccard verification.

@@ -296,4 +296,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters"), p)
     assert(!p.toLowerCase.contains("posexplode"), p) // projections are build-time only
   }
+
+  test("span dedup: no join anywhere, and the island aggregate reuses the by-doc partitioning") {
+    val p = plan("q_dedup_spans")
+    // the scale claim vs a suffix array / self-join design: duplicated
+    // grams come from a window min/max over the by-gram exchange and
+    // spans from gaps-and-islands — there must be NO join of any kind
+    // in the plan, and no distinct aggregation for the >1-docs test
+    assert(!p.contains("Join"), p)
+    assert(!p.toLowerCase.contains("distinct"), p)
+    // exchange budget (formatted mode lists each node once in the
+    // detail section as "(n) Exchange"): toksFrame pre-explode
+    // repartition + the post-cache ENSURE_REQUIREMENTS reshuffle the
+    // AQE-wrapped InMemoryRelation forces on every gram pipeline +
+    // by-gram window + by-doc window + final range sort = 5. The
+    // (doc_id, island) aggregate must NOT add a sixth — subset
+    // clustering is satisfied by the by-doc window's partitioning.
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 5, p)
+    // and the >1-docs test stays a window min/max, not an aggregate
+    // join back
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).size
+    assert(specs >= 2, p)
+  }
 }
