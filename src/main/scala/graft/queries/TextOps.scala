@@ -249,6 +249,50 @@ object TextOps {
       .select(col("doc_id"), col("m"))
   }
 
+  /** (doc_id, span_start, span_len) maximal duplicated token spans:
+    * every word-8-gram occurring in more than one document marks its
+    * start, and runs of consecutive duplicated starts merge via
+    * gaps-and-islands; spans of >= 16 tokens are reported. Shared by
+    * the span report (q_dedup_spans) and the span remover
+    * (q_dedup_spans_apply).
+    */
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val wg = Window.partitionBy(col("g"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    gramRows(s, d, 8)
+      .withColumn("mn", min(col("doc_id")).over(wg))
+      .withColumn("mx", max(col("doc_id")).over(wg))
+      .filter(col("mn") =!= col("mx"))
+      .withColumn("island", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) - min(col("pos")) + lit(8)).as("span_len"))
+      .filter(col("span_len") >= 16)
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
+
+  /** DuckDB mirror of [[dupSpans]] as CTE bodies ending in
+    * `spans(doc_id, span_start, span_len)` — shared by both span
+    * oracles so they cannot drift.
+    */
+  private val spansCte =
+    """toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+                FROM documents),
+       g8 AS (SELECT doc_id,
+                unnest(range(1, len(toks) - 6)) - 1 AS pos,
+                unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                        toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]
+                        for i in range(1, len(toks) - 6)]) AS g
+              FROM toks),
+       dup AS (SELECT g FROM g8 GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       isl AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM g8 WHERE g IN (SELECT g FROM dup)),
+       spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 8 AS span_len
+                 FROM isl GROUP BY doc_id, island
+                 HAVING max(pos) - min(pos) + 8 >= 16)"""
+
   /** (doc_id, simhash): simhash over DISTINCT lowercased tokens.
     * Tokens are EXPLODED to rows: one codegen'd md5-derived 60-bit
     * hash per token (the engine-independent construction from
@@ -1579,38 +1623,49 @@ object TextOps {
     // grams — no self-join, no candidate explosion, and unlike the
     // suffix array it needs no global sorted structure.
     "q_dedup_spans" -> Q(
-      """WITH toks AS (SELECT doc_id,
-                         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
-                       FROM documents),
-          g8 AS (SELECT doc_id,
-                   unnest(range(1, len(toks) - 6)) - 1 AS pos,
-                   unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
-                           toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]
-                           for i in range(1, len(toks) - 6)]) AS g
-                 FROM toks),
-          dup AS (SELECT g FROM g8 GROUP BY g HAVING min(doc_id) <> max(doc_id)),
-          isl AS (SELECT doc_id, pos,
-                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-                  FROM g8 WHERE g IN (SELECT g FROM dup))
-          SELECT doc_id,
-                 min(pos) AS span_start,
-                 max(pos) - min(pos) + 8 AS span_len
-          FROM isl GROUP BY doc_id, island
-          HAVING max(pos) - min(pos) + 8 >= 16
+      s"""WITH $spansCte
+          SELECT doc_id, span_start, span_len FROM spans
           ORDER BY doc_id, span_start""") { (s, d) =>
-      val wg = Window.partitionBy(col("g"))
-      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      gramRows(s, d, 8)
-        .withColumn("mn", min(col("doc_id")).over(wg))
-        .withColumn("mx", max(col("doc_id")).over(wg))
-        .filter(col("mn") =!= col("mx"))
-        .withColumn("island", col("pos") - row_number().over(wd))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("pos")).as("span_start"),
-             (max(col("pos")) - min(col("pos")) + lit(8)).as("span_len"))
-        .filter(col("span_len") >= 16)
-        .select(col("doc_id"), col("span_start"), col("span_len"))
-        .orderBy(col("doc_id"), col("span_start"))
+      dupSpans(s, d).orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // ---- span removal: the consumer half of detect -> apply ---------------
+    // Applies q_dedup_spans aggressively: every token covered by a
+    // reported duplicated span is dropped from every document (the
+    // conservative decontamination-style treatment; keep-one-copy
+    // needs a cross-document span identity the operator deliberately
+    // does not invent). Span lists are tiny per doc — ONE by-doc
+    // aggregate groups them into an array, one keyed left join brings
+    // them to the corpus, and the removal itself is a map-side
+    // higher-order filter over the token array: no token-level join,
+    // no explosion. Docs without spans pass through verbatim.
+    "q_dedup_spans_apply" -> Q(
+      s"""WITH $spansCte,
+          sp AS (SELECT doc_id, list({'s': span_start, 'l': span_len}) AS spans
+                 FROM spans GROUP BY doc_id)
+          SELECT doc_id,
+                 coalesce(array_to_string(clean, ' '), '') AS clean_text,
+                 n_toks - len(clean) AS n_removed
+          FROM (SELECT t.doc_id, len(t.toks) AS n_toks,
+                  CASE WHEN sp.spans IS NULL THEN t.toks ELSE
+                    [t.toks[i] for i in range(1, len(t.toks) + 1)
+                     if len(list_filter(sp.spans, x -> i - 1 >= x.s AND i - 1 < x.s + x.l)) = 0]
+                  END AS clean
+                FROM toks t LEFT JOIN sp USING (doc_id))
+          ORDER BY doc_id""") { (s, d) =>
+      val spans = dupSpans(s, d)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("span_start").as("s"), col("span_len").as("l"))).as("spans"))
+      toksFrame(s, d)
+        .join(spans, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "size(toks) AS n_toks",
+          """CASE WHEN spans IS NULL THEN toks ELSE
+               filter(toks, (x, i) -> NOT exists(spans, sp -> i >= sp.s AND i < sp.s + sp.l))
+             END AS clean""")
+        .selectExpr("doc_id",
+          "array_join(clean, ' ') AS clean_text",
+          "n_toks - size(clean) AS n_removed")
+        .orderBy(col("doc_id"))
     },
 
     // ---- MinHash + LSH near-dup (sub-quadratic scale path) ----------------
