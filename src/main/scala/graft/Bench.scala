@@ -82,9 +82,15 @@ object Bench {
     // the r10 compile break poisoned the chain this way) or when no
     // per-query number survives in it (the driver captures only the
     // tail of long output, so BENCH_r11's queries map was truncated
-    // mid-JSON). Parsing scans for bare "q_name":seconds pairs instead
-    // of requiring an intact queries object, so a half-captured tail
-    // still yields a partial — and useful — prior map.
+    // mid-JSON). Parsing scans for "q_name":seconds pairs instead of
+    // requiring an intact queries object, so a half-captured tail
+    // still yields a partial — and useful — prior map. Driver
+    // artifacts embed the bench line as an ESCAPED JSON string
+    // (\"q_x\":1.2), so the quote before the colon may carry a
+    // backslash — both forms must match, and a candidate recorded at
+    // a different sf dir is rejected outright (a 30x-scale prior
+    // would make every default-scale query look 5x-regressed and
+    // vice versa).
     val candidates: Seq[String] = sys.env.get("SPARK_GRAFT_PRIOR") match {
       // explicit override is exclusive — /dev/null must DISABLE the
       // protocol (isolated scale runs depend on that), not fall
@@ -98,8 +104,11 @@ object Bench {
     def parsePrior(p: String): Map[String, Double] = try {
       val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8)
-      if (""""rc":\s*(-?\d+)""".r.findFirstMatchIn(s).exists(_.group(1) != "0")) Map.empty
-      else """"(q_[A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r.findAllMatchIn(s)
+      val sfOk = s.contains(s""""sf":"$sfDir"""") ||
+        s.contains("\\\"sf\\\":\\\"" + sfDir + "\\\"")
+      if (!sfOk) Map.empty
+      else if (""""rc":\s*(-?\d+)""".r.findFirstMatchIn(s).exists(_.group(1) != "0")) Map.empty
+      else """"(q_[A-Za-z0-9_]+)\\?":(-?[0-9]+(?:\.[0-9]+)?)""".r.findAllMatchIn(s)
         .map(g => g.group(1) -> g.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
     val prior: Map[String, Double] =

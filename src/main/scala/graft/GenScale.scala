@@ -28,15 +28,17 @@ import org.apache.spark.sql.functions._
   *  - facts (orders/lineitem/customer/supplier/part): every int64
   *    key (pk and fk) shifts by copy*STRIDE consistently, so joins
   *    hold within a copy and key spaces never collide across copies.
-  *  - events: read/written with the raw int64-nanos `ts` column so
-  *    Tables.t's explicit-schema reader works on the output.
+  *  - events: read unit-aware via Tables.t, keys shifted per copy,
+  *    and each copy time-dilated +400 days onto its disjoint users —
+  *    session/gap structure replicates verbatim while the time axis
+  *    scales with the data; output is TIMESTAMP_MICROS.
   *  - region/nation: fixed dimension tables, copied as-is.
   *
   * Usage: runMain graft.GenScale <srcSfDir> <outDir> <copies>
   */
 object GenScale {
 
-  private val Stride = 10000000L
+  private[graft] val Stride = 10000000L
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, copiesStr) = args

@@ -69,7 +69,7 @@ class GenScaleSpec extends AnyFunSuite {
       // disjoint users — per-user session/gap structure replicates
       // verbatim, so sessionize/as-of carriers measure scaling, not a
       // structure change
-      val stride = 10000000L
+      val stride = GenScale.Stride
       val c0 = Tables.t(spark, src, "events")
         .select(col("user_id"), col("ts"), col("event_type"))
       val c1 = Tables.t(spark, out, "events")
