@@ -78,15 +78,22 @@ object VectorOps {
     * otherwise rank #1 for every query. The oracles apply the
     * identical filter.
     */
-  private def knnTop5(corpus: DataFrame): DataFrame = {
+  private def knnTop5(corpus: DataFrame,
+                      band: Option[(Double, Double)] = None): DataFrame = {
     val live = corpus.filter(expr("dot_product(v, v) > 0"))
       .selectExpr("vec_id", "v", "sqrt(dot_product(v, v)) AS nv")
     val qs = live.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    live.crossJoin(broadcast(qs))
+    val scored = live.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id", "dot_product(v, qv) / (nv * nq) AS cosine")
+    // the band filter (hard-negative mining) runs BEFORE the window,
+    // so the per-anchor exchange carries banded candidates only
+    val banded = band.foldLeft(scored) { case (f, (lo, hi)) =>
+      f.filter(col("cosine") >= lo && col("cosine") < hi)
+    }
+    banded
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
@@ -98,7 +105,7 @@ object VectorOps {
     * vec_id<10 query set, per-query top-5 by list_cosine_similarity
     * with the vec_id tie-break.
     */
-  private def knnOracleTail(scoreCol: String): String =
+  private def knnOracleTail(scoreCol: String, bandSql: String = ""): String =
     s"""live AS (SELECT vec_id, v FROM e
                  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
          q AS (SELECT vec_id AS q_id, v AS qv FROM live WHERE vec_id < 10),
@@ -108,7 +115,7 @@ object VectorOps {
                   row_number() OVER (PARTITION BY q.q_id
                       ORDER BY list_cosine_similarity(live.v, q.qv) DESC,
                                live.vec_id) AS rank
-           FROM live CROSS JOIN q WHERE live.vec_id <> q.q_id)
+           FROM live CROSS JOIN q WHERE live.vec_id <> q.q_id $bandSql)
        SELECT q_id, rank, neighbor_id, $scoreCol
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
@@ -214,6 +221,24 @@ object VectorOps {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           ${knnOracleTail("score")}""") { (s, d) =>
       knnTop5(registered(s, d)).withColumnRenamed("cosine", "score")
+    },
+
+    // ---- hard-negative mining (contrastive-training pipeline op) -----------
+    // Embedding-model training needs, per anchor, neighbors that are
+    // CLOSE but not positives: the top-k by cosine inside a band —
+    // >= 0.1 to exclude random pairs, < 0.9 to exclude the near-dup
+    // positives the dedup pipeline already removes. Same broadcast-
+    // anchors / one-corpus-scan shape as q_knn_exact (shared
+    // knnTop5 pipeline, band applied before the per-anchor top-k
+    // window so the exchange carries banded candidates only); the
+    // engine-independent double cosine gives it a full hash-match
+    // oracle like its exact-KNN siblings.
+    "q_hard_negatives" -> Q(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          ${knnOracleTail("cosine",
+            "AND list_cosine_similarity(live.v, q.qv) >= 0.1 " +
+            "AND list_cosine_similarity(live.v, q.qv) < 0.9")}""") { (s, d) =>
+      knnTop5(registered(s, d), band = Some((0.1, 0.9)))
     },
 
     // ---- int8 scalar quantization (oracle-checked) -------------------------
