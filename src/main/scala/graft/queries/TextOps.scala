@@ -258,11 +258,19 @@ object TextOps {
     */
   private def dupSpans(s: SparkSession, d: String): DataFrame = {
     val wg = Window.partitionBy(col("g"))
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    gramRows(s, d, 8)
+    islandSpans(gramRows(s, d, 8)
       .withColumn("mn", min(col("doc_id")).over(wg))
       .withColumn("mx", max(col("doc_id")).over(wg))
-      .filter(col("mn") =!= col("mx"))
+      .filter(col("mn") =!= col("mx")))
+  }
+
+  /** Gaps-and-islands over marked (doc_id, pos) gram starts → maximal
+    * spans of >= 16 tokens. The merge step shared by every span
+    * producer (corpus-dup spans, eval-leak spans).
+    */
+  private def islandSpans(marked: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
       .withColumn("island", col("pos") - row_number().over(wd))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("span_start"),
@@ -271,11 +279,10 @@ object TextOps {
       .select(col("doc_id"), col("span_start"), col("span_len"))
   }
 
-  /** DuckDB mirror of [[dupSpans]] as CTE bodies ending in
-    * `spans(doc_id, span_start, span_len)` — shared by both span
-    * oracles so they cannot drift.
+  /** DuckDB mirror of the positioned 8-gram frame (toks + g8 CTEs),
+    * shared by every span oracle.
     */
-  private val spansCte =
+  private val gramPosCte =
     """toks AS (SELECT doc_id,
                   list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
                 FROM documents),
@@ -284,7 +291,14 @@ object TextOps {
                 unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
                         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]
                         for i in range(1, len(toks) - 6)]) AS g
-              FROM toks),
+              FROM toks)"""
+
+  /** DuckDB mirror of [[dupSpans]] as CTE bodies ending in
+    * `spans(doc_id, span_start, span_len)` — shared by both
+    * corpus-dup span oracles so they cannot drift.
+    */
+  private val spansCte =
+    s"""$gramPosCte,
        dup AS (SELECT g FROM g8 GROUP BY g HAVING min(doc_id) <> max(doc_id)),
        isl AS (SELECT doc_id, pos,
                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
@@ -1109,6 +1123,36 @@ object TextOps {
         .select(col("n_contam_exact"), col("recall_ok"),
           when(col("n_flagged") - col("n_contam_exact") <=
             math.max(1L, nTrainDocs / 100L), 1).otherwise(0).cast("int").as("fp_ok"))
+    },
+
+    // ---- eval-leak span excision (span-level decontamination) ---------------
+    // q_decontaminate FLAGS whole training documents sharing any
+    // 8-gram with the eval slice; dropping a whole doc for one quoted
+    // sentence over-deletes. This emits the exact leaked SPANS in
+    // TRAINING docs — maximal runs (>= 16 tokens) whose every 8-gram
+    // occurs in some eval doc — the input for surgical excision via
+    // the q_dedup_spans_apply machinery instead of doc-level drops.
+    // Scale shape: the eval membership mark is a window max over the
+    // same one by-gram exchange the dup-span detector uses (no join
+    // against a gram set; the eval side rides the same shuffle), then
+    // the shared gaps-and-islands merge. Train-side filter runs
+    // before the by-doc window, so eval rows never enter it.
+    "q_decontam_spans" -> Q(
+      s"""WITH $gramPosCte,
+          evalg AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 50 = 0),
+          isl AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                  FROM g8 WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM evalg))
+          SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 8 AS span_len
+          FROM isl GROUP BY doc_id, island
+          HAVING max(pos) - min(pos) + 8 >= 16
+          ORDER BY doc_id, span_start""") { (s, d) =>
+      val wg = Window.partitionBy(col("g"))
+      islandSpans(gramRows(s, d, 8)
+        .withColumn("in_eval",
+          max(when(col("doc_id") % 50 === 0, 1).otherwise(0)).over(wg))
+        .filter(col("in_eval") === 1 && col("doc_id") % 50 =!= 0))
+        .orderBy(col("doc_id"), col("span_start"))
     },
 
     // ---- training-mixture construction (weighted up/down-sampling) ----------
