@@ -91,11 +91,18 @@ object GenScale {
     // data instead of multiplying per-hour-bucket counts in place.
     // Output is TIMESTAMP_MICROS, the regenerated testdata's encoding,
     // so Tables.t plain-reads it back.
+    val prevOutTs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    write(explodeCopies(Tables.t(spark, srcDir, "events"))
+    try write(explodeCopies(Tables.t(spark, srcDir, "events"))
       .withColumn("event_id", shift("event_id"))
       .withColumn("user_id", shift("user_id"))
       .withColumn("ts", expr("timestampadd(DAY, __k * 400, ts)")), "events")
+    finally prevOutTs match {
+      // restore: a reused live session (GenScaleSpec) must not keep
+      // the writer conf this main set
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
 
     // documents: per-copy letter substitution keeps copies' shingle
     // spaces disjoint. TWO disjoint rotation families compose to

@@ -104,6 +104,58 @@ object Streams {
         .drop("toks", "n_tokens", "stop_ratio"),
       watermark)
 
+  /** Stream-side n-gram decontamination — the batch q_decontam_bloom
+    * shape moved to the INGEST path: a bloom filter over the static
+    * eval set's word-8-gram hashes rides into every task as a
+    * fixed-byte literal, and a streaming doc is dropped if ANY of its
+    * 8-grams hits the filter. Entirely stateless map-side work (grams
+    * are built inside the row with array ops — no shuffle, no state,
+    * no watermark), so contamination never reaches the stored corpus
+    * no matter how long the stream runs and state cost is ZERO.
+    * Bloom guarantees transfer from the batch twin: a contaminated
+    * doc is ALWAYS dropped (no false negatives); a clean doc is lost
+    * only at the filter's fpp (~1e-6 at the sizing below). Hash
+    * family matches the batch pipeline (xxhash64 over the
+    * space-joined lowercase gram), so one filter serves both paths.
+    */
+  def decontaminateDocs(docs: DataFrame, evalBloom: Array[Byte]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("toks", expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+      .withColumn("g8h", expr(
+        """CASE WHEN size(toks) >= 8 THEN
+             transform(sequence(0, size(toks) - 8),
+                       i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 8))))
+           ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      .filter(!exists(col("g8h"),
+        h => call_function("bloom_contains", lit(evalBloom), h)))
+      .drop("toks", "g8h")
+  }
+
+  /** The once-per-benchmark eval-gram bloom [[decontaminateDocs]]
+    * broadcasts: word-8-gram xxhash64s of `evalDocs`' text column,
+    * sized by the batch q_decontam_bloom rule (29 bits/item ≈ 1e-6
+    * fpp, inside Spark's runtime-filter caps).
+    */
+  def evalGramBloom(spark: org.apache.spark.sql.SparkSession,
+                    evalDocs: DataFrame): Array[Byte] = {
+    graft.functions.GraftFunctions.register(spark)
+    evalDocs
+      .selectExpr("filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+      .selectExpr(
+        """explode(CASE WHEN size(toks) >= 8 THEN
+             transform(sequence(0, size(toks) - 8),
+                       i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 8))))
+           ELSE CAST(array() AS ARRAY<BIGINT>) END) AS h""")
+      .createOrReplaceTempView("graft_stream_eval_g")
+    val n = spark.table("graft_stream_eval_g").count()
+    require(n > 0, "eval corpus contributed no 8-grams")
+    val items = math.min(4000000L, math.max(1000L, n))
+    val bits = math.min(67108864L, items * 29L)
+    spark.sql(s"SELECT bloom_agg(h, ${items}L, ${bits}L) FROM graft_stream_eval_g")
+      .head.getAs[Array[Byte]](0)
+  }
+
   /** Streaming NEAR-duplicate suppression: banded MinHash-LSH as a
     * chain of bounded-state dedups. The 16-slot minhash signature over
     * word-3-gram shingles is computed entirely INSIDE each row (array

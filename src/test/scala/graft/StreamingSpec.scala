@@ -247,4 +247,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(all.map(r => (r.getLong(0), r.getInt(1))).toSeq.contains((1L, 1)))
     } finally q.stop()
   }
+
+  test("streaming decontamination drops every eval-gram-sharing doc, keeps the rest (stateless)") {
+    import spark.implicits._
+    // eval doc: 10-token run s1..s10 (3 full 8-grams) plus a marker
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val bloom = Streams.evalGramBloom(spark, Seq(shared + " epost").toDF("text"))
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.decontaminateDocs(src.toDF().toDF("doc_id", "text", "ts"), bloom)
+    val q = out.writeStream.format("memory").queryName("decontam_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        (1L, "clean " + (1 to 30).map(i => s"a$i").mkString(" "), ts(1)),    // unique grams → kept
+        (2L, "leak here " + shared + " tail end", ts(2)),                    // carries eval 8-grams → dropped
+        (3L, (1 to 7).map(i => s"s$i").mkString(" "), ts(3)))                // < 8 tokens, no gram → kept
+      q.processAllAvailable()
+      // a later batch through the SAME filter — stateless, so behavior
+      // is identical regardless of stream position
+      src.addData((4L, "another " + shared.replace("s5", "zz") + " variant", ts(4)))
+      q.processAllAvailable()
+      val kept = spark.table("decontam_out").select("doc_id").as[Long].collect().toSet
+      // doc 4 breaks the run at s5: its longest eval-shared run is 4
+      // tokens (< 8) on either side → no full 8-gram hit → kept
+      assert(kept == Set(1L, 3L, 4L), kept)
+    } finally q.stop()
+  }
 }
