@@ -107,8 +107,43 @@ object StreamBench {
     val (secs10, kept10, peak10) = runDedup(docs10)
 
     val stateBoundOk = peak10 <= 3 * math.max(peak1, 1L)
+
+    // ---- phase 4: stream-side bloom decontamination -----------------------
+    // The stateless ingest-path filter: eval-gram bloom from the
+    // doc_id % 50 == 0 slice, full corpus streamed through it.
+    // recall_ok gates the bloom's no-false-negative guarantee against
+    // the batch exact contamination relation: every doc the exact
+    // batch query flags MUST be dropped by the stream filter.
+    val evalBloom = Streams.evalGramBloom(spark,
+      Tables.t(spark, sfDir, "documents").filter($"doc_id" % 50 === 0).select("text"))
+    val (dcSecs, dcKept) = {
+      val src = MemoryStream[(Long, String, Timestamp)]
+      val kept = new java.util.concurrent.atomic.AtomicLong(0L)
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = Streams.decontaminateDocs(src.toDF().toDF("doc_id", "text", "ts"), evalBloom)
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          val ids = b.select("doc_id").collect().map(_.getLong(0))
+          kept.addAndGet(ids.length); ids.foreach(keptIds.add); ()
+        }.start()
+      val t0 = System.nanoTime()
+      docs1.grouped(500).foreach { c => src.addData(c: _*); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      // exact contaminated TRAIN doc ids from the batch relation
+      val exact = SparkEntry.queries("q_decontaminate")(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val keptSet = {
+        val it = keptIds.iterator(); val b = Set.newBuilder[Long]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      require((exact & keptSet).isEmpty,
+        s"bloom false negative: ${(exact & keptSet).take(5)} kept despite exact contamination")
+      (secs, kept.get())
+    }
+
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":true}}""")
     spark.stop()
   }
 }
