@@ -317,5 +317,11 @@ class PlanSpec extends AnyFunSuite {
     // join back
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).size
     assert(specs >= 2, p)
+    // eval-leak excision shares the shape: the eval membership mark
+    // rides the same by-gram exchange as a window max — no join
+    // against a gram set anywhere
+    val pd = plan("q_decontam_spans")
+    assert(!pd.contains("Join"), pd)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(pd).size == 5, pd)
   }
 }
