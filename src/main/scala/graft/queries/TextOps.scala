@@ -1462,6 +1462,44 @@ object TextOps {
       qualityFrame(s, d).orderBy(col("doc_id"))
     },
 
+    // ---- hashed-linear quality-classifier application ---------------------
+    // The heuristic quality rules above are hand-set thresholds; real
+    // curation pipelines APPLY A TRAINED CLASSIFIER (CCNet/GPT-3-style
+    // fastText over hashed token features). This is that application
+    // shape end to end: hash each token to a feature id, look up its
+    // weight, score = mean weight, keep = sign. Weights here are
+    // derived deterministically FROM the feature hash (integer range
+    // [-1e6, 1e6] scaled to [-1, 1]) as a stand-in for the trained
+    // vector — in production the weight table is a broadcast map, and
+    // NOTHING else in the plan changes: per-token md5-derived hashing
+    // and weighting are map-side, the per-doc mean is one
+    // partial-aggregable integer sum (order-independent, so the
+    // double score is bit-identical across engines), zero joins. The
+    // oracle reproduces weights exactly via the same md5-60bit
+    // construction (q_sample_weighted trick).
+    "q_quality_model" -> Q(
+      """WITH t AS (SELECT doc_id,
+                      unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+                    FROM documents),
+          w AS (SELECT doc_id,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2000001 - 1000000 AS wi
+                FROM t),
+          a AS (SELECT doc_id, CAST(sum(wi) AS BIGINT) AS sw, count(*) AS n
+                FROM w GROUP BY doc_id)
+          SELECT doc_id, CAST(sw AS DOUBLE) / (1e6 * n) AS score,
+                 CAST(CASE WHEN sw > 0 THEN 1 ELSE 0 END AS INT) AS keep
+          FROM a ORDER BY doc_id""") { (s, d) =>
+      toksFrame(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .selectExpr("doc_id",
+          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 2000001 - 1000000 AS wi")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wi")).cast("bigint").as("sw"), count(lit(1)).as("n"))
+        .selectExpr("doc_id", "CAST(sw AS DOUBLE) / (1e6 * n) AS score",
+          "CAST(CASE WHEN sw > 0 THEN 1 ELSE 0 END AS INT) AS keep")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- per-source quality mix (curation reporting) ----------------------
     // The report a curation run ends with: per source, how many docs
     // land in each quality class and what share of the source that is.
