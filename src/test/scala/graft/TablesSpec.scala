@@ -77,10 +77,14 @@ class TablesSpec extends AnyFunSuite {
   }
 
   private def writeMicrosFixture(dir: String): Unit = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
     // Spark's TIMESTAMP_MICROS output matches the regenerated testdata
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    writeMicrosFixtureAt(dir)
+  }
+
+  private def writeMicrosFixtureAt(dir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     instantsMicros.zipWithIndex
       .map { case (us, i) => (i.toLong, us, 100L + i, s"type_$i", i * 1.5, "{}") }
       .toDF("event_id", "us", "user_id", "event_type", "value", "props")
@@ -90,19 +94,34 @@ class TablesSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
-  test("events loader yields identical rows for NANOS and MICROS parquet encodings") {
+  private def writeInt96Fixture(dir: String): Unit = {
+    // the third encoding the generator could plausibly emit: legacy
+    // INT96 (no logical-type annotation at all — the loader must take
+    // the plain-read path, not the ns-division path)
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try writeMicrosFixtureAt(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  test("events loader yields identical rows for NANOS, MICROS, and INT96 parquet encodings") {
     val base = Files.createTempDirectory("tablespec").toString
-    val nanosDir = s"$base/nanos"; val microsDir = s"$base/micros"
+    val nanosDir = s"$base/nanos"; val microsDir = s"$base/micros"; val int96Dir = s"$base/int96"
     Files.createDirectories(Paths.get(nanosDir))
     writeNanosFixture(nanosDir)
     writeMicrosFixture(microsDir)
+    writeInt96Fixture(int96Dir)
     def load(dir: String): Seq[String] =
       Tables.t(spark, dir, "events")
         .selectExpr("event_id", "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts",
           "user_id", "event_type", "value", "props")
         .collect().map(_.mkString("|")).toSeq.sorted
-    val n = load(nanosDir); val m = load(microsDir)
+    val n = load(nanosDir); val m = load(microsDir); val i = load(int96Dir)
     assert(n.nonEmpty && n == m, s"NANOS vs MICROS mismatch:\n  nanos=$n\n  micros=$m")
+    assert(i == m, s"INT96 vs MICROS mismatch:\n  int96=$i\n  micros=$m")
     // and the instants landed where they were planted, not in 1970
     assert(n.head.contains("2021-01-01 00:00:00.000001"), n.head)
   }
