@@ -116,7 +116,7 @@ object StreamBench {
     // batch query flags MUST be dropped by the stream filter.
     val evalBloom = Streams.evalGramBloom(spark,
       Tables.t(spark, sfDir, "documents").filter($"doc_id" % 50 === 0).select("text"))
-    val (dcSecs, dcKept) = {
+    val (dcSecs, dcKept, dcRecallOk) = {
       val src = MemoryStream[(Long, String, Timestamp)]
       val kept = new java.util.concurrent.atomic.AtomicLong(0L)
       val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
@@ -130,20 +130,21 @@ object StreamBench {
       docs1.grouped(500).foreach { c => src.addData(c: _*); q.processAllAvailable() }
       val secs = (System.nanoTime() - t0) / 1e9
       q.stop()
-      // exact contaminated TRAIN doc ids from the batch relation
+      // exact contaminated TRAIN doc ids from the batch relation; the
+      // artifact records the COMPUTED verdict (a false negative must
+      // show as recall_ok:false in the JSON, not crash the bench after
+      // all four phases already ran)
       val exact = SparkEntry.queries("q_decontaminate")(spark, sfDir)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val keptSet = {
         val it = keptIds.iterator(); val b = Set.newBuilder[Long]
         while (it.hasNext) b += it.next(); b.result()
       }
-      require((exact & keptSet).isEmpty,
-        s"bloom false negative: ${(exact & keptSet).take(5)} kept despite exact contamination")
-      (secs, kept.get())
+      (secs, kept.get(), (exact & keptSet).isEmpty)
     }
 
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":true}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk}}""")
     spark.stop()
   }
 }

@@ -20,4 +20,15 @@ object QualityRule {
     */
   val floorSql: String =
     s"n_tokens >= $minTokens AND n_tokens <= $maxTokens AND stop_ratio <= $maxStopRatio"
+
+  /** The ONE bloom-filter sizing rule for eval-gram decontamination,
+    * shared by the batch q_decontam_bloom and the streaming
+    * decontaminateDocs filter: (items, bits) from the measured eval
+    * gram cardinality — 29 bits/item ≈ 1e-6 fpp, clamped inside
+    * Spark's runtime-filter caps (4M items / 64M bits).
+    */
+  def bloomSizing(nEvalGrams: Long): (Long, Long) = {
+    val items = math.min(4000000L, math.max(1000L, nEvalGrams))
+    (items, math.min(67108864L, items * 29L))
+  }
 }

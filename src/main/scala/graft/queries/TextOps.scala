@@ -1107,8 +1107,7 @@ object TextOps {
       // frame makes this count cheap), inside Spark's runtime-filter
       // caps (4M items / 64M bits); 29 bits/item ≈ fpp 1e-6
       val nEval = s.table("graft_bloom_eval").count()
-      val estItems = math.min(4000000L, math.max(1000L, nEval))
-      val numBits = math.min(67108864L, estItems * 29L)
+      val (estItems, numBits) = QualityRule.bloomSizing(nEval)
       val flagged = s.sql(
         s"""SELECT DISTINCT doc_id FROM graft_bloom_train
             WHERE bloom_contains(

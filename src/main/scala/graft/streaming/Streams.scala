@@ -118,42 +118,52 @@ object Streams {
     * family matches the batch pipeline (xxhash64 over the
     * space-joined lowercase gram), so one filter serves both paths.
     */
+  /** The ONE in-row word-8-gram xxhash64 expression (yields
+    * `ARRAY<BIGINT>` from a `text` column) — the bloom's
+    * no-false-negative guarantee holds only while the build side and
+    * the probe side hash with the same family, so both use this
+    * constant; a unilateral edit to either would silently break the
+    * filter.
+    */
+  private val toksSql = """filter(split(lower(text), '\\s+'), x -> x != '')"""
+  private val gram8HashSql = // over a `toks` column added via toksSql
+    """CASE WHEN size(toks) >= 8 THEN
+         transform(sequence(0, size(toks) - 8),
+                   i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 8))))
+       ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+
   def decontaminateDocs(docs: DataFrame, evalBloom: Array[Byte]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("toks", expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
-      .withColumn("g8h", expr(
-        """CASE WHEN size(toks) >= 8 THEN
-             transform(sequence(0, size(toks) - 8),
-                       i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 8))))
-           ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      .withColumn("toks", expr(toksSql))
+      .withColumn("g8h", expr(gram8HashSql))
       .filter(!exists(col("g8h"),
         h => call_function("bloom_contains", lit(evalBloom), h)))
       .drop("toks", "g8h")
   }
 
   /** The once-per-benchmark eval-gram bloom [[decontaminateDocs]]
-    * broadcasts: word-8-gram xxhash64s of `evalDocs`' text column,
-    * sized by the batch q_decontam_bloom rule (29 bits/item ≈ 1e-6
-    * fpp, inside Spark's runtime-filter caps).
+    * broadcasts: word-8-gram xxhash64s of `evalDocs`' text column
+    * (same [[gram8HashSql]] family as the probe side), sized by the
+    * shared batch rule [[graft.queries.QualityRule.bloomSizing]]
+    * (29 bits/item ≈ 1e-6 fpp, inside Spark's runtime-filter caps).
+    * The exploded hash frame is persisted so the count and the
+    * aggregate run one tokenization, not two.
     */
   def evalGramBloom(spark: org.apache.spark.sql.SparkSession,
                     evalDocs: DataFrame): Array[Byte] = {
     graft.functions.GraftFunctions.register(spark)
-    evalDocs
-      .selectExpr("filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
-      .selectExpr(
-        """explode(CASE WHEN size(toks) >= 8 THEN
-             transform(sequence(0, size(toks) - 8),
-                       i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 8))))
-           ELSE CAST(array() AS ARRAY<BIGINT>) END) AS h""")
-      .createOrReplaceTempView("graft_stream_eval_g")
-    val n = spark.table("graft_stream_eval_g").count()
-    require(n > 0, "eval corpus contributed no 8-grams")
-    val items = math.min(4000000L, math.max(1000L, n))
-    val bits = math.min(67108864L, items * 29L)
-    spark.sql(s"SELECT bloom_agg(h, ${items}L, ${bits}L) FROM graft_stream_eval_g")
-      .head.getAs[Array[Byte]](0)
+    val hashes = evalDocs
+      .withColumn("toks", expr(toksSql))
+      .selectExpr(s"explode($gram8HashSql) AS h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = hashes.count()
+      require(n > 0, "eval corpus contributed no 8-grams")
+      val (items, bits) = graft.queries.QualityRule.bloomSizing(n)
+      hashes.agg(expr(s"bloom_agg(h, ${items}L, ${bits}L)"))
+        .head.getAs[Array[Byte]](0)
+    } finally hashes.unpersist(blocking = false)
   }
 
   /** Streaming NEAR-duplicate suppression: banded MinHash-LSH as a

@@ -77,9 +77,16 @@ class TablesSpec extends AnyFunSuite {
   }
 
   private def writeMicrosFixture(dir: String): Unit = {
-    // Spark's TIMESTAMP_MICROS output matches the regenerated testdata
+    // Spark's TIMESTAMP_MICROS output matches the regenerated
+    // testdata; capture/restore like the INT96 sibling so fixture
+    // order can't leak writer conf into the shared session
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    writeMicrosFixtureAt(dir)
+    try writeMicrosFixtureAt(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
   }
 
   private def writeMicrosFixtureAt(dir: String): Unit = {
