@@ -158,6 +158,29 @@ object TextOps {
       .select(col("doc_id"), col("pos"), col("g"))
   }
 
+  /** (doc_id, w1, w2) word-bigram rows — the n=2 sibling of gramRows
+    * kept as separate columns (the LM scorer joins on the left word
+    * alone for context counts, so the concat form would force a
+    * re-split). Same tokenizer, same lead-window shape.
+    */
+  private def bigramRows(s: SparkSession, d: String): DataFrame = {
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toksFrame(s, d)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok").as("w1"),
+        lead(col("tok"), 1).over(wLead).as("w2"))
+      .filter(col("w2").isNotNull)
+  }
+
+  /** Corpus vocabulary size (distinct tokens) — one scalar per
+    * dataset, memoized like nDocs; the add-one smoothing denominator.
+    */
+  private val vocabMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def vocabSize(s: SparkSession, d: String): Long =
+    vocabMemo.getOrElseUpdate(d, toksFrame(s, d)
+      .select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok"))).head.getLong(0))
+
   private def shingleRows(s: SparkSession, d: String): DataFrame = memoized(s, s"shingles:$d") {
     gramRows(s, d, 3)
       .select(col("doc_id"), col("g").as("sh"))
@@ -1496,6 +1519,66 @@ object TextOps {
         .agg(sum(col("wi")).cast("bigint").as("sw"), count(lit(1)).as("n"))
         .selectExpr("doc_id", "CAST(sw AS DOUBLE) / (1e6 * n) AS score",
           "CAST(CASE WHEN sw > 0 THEN 1 ELSE 0 END AS INT) AS keep")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- bigram-LM perplexity scoring (the CCNet/KenLM-style filter) ------
+    // The OTHER published quality signal next to the classifier
+    // (q_quality_model): score each document by its per-token cross-
+    // entropy under an n-gram language model trained on the corpus
+    // itself — high-perplexity docs are the boilerplate/gibberish
+    // tail a curation pipeline trims. Model = add-one-smoothed bigram
+    // conditionals, p(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V).
+    //
+    // Cross-engine float discipline: a per-doc SUM of ln() terms is
+    // order-dependent in doubles, so each bigram type's ln-prob is
+    // rounded to integer MICRO-NATS first (deterministic per type),
+    // per-doc totals are then exact integer sums of count×micro, and
+    // only the final average divides back to a rounded double — the
+    // same trick that makes q_quality_model and the winnowing sketch
+    // engine-exact.
+    //
+    // 100 TB shape: both model tables (bigram counts, left-context
+    // counts) are vocabulary-sized partial aggregates — Zipf keeps
+    // them orders of magnitude below the corpus, so the scoring join
+    // broadcasts the model over the per-doc bigram-type frame; the
+    // per-doc reduction is an integer partial agg. Nothing in the
+    // pipeline is corpus-pair-sized. Docs with <2 tokens have no
+    // bigrams and drop out (both engines, by the inner model join).
+    "q_lm_perplexity" -> Q(
+      """WITH toksrc AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+            FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+                  unnest([toks[i+1] for i in range(1, len(toks))]) AS w2
+                FROM toksrc),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(toks) AS tok FROM toksrc)),
+         ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         model AS (SELECT bgc.w1, bgc.w2,
+                     CAST(round(ln((bgc.c12 + 1.0) / (ctx.c1 + v.v)) * 1000000) AS BIGINT) AS micro
+                   FROM bgc JOIN ctx ON bgc.w1 = ctx.w1 CROSS JOIN v),
+         docbg AS (SELECT doc_id, w1, w2, count(*) AS dc FROM bg GROUP BY doc_id, w1, w2)
+         SELECT d.doc_id, CAST(sum(d.dc) AS BIGINT) AS n_bigrams,
+                round(-CAST(sum(d.dc * m.micro) AS DOUBLE) / 1000000 / CAST(sum(d.dc) AS DOUBLE), 6) AS avg_nll
+         FROM docbg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+         GROUP BY d.doc_id ORDER BY doc_id""") { (s, d) =>
+      val v = vocabSize(s, d)
+      val bg = bigramRows(s, d)
+      val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val model = bgc.join(ctx, Seq("w1"))
+        .selectExpr("w1", "w2",
+          s"CAST(round(ln((c12 + 1.0) / (c1 + ${v}L)) * 1000000) AS BIGINT) AS micro")
+      val docbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("dc"))
+      docbg.join(broadcast(model), Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("dc")).as("nb"), sum(col("dc") * col("micro")).as("sm"))
+        .selectExpr("doc_id", "CAST(nb AS BIGINT) AS n_bigrams",
+          "round(-CAST(sm AS DOUBLE) / 1000000 / CAST(nb AS DOUBLE), 6) AS avg_nll")
         .orderBy(col("doc_id"))
     },
 

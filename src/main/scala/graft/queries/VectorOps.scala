@@ -387,7 +387,94 @@ object VectorOps {
     // linearity gate in VectorOpsSpec.
     "q_dedup_embed" -> Q.noOracle { (s, d) =>
       embedNearDups(s, d, minCosine = 0.3, topPairs = Some(50))
+    },
+
+    // ---- SemDeDup: cluster-then-prune semantic dedup ----------------------
+    // The published cluster-based treatment (Abbas et al. 2023,
+    // "SemDeDup"): k-means-style assignment bounds the pairwise
+    // cosine search to WITHIN clusters, turning the quadratic
+    // all-pairs scan into per-cluster work. Deterministic stand-in
+    // codebook (centroids = the vec_id % 53 == 0 corpus slice — a
+    // trained codebook is the same broadcast table with the same
+    // plan), so the whole operator carries a full DuckDB hash-match
+    // oracle; the planted-duplicate spec gates the drop semantics at
+    // a production threshold.
+    //
+    // 100 TB shape: k scales WITH the corpus (the modular rule keeps
+    // E[cluster] ≈ 53 rows at any n — SemDeDup's own k ∝ n choice),
+    // so intra-cluster candidate pairs stay ~26·n, linear. Assignment
+    // is one corpus scan against the broadcast codebook; the n×k
+    // scored rows never reach an exchange — the argmax is a
+    // max_by-style partial aggregate, collapsed map-side to one row
+    // per vector (k-means assignment flops are inherently n·k; the
+    // SHUFFLE is what must stay linear, and does). At extreme k the
+    // codebook broadcast itself outgrows tasks and a coarse-quantize
+    // routing level goes in front — same plan, two tiers. Ties (equal
+    // cosine) resolve to the lowest cid in both engines; zero-norm
+    // vectors are excluded on both sides (cosine undefined).
+    "q_dedup_semantic" -> Q(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         live AS (SELECT vec_id, v FROM e
+                  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+         c AS (SELECT vec_id AS cid, v AS cv FROM live WHERE vec_id % 53 = 0),
+         scored AS (SELECT live.vec_id, c.cid,
+                      list_cosine_similarity(live.v, c.cv) AS cos
+                    FROM live CROSS JOIN c),
+         asg AS (SELECT vec_id, cid FROM
+                   (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cid) AS rk
+                    FROM scored) WHERE rk = 1),
+         dropped AS (SELECT DISTINCT b.vec_id AS did
+                     FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                     JOIN live x ON x.vec_id = a.vec_id
+                     JOIN live y ON y.vec_id = b.vec_id
+                     WHERE list_cosine_similarity(x.v, y.v) >= 0.35)
+         SELECT asg.vec_id, asg.cid,
+                CAST(CASE WHEN dropped.did IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+         FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.did
+         ORDER BY asg.vec_id""") { (s, d) =>
+      semanticDedup(s, d, minCosine = 0.35)
     }
   )
+
+  /** [[q_dedup_semantic]] pipeline at a parameterized threshold — the
+    * declared query uses the demonstrative 0.35 (the synthetic corpus
+    * has no true near-dups); the planted-duplicate spec calls this at
+    * a production ≥0.9.
+    */
+  def semanticDedup(s: SparkSession, d: String, minCosine: Double): DataFrame = {
+    val live = registered(s, d).filter(expr("dot_product(v, v) > 0"))
+      .selectExpr("vec_id", "v", "sqrt(dot_product(v, v)) AS nv")
+    val cents = live.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("nc"))
+    // argmax cosine over the broadcast codebook: max of (cos, -cid)
+    // structs — partial-aggregable, so the k scored copies of each
+    // vector collapse map-side (they are task-local: the crossJoin
+    // preserves the corpus partitioning) and the exchange carries one
+    // row per vector. Ties on cos pick max(-cid) = min cid, matching
+    // the oracle's ORDER BY cos DESC, cid.
+    val asg = live.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "cid", "dot_product(v, cv) / (nv * nc) AS cos")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m").getField("ncid")).as("cid"))
+    // vectors ride back in by one keyed join, then the intra-cluster
+    // self-join — candidate volume ≈ cluster_size/2 pairs per row,
+    // constant by the k ∝ n rule
+    val av = asg.join(live.select(col("vec_id"), col("v"), col("nv")), Seq("vec_id"))
+    val dropped = av.select(col("cid"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nv").as("na"))
+      .join(av.select(col("cid"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nv").as("nb")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .selectExpr("id_b", "dot_product(va, vb) / (na * nb) AS cos")
+      .filter(col("cos") >= minCosine)
+      .select(col("id_b").as("vec_id")).distinct()
+    asg.join(dropped.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cid",
+        "CAST(CASE WHEN dropped IS NULL THEN 1 ELSE 0 END AS INT) AS keep")
+      .orderBy(col("vec_id"))
+  }
 
 }

@@ -465,4 +465,59 @@ class GroundTruthSpec extends AnyFunSuite {
       graft.engine.Persist.deleteRecursively(Paths.get(dir))
     }
   }
+
+  test("semantic dedup at cosine 0.9 drops exactly the planted clones") {
+    // SemDeDup on the planted-clone fixture at a production threshold:
+    // the organic corpus maxes out near cosine 0.5, so precision must
+    // be exact (only planted clones drop); recall tolerates the rare
+    // clone whose argmax assignment flips to a different cluster than
+    // its source under the 0.1σ perturbation.
+    val rows = graft.queries.VectorOps.semanticDedup(spark, fixDir, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    spark.catalog.clearCache()
+    val byId = rows.map(r => r._1 -> r).toMap
+    val clones = embIds.map(_ + EmbOff).toSet
+    assert(embIds.forall(id => byId(id)._3 == 1),
+      s"a source vector was dropped: ${embIds.filter(id => byId(id)._3 == 0)}")
+    val dropped = rows.filter(_._3 == 0).map(_._1).toSet
+    assert(dropped.subsetOf(clones),
+      s"organic vectors dropped: ${dropped -- clones}")
+    val rec = dropped.size.toDouble / clones.size
+    info(f"semantic dedup: recall $rec%.3f (${dropped.size}/${clones.size} clones dropped)")
+    assert(rec >= 0.9, f"recall $rec%.3f < 0.9")
+    // every dropped clone shares its source's cluster — the drop came
+    // from the planted pair, not an accidental organic collision
+    dropped.foreach { c =>
+      assert(byId(c)._2 == byId(c - EmbOff)._2,
+        s"clone $c dropped in cluster ${byId(c)._2} != source cluster ${byId(c - EmbOff)._2}")
+    }
+  }
+
+  test("LM perplexity ranks gibberish far above repetitive text (planted truth)") {
+    import spark.implicits._
+    // 30 identical docs cycling one 8-word phrase (every bigram seen
+    // hundreds of times -> low cross-entropy) + one doc of 41 tokens
+    // that never repeat (every bigram count 1 -> add-one smoothing
+    // floor). The planted separation is >1 nat by construction.
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    val common = (0L until 30L).map(i => (i, ((phrase + " ") * 5).trim))
+    val gib = (99L, (1 to 41).map(i => s"uniq$i").mkString(" "))
+    val dir = Files.createTempDirectory("graft-lm").toString
+    try {
+      (common :+ gib).map { case (id, t) => (id, t, "en", "srcL", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("q_lm_perplexity")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val commonScores = (0L until 30L).map(out)
+      info(f"avg_nll: common ${commonScores.max}%.4f gibberish ${out(99L)}%.4f")
+      // identical text -> identical score (the model is corpus-global)
+      assert(commonScores.toSet.size == 1, s"identical docs scored differently: $commonScores")
+      assert(out(99L) > commonScores.max + 1.0,
+        f"gibberish ${out(99L)}%.4f not >1 nat above common ${commonScores.max}%.4f")
+    } finally {
+      graft.queries.TextOps.releaseCaches()
+      graft.engine.Persist.deleteRecursively(Paths.get(dir))
+    }
+  }
 }

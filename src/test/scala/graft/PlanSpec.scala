@@ -324,4 +324,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!pd.contains("Join"), pd)
     assert("\\(\\d+\\) Exchange".r.findAllIn(pd).size == 5, pd)
   }
+
+  test("LM perplexity broadcasts the model; every aggregate is partial+final") {
+    val p = plan("q_lm_perplexity")
+    // the scale claim: model tables are vocabulary-sized, so the
+    // per-doc scoring join must BROADCAST the model over the bigram
+    // frame — a shuffled scoring join would re-exchange the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // ctx / bgc / docbg / per-doc reduction all combine map-side
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("semantic dedup broadcasts the codebook; assignment argmax is a partial aggregate") {
+    val p = plan("q_dedup_semantic")
+    // codebook rides to every task as a broadcast nested-loop join —
+    // the n×k scored rows must never hit an exchange; the argmax is a
+    // partial+final max-of-struct (same shape as q_lww_agg), so the
+    // assignment exchange carries ONE row per vector
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
