@@ -1534,9 +1534,13 @@ object TextOps {
     // order-dependent in doubles, so each bigram type's ln-prob is
     // rounded to integer MICRO-NATS first (deterministic per type),
     // per-doc totals are then exact integer sums of count×micro, and
-    // only the final average divides back to a rounded double — the
-    // same trick that makes q_quality_model and the winnowing sketch
-    // engine-exact.
+    // the final average divides back to a double in ONE unrounded
+    // IEEE division chain — the same trick that makes q_quality_model
+    // and the winnowing sketch engine-exact. No round() on the
+    // output: integer sums divided by nb can land exactly on a
+    // decimal half-tick, where Spark (decimal-string HALF_UP) and
+    // DuckDB (binary-double scaling) break the tie differently —
+    // observed as 2/5000 mismatching rows at sf0.1 before this form.
     //
     // 100 TB shape: both model tables (bigram counts, left-context
     // counts) are vocabulary-sized partial aggregates — Zipf keeps
@@ -1562,7 +1566,7 @@ object TextOps {
                    FROM bgc JOIN ctx ON bgc.w1 = ctx.w1 CROSS JOIN v),
          docbg AS (SELECT doc_id, w1, w2, count(*) AS dc FROM bg GROUP BY doc_id, w1, w2)
          SELECT d.doc_id, CAST(sum(d.dc) AS BIGINT) AS n_bigrams,
-                round(-CAST(sum(d.dc * m.micro) AS DOUBLE) / 1000000 / CAST(sum(d.dc) AS DOUBLE), 6) AS avg_nll
+                CAST(-sum(d.dc * m.micro) AS DOUBLE) / (1e6 * sum(d.dc)) AS avg_nll
          FROM docbg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
          GROUP BY d.doc_id ORDER BY doc_id""") { (s, d) =>
       val v = vocabSize(s, d)
@@ -1578,7 +1582,7 @@ object TextOps {
         .groupBy(col("doc_id"))
         .agg(sum(col("dc")).as("nb"), sum(col("dc") * col("micro")).as("sm"))
         .selectExpr("doc_id", "CAST(nb AS BIGINT) AS n_bigrams",
-          "round(-CAST(sm AS DOUBLE) / 1000000 / CAST(nb AS DOUBLE), 6) AS avg_nll")
+          "CAST(-sm AS DOUBLE) / (1e6 * nb) AS avg_nll")
         .orderBy(col("doc_id"))
     },
 
