@@ -165,6 +165,92 @@ case class Int8Round(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `cosine_argmax(array<double>, array<struct<cid bigint, cv array<double>>>)
+  * → bigint`: the id of the codebook row with the highest cosine to
+  * the input vector (ties → lowest cid; the codebook literal must be
+  * cid-ascending). The k-means-assignment kernel for SemDeDup-style
+  * clustering: the codebook rides in as a FOLDABLE literal, parsed
+  * once per task into primitive arrays (per-centroid norms
+  * precomputed with the same sequential x² accumulation as
+  * [[VectorKernels.dot]]), and each row runs k fused dot-products —
+  * no n×k row materialization, no aggregate, the projection stays
+  * inside whole-stage codegen. Cosine op order matches the pairwise
+  * form exactly (dot / (sqrt(Σx²)·sqrt(Σc²))), so results are
+  * bit-identical to the crossJoin+argmax plan and to DuckDB's
+  * list_cosine_similarity ranking.
+  */
+case class CosineArgmax(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "cosine_argmax"
+
+  // codebook parsed lazily from the foldable literal — once per task
+  // after deserialization (transient), shared by every row
+  @transient private lazy val codebook: (Array[Long], Array[Array[Double]], Array[Double]) = {
+    require(right.foldable, "cosine_argmax codebook must be a literal")
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val ids = new Array[Long](k)
+    val vecs = new Array[Array[Double]](k)
+    val norms = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1)
+      val dim = v.numElements()
+      val a = new Array[Double](dim)
+      var nn = 0.0
+      var j = 0
+      while (j < dim) { a(j) = v.getDouble(j); nn += a(j) * a(j); j += 1 }
+      vecs(i) = a
+      norms(i) = math.sqrt(nn)
+      i += 1
+    }
+    (ids, vecs, norms)
+  }
+
+  def evalVec(v: ArrayData): Long = {
+    val (ids, vecs, norms) = codebook
+    // copy the row vector to a primitive array ONCE — the k inner
+    // loops then run pure double[] arithmetic instead of paying a
+    // virtual ArrayData.getDouble per element per centroid
+    val dim = v.numElements()
+    val a = new Array[Double](dim)
+    var nv = 0.0
+    var i = 0
+    while (i < dim) { val x = v.getDouble(i); a(i) = x; nv += x * x; i += 1 }
+    val nrm = math.sqrt(nv)
+    var best = java.lang.Double.NEGATIVE_INFINITY
+    var bestId = -1L
+    var c = 0
+    while (c < ids.length) {
+      val cv = vecs(c)
+      val n = math.min(dim, cv.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += a(j) * cv(j); j += 1 }
+      val cos = dot / (nrm * norms(c))
+      if (cos > best) { best = cos; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalVec(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argmaxKernel", this, classOf[CosineArgmax].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.evalVec($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineArgmax =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration (idempotent) — callers that build their own
   * SparkSession can also install [[GraftExtensions]] instead.
   */
@@ -195,6 +281,8 @@ object GraftFunctions {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_argmax", exprs => CosineArgmax(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "int8_scale", exprs => Int8Scale(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -403,12 +403,12 @@ object VectorOps {
     // 100 TB shape: k scales WITH the corpus (the modular rule keeps
     // E[cluster] ≈ 53 rows at any n — SemDeDup's own k ∝ n choice),
     // so intra-cluster candidate pairs stay ~26·n, linear. Assignment
-    // is one corpus scan against the broadcast codebook; the n×k
-    // scored rows never reach an exchange — the argmax is a
-    // max_by-style partial aggregate, collapsed map-side to one row
-    // per vector (k-means assignment flops are inherently n·k; the
-    // SHUFFLE is what must stay linear, and does). At extreme k the
-    // codebook broadcast itself outgrows tasks and a coarse-quantize
+    // is one codegen'd PROJECTION over the corpus scan: the
+    // cosine_argmax kernel (functions.CosineArgmax) runs k fused
+    // dot-products per row against the literal codebook — n·k flops
+    // (inherent to exact k-means assignment) but zero extra rows,
+    // zero exchange, and partition-parallel. At extreme k the
+    // codebook literal itself outgrows tasks and a coarse-quantize
     // routing level goes in front — same plan, two tiers. Ties (equal
     // cosine) resolve to the lowest cid in both engines; zero-norm
     // vectors are excluded on both sides (cosine undefined).
@@ -446,23 +446,27 @@ object VectorOps {
   def semanticDedup(s: SparkSession, d: String, minCosine: Double): DataFrame = {
     val live = registered(s, d).filter(expr("dot_product(v, v) > 0"))
       .selectExpr("vec_id", "v", "sqrt(dot_product(v, v)) AS nv")
-    val cents = live.filter(col("vec_id") % 53 === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("nc"))
-    // argmax cosine over the broadcast codebook: max of (cos, -cid)
-    // structs — partial-aggregable, so the k scored copies of each
-    // vector collapse map-side (they are task-local: the crossJoin
-    // preserves the corpus partitioning) and the exchange carries one
-    // row per vector. Ties on cos pick max(-cid) = min cid, matching
-    // the oracle's ORDER BY cos DESC, cid.
-    val asg = live.crossJoin(broadcast(cents))
-      .selectExpr("vec_id", "cid", "dot_product(v, cv) / (nv * nc) AS cos")
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"))
-      .select(col("vec_id"), (-col("m").getField("ncid")).as("cid"))
-    // vectors ride back in by one keyed join, then the intra-cluster
-    // self-join — candidate volume ≈ cluster_size/2 pairs per row,
-    // constant by the k ∝ n rule
-    val av = asg.join(live.select(col("vec_id"), col("v"), col("nv")), Seq("vec_id"))
+    // codebook: a model-sized driver collect (the IVF-probe pattern),
+    // cid-ascending so the kernel's first-strict-max tie rule means
+    // lowest cid — matching the oracle's ORDER BY cos DESC, cid
+    val codebook: Seq[(Long, Seq[Double])] = live
+      .filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id"), col("v")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // assignment is ONE codegen'd projection: the cosine_argmax
+    // kernel runs k fused dot-products per row against the literal
+    // codebook — no n×k row materialization (the crossJoin+argmax
+    // form did exactly that and went super-linear at 30×: 52 s vs
+    // 2.6 s for this form), no aggregate, no exchange. The corpus
+    // keeps v/nv in the same projection, so the prune phase needs no
+    // vectors-rejoin either.
+    // persisted: the prune self-join reads av on BOTH sides and the
+    // final output a third time — without the cache boundary each
+    // consumer would re-run the n·k assignment kernel
+    val av = live.withColumn("cid",
+        call_function("cosine_argmax", col("v"), typedlit(codebook)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropped = av.select(col("cid"), col("vec_id").as("id_a"),
         col("v").as("va"), col("nv").as("na"))
       .join(av.select(col("cid"), col("vec_id").as("id_b"),
@@ -471,7 +475,8 @@ object VectorOps {
       .selectExpr("id_b", "dot_product(va, vb) / (na * nb) AS cos")
       .filter(col("cos") >= minCosine)
       .select(col("id_b").as("vec_id")).distinct()
-    asg.join(dropped.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+    av.select(col("vec_id"), col("cid"))
+      .join(dropped.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
       .selectExpr("vec_id", "cid",
         "CAST(CASE WHEN dropped IS NULL THEN 1 ELSE 0 END AS INT) AS keep")
       .orderBy(col("vec_id"))

@@ -336,15 +336,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 4, p)
   }
 
-  test("semantic dedup broadcasts the codebook; assignment argmax is a partial aggregate") {
+  test("semantic dedup assigns via the fused argmax kernel — no n×k rows anywhere") {
     val p = plan("q_dedup_semantic")
-    // codebook rides to every task as a broadcast nested-loop join —
-    // the n×k scored rows must never hit an exchange; the argmax is a
-    // partial+final max-of-struct (same shape as q_lww_agg), so the
-    // assignment exchange carries ONE row per vector
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // assignment must be the cosine_argmax PROJECTION against the
+    // literal codebook: no per-(vector, centroid) row set may exist
+    // in any form — no cross/nested-loop join, no window, no argmax
+    // aggregate (the crossJoin+max-of-struct form materialized n×k
+    // rows and went super-linear at the 30× scale point)
+    assert(p.contains("cosine_argmax"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
-    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
   }
 }
