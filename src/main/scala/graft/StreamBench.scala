@@ -143,8 +143,36 @@ object StreamBench {
       (secs, kept.get(), (exact & keptSet).isEmpty)
     }
 
+    // ---- phase 5: stream-side classifier scoring --------------------------
+    // The stateless hashed-linear quality classifier on the ingest
+    // path; parity_ok gates verdict equality against the batch
+    // q_quality_model keep set — stream and batch run the same
+    // integer arithmetic, so ANY divergence is a real defect and
+    // must surface in the artifact.
+    val (clSecs, clKept, clParityOk) = {
+      val src = MemoryStream[(Long, String, Timestamp)]
+      val keptIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = Streams.classifyDocs(src.toDF().toDF("doc_id", "text", "ts"))
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.select("doc_id").collect().map(_.getLong(0)).foreach(keptIds.add); ()
+        }.start()
+      val t0 = System.nanoTime()
+      docs1.grouped(500).foreach { c => src.addData(c: _*); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val batchKept = SparkEntry.queries("q_quality_model")(spark, sfDir)
+        .filter($"keep" === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+      spark.catalog.clearCache()
+      val keptSet = {
+        val it = keptIds.iterator(); val b = Set.newBuilder[Long]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      (secs, keptSet.size.toLong, keptSet == batchKept)
+    }
+
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk}}""")
     spark.stop()
   }
 }

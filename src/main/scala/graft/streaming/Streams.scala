@@ -142,6 +142,30 @@ object Streams {
       .drop("toks", "g8h")
   }
 
+  /** Stream-side quality-classifier application — the batch
+    * q_quality_model shape moved to the INGEST path: the
+    * hashed-linear score (md5-derived per-token weights, the
+    * CCNet/fastText-style classifier stand-in; a trained weight
+    * table is a broadcast map with the same plan) is computed
+    * IN-ROW via transform + aggregate over the token array, so the
+    * scorer is entirely stateless — no shuffle, no state, no
+    * watermark, identical cost at any stream length. Docs the
+    * classifier rejects (weight sum ≤ 0, the batch keep=0 rule)
+    * drop before storage; survivors carry their score. Arithmetic
+    * matches the batch query exactly (integer weight sum, one
+    * double division), so stream and batch verdicts can never
+    * disagree on the same row.
+    */
+  def classifyDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(toksSql))
+      .withColumn("sw", expr(
+        """aggregate(toks, 0L, (a, t) ->
+             a + CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2000001 - 1000000)"""))
+      .filter(col("sw") > 0)
+      .withColumn("score", expr("CAST(sw AS DOUBLE) / (1e6 * size(toks))"))
+      .drop("toks", "sw")
+
   /** The once-per-benchmark eval-gram bloom [[decontaminateDocs]]
     * broadcasts: word-8-gram xxhash64s of `evalDocs`' text column
     * (same [[gram8HashSql]] family as the probe side), sized by the

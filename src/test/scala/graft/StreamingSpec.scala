@@ -274,4 +274,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(kept == Set(1L, 3L, 4L), kept)
     } finally q.stop()
   }
+
+  test("streaming classifier verdicts and scores match the batch quality model exactly") {
+    import spark.implicits._
+    // the first 80 corpus docs streamed through the stateless scorer
+    // must reproduce the batch q_quality_model verdicts row-for-row:
+    // keep set identical, scores bit-identical (same integer weight
+    // sum, same single division)
+    val sfDir = "/root/testdata/sf0.01"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    val batch = SparkEntry.queries("q_quality_model")(spark, sfDir)
+      .filter($"doc_id" < 80)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" < 80).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.classifyDocs(src.toDF().toDF("doc_id", "text", "ts"))
+    val q = out.writeStream.format("memory").queryName("classify_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two separate batches — stateless, so split position is irrelevant
+      val (a, b) = docs.splitAt(40)
+      src.addData(a.map { case (id, t) => (id, t, ts(1)) }: _*)
+      q.processAllAvailable()
+      src.addData(b.map { case (id, t) => (id, t, ts(2)) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("classify_out")
+        .select("doc_id", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batchKept = batch.filter(_._2._2 == 1).keySet
+      assert(streamed.keySet == batchKept,
+        s"kept sets differ: stream-only ${streamed.keySet -- batchKept}, batch-only ${batchKept -- streamed.keySet}")
+      streamed.foreach { case (id, sc) =>
+        assert(sc == batch(id)._1, s"doc $id: stream score $sc != batch ${batch(id)._1}")
+      }
+    } finally q.stop()
+  }
 }
