@@ -191,6 +191,10 @@ case class CosineArgmax(left: Expression, right: Expression)
     require(right.foldable, "cosine_argmax codebook must be a literal")
     val arr = right.eval(null).asInstanceOf[ArrayData]
     val k = arr.numElements()
+    // an empty codebook would assign the -1 sentinel to every row —
+    // one giant cluster, quadratic prune, and divergence from the
+    // oracle's empty-asg semantics; fail loudly instead
+    require(k > 0, "cosine_argmax codebook is empty")
     val ids = new Array[Long](k)
     val vecs = new Array[Array[Double]](k)
     val norms = new Array[Double](k)
@@ -227,10 +231,16 @@ case class CosineArgmax(left: Expression, right: Expression)
     var c = 0
     while (c < ids.length) {
       val cv = vecs(c)
-      val n = math.min(dim, cv.length)
+      // dimension mismatch must be LOUD: DuckDB's
+      // list_cosine_similarity raises on unequal lengths, and a
+      // silently truncated dot product would assign a wrong cluster
+      // with no gate tripping
+      if (cv.length != dim)
+        throw new IllegalArgumentException(
+          s"cosine_argmax: vector dim $dim != codebook dim ${cv.length}")
       var dot = 0.0
       var j = 0
-      while (j < n) { dot += a(j) * cv(j); j += 1 }
+      while (j < dim) { dot += a(j) * cv(j); j += 1 }
       val cos = dot / (nrm * norms(c))
       if (cos > best) { best = cos; bestId = ids(c) }
       c += 1
@@ -308,6 +318,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_argmax"),
+      new ExpressionInfo(classOf[CosineArgmax].getName, "cosine_argmax"),
+      (exprs: Seq[Expression]) => CosineArgmax(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("topk_struct"),
+      new ExpressionInfo(classOf[TopKStruct].getName, "topk_struct"),
+      (exprs: Seq[Expression]) => TopKStruct(exprs(0), exprs(1)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+      (exprs: Seq[Expression]) => HeavyHitters(exprs(0), exprs(1)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo("org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate", "bloom_agg"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo("org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain", "bloom_contains"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("int8_scale"),
       new ExpressionInfo(classOf[Int8Scale].getName, "int8_scale"),

@@ -108,6 +108,11 @@ object TextOps {
   def releaseCaches(): Unit = {
     frameMemo.values.foreach(_.unpersist(blocking = false))
     frameMemo.clear()
+    // scalar memos too: a long-lived driver that rewrites data at the
+    // same path would otherwise score with a stale vocabulary size /
+    // doc count after releasing the frames
+    nDocsMemo.clear()
+    vocabMemo.clear()
   }
 
   /** Document count per dataset — parquet-metadata cheap, memoized;
@@ -1570,14 +1575,21 @@ object TextOps {
          FROM docbg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
          GROUP BY d.doc_id ORDER BY doc_id""") { (s, d) =>
       val v = vocabSize(s, d)
-      val bg = bigramRows(s, d)
-      val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      // ONE corpus-wide window pass: docbg (per-doc bigram types) is
+      // computed and persisted once, and the model's global counts
+      // re-aggregate IT — bgc = Σ_doc dc over (w1,w2), ctx = Σ c12
+      // over w1 — instead of re-running the posexplode+lead pipeline
+      // once per count table. The persist also keeps the scoring
+      // join's probe side from re-deriving the window output.
+      val docbg = bigramRows(s, d)
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("dc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bgc = docbg.groupBy(col("w1"), col("w2")).agg(sum(col("dc")).as("c12"))
+      val ctx = bgc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val model = bgc.join(ctx, Seq("w1"))
         .selectExpr("w1", "w2",
           s"CAST(round(ln((c12 + 1.0) / (c1 + ${v}L)) * 1000000) AS BIGINT) AS micro")
-      val docbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("dc"))
       docbg.join(broadcast(model), Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(sum(col("dc")).as("nb"), sum(col("dc") * col("micro")).as("sm"))

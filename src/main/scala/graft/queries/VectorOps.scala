@@ -454,6 +454,9 @@ object VectorOps {
       .select(col("vec_id"), col("v")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    require(codebook.nonEmpty,
+      s"semanticDedup: no live vec_id % 53 == 0 centroids in $d — " +
+        "an empty codebook cannot assign clusters")
     // assignment is ONE codegen'd projection: the cosine_argmax
     // kernel runs k fused dot-products per row against the literal
     // codebook — no n×k row materialization (the crossJoin+argmax

@@ -3,39 +3,21 @@
 
 Usage: correctness_json.py <sfDir> <verifyOutDir> <outJson>
 
-Same canonicalization as oracle_check.py (columns sorted by name, rows
-sorted, Decimal-aware), but writes the per-query
+Same canonicalization as oracle_check.py (tools/oracle_common.py —
+the shared equality definition), but writes the per-query
 {rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}
 map the driver's CORRECTNESS_r*.json artifacts use — for the committed
 CORRECTNESS_sf01.json big-scale gate.
 """
-import sys, json, glob, os, hashlib
-from decimal import Decimal
+import sys, json, os, hashlib
 import duckdb
+from oracle_common import register_views, canon
 
 sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
-for p in glob.glob(f"{sf_dir}/*.parquet"):
-    name = os.path.basename(p)[:-8]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+register_views(con, sf_dir)
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-
-
-def norm(v):
-    if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        return ("f", repr(v))
-    if isinstance(v, int):
-        return ("i", v)
-    return ("o", str(v))
-
-
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=lambda t: tuple(map(repr, t)))
 
 
 def rowhash(rows):

@@ -5,36 +5,19 @@ Usage: oracle_check.py <sfDir> <verifyOutDir>
 
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB over the sfDir
-tables, canonicalizes both (columns sorted by name, rows sorted), and
-compares values exactly (Decimal compared numerically).
+tables, canonicalizes both (tools/oracle_common.py — the shared
+equality definition, also used by correctness_json.py), and compares
+values exactly (Decimal compared numerically).
 """
-import sys, json, glob, os
-from decimal import Decimal
+import sys, json, os
 import duckdb
+from oracle_common import register_views, canon
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
-for p in glob.glob(f"{sf_dir}/*.parquet"):
-    name = os.path.basename(p)[:-8]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+register_views(con, sf_dir)
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm(r[i]) for i in order))
-    return sorted(cols), sorted(out, key=lambda t: tuple(map(repr, t)))
-
-def norm(v):
-    if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        return ("f", repr(v))
-    if isinstance(v, int):
-        return ("i", v)
-    return ("o", str(v))
 
 fails, passes, skipped = [], 0, 0
 for name in sorted(os.listdir(out_dir)):
