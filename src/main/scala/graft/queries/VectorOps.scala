@@ -435,6 +435,61 @@ object VectorOps {
          FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.did
          ORDER BY asg.vec_id""") { (s, d) =>
       semanticDedup(s, d, minCosine = 0.35)
+    },
+
+    // ---- one Lloyd update: distributed k-means centroid re-estimation ------
+    // The TRAINING half of the cluster family (q_dedup_semantic is
+    // the apply half): assign every vector to its nearest codebook
+    // entry, then re-estimate each centroid as the per-dimension mean
+    // of its members. Means over raw floats are order-dependent
+    // across engines, so the update runs in FIXED POINT over the
+    // oracle-exact int8 quantization (q_quantize_int8): per-(cid,
+    // dim) INTEGER sums are exact in any order, and the one final
+    // division is deterministic — the whole Lloyd step hash-matches.
+    //
+    // 100 TB shape: assignment is the map-side cosine_argmax kernel
+    // (zero extra rows); the update is a partial-aggregable integer
+    // sum whose exchange carries k×dim rows (codebook-sized, never
+    // corpus-sized) — one corpus scan per Lloyd iteration, which is
+    // the textbook distributed k-means and exactly how the IVF/
+    // SemDeDup codebooks would be trained at scale.
+    "q_kmeans_update" -> Q(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         live AS (SELECT vec_id, v FROM e
+                  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+         c AS (SELECT vec_id AS cid, v AS cv FROM live WHERE vec_id % 53 = 0),
+         scored AS (SELECT live.vec_id, c.cid,
+                      list_cosine_similarity(live.v, c.cv) AS cos
+                    FROM live CROSS JOIN c),
+         asg AS (SELECT vec_id, cid FROM
+                   (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cid) AS rk
+                    FROM scored) WHERE rk = 1),
+         s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))) / 127, 1e-300) AS scale
+               FROM live),
+         q AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+               FROM s),
+         comp AS (SELECT a.cid,
+                    unnest(q.qv) AS x,
+                    unnest(range(1, len(q.qv) + 1)) AS dim
+                  FROM asg a JOIN q ON a.vec_id = q.vec_id)
+         SELECT cid, CAST(dim AS INT) AS dim,
+                CAST(sum(x) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS DOUBLE) / count(*) AS centroid_q
+         FROM comp GROUP BY cid, dim ORDER BY cid, dim""") { (s, d) =>
+      quantized(s, d)
+        .join(assigned(s, d).select(col("vec_id"), col("cid")), Seq("vec_id"))
+        .select(col("cid"), posexplode(col("qv")).as(Seq("dim0", "x")))
+        .select(col("cid"), (col("dim0") + lit(1)).cast("int").as("dim"), col("x"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x")).cast("bigint").as("sum_q"),
+             count(lit(1)).cast("bigint").as("n"))
+        .selectExpr("cid", "dim", "sum_q", "n",
+          "CAST(sum_q AS DOUBLE) / n AS centroid_q")
+        .orderBy(col("cid"), col("dim"))
     }
   )
 
@@ -443,32 +498,40 @@ object VectorOps {
     * has no true near-dups); the planted-duplicate spec calls this at
     * a production ≥0.9.
     */
-  def semanticDedup(s: SparkSession, d: String, minCosine: Double): DataFrame = {
+  /** The zero-norm-filtered corpus (vec_id, v, nv) with its cluster
+    * id assigned by the fused cosine_argmax kernel — the shared first
+    * half of the cluster family: semanticDedup prunes within the
+    * assignment, q_kmeans_update re-estimates centroids from it.
+    *
+    * Assignment is ONE codegen'd projection: the kernel runs k fused
+    * dot-products per row against the literal codebook — no n×k row
+    * materialization (the crossJoin+argmax form did exactly that and
+    * went super-linear at 30×: 52 s vs 2.6 s for this form), no
+    * aggregate, no exchange. The codebook is a model-sized driver
+    * collect (the IVF-probe pattern), cid-ascending so the kernel's
+    * first-strict-max tie rule means lowest cid — matching the
+    * oracle's ORDER BY cos DESC, cid.
+    */
+  private def assigned(s: SparkSession, d: String): DataFrame = {
     val live = registered(s, d).filter(expr("dot_product(v, v) > 0"))
       .selectExpr("vec_id", "v", "sqrt(dot_product(v, v)) AS nv")
-    // codebook: a model-sized driver collect (the IVF-probe pattern),
-    // cid-ascending so the kernel's first-strict-max tie rule means
-    // lowest cid — matching the oracle's ORDER BY cos DESC, cid
     val codebook: Seq[(Long, Seq[Double])] = live
       .filter(col("vec_id") % 53 === 0)
       .select(col("vec_id"), col("v")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(codebook.nonEmpty,
-      s"semanticDedup: no live vec_id % 53 == 0 centroids in $d — " +
+      s"no live vec_id % 53 == 0 centroids in $d — " +
         "an empty codebook cannot assign clusters")
-    // assignment is ONE codegen'd projection: the cosine_argmax
-    // kernel runs k fused dot-products per row against the literal
-    // codebook — no n×k row materialization (the crossJoin+argmax
-    // form did exactly that and went super-linear at 30×: 52 s vs
-    // 2.6 s for this form), no aggregate, no exchange. The corpus
-    // keeps v/nv in the same projection, so the prune phase needs no
-    // vectors-rejoin either.
+    live.withColumn("cid",
+      call_function("cosine_argmax", col("v"), typedlit(codebook)))
+  }
+
+  def semanticDedup(s: SparkSession, d: String, minCosine: Double): DataFrame = {
     // persisted: the prune self-join reads av on BOTH sides and the
     // final output a third time — without the cache boundary each
     // consumer would re-run the n·k assignment kernel
-    val av = live.withColumn("cid",
-        call_function("cosine_argmax", col("v"), typedlit(codebook)))
+    val av = assigned(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropped = av.select(col("cid"), col("vec_id").as("id_a"),
         col("v").as("va"), col("nv").as("na"))

@@ -336,6 +336,18 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("k-means update: kernel assignment + partial integer aggregate, codebook-sized exchange") {
+    val p = plan("q_kmeans_update")
+    // the Lloyd step's scale shape: assignment is the map-side
+    // cosine_argmax projection (no per-(vector, centroid) rows), and
+    // the centroid re-estimation is a partial+final integer aggregate
+    // whose exchange is k×dim rows
+    assert(p.contains("cosine_argmax"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("semantic dedup assigns via the fused argmax kernel — no n×k rows anywhere") {
     val p = plan("q_dedup_semantic")
     // assignment must be the cosine_argmax PROJECTION against the

@@ -230,6 +230,36 @@ class VectorOpsSpec extends AnyFunSuite {
     graft.engine.Persist.deleteRecursively(Paths.get(dir))
   }
 
+  test("k-means update partitions the corpus exactly and stays in int8 range") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = SparkEntry.queries("q_kmeans_update")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    spark.catalog.clearCache()
+    graft.functions.GraftFunctions.register(spark)
+    val nLive = graft.queries.AnnIndex.base(spark, sfDir)
+      .filter(expr("dot_product(v, v) > 0")).count()
+    val dims = rows.map(_._2).distinct.sorted
+    assert(dims.head == 1 && dims.last == 64 && dims.length == 64, s"dims $dims")
+    // every live vector lands in exactly one cluster: per-dim member
+    // counts are constant within a cluster and sum to the live corpus
+    val byCluster = rows.groupBy(_._1)
+    byCluster.foreach { case (cid, rs) =>
+      assert(rs.map(_._4).distinct.length == 1, s"cluster $cid has varying n")
+      assert(rs.length == 64, s"cluster $cid has ${rs.length} dims")
+    }
+    val total = byCluster.map(_._2.head._4).sum
+    assert(total == nLive, s"cluster sizes sum to $total, live corpus is $nLive")
+    // fixed-point sanity: a mean of int8 components stays in [-127, 127]
+    assert(rows.forall(r => math.abs(r._5) <= 127.0))
+    // and the update is consistent with the dedup half's assignment
+    val asgSizes = SparkEntry.queries("q_dedup_semantic")(spark, sfDir).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    spark.catalog.clearCache()
+    assert(byCluster.view.mapValues(_.head._4).toMap == asgSizes,
+      "kmeans-update cluster sizes diverge from semantic-dedup assignment")
+  }
+
   test("artifact paths change when the dataset is regenerated in place") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
     import java.nio.file.{Files, Paths}
