@@ -322,31 +322,7 @@ object VectorOps {
     // one row per (vector, table); probe count is sum_{i<=r} C(B,i)
     // per table — key rows only, still broadcast-sized at radius 3
     // on 24 bits (~2.3k masks).
-    "q_ann_lsh" -> Q.noOracle { (s, d) =>
-      val bits = bitsFor(corpusSize(s, d))
-      val idx = AnnIndex.lshIndex(s, d)
-      val probeMasks: Seq[Int] = masksUpTo(bits, probeRadius(bits))
-      val queries = idx.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-        .withColumn("mk", typedlit(probeMasks))
-        .selectExpr("q_id", "tbl",
-          "explode(transform(mk, m -> CAST(bucket ^ m AS INT))) AS bucket")
-      val cand = idx.join(broadcast(queries), Seq("tbl", "bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"))
-        .dropDuplicates("q_id", "vec_id")
-      val corpus = registered(s, d)
-      val qVecs = corpus.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      corpus.join(broadcast(cand), Seq("vec_id"))
-        .join(broadcast(qVecs), Seq("q_id"))
-        .selectExpr("q_id", "vec_id", cosExpr)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
-        .orderBy(col("q_id"), col("rank"))
-    },
+    "q_ann_lsh" -> Q.noOracle { (s, d) => lshTop5(s, d) },
 
     // ---- IVF ANN ----------------------------------------------------------
     // Query half of the inverted-file index: the driver-held codebook
@@ -356,26 +332,33 @@ object VectorOps {
     // pruning (only probed clusters touch disk), and exact cosine
     // re-ranks the candidates. Training ran once, inside the
     // AnnIndex artifact build.
-    "q_ann_ivf" -> Q.noOracle { (s, d) =>
+    "q_ann_ivf" -> Q.noOracle { (s, d) => ivfTop5(s, d) },
+
+    // ---- ANN recall audit (self-gating, driver-checked) --------------------
+    // The rows-only ANN paths' recall gates, moved INTO the declared
+    // surface (the q_mm_decode_audit pattern): both approximate
+    // indexes run against the in-plan exact top-5 and the emitted
+    // verdict is 1 only if mean top-5 recall ≥ 0.8 — the oracle is
+    // the literal verdict, so a recall regression in either index
+    // hash-FAILs the driver gate instead of only the spec suite.
+    // (Each query has exactly 5 exact neighbors, so the global
+    // hit ratio IS the mean per-query recall.)
+    "q_ann_recall_audit" -> Q(
+      """SELECT * FROM (SELECT 'ivf' AS method, CAST(1 AS INT) AS recall_ok
+         UNION ALL SELECT 'lsh', CAST(1 AS INT)) ORDER BY method""") { (s, d) =>
       import s.implicits._
-      val (cents, membersPath) = AnnIndex.ivf(s, d)
-      val qRows = registered(s, d).filter(col("vec_id") < 10).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val probes = AnnIndex.probeClusters(qRows.toSeq, cents, ivfProbes(cents.length))
-      val probedCids = probes.map(_._2).distinct
-      val probesDf = probes.toDF("q_id", "cid")
-      val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      s.read.parquet(membersPath)
-        .filter(col("cid").isin(probedCids: _*))   // partition pruning
-        .join(broadcast(probesDf), Seq("cid"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .join(broadcast(qVecsDf), Seq("q_id"))
-        .selectExpr("q_id", "vec_id", cosExpr)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
-        .orderBy(col("q_id"), col("rank"))
+      val exact = knnTop5(registered(s, d)).select(col("q_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nExact = exact.count()
+      val rows = Seq("ivf" -> ivfTop5(s, d), "lsh" -> lshTop5(s, d)).map {
+        case (name, approx) =>
+          val hits = exact.join(approx.select(col("q_id"), col("neighbor_id")),
+            Seq("q_id", "neighbor_id"), "left_semi").count()
+          (name, if (hits.toDouble / nExact >= 0.8) 1 else 0)
+      }
+      rows.toDF("method", "recall_ok")
+        .select(col("method"), col("recall_ok").cast("int"))
+        .orderBy(col("method"))
     },
 
     // ---- embedding-cosine near-duplicate pairs ----------------------------
@@ -498,6 +481,62 @@ object VectorOps {
     * has no true near-dups); the planted-duplicate spec calls this at
     * a production ≥0.9.
     */
+  /** The multi-table LSH ANN pipeline behind q_ann_lsh — candidates
+    * from the query side's multi-probe buckets, exact-cosine re-rank,
+    * top-5 per query. Shared with the recall audit.
+    */
+  private def lshTop5(s: SparkSession, d: String): DataFrame = {
+    val bits = bitsFor(corpusSize(s, d))
+    val idx = AnnIndex.lshIndex(s, d)
+    val probeMasks: Seq[Int] = masksUpTo(bits, probeRadius(bits))
+    val queries = idx.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+      .withColumn("mk", typedlit(probeMasks))
+      .selectExpr("q_id", "tbl",
+        "explode(transform(mk, m -> CAST(bucket ^ m AS INT))) AS bucket")
+    val cand = idx.join(broadcast(queries), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
+    val corpus = registered(s, d)
+    val qVecs = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
+      .selectExpr("q_id", "vec_id", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The IVF query pipeline behind q_ann_ivf — driver-held codebook
+    * probing, cid-partition-pruned member read, exact-cosine re-rank.
+    * Shared with the recall audit.
+    */
+  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cents, membersPath) = AnnIndex.ivf(s, d)
+    val qRows = registered(s, d).filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = AnnIndex.probeClusters(qRows.toSeq, cents, ivfProbes(cents.length))
+    val probedCids = probes.map(_._2).distinct
+    val probesDf = probes.toDF("q_id", "cid")
+    val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    s.read.parquet(membersPath)
+      .filter(col("cid").isin(probedCids: _*))   // partition pruning
+      .join(broadcast(probesDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qVecsDf), Seq("q_id"))
+      .selectExpr("q_id", "vec_id", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The zero-norm-filtered corpus (vec_id, v, nv) with its cluster
     * id assigned by the fused cosine_argmax kernel — the shared first
     * half of the cluster family: semanticDedup prunes within the
