@@ -51,6 +51,40 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("cosine_argmax matches a naive reference over random vectors, ties, and both eval paths") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rng = new scala.util.Random(71L)
+    val dim = 16
+    val cents = (0 until 7).map(c => (c * 10L, Seq.fill(dim)(rng.nextGaussian())))
+    // random rows + exact duplicates of two centroids (cos=1 with a
+    // tie against the scaled copy below) + a scaled copy of centroid 0
+    // (cosine exactly 1 with cid 0 AND cid 70 if both present)
+    val rows = (0 until 40).map(i => (i.toLong, Seq.fill(dim)(rng.nextGaussian()))) ++
+      Seq((100L, cents(0)._2), (101L, cents(3)._2),
+          (102L, cents(0)._2.map(_ * 2.5)))
+    def naive(v: Seq[Double]): Long = {
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      cents.map { case (cid, cv) =>
+        val dot = v.zip(cv).map { case (x, y) => x * y }.sum
+        (cid, dot / (nv * math.sqrt(cv.map(x => x * x).sum)))
+      }.sortBy { case (cid, cos) => (-cos, cid) }.head._1
+    }
+    val lit = org.apache.spark.sql.functions.typedlit(cents)
+    def run(): Map[Long, Long] = rows.toDF("id", "v")
+      .select($"id", org.apache.spark.sql.functions.call_function(
+        "cosine_argmax", $"v", lit).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run()
+    rows.foreach { case (id, v) =>
+      assert(got(id) == naive(v), s"row $id: kernel ${got(id)} != naive ${naive(v)}")
+    }
+    // interpreted path must agree bit-for-bit with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == got)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("expression eval works standalone and extensions inject cleanly") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
