@@ -1598,6 +1598,77 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- one BPE merge round (tokenizer-training primitive) ---------------
+    // Byte/word-pair-encoding vocab learning, one round: pick the
+    // globally most frequent adjacent pair (ties lexicographic) and
+    // count, per document, the GREEDY left-to-right non-overlapping
+    // merge sites — the number of tokens the merge removes, which is
+    // what drives the next round's counts. Greedy sites ≠ bigram
+    // count only when the pair is a repeated token (occurrences of
+    // (a,b) at p and p+1 force b=a): for w1≠w2 every occurrence
+    // merges; for w1=w2 each maximal run of length L yields
+    // floor(L/2) — computed via the same gaps-and-islands shape as
+    // the span family. Fully oracled; the repeated-token branch is
+    // cold on this corpus, so the planted-truth spec exercises it.
+    //
+    // 100 TB shape: pair selection is a vocabulary-sized partial
+    // aggregate reduced to one driver scalar (real BPE training
+    // batches the top-m pairs per round — same plan, m rows); the
+    // site count is a map-side filter + per-doc partial agg. One
+    // corpus scan per merge round, the textbook distributed-BPE
+    // iteration.
+    "q_bpe_merge_step" -> Q(
+      """WITH toksrc AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+            FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+                  unnest([toks[i+1] for i in range(1, len(toks))]) AS w2
+                FROM toksrc),
+         bgc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+         best AS (SELECT w1, w2 FROM bgc ORDER BY c DESC, w1, w2 LIMIT 1),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(1, len(toks) + 1)) - 1 AS pos
+                 FROM toksrc),
+         marked AS (SELECT t.doc_id, t.pos,
+                      t.pos - row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS isl
+                    FROM tok t JOIN best b ON t.tok = b.w1),
+         runs AS (SELECT doc_id, isl, count(*) AS L FROM marked GROUP BY doc_id, isl),
+         same AS (SELECT doc_id, CAST(sum(L // 2) AS BIGINT) AS merges
+                  FROM runs GROUP BY doc_id HAVING sum(L // 2) > 0),
+         diff AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS merges
+                  FROM bg JOIN best b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+                  GROUP BY bg.doc_id),
+         sel AS (SELECT doc_id, merges FROM diff WHERE (SELECT w1 <> w2 FROM best)
+                 UNION ALL
+                 SELECT doc_id, merges FROM same WHERE (SELECT w1 = w2 FROM best))
+         SELECT s.doc_id, b.w1, b.w2, s.merges
+         FROM sel s CROSS JOIN best b ORDER BY s.doc_id""") { (s, d) =>
+      val bg = bigramRows(s, d)
+      val best = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+        .select(col("w1"), col("w2")).head()
+      val (a, b) = (best.getString(0), best.getString(1))
+      val merges =
+        if (a != b)
+          bg.filter(col("w1") === a && col("w2") === b)
+            .groupBy(col("doc_id")).agg(count(lit(1)).cast("bigint").as("merges"))
+        else {
+          val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          toksFrame(s, d)
+            .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+            .filter(col("tok") === a)
+            .withColumn("isl", col("pos") - row_number().over(wd))
+            .groupBy(col("doc_id"), col("isl")).agg(count(lit(1)).as("L"))
+            .groupBy(col("doc_id"))
+            .agg(sum(floor(col("L") / 2)).cast("bigint").as("merges"))
+            .filter(col("merges") > 0)
+        }
+      merges
+        .select(col("doc_id"), lit(a).as("w1"), lit(b).as("w2"), col("merges"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- per-source quality mix (curation reporting) ----------------------
     // The report a curation run ends with: per source, how many docs
     // land in each quality class and what share of the source that is.

@@ -493,6 +493,34 @@ class GroundTruthSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merge step: repeated-token pair counts greedy floor(run/2) sites") {
+    import spark.implicits._
+    // fixture where the top pair IS a repeated token: runs of "z"
+    // dominate every other adjacency. Greedy left-to-right merging of
+    // (z,z) yields floor(L/2) sites per run, NOT the L-1 bigram
+    // count — the branch the organic corpus never exercises.
+    val docs = Seq(
+      (1L, "z z z z z"),                   // run 5 -> 2 sites
+      (2L, "a z z b z z z"),               // runs 2,3 -> 1 + 1 = 2
+      (3L, "z z"),                         // run 2 -> 1
+      (4L, "a b c d"),                     // no z-run -> absent
+      (5L, "z a z b z"))                   // runs of 1 -> 0 sites -> absent
+    val dir = Files.createTempDirectory("graft-bpe").toString
+    try {
+      docs.map { case (id, t) => (id, t, "en", "srcB", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q_bpe_merge_step")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(got.forall(r => r._2 == "z" && r._3 == "z"), s"top pair not (z,z): ${got.toSeq}")
+      assert(got.map(r => r._1 -> r._4).toMap == Map(1L -> 2L, 2L -> 2L, 3L -> 1L),
+        s"got ${got.toSeq}")
+    } finally {
+      graft.queries.TextOps.releaseCaches()
+      graft.engine.Persist.deleteRecursively(Paths.get(dir))
+    }
+  }
+
   test("LM perplexity ranks gibberish far above repetitive text (planted truth)") {
     import spark.implicits._
     // 30 identical docs cycling one 8-word phrase (every bigram seen
