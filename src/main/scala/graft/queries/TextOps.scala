@@ -1527,6 +1527,143 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- Gopher rule battery (published heuristic-filter suite) -----------
+    // The Rae et al. 2021 (Gopher, §A1.1) document-quality rules as a
+    // single audit pass, distinct from q_text_quality's corpus floor:
+    // word count in [50, 100k], mean word length in [3, 10],
+    // symbol-to-word ratio (# or ellipsis) <= 0.1, >= 80% of words
+    // containing an alphabetic character, and >= 2 hits from the
+    // required-stopword set {the,be,to,of,and,that,have,with}. The
+    // two LINE-level Gopher rules (bullet-start / ellipsis-end
+    // fractions) are omitted: this corpus carries no newlines, so
+    // they would be constants, not measurements — on a real crawl
+    // they are two more filter() terms over split(text, '\n') in the
+    // same map-side pass. Output carries the measured statistics, not
+    // just the verdict, so the hash gate pins the arithmetic.
+    //
+    // 100 TB shape: pure map — every rule is a codegen'd
+    // filter/aggregate over the per-doc token array, zero joins, zero
+    // shuffles (the ORDER BY is presentation only; the driver gate
+    // sorts anyway). This is the cheapest possible curation pass and
+    // the first stage a real pipeline runs, which is why it must not
+    // shuffle.
+    "q_gopher_rules" -> Q(
+      """WITH t AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+            FROM documents),
+         m AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+                   / greatest(len(toks), 1) AS mean_word_len,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '#|\.\.\.'))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS symbol_ratio,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS alpha_ratio,
+                 CAST(len(list_intersect(toks,
+                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+               FROM t)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+                CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                           AND mean_word_len BETWEEN 3 AND 10
+                           AND symbol_ratio <= 0.1
+                           AND alpha_ratio >= 0.8
+                           AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+         FROM m ORDER BY doc_id""") { (s, d) =>
+      toksFrame(s, d)
+        .selectExpr(
+          "doc_id",
+          "CAST(size(toks) AS BIGINT) AS n_words",
+          "CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS DOUBLE) / greatest(size(toks), 1) AS mean_word_len",
+          "CAST(size(filter(toks, x -> x rlike '#|\\\\.\\\\.\\\\.')) AS DOUBLE) / greatest(size(toks), 1) AS symbol_ratio",
+          "CAST(size(filter(toks, x -> x rlike '[a-z]')) AS DOUBLE) / greatest(size(toks), 1) AS alpha_ratio",
+          "CAST(size(array_intersect(toks, array('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_hits")
+        .selectExpr("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "alpha_ratio", "stop_hits",
+          """CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                        AND mean_word_len BETWEEN 3 AND 10
+                        AND symbol_ratio <= 0.1
+                        AND alpha_ratio >= 0.8
+                        AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep""")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- DSIR importance weights (hashed-n-gram domain resampling) --------
+    // Xie et al. 2023 (Data Selection via Importance Resampling): score
+    // every raw document by log p_target/p_raw under bag-of-hashed-
+    // unigram models — the published cheap way to tilt a web-scale
+    // corpus toward a target domain without training a classifier.
+    // Target here = the lang='en' slice; features = tokens hashed to
+    // 4096 buckets (md5-60bit % 4096, the corpus-wide hash idiom);
+    // both models are add-one-smoothed bucket multinomials.
+    //
+    // Cross-engine float discipline (the q_lm_perplexity trick): each
+    // bucket's log-ratio is rounded to integer micro-nats once —
+    // ln((ct+1)/(Nt+B)) - ln((cr+1)/(Nr+B)) on exact integer inputs
+    // is the same IEEE value on both engines — and per-doc totals are
+    // exact integer sums of count x micro, divided back to a double in
+    // one final IEEE division.
+    //
+    // 100 TB shape: both count tables are BUCKET-sized (4096 rows, by
+    // construction — unlike a vocabulary they cannot grow with the
+    // corpus), so the scoring join is a broadcast over the per-doc
+    // bucket-count frame and every aggregate is partial-aggregable.
+    // The persisted docb frame is read three times (ct, cr, scoring)
+    // instead of re-tokenizing the corpus per table.
+    "q_dsir_weights" -> Q(
+      """WITH t AS (SELECT d.doc_id, d.lang,
+              unnest(list_filter(string_split_regex(lower(d.text), '\s+'), x -> x != '')) AS tok
+            FROM documents d),
+         tb AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
+                FROM t),
+         docb AS (SELECT doc_id, b, max(lang) AS lang, count(*) AS dc
+                  FROM tb GROUP BY doc_id, b),
+         cr AS (SELECT b, CAST(sum(dc) AS BIGINT) AS crc FROM docb GROUP BY b),
+         ct AS (SELECT b, CAST(sum(dc) AS BIGINT) AS ctc FROM docb
+                WHERE lang = 'en' GROUP BY b),
+         tot AS (SELECT CAST(sum(crc) AS BIGINT) AS nr FROM cr),
+         tott AS (SELECT CAST(coalesce(sum(ctc), 0) AS BIGINT) AS nt FROM ct),
+         ratio AS (SELECT cr.b,
+                     CAST(round((ln((coalesce(ct.ctc, 0) + 1.0) / (tott.nt + 4096))
+                               - ln((cr.crc + 1.0) / (tot.nr + 4096))) * 1000000) AS BIGINT) AS micro
+                   FROM cr LEFT JOIN ct ON cr.b = ct.b
+                   CROSS JOIN tot CROSS JOIN tott)
+         SELECT d.doc_id, CAST(sum(d.dc) AS BIGINT) AS n_tokens,
+                CAST(sum(d.dc * r.micro) AS BIGINT) AS logw_micro,
+                CAST(sum(d.dc * r.micro) AS DOUBLE) / (1e6 * sum(d.dc)) AS avg_logw,
+                CAST(CASE WHEN sum(d.dc * r.micro) > 0 THEN 1 ELSE 0 END AS INT) AS keep
+         FROM docb d JOIN ratio r ON d.b = r.b
+         GROUP BY d.doc_id ORDER BY doc_id""") { (s, d) =>
+      val docb = t(s, d, "documents")
+        .selectExpr("doc_id", "lang",
+          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        .selectExpr("doc_id", "lang",
+          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4096 AS b")
+        .groupBy(col("doc_id"), col("b"))
+        .agg(max(col("lang")).as("lang"), count(lit(1)).as("dc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cr = docb.groupBy(col("b")).agg(sum(col("dc")).cast("bigint").as("crc"))
+      val ct = docb.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(sum(col("dc")).cast("bigint").as("ctc"))
+      // the two totals are single scalars over bucket-sized tables —
+      // driver-side like vocabSize, never corpus-sized work
+      val nr = cr.agg(sum(col("crc"))).head().getLong(0)
+      val nt = ct.agg(coalesce(sum(col("ctc")), lit(0L))).head().getLong(0)
+      val ratio = cr.join(ct, Seq("b"), "left")
+        .selectExpr("b",
+          s"""CAST(round((ln((coalesce(ctc, 0) + 1.0) / (${nt}L + 4096))
+                        - ln((crc + 1.0) / (${nr}L + 4096))) * 1000000) AS BIGINT) AS micro""")
+      docb.join(broadcast(ratio), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("dc")).cast("bigint").as("n_tokens"),
+             sum(col("dc") * col("micro")).cast("bigint").as("logw_micro"))
+        .selectExpr("doc_id", "n_tokens", "logw_micro",
+          "CAST(logw_micro AS DOUBLE) / (1e6 * n_tokens) AS avg_logw",
+          "CAST(CASE WHEN logw_micro > 0 THEN 1 ELSE 0 END AS INT) AS keep")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- bigram-LM perplexity scoring (the CCNet/KenLM-style filter) ------
     // The OTHER published quality signal next to the classifier
     // (q_quality_model): score each document by its per-token cross-

@@ -473,6 +473,59 @@ object VectorOps {
         .selectExpr("cid", "dim", "sum_q", "n",
           "CAST(sum_q AS DOUBLE) / n AS centroid_q")
         .orderBy(col("cid"), col("dim"))
+    },
+
+    // ---- cluster-balanced subsampling (topic-mix rebalancing) --------------
+    // The third member of the cluster family (assign = q_dedup_semantic,
+    // train = q_kmeans_update): cap every cluster at ceil(N / 2k) kept
+    // vectors so no topic dominates the training mix — the
+    // cluster-balanced sampling step that data-mixing pipelines run
+    // after k-means topic assignment. Membership is deterministic
+    // integer arithmetic, not RNG: a vector survives iff
+    // hash60(vec_id) % n_c < cap, which keeps ~cap/n_c of each cluster
+    // (all of it when n_c <= cap), is a pure function of the key
+    // (stable across runs/engines/partitionings), and never compares
+    // floats.
+    //
+    // 100 TB shape: assignment is the map-side cosine_argmax kernel;
+    // cluster sizes are a codebook-sized aggregate broadcast back onto
+    // the assigned frame; the keep verdict is one codegen'd integer
+    // comparison per row. One corpus scan, one k-row exchange.
+    "q_cluster_balance" -> Q(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         live AS (SELECT vec_id, v FROM e
+                  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+         c AS (SELECT vec_id AS cid, v AS cv FROM live WHERE vec_id % 53 = 0),
+         scored AS (SELECT live.vec_id, c.cid,
+                      list_cosine_similarity(live.v, c.cv) AS cos
+                    FROM live CROSS JOIN c),
+         asg AS (SELECT vec_id, cid FROM
+                   (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cid) AS rk
+                    FROM scored) WHERE rk = 1),
+         sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_c FROM asg GROUP BY cid),
+         capt AS (SELECT (CAST(sum(n_c) AS BIGINT) + 2 * count(*) - 1)
+                         // (2 * count(*)) AS cap FROM sz)
+         SELECT a.vec_id, a.cid, sz.n_c,
+                CAST(CASE WHEN ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT
+                               % sz.n_c < capt.cap THEN 1 ELSE 0 END AS INT) AS keep
+         FROM asg a JOIN sz ON a.cid = sz.cid CROSS JOIN capt
+         ORDER BY a.vec_id""") { (s, d) =>
+      val asg = assigned(s, d).select(col("vec_id"), col("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).cast("bigint").as("n_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // N and k are one row of codebook-sized aggregates — driver
+      // scalars like vocabSize, never corpus-sized work
+      val row = sizes.agg(sum(col("n_c")), count(lit(1))).head()
+      val (n, k) = (row.getLong(0), row.getLong(1))
+      val cap = (n + 2 * k - 1) / (2 * k)
+      asg.join(broadcast(sizes), Seq("cid"))
+        .selectExpr("vec_id", "cid", "n_c",
+          s"""CAST(CASE WHEN CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
+                             % n_c < ${cap}L THEN 1 ELSE 0 END AS INT) AS keep""")
+        .orderBy(col("vec_id"))
     }
   )
 

@@ -243,6 +243,41 @@ object Streams {
     }.drop("toks", "sh").drop((0 until 16).map(j => s"s$j"): _*)
   }
 
+  /** Stream-STREAM interval join — the attribution shape (view →
+    * conversion within a horizon), the one streaming join whose state
+    * Spark can bound from the predicate alone: both sides carry
+    * watermarks and the join condition brackets `buy_ts` into
+    * [view_ts, view_ts + horizon], so each side's state store evicts
+    * rows as soon as the other side's watermark passes their
+    * reachable window — state is O(rate x (watermark + horizon)),
+    * never O(stream). Inner join, append mode: a pair emits in the
+    * micro-batch where its second half arrives; a conversion with no
+    * view inside the horizon never emits.
+    *
+    * The batch analogue on the same `events` table is q_funnel /
+    * q_asof_join (same user-bracketed event-time semantics);
+    * StreamingSpec derives the exact expected pair set from a batch
+    * join over the identical rows and pins cross-batch arrival.
+    */
+  def attributeConversions(views: DataFrame, conversions: DataFrame,
+                           horizonMin: Int = 30,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = conversions
+      .select(col("user_id").as("c_user"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"), col("value"))
+      .withWatermark("conv_ts", watermark)
+    v.join(c, expr(
+        s"""v_user = c_user
+            AND conv_ts >= view_ts
+            AND conv_ts <= view_ts + interval $horizonMin minutes"""))
+      .select(col("v_user").as("user_id"), col("view_id"), col("conv_id"),
+        col("view_ts"), col("conv_ts"), col("value"))
+  }
+
   case class Evt(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Int)

@@ -313,4 +313,38 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes conversions inside the horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val convs = MemoryStream[(Long, Long, Timestamp, Double)]
+    val out = Streams.attributeConversions(
+      views.toDF().toDF("user_id", "event_id", "ts"),
+      convs.toDF().toDF("user_id", "event_id", "ts", "value"),
+      horizonMin = 30, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: view at 10:00 — conversions at 10:05 (in horizon) and
+      // 10:45 (outside); user 2: conversion at 10:03 with NO view;
+      // user 3: view at 10:02, conversion arrives in a LATER batch
+      views.addData((1L, 100L, ts(0)), (3L, 300L, ts(2)))
+      convs.addData((1L, 500L, ts(5), 9.0), (1L, 501L, ts(45), 7.0),
+        (2L, 502L, ts(3), 5.0))
+      q.processAllAvailable()
+      // the cross-batch pair: state from the view side must still be
+      // live when the conversion lands
+      convs.addData((3L, 503L, ts(20), 3.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("user_id", "view_id", "conv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 100L, 500L), (3L, 300L, 503L)), got)
+      // the join is keyed + bracketed, so state stays watermark-bounded
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows > 0 && stateRows <= 12,
+        s"interval-join state should hold only in-horizon rows, got $stateRows")
+    } finally q.stop()
+  }
 }
