@@ -360,4 +360,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("Gopher rule battery is map-only: no join, no aggregate, no keyed exchange") {
+    val p = plan("q_gopher_rules")
+    // the claim that makes this the cheapest pipeline pass: every
+    // rule evaluates per row inside codegen. Allowed exchanges: the
+    // shared toksFrame's explicit parallelism repartition
+    // (REPARTITION_BY_NUM — spreads the scan, carries no operator
+    // semantics) and the presentation sort. Forbidden: any exchange
+    // Catalyst inserted to satisfy a join/aggregate requirement.
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    val keyed = "hashpartitioning[^\n]*ENSURE_REQUIREMENTS".r.findAllIn(p).size
+    assert(keyed == 0, p)
+  }
+
+  test("DSIR weights broadcast the bucket-sized ratio table; aggregates are partial+final") {
+    val p = plan("q_dsir_weights")
+    // the scoring join must broadcast the 4096-bucket model over the
+    // per-doc bucket frame — shuffling the corpus against a table
+    // that is constant-sized by construction would be the wrong plan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("cluster balance: kernel assignment, broadcast size table, no pairwise rows") {
+    val p = plan("q_cluster_balance")
+    assert(p.contains("cosine_argmax"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
