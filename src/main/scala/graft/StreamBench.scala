@@ -171,8 +171,67 @@ object StreamBench {
       (secs, keptSet.size.toLong, keptSet == batchKept)
     }
 
+    // ---- phase 6: stream-stream interval join (attribution) ---------------
+    // Both event streams fed in aligned time order (chunks cover the
+    // same event-time window on both sides, so the cross-side
+    // watermark never drops an in-order row); parity_ok gates the
+    // streamed pair set against a driver-computed exact interval
+    // join over the identical rows — an inner stream-stream join must
+    // attribute EXACTLY the batch relation when nothing arrives late.
+    val horizonMin = 240
+    val evs = Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("view", "purchase"))
+      .selectExpr("event_id", "user_id", "event_type", "unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms", "value")
+      .orderBy("ts_ms")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        new Timestamp(r.getLong(3)), r.getDouble(4)))
+    val expectedPairs = {
+      val byUser = evs.toSeq.groupBy(_._2)
+      byUser.values.flatMap { rows =>
+        val vs = rows.filter(_._3 == "view"); val ps = rows.filter(_._3 == "purchase")
+        for {
+          v <- vs; p <- ps
+          if p._4.getTime >= v._4.getTime &&
+            p._4.getTime <= v._4.getTime + horizonMin * 60000L
+        } yield (v._1, p._1)
+      }.toSet
+    }
+    val (ajSecs, ajPairs, ajPeak, ajParityOk) = {
+      val vSrc = MemoryStream[(Long, Long, Timestamp)]
+      val pSrc = MemoryStream[(Long, Long, Timestamp, Double)]
+      val pairs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      var peak = 0L
+      val q = Streams.attributeConversions(
+          vSrc.toDF().toDF("user_id", "event_id", "ts"),
+          pSrc.toDF().toDF("user_id", "event_id", "ts", "value"),
+          horizonMin = horizonMin, watermark = "10 minutes")
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.select("view_id", "conv_id").collect()
+            .foreach(r => pairs.add((r.getLong(0), r.getLong(1)))); ()
+        }.start()
+      val t0 = System.nanoTime()
+      evs.grouped(500).foreach { chunk =>
+        val vs = chunk.filter(_._3 == "view").map(e => (e._2, e._1, e._4))
+        val ps = chunk.filter(_._3 == "purchase").map(e => (e._2, e._1, e._4, e._5))
+        if (vs.nonEmpty) vSrc.addData(vs.toIndexedSeq: _*)
+        if (ps.nonEmpty) pSrc.addData(ps.toIndexedSeq: _*)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null) peak = math.max(peak, p.stateOperators.map(_.numRowsTotal).sum)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val got = {
+        val it = pairs.iterator(); val b = Set.newBuilder[(Long, Long)]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      (secs, got.size.toLong, peak, got == expectedPairs)
+    }
+
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":${evs.length / ajSecs}%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk}}""")
     spark.stop()
   }
 }
