@@ -637,6 +637,52 @@ object TextOps {
       .selectExpr("doc_id", "n_tokens", "mean_tok_len", "punct_ratio", "stop_ratio",
         s"CASE WHEN ${QualityRule.floorSql} THEN 'ok' ELSE 'low' END AS quality")
 
+  /** Gopher rule-battery CTE chain ending in `g(doc_id, n_words,
+    * mean_word_len, symbol_ratio, alpha_ratio, stop_hits, keep)` —
+    * shared by q_gopher_rules and the cross-modal funnel's oracle.
+    * Lazy: interpolated into the eagerly-built `all` map.
+    */
+  private[queries] lazy val gopherCteSql: String =
+    """gt AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+          FROM documents),
+       gm AS (SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+                 / greatest(len(toks), 1) AS mean_word_len,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '#|\.\.\.'))) AS DOUBLE)
+                 / greatest(len(toks), 1) AS symbol_ratio,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                 / greatest(len(toks), 1) AS alpha_ratio,
+               CAST(len(list_intersect(toks,
+                 ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+             FROM gt),
+       g AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND mean_word_len BETWEEN 3 AND 10
+                          AND symbol_ratio <= 0.1
+                          AND alpha_ratio >= 0.8
+                          AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+             FROM gm)"""
+
+  /** Spark side of the `g` relation, unordered. */
+  private[queries] def gopherFrame(s: SparkSession, d: String): DataFrame =
+    toksFrame(s, d)
+      .selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_words",
+        "CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS DOUBLE) / greatest(size(toks), 1) AS mean_word_len",
+        "CAST(size(filter(toks, x -> x rlike '#|\\\\.\\\\.\\\\.')) AS DOUBLE) / greatest(size(toks), 1) AS symbol_ratio",
+        "CAST(size(filter(toks, x -> x rlike '[a-z]')) AS DOUBLE) / greatest(size(toks), 1) AS alpha_ratio",
+        "CAST(size(array_intersect(toks, array('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_hits")
+      .selectExpr("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_ratio", "stop_hits",
+        """CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_word_len BETWEEN 3 AND 10
+                      AND symbol_ratio <= 0.1
+                      AND alpha_ratio >= 0.8
+                      AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep""")
+
   private val langCase =
     """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
             WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
@@ -1548,43 +1594,11 @@ object TextOps {
     // the first stage a real pipeline runs, which is why it must not
     // shuffle.
     "q_gopher_rules" -> Q(
-      """WITH t AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
-            FROM documents),
-         m AS (SELECT doc_id,
-                 CAST(len(toks) AS BIGINT) AS n_words,
-                 CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
-                   / greatest(len(toks), 1) AS mean_word_len,
-                 CAST(len(list_filter(toks, x -> regexp_matches(x, '#|\.\.\.'))) AS DOUBLE)
-                   / greatest(len(toks), 1) AS symbol_ratio,
-                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-                   / greatest(len(toks), 1) AS alpha_ratio,
-                 CAST(len(list_intersect(toks,
-                   ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
-               FROM t)
-         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
-                CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-                           AND mean_word_len BETWEEN 3 AND 10
-                           AND symbol_ratio <= 0.1
-                           AND alpha_ratio >= 0.8
-                           AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
-         FROM m ORDER BY doc_id""") { (s, d) =>
-      toksFrame(s, d)
-        .selectExpr(
-          "doc_id",
-          "CAST(size(toks) AS BIGINT) AS n_words",
-          "CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS DOUBLE) / greatest(size(toks), 1) AS mean_word_len",
-          "CAST(size(filter(toks, x -> x rlike '#|\\\\.\\\\.\\\\.')) AS DOUBLE) / greatest(size(toks), 1) AS symbol_ratio",
-          "CAST(size(filter(toks, x -> x rlike '[a-z]')) AS DOUBLE) / greatest(size(toks), 1) AS alpha_ratio",
-          "CAST(size(array_intersect(toks, array('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_hits")
-        .selectExpr("doc_id", "n_words", "mean_word_len", "symbol_ratio",
-          "alpha_ratio", "stop_hits",
-          """CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-                        AND mean_word_len BETWEEN 3 AND 10
-                        AND symbol_ratio <= 0.1
-                        AND alpha_ratio >= 0.8
-                        AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep""")
-        .orderBy(col("doc_id"))
+      s"""WITH $gopherCteSql
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+                 stop_hits, keep
+          FROM g ORDER BY doc_id""") { (s, d) =>
+      gopherFrame(s, d).orderBy(col("doc_id"))
     },
 
     // ---- DSIR importance weights (hashed-n-gram domain resampling) --------
@@ -1661,6 +1675,52 @@ object TextOps {
         .selectExpr("doc_id", "n_tokens", "logw_micro",
           "CAST(logw_micro AS DOUBLE) / (1e6 * n_tokens) AS avg_logw",
           "CAST(CASE WHEN logw_micro > 0 THEN 1 ELSE 0 END AS INT) AS keep")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- cross-modal curation funnel (rules ∧ dedup ∧ embedding balance) --
+    // The query a curation user actually runs: three independent keep
+    // signals — the Gopher rule battery (text heuristics), exact
+    // dedup (content identity), and cluster-balanced subsampling
+    // (embedding topology) — joined on doc_id = vec_id (the corpus
+    // convention: embeddings row i embeds document i) into ONE
+    // declarative plan with per-stage verdicts, so a dropped doc
+    // says WHY it dropped. Docs without a live embedding (zero
+    // vector) carry no cluster verdict and pass the balance stage
+    // (coalesce 1): un-embeddable is not a reason to drop.
+    //
+    // 100 TB shape: the rule stage is map-only; dedup is one
+    // md5-keyed partial aggregate joined back by hash; the balance
+    // relation is the one-scan kernel + codebook-sized broadcast
+    // from q_cluster_balance. The three-way combine joins by doc_id
+    // — co-partitioned exchanges, no pairwise anything.
+    "q_curate_joint" -> Q(
+      s"""WITH $gopherCteSql,
+          ${graft.queries.VectorOps.clusterBalanceCteSql},
+          dk AS (SELECT doc_id, md5(text) AS h FROM documents),
+          kk AS (SELECT h, min(doc_id) AS keep_id FROM dk GROUP BY h),
+          dd AS (SELECT dk.doc_id,
+                   CAST(CASE WHEN dk.doc_id = kk.keep_id THEN 1 ELSE 0 END AS INT) AS dup_keep
+                 FROM dk JOIN kk ON dk.h = kk.h)
+          SELECT g.doc_id, g.keep AS rule_keep, dd.dup_keep,
+                 CAST(coalesce(bal.keep, 1) AS INT) AS balance_keep,
+                 CAST(g.keep * dd.dup_keep * coalesce(bal.keep, 1) AS INT) AS keep
+          FROM g JOIN dd ON g.doc_id = dd.doc_id
+          LEFT JOIN bal ON g.doc_id = bal.vec_id
+          ORDER BY g.doc_id""") { (s, d) =>
+      val rules = gopherFrame(s, d).select(col("doc_id"), col("keep").as("rule_keep"))
+      val hashes = t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("h"))
+      val dd = hashes
+        .join(hashes.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id")), Seq("h"))
+        .selectExpr("doc_id",
+          "CAST(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END AS INT) AS dup_keep")
+      val bal = graft.queries.VectorOps.clusterBalance(s, d)
+        .select(col("vec_id").as("doc_id"), col("keep").as("bk"))
+      rules.join(dd, Seq("doc_id"))
+        .join(bal, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "rule_keep", "dup_keep",
+          "CAST(coalesce(bk, 1) AS INT) AS balance_keep",
+          "CAST(rule_keep * dup_keep * coalesce(bk, 1) AS INT) AS keep")
         .orderBy(col("doc_id"))
     },
 

@@ -492,42 +492,59 @@ object VectorOps {
     // the assigned frame; the keep verdict is one codegen'd integer
     // comparison per row. One corpus scan, one k-row exchange.
     "q_cluster_balance" -> Q(
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         live AS (SELECT vec_id, v FROM e
-                  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
-         c AS (SELECT vec_id AS cid, v AS cv FROM live WHERE vec_id % 53 = 0),
-         scored AS (SELECT live.vec_id, c.cid,
-                      list_cosine_similarity(live.v, c.cv) AS cos
-                    FROM live CROSS JOIN c),
-         asg AS (SELECT vec_id, cid FROM
-                   (SELECT vec_id, cid,
-                           row_number() OVER (PARTITION BY vec_id
-                               ORDER BY cos DESC, cid) AS rk
-                    FROM scored) WHERE rk = 1),
-         sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_c FROM asg GROUP BY cid),
-         capt AS (SELECT (CAST(sum(n_c) AS BIGINT) + 2 * count(*) - 1)
-                         // (2 * count(*)) AS cap FROM sz)
-         SELECT a.vec_id, a.cid, sz.n_c,
-                CAST(CASE WHEN ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT
-                               % sz.n_c < capt.cap THEN 1 ELSE 0 END AS INT) AS keep
-         FROM asg a JOIN sz ON a.cid = sz.cid CROSS JOIN capt
-         ORDER BY a.vec_id""") { (s, d) =>
-      val asg = assigned(s, d).select(col("vec_id"), col("cid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).cast("bigint").as("n_c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // N and k are one row of codebook-sized aggregates — driver
-      // scalars like vocabSize, never corpus-sized work
-      val row = sizes.agg(sum(col("n_c")), count(lit(1))).head()
-      val (n, k) = (row.getLong(0), row.getLong(1))
-      val cap = (n + 2 * k - 1) / (2 * k)
-      asg.join(broadcast(sizes), Seq("cid"))
-        .selectExpr("vec_id", "cid", "n_c",
-          s"""CAST(CASE WHEN CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
-                             % n_c < ${cap}L THEN 1 ELSE 0 END AS INT) AS keep""")
-        .orderBy(col("vec_id"))
+      s"""WITH $clusterBalanceCteSql
+          SELECT vec_id, cid, n_c, keep FROM bal ORDER BY vec_id""") { (s, d) =>
+      clusterBalance(s, d).orderBy(col("vec_id"))
     }
   )
+
+  /** The cluster-balance CTE chain ending in
+    * `bal(vec_id, cid, n_c, keep)` — shared by q_cluster_balance and
+    * the cross-modal funnel's oracle so the two cannot drift.
+    */
+  // lazy: referenced from the eagerly-built `all` map above — a plain
+  // val would still be null (forward reference) when the oracle
+  // string interpolates it
+  private[queries] lazy val clusterBalanceCteSql: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       live AS (SELECT vec_id, v FROM e
+                WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+       c AS (SELECT vec_id AS cid, v AS cv FROM live WHERE vec_id % 53 = 0),
+       scored AS (SELECT live.vec_id, c.cid,
+                    list_cosine_similarity(live.v, c.cv) AS cos
+                  FROM live CROSS JOIN c),
+       asg AS (SELECT vec_id, cid FROM
+                 (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, cid) AS rk
+                  FROM scored) WHERE rk = 1),
+       sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_c FROM asg GROUP BY cid),
+       capt AS (SELECT (CAST(sum(n_c) AS BIGINT) + 2 * count(*) - 1)
+                       // (2 * count(*)) AS cap FROM sz),
+       bal AS (SELECT a.vec_id, a.cid, sz.n_c,
+                 CAST(CASE WHEN ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT
+                                % sz.n_c < capt.cap THEN 1 ELSE 0 END AS INT) AS keep
+               FROM asg a JOIN sz ON a.cid = sz.cid CROSS JOIN capt)"""
+
+  /** Spark side of the `bal` relation: (vec_id, cid, n_c, keep),
+    * unordered — q_cluster_balance presents it sorted; the funnel
+    * joins it by id.
+    */
+  private[queries] def clusterBalance(s: SparkSession, d: String): DataFrame = {
+    val asg = assigned(s, d).select(col("vec_id"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).cast("bigint").as("n_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // N and k are one row of codebook-sized aggregates — driver
+    // scalars like vocabSize, never corpus-sized work
+    val row = sizes.agg(sum(col("n_c")), count(lit(1))).head()
+    val (n, k) = (row.getLong(0), row.getLong(1))
+    val cap = (n + 2 * k - 1) / (2 * k)
+    asg.join(broadcast(sizes), Seq("cid"))
+      .selectExpr("vec_id", "cid", "n_c",
+        s"""CAST(CASE WHEN CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
+                           % n_c < ${cap}L THEN 1 ELSE 0 END AS INT) AS keep""")
+  }
 
   /** [[q_dedup_semantic]] pipeline at a parameterized threshold — the
     * declared query uses the demonstrative 0.35 (the synthetic corpus

@@ -386,6 +386,17 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("cross-modal funnel: one plan, kernel assignment, no pairwise rows anywhere") {
+    val p = plan("q_curate_joint")
+    // three keep signals in one declarative plan: the embedding stage
+    // must still be the map-side kernel (no n×k rows), and nothing in
+    // the three-way combine may go pairwise
+    assert(p.contains("cosine_argmax"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("cluster balance: kernel assignment, broadcast size table, no pairwise rows") {
     val p = plan("q_cluster_balance")
     assert(p.contains("cosine_argmax"), p)
