@@ -1660,10 +1660,13 @@ object TextOps {
       val cr = docb.groupBy(col("b")).agg(sum(col("dc")).cast("bigint").as("crc"))
       val ct = docb.filter(col("lang") === "en")
         .groupBy(col("b")).agg(sum(col("dc")).cast("bigint").as("ctc"))
-      // the two totals are single scalars over bucket-sized tables —
-      // driver-side like vocabSize, never corpus-sized work
-      val nr = cr.agg(sum(col("crc"))).head().getLong(0)
-      val nt = ct.agg(coalesce(sum(col("ctc")), lit(0L))).head().getLong(0)
+      // both totals in ONE driver-side pass over the persisted docb
+      // (a scalar each, like vocabSize — never corpus-sized work);
+      // two separate collects would run the materialize job twice
+      val totRow = docb.agg(
+        sum(col("dc")).cast("bigint"),
+        coalesce(sum(when(col("lang") === "en", col("dc"))).cast("bigint"), lit(0L))).head()
+      val (nr, nt) = (totRow.getLong(0), totRow.getLong(1))
       val ratio = cr.join(ct, Seq("b"), "left")
         .selectExpr("b",
           s"""CAST(round((ln((coalesce(ctc, 0) + 1.0) / (${nt}L + 4096))
