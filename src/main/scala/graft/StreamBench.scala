@@ -171,6 +171,40 @@ object StreamBench {
       (secs, keptSet.size.toLong, keptSet == batchKept)
     }
 
+    // ---- phase 5b: stream-side weighted mixture ---------------------------
+    // The stateless fan-out on the ingest path; parity_ok gates the
+    // streamed (doc_id, copy_idx) multiset against batch
+    // q_mix_weighted — same shared resolver, so any divergence is a
+    // real defect.
+    val (mxSecs, mxCopies, mxParityOk) = {
+      val srcDocs = Tables.t(spark, sfDir, "documents").select("doc_id", "source")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val src = MemoryStream[(Long, String, Timestamp)]
+      val copies = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+      val q = Streams.mixDocs(src.toDF().toDF("doc_id", "source", "ts"))
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.select("doc_id", "copy_idx").collect()
+            .foreach(r => copies.add((r.getLong(0), r.getInt(1)))); ()
+        }.start()
+      val t0 = System.nanoTime()
+      srcDocs.grouped(500).zipWithIndex.foreach { case (c, i) =>
+        src.addData(c.map { case (id, so) => (id, so, new Timestamp(epoch + i * 60000L)) }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val batch = SparkEntry.queries("q_mix_weighted")(spark, sfDir)
+        .select("doc_id", "copy_idx").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      spark.catalog.clearCache()
+      val got = {
+        val it = copies.iterator(); val b = Set.newBuilder[(Long, Int)]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      (secs, got.size.toLong, got == batch)
+    }
+
     // ---- phase 6: stream-stream interval join (attribution) ---------------
     // Both event streams fed in aligned time order (chunks cover the
     // same event-time window on both sides, so the cross-side
@@ -231,7 +265,7 @@ object StreamBench {
     }
 
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":${evs.length / ajSecs}%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":${evs.length / ajSecs}%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk}}""")
     spark.stop()
   }
 }

@@ -665,6 +665,27 @@ object TextOps {
                           AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
              FROM gm)"""
 
+  /** The ONE weighted-mixture fan-out, shared by batch q_mix_weighted
+    * and the streaming ingest path (Streams.mixDocs) so the two
+    * cannot drift: weights [0.25, 0.5, 1.0, 2.5] keyed by source
+    * index % 4, split into integer base copies plus a fractional
+    * threshold resolved by the deterministic per-doc integer hash
+    * (doc_id · 2654435761 + 12345) mod 1e6 — a pure function of the
+    * key, no RNG, identical on any engine and at any stream
+    * position. Stateless map-side fan-out: works verbatim on batch
+    * and streaming frames; input columns pass through plus copy_idx.
+    */
+  private[graft] def mixCopies(docs: DataFrame): DataFrame = {
+    val wi = (expr("CAST(substring(source, 4, 10) AS INT)") % 4 + 1).cast("int")
+    val base = element_at(typedlit(Seq(0, 0, 1, 2)), wi)
+    val thr = element_at(typedlit(Seq(250000L, 500000L, 0L, 500000L)), wi)
+    val r = pmod(col("doc_id") * lit(2654435761L) + lit(12345L), lit(1000000L))
+    docs.withColumn("n_copies", base + when(r < thr, 1).otherwise(0))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1), col("n_copies"))))
+      .drop("n_copies")
+  }
+
   /** Spark side of the `g` relation, unordered. */
   private[queries] def gopherFrame(s: SparkSession, d: String): DataFrame =
     toksFrame(s, d)
@@ -1252,19 +1273,7 @@ object TextOps {
          SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
          FROM c
          ORDER BY doc_id, copy_idx""") { (s, d) =>
-      // weights [0.25, 0.5, 1.0, 2.5] keyed by source index % 4,
-      // split into integer base copies + a fractional threshold on
-      // the per-doc uniform r/1e6
-      val wi = (expr("CAST(substring(source, 4, 10) AS INT)") % 4 + 1).cast("int")
-      val base = element_at(typedlit(Seq(0, 0, 1, 2)), wi)
-      val thr = element_at(typedlit(Seq(250000L, 500000L, 0L, 500000L)), wi)
-      val r = pmod(col("doc_id") * lit(2654435761L) + lit(12345L), lit(1000000L))
-      t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          (base + when(r < thr, 1).otherwise(0)).as("n_copies"))
-        .filter(col("n_copies") > 0)
-        .select(col("doc_id"), col("source"),
-          explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+      mixCopies(t(s, d, "documents").select(col("doc_id"), col("source")))
         .orderBy(col("doc_id"), col("copy_idx"))
     },
 

@@ -243,6 +243,17 @@ object Streams {
     }.drop("toks", "sh").drop((0 until 16).map(j => s"s$j"): _*)
   }
 
+  /** Stream-side weighted-mixture construction — the batch
+    * q_mix_weighted fan-out on the INGEST path, via the SAME shared
+    * resolver (TextOps.mixCopies), so stream and batch emit
+    * identical copy sets for identical rows. Stateless map-side
+    * explode: no shuffle, no state, no watermark — a doc's copy
+    * count is a pure function of its key, independent of stream
+    * position or batch boundaries.
+    */
+  def mixDocs(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.mixCopies(docs)
+
   /** Stream-STREAM interval join — the attribution shape (view →
     * conversion within a horizon), the one streaming join whose state
     * Spark can bound from the predicate alone: both sides carry

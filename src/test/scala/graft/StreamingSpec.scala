@@ -314,6 +314,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mixture emits exactly the batch copy multiset across split batches") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.01"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    val batch = SparkEntry.queries("q_mix_weighted")(spark, sfDir)
+      .filter($"doc_id" < 100)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" < 100).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.mixDocs(src.toDF().toDF("doc_id", "source", "ts"))
+    val q = out.writeStream.format("memory").queryName("mix_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // stateless: the batch split position must not change the output
+      val (a, b) = docs.splitAt(37)
+      src.addData(a.map { case (id, s) => (id, s, ts(1)) }: _*)
+      q.processAllAvailable()
+      src.addData(b.map { case (id, s) => (id, s, ts(2)) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mix_out")
+        .select("doc_id", "copy_idx").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(streamed == batch,
+        s"stream-only ${streamed -- batch}, batch-only ${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes conversions inside the horizon only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
