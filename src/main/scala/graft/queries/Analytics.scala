@@ -323,6 +323,40 @@ object Analytics {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // ---- event-time RANGE window (trailing 1 hour per user) ---------------
+    // The time-based frame the rows-frame family can't express: each
+    // event's trailing-hour activity (sum + count) per user — RANGE
+    // BETWEEN over event time in MICROSECONDS (epoch µs on both
+    // engines, so sub-second components land in the same frame;
+    // seconds would silently shift frame edges). Decimal sums keep
+    // the double output bit-identical regardless of in-frame order,
+    // and RANGE semantics make timestamp ties peer-inclusive —
+    // deterministic under any tie order.
+    //
+    // 100 TB shape: one shuffle by user_id, then a sorted
+    // sliding-frame pass per partition — identical cost class to the
+    // rows-frame window; no self-join range explosion (the naive
+    // events×events ts-bracket join this replaces is O(rows ×
+    // in-horizon rows)).
+    "q_window_time_range" -> Q(
+      """SELECT event_id, user_id,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS hour_sum,
+                CAST(count(*) OVER w AS BIGINT) AS hour_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t(s, d, "events")
+        .selectExpr("event_id", "user_id",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "value")
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast(dec6)).over(w).cast("double").as("hour_sum"),
+          count(lit(1)).over(w).cast("bigint").as("hour_n"))
+        .orderBy(col("event_id"))
+    },
+
     "q_window_lag" -> Q(
       """SELECT o_custkey, o_orderkey,
                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) -
