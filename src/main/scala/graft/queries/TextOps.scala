@@ -142,6 +142,35 @@ object TextOps {
         .selectExpr(cols: _*)
     }
 
+  /** (doc_id, sw, n) — the hashed-linear quality-classifier aggregate
+    * (sum of md5-derived integer token weights + token count), shared
+    * by q_quality_model and the rank-ensemble queries
+    * (q_global_rank / q_rank_fusion) so score and ranks cannot drift.
+    * Exact integers; the double score derives at the consumer.
+    */
+  private def qmodelAgg(s: SparkSession, d: String): DataFrame =
+    memoized(s, s"qmodelAgg:$d") {
+      toksFrame(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .selectExpr("doc_id",
+          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 2000001 - 1000000 AS wi")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wi")).cast("bigint").as("sw"), count(lit(1)).as("n"))
+    }
+
+  /** DuckDB twin of [[qmodelAgg]] — `qm(doc_id, sw, n)`, shared by the
+    * same three oracles.
+    */
+  private val qmodelCteSql: String =
+    """t AS (SELECT doc_id,
+                unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+              FROM documents),
+        w AS (SELECT doc_id,
+                ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2000001 - 1000000 AS wi
+              FROM t),
+        qm AS (SELECT doc_id, CAST(sum(wi) AS BIGINT) AS sw, count(*) AS n
+               FROM w GROUP BY doc_id)"""
+
   /** (doc_id, pos, g) word-n-gram rows — ONE gram builder for every
     * n-gram consumer (3-gram shingles, winnowing 5-grams, 8-gram
     * decontamination): exploded tokens + lead() windows, so the gram
@@ -1560,26 +1589,79 @@ object TextOps {
     // oracle reproduces weights exactly via the same md5-60bit
     // construction (q_sample_weighted trick).
     "q_quality_model" -> Q(
-      """WITH t AS (SELECT doc_id,
-                      unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
-                    FROM documents),
-          w AS (SELECT doc_id,
-                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2000001 - 1000000 AS wi
-                FROM t),
-          a AS (SELECT doc_id, CAST(sum(wi) AS BIGINT) AS sw, count(*) AS n
-                FROM w GROUP BY doc_id)
+      s"""WITH $qmodelCteSql
           SELECT doc_id, CAST(sw AS DOUBLE) / (1e6 * n) AS score,
                  CAST(CASE WHEN sw > 0 THEN 1 ELSE 0 END AS INT) AS keep
-          FROM a ORDER BY doc_id""") { (s, d) =>
-      toksFrame(s, d)
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .selectExpr("doc_id",
-          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 2000001 - 1000000 AS wi")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("wi")).cast("bigint").as("sw"), count(lit(1)).as("n"))
+          FROM qm ORDER BY doc_id""") { (s, d) =>
+      qmodelAgg(s, d)
         .selectExpr("doc_id", "CAST(sw AS DOUBLE) / (1e6 * n) AS score",
           "CAST(CASE WHEN sw > 0 THEN 1 ELSE 0 END AS INT) AS keep")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- exact distributed global ranking ---------------------------------
+    // Curation pipelines order the WHOLE corpus by a quality signal
+    // ("keep the best-scoring X%", curriculum ordering) — which naively
+    // is row_number() over an unpartitioned window: one task holding
+    // the corpus. GlobalRank.withRank is the exact distributed form
+    // (range-split by a mergeable percentile sketch, per-bucket window,
+    // bucket-count offsets — see its scaladoc); this query ranks every
+    // document by the trained-classifier score with doc_id breaking
+    // ties, and hash-matches DuckDB's single-node row_number() — the
+    // definition the distributed form must reproduce bit-for-bit.
+    "q_global_rank" -> Q(
+      s"""WITH $qmodelCteSql,
+          sq AS (SELECT doc_id, CAST(sw AS DOUBLE) / (1e6 * n) AS score FROM qm)
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+          FROM sq ORDER BY doc_id""") { (s, d) =>
+      val scored = qmodelAgg(s, d)
+        .selectExpr("doc_id", "CAST(sw AS DOUBLE) / (1e6 * n) AS score")
+      graft.operators.GlobalRank
+        .withRank(scored, col("score"), col("doc_id"), "rnk")
+        .select(col("doc_id"), col("score"), col("rnk"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- reciprocal-rank fusion of curation signals -----------------------
+    // Ensemble selection (Cormack/Clarke/Buettcher 2009 RRF; the
+    // DataComp-style recipe of fusing independent quality signals by
+    // RANK, immune to their incomparable scales): score each document
+    // by sum_s 1/(60 + rank_s). Two signals here — the trained
+    // classifier score and raw document length — each ranked exactly
+    // and distributed via GlobalRank.withRank, then one doc_id join.
+    // Float discipline: 1/(60+r) sums are order-dependent doubles, so
+    // both engines compute nano-scaled INTEGER contributions
+    // (1e9 DIV (60+r), floor division of positive longs — identical
+    // on both engines) and sum those exactly.
+    "q_rank_fusion" -> Q(
+      s"""WITH $qmodelCteSql,
+          sq AS (SELECT doc_id, CAST(sw AS DOUBLE) / (1e6 * n) AS score FROM qm),
+          rq AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_quality
+                 FROM sq),
+          rl AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r_length
+                 FROM documents)
+          SELECT rq.doc_id, r_quality, r_length,
+                 CAST(1000000000 // (60 + r_quality)
+                    + 1000000000 // (60 + r_length) AS BIGINT) AS rrf_nano
+          FROM rq JOIN rl ON rq.doc_id = rl.doc_id
+          ORDER BY rrf_nano DESC, rq.doc_id""") { (s, d) =>
+      val rq = graft.operators.GlobalRank.withRank(
+        qmodelAgg(s, d)
+          .selectExpr("doc_id", "CAST(sw AS DOUBLE) / (1e6 * n) AS score"),
+        col("score"), col("doc_id"), "r_quality")
+        .select(col("doc_id"), col("r_quality"))
+      val rl = graft.operators.GlobalRank.withRank(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        col("n_chars"), col("doc_id"), "r_length")
+        .select(col("doc_id"), col("r_length"))
+      rq.join(rl, Seq("doc_id"))
+        .selectExpr("doc_id", "r_quality", "r_length",
+          """CAST(1000000000L DIV (60 + r_quality)
+               + 1000000000L DIV (60 + r_length) AS BIGINT) AS rrf_nano""")
+        .orderBy(col("rrf_nano").desc, col("doc_id"))
     },
 
     // ---- Gopher rule battery (published heuristic-filter suite) -----------

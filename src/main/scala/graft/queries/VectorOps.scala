@@ -278,6 +278,103 @@ object VectorOps {
         .orderBy(col("vec_id"))
     },
 
+    // ---- per-dimension whitening (embedding preprocessing) ----------------
+    // Mean-center + unit-variance scale per dimension — the standard
+    // embedding post-processing before retrieval/clustering (Su et al.
+    // 2021, "Whitening Sentence Representations"; the diagonal case of
+    // ZCA). Runs over the oracle-exact int8 quantization so every
+    // cross-row aggregate is an exact integer: per-dim (n, Σq, Σq²)
+    // flow through ONE dim-sized partial aggregate (the exchange is 64
+    // rows per partition regardless of corpus size), μ and σ derive as
+    // single IEEE ops over those exact integers (bit-identical across
+    // engines), the dim-sized stats table broadcasts back over the
+    // exploded corpus, and each whitened element rounds to micro fixed
+    // point so the per-VECTOR checksums are again exact integer sums.
+    // σ is floored at 1e-300 (the int8_scale guard) so a constant
+    // dimension yields huge-but-finite micro values, not NaN.
+    "q_embed_whiten" -> Q(
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127, 1e-300) AS scale
+                    FROM embeddings),
+              q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+                    FROM s),
+              e AS (SELECT vec_id, unnest(qv) AS qx, unnest(range(len(qv))) AS pos FROM q),
+              st AS (SELECT pos, count(*) AS n, CAST(sum(qx) AS BIGINT) AS s1,
+                            CAST(sum(CAST(qx AS BIGINT) * qx) AS BIGINT) AS s2
+                     FROM e GROUP BY pos),
+              sp AS (SELECT pos, CAST(s1 AS DOUBLE) / n AS mu,
+                            sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n)) AS sigma
+                     FROM st),
+              z AS (SELECT vec_id,
+                           CAST(floor((1e6 * (CAST(qx AS DOUBLE) - mu)) / greatest(sigma, 1e-300) + 0.5) AS BIGINT) AS zm
+                    FROM e JOIN sp USING (pos))
+         SELECT vec_id, CAST(sum(zm) AS BIGINT) AS z_sum_micro,
+                CAST(sum(abs(zm)) AS BIGINT) AS z_abs_micro,
+                CAST(max(abs(zm)) AS BIGINT) AS z_max_micro
+         FROM z GROUP BY vec_id ORDER BY vec_id""") { (s, d) =>
+      val e = quantized(s, d)
+        .select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "qx")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = e.groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("qx").cast("long")).as("s1"),
+          sum(col("qx").cast("long") * col("qx")).as("s2"))
+        .selectExpr("pos", "CAST(s1 AS DOUBLE) / n AS mu",
+          "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n)) AS sigma")
+      e.join(broadcast(stats), Seq("pos"))
+        .selectExpr("vec_id",
+          "CAST(floor((1e6 * (CAST(qx AS DOUBLE) - mu)) / greatest(sigma, 1e-300) + 0.5D) AS BIGINT) AS zm")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("zm")).cast("bigint").as("z_sum_micro"),
+          sum(abs(col("zm"))).cast("bigint").as("z_abs_micro"),
+          max(abs(col("zm"))).cast("bigint").as("z_max_micro"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- one power-iteration step (top principal direction) ---------------
+    // y = Qᵀ(Q·w): the power-iteration building block behind truncated
+    // PCA / randomized SVD (Halko, Martinsson, Tropp 2011) — the
+    // dimensionality-reduction step an embedding pipeline trains
+    // before indexing. Entirely in exact integer arithmetic over the
+    // oracle-exact int8 quantization (the q_kmeans_update discipline):
+    // the deterministic start vector w[j] = (j mod 7) − 3 and each
+    // per-row projection q·w fold map-side, then ONE dim-sized partial
+    // aggregate forms y — the exchange is 64 rows per partition no
+    // matter the corpus. The normalized next iterate re-scales y to
+    // micro fixed point via abs-floor division (sign split so both
+    // engines floor the same positive magnitudes), ready to feed the
+    // next iteration.
+    "q_pca_power" -> Q(
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127, 1e-300) AS scale
+                    FROM embeddings),
+              q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+                    FROM s),
+              e AS (SELECT vec_id, unnest(qv) AS qx, unnest(range(len(qv))) AS pos FROM q),
+              dw AS (SELECT vec_id, CAST(sum(CAST(qx AS BIGINT) * ((pos % 7) - 3)) AS BIGINT) AS dw
+                     FROM e GROUP BY vec_id),
+              y AS (SELECT pos, CAST(sum(CAST(qx AS BIGINT) * dw) AS BIGINT) AS y_next
+                    FROM e JOIN dw USING (vec_id) GROUP BY pos),
+              m AS (SELECT max(abs(y_next)) AS mx FROM y)
+         SELECT CAST(pos AS BIGINT) AS dim_idx, y_next,
+                CAST(CASE WHEN y_next >= 0 THEN (1000000 * y_next) // greatest(mx, 1)
+                     ELSE -((1000000 * abs(y_next)) // greatest(mx, 1)) END AS BIGINT) AS w_next_micro
+         FROM y, m ORDER BY dim_idx""") { (s, d) =>
+      val y = quantized(s, d)
+        .selectExpr("qv",
+          """aggregate(zip_with(qv, sequence(0, size(qv) - 1),
+                                (x, j) -> CAST(x AS BIGINT) * ((j % 7) - 3)),
+                       0L, (a, x) -> a + x) AS dw""")
+        .select(col("dw"), posexplode(col("qv")).as(Seq("pos", "qx")))
+        .groupBy(col("pos"))
+        .agg(sum(col("qx").cast("long") * col("dw")).as("y_next"))
+      val mx = y.agg(max(abs(col("y_next"))).as("mx"))
+      y.crossJoin(broadcast(mx))
+        .selectExpr("CAST(pos AS BIGINT) AS dim_idx", "y_next",
+          """CAST(CASE WHEN y_next >= 0 THEN (1000000L * y_next) DIV greatest(mx, 1L)
+               ELSE -((1000000L * abs(y_next)) DIV greatest(mx, 1L)) END AS BIGINT) AS w_next_micro""")
+        .orderBy(col("dim_idx"))
+    },
+
     // same exact-KNN pipeline as q_knn_exact (the brute-force ANN
     // baseline every approximate index is judged against) — and since
     // the scoring is engine-independent (knnTop5 scaladoc), it carries

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GlobalRank
+
+/** The distributed two-phase rank must equal the single-partition
+  * `row_number() OVER (ORDER BY score DESC, id)` definition EXACTLY —
+  * under heavy ties (bucket edges must never split a tie), under
+  * skew (one value carrying most of the relation), and in the
+  * degenerate all-equal case where every percentile boundary
+  * collapses. Plan-level: the window must be partitioned by the
+  * derived bucket column, never a global single-partition window.
+  */
+class GlobalRankSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def reference(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    val w = Window.orderBy(col("score").desc, col("id").asc)
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rnk")).toMap
+  }
+
+  private def ranked(df: org.apache.spark.sql.DataFrame,
+                     buckets: Int): Map[Long, Long] =
+    GlobalRank.withRank(df, col("score"), col("id"), "rnk", buckets)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rnk")).toMap
+
+  test("exact parity with row_number under heavy ties") {
+    import spark.implicits._
+    // 5000 rows, only 17 distinct scores: every bucket edge lands on a tie
+    val df = (1 to 5000).map(i => ((i * 2654435761L) % 5003, (i % 17).toDouble))
+      .toDF("id", "score")
+    assert(df.select(col("id")).distinct().count() == df.count(),
+      "tie-break ids must be unique for a deterministic reference")
+    assert(ranked(df, 16) == reference(df))
+  }
+
+  test("exact parity under 90% single-value skew") {
+    import spark.implicits._
+    val df = (1L to 3000L)
+      .map(i => (i, if (i % 10 == 0) i.toDouble else 42.0))
+      .toDF("id", "score")
+    assert(ranked(df, 16) == reference(df))
+  }
+
+  test("all-equal scores collapse to one bucket but rank by tie id") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, 7.0)).toDF("id", "score")
+    val r = ranked(df, 8)
+    assert(r == (1L to 100L).map(i => i -> i).toMap)
+  }
+
+  test("window is partitioned by the derived bucket, not global") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, (i % 100).toDouble)).toDF("id", "score")
+    val plan = GlobalRank.withRank(df, col("score"), col("id"), "rnk", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"), plan.take(1500))
+  }
+}

@@ -405,4 +405,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("global rank windows WITHIN buckets — never a single-partition window") {
+    val p = plan("q_global_rank")
+    // the window's partition spec must be the derived range bucket;
+    // an unpartitioned row_number would serialize the corpus into one
+    // task (exactly what GlobalRank exists to avoid)
+    assert(p.contains("__bkt"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rank fusion: two bucketed windows, a keyed join, no pairwise rows") {
+    val p = plan("q_rank_fusion")
+    assert("Window".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("__bkt"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pca power step: dim-sized partial+final aggregate, map-side projection fold") {
+    val p = plan("q_pca_power")
+    // the per-dim aggregate must be partial+final (the exchange is 64
+    // rows/partition); the per-row q·w fold must NOT become a join
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embed whiten: broadcast dim-stats join, two partial+final aggregate pairs") {
+    val p = plan("q_embed_whiten")
+    // the dim-sized stats table broadcasts back over the exploded
+    // corpus — shuffling n·dim rows against 64 rows would be wrong
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 4, p)
+  }
 }

@@ -260,6 +260,58 @@ class VectorOpsSpec extends AnyFunSuite {
       "kmeans-update cluster sizes diverge from semantic-dedup assignment")
   }
 
+  test("pca power step matches a local exact-integer recompute") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    // same quantized corpus the query consumes, recomputed naively on
+    // the driver in exact integer arithmetic — any ordering or
+    // overflow defect in the distributed fold diverges
+    val qvs = graft.queries.VectorOps.quantized(spark, sfDir)
+      .collect().map(_.getSeq[Int](2).toArray)
+    spark.catalog.clearCache()
+    val dim = qvs.head.length
+    val w = Array.tabulate(dim)(j => (j % 7) - 3L)
+    val y = new Array[Long](dim)
+    qvs.foreach { q =>
+      val dw = q.indices.map(j => q(j) * w(j)).sum
+      q.indices.foreach(dRow => y(dRow) += q(dRow).toLong * dw)
+    }
+    val got = SparkEntry.queries("q_pca_power")(spark, sfDir).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(got == y.zipWithIndex.map { case (v, i) => i -> v }.toMap)
+  }
+
+  test("whitened checksums match a local recompute; dims mean-center") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    val rows = graft.queries.VectorOps.quantized(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2).toArray)
+    spark.catalog.clearCache()
+    val dim = rows.head._2.length
+    val n = rows.length.toLong
+    val s1 = new Array[Long](dim); val s2 = new Array[Long](dim)
+    rows.foreach { case (_, q) =>
+      q.indices.foreach { j => s1(j) += q(j); s2(j) += q(j).toLong * q(j) }
+    }
+    val mu = Array.tabulate(dim)(j => s1(j).toDouble / n)
+    val sigma = Array.tabulate(dim)(j =>
+      math.sqrt((n * s2(j) - s1(j) * s1(j)).toDouble / (n.toDouble * n)))
+    val want = rows.map { case (id, q) =>
+      val zs = q.indices.map { j =>
+        math.floor((1e6 * (q(j).toDouble - mu(j))) / math.max(sigma(j), 1e-300) + 0.5).toLong
+      }
+      id -> (zs.sum, zs.map(math.abs).sum)
+    }.toMap
+    val got = SparkEntry.queries("q_embed_whiten")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    assert(got == want)
+    // whitening contract: per-dim micro sums mean-center (each element
+    // rounds by <= 0.5, so |corpus sum per dim| <= n/2 in micro units)
+    val zSumTotal = want.values.map(_._1).sum
+    assert(math.abs(zSumTotal) <= dim.toLong * (n / 2 + 1),
+      s"whitened corpus sum $zSumTotal is not mean-centered")
+  }
+
   test("artifact paths change when the dataset is regenerated in place") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
     import java.nio.file.{Files, Paths}
