@@ -264,8 +264,67 @@ object StreamBench {
       (secs, got.size.toLong, peak, got == expectedPairs)
     }
 
+    // ---- phase 7: windowed trending tokens (Misra–Gries on the stream) ----
+    // The token stream grouped into event-time hours, each open hour
+    // holding ONE ≤k-entry sketch buffer in the state store. The three
+    // sketch bounds are gated per emitted window against exact counts
+    // recomputed on the driver from the identical rows — valid for any
+    // merge order, so streaming's batch boundaries cannot flake them.
+    val (thSecs, thWindows, thPeak, thCovOk, thUnderOk, thErrOk) = {
+      val kHH = 200
+      val src = MemoryStream[(Long, String, Timestamp)]
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+      var peak = 0L
+      val q = Streams.trendingTokens(src.toDF().toDF("doc_id", "text", "ts"), k = kHH)
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.select("win_start", "tok", "est").collect()
+            .foreach(r => out.add((r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))); ()
+        }.start()
+      val t0 = System.nanoTime()
+      docs1.grouped(500).foreach { c =>
+        src.addData(c: _*)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null) peak = math.max(peak, p.stateOperators.map(_.numRowsTotal).sum)
+      }
+      // sentinel far in the future flushes every corpus window (its own
+      // window never emits and is excluded from the gates)
+      src.addData((-1L, "flush", new Timestamp(epoch + 24L * 3600 * 1000)))
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      // exact per-window token counts over the same rows, same tokenizer
+      val winMs = 3600 * 1000L
+      val exact = new scala.collection.mutable.HashMap[(Long, String), Long]().withDefaultValue(0L)
+      val winTotals = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+      docs1.foreach { case (_, tx, t) =>
+        val w = t.getTime / winMs * winMs
+        tx.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          exact((w, tok)) += 1; winTotals(w) += 1
+        }
+      }
+      val byWin = {
+        val it = out.iterator()
+        val b = scala.collection.mutable.HashMap[Long, List[(String, Long)]]().withDefaultValue(Nil)
+        while (it.hasNext) { val (w, tok, est) = it.next(); b(w) = (tok, est) :: b(w) }
+        b.toMap
+      }
+      val verdicts = byWin.map { case (w, ests) =>
+        val thr = winTotals(w).toDouble / (kHH + 1)
+        val sketchToks = ests.map(_._1).toSet
+        val heavy = exact.collect { case ((ww, tok), tf) if ww == w && tf > thr => tok }
+        val cov = heavy.forall(sketchToks.contains)
+        val under = ests.forall { case (tok, est) => est <= exact((w, tok)) }
+        val err = ests.forall { case (tok, est) => exact((w, tok)) - est <= thr }
+        (cov, under, err)
+      }
+      (secs, byWin.size, peak,
+        verdicts.forall(_._1), verdicts.forall(_._2), verdicts.forall(_._3))
+    }
+
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":${evs.length / ajSecs}%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":${evs.length / ajSecs}%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk}}""")
     spark.stop()
   }
 }

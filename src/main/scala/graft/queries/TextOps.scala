@@ -822,6 +822,94 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- incremental dedup (new batch vs existing corpus) -----------------
+    // The production ingest shape: documents arrive in batches and
+    // must dedup against the ALREADY-INGESTED corpus, not just within
+    // the batch (CCNet/RefinedWeb pipelines re-crawl the same pages
+    // every snapshot). Incoming slice here = doc_id % 10 == 9; the
+    // rest is the existing corpus. 100 TB shape: the existing side is
+    // corpus-sized and must NEVER shuffle — a fixed-byte fingerprint
+    // bloom (Spark's own bloom_agg/bloom_contains, partial-aggregable
+    // build) prunes incoming docs to candidates map-side (a miss is
+    // definitely new — blooms have no false negatives), then ONE
+    // streamed scan of the existing corpus against the BROADCAST
+    // candidate set confirms real duplicates; the result is exact,
+    // bloom false positives only cost candidate-verify work. The
+    // incoming batch is the only relation that ever exchanges.
+    "q_dedup_incremental" -> Q(
+      """WITH f AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+                    FROM documents),
+          ex AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 9),
+          inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 9)
+         SELECT inc.doc_id,
+                CAST(CASE WHEN ex.fp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+         FROM inc LEFT JOIN ex ON inc.fp = ex.fp
+         ORDER BY inc.doc_id""") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val f = t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+      val ex = f.filter(col("doc_id") % 10 =!= 9)
+        .select(col("fp"), xxhash64(col("fp")).as("h"))
+      val inc = f.filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"), col("fp"), xxhash64(col("fp")).as("h"))
+      ex.createOrReplaceTempView("graft_incr_existing")
+      inc.createOrReplaceTempView("graft_incr_incoming")
+      val nEx = ex.count()
+      val (estItems, numBits) = QualityRule.bloomSizing(math.max(nEx, 1L))
+      val cand = s.sql(
+        s"""SELECT doc_id, fp FROM graft_incr_incoming
+            WHERE bloom_contains(
+              (SELECT bloom_agg(h, ${estItems}L, ${numBits}L) FROM graft_incr_existing), h)""")
+        .localCheckpoint(false)
+      // existing corpus STREAMS against the broadcast candidate set —
+      // the big side never shuffles, never builds a hash table
+      val dupFps = ex.select(col("fp"))
+        .join(broadcast(cand.select(col("fp")).distinct()), Seq("fp"), "leftsemi")
+        .distinct()
+      inc.select(col("doc_id"), col("fp"))
+        .join(broadcast(dupFps.withColumn("hit", lit(1))), Seq("fp"), "left")
+        .selectExpr("doc_id",
+          "CAST(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- character-entropy quality signal ---------------------------------
+    // Shannon entropy of the character distribution per document — the
+    // classic cheap gibberish/boilerplate screen (low entropy = runs
+    // and repetition, abnormally high = random noise), complementing
+    // q_text_repetition's token-level view. Cross-engine float
+    // discipline (the q_lm_perplexity trick): per (doc, char) the
+    // ln(count) term rounds to integer MICRO-NATS, so both per-doc
+    // sums are exact integers and H = (n·round(1e6·ln n) − Σ cᵢ·round(
+    // 1e6·ln cᵢ)) / (1e6·n) is a single IEEE division of exact
+    // integers. Shape: explode to chars, ONE (doc,char) partial
+    // aggregate (alphabet-bounded per doc), one per-doc aggregate —
+    // both partial-aggregable, zero joins.
+    "q_text_entropy" -> Q(
+      """WITH ch AS (SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
+                     FROM documents),
+          pt AS (SELECT doc_id, c, count(*) AS ci FROM ch GROUP BY doc_id, c),
+          pm AS (SELECT doc_id, ci, CAST(round(ln(ci) * 1000000) AS BIGINT) AS mi FROM pt),
+          ag AS (SELECT doc_id, CAST(sum(ci) AS BIGINT) AS n,
+                        CAST(sum(ci * mi) AS BIGINT) AS sm
+                 FROM pm GROUP BY doc_id)
+         SELECT doc_id, n AS n_chars_tot,
+                CAST(CAST(round(ln(n) * 1000000) AS BIGINT) * n - sm AS DOUBLE) / (1e6 * n) AS h_nats
+         FROM ag ORDER BY doc_id""") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "")).as("c"))
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("ci"))
+        .selectExpr("doc_id", "ci", "CAST(round(ln(ci) * 1000000) AS BIGINT) AS mi")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("ci")).cast("bigint").as("n"),
+          sum(col("ci") * col("mi")).cast("bigint").as("sm"))
+        .selectExpr("doc_id", "n AS n_chars_tot",
+          "CAST(CAST(round(ln(n) * 1000000) AS BIGINT) * n - sm AS DOUBLE) / (1e6 * n) AS h_nats")
+        .orderBy(col("doc_id"))
+    },
+
     // ---- token counting ---------------------------------------------------
     "q_text_tokens" -> Q(
       """SELECT doc_id,

@@ -166,6 +166,40 @@ object Streams {
       .withColumn("score", expr("CAST(sw AS DOUBLE) / (1e6 * size(toks))"))
       .drop("toks", "sw")
 
+  /** Windowed heavy-hitters over the token stream ("what's trending"):
+    * the Misra–Gries sketch — functions.HeavyHittersAgg, the same
+    * mergeable TypedImperativeAggregate behind batch
+    * q_vocab_heavy_approx — running inside a watermarked event-time
+    * window. The state store holds ONE ≤k-entry sketch buffer per
+    * open window, never the vocabulary, so state is
+    * O(k × open windows) at any stream length; and because the
+    * sketch's three provable bounds (every token with tf > N/(k+1)
+    * covered; estimates never above true counts; underestimate
+    * ≤ N/(k+1)) hold under ANY merge order, the verdicts stay valid
+    * under streaming's nondeterministic batch boundaries — the
+    * property that lets StreamBench gate the stream output against
+    * exact per-window counts. Append mode: each window emits once,
+    * when the watermark passes its end.
+    *
+    * Output: one row per (window, surviving token) —
+    * (win_start, n_toks, tok, est).
+    */
+  def trendingTokens(docs: DataFrame, k: Int = 200,
+                     windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(expr(toksSql)).as("tok"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(expr(s"heavy_hitters(tok, $k)").as("hh"),
+        count(lit(1)).as("n_toks"))
+      .select(col("window.start").as("win_start"), col("n_toks"),
+        explode(col("hh")).as("h"))
+      .select(col("win_start"), col("n_toks"),
+        col("h.tok").as("tok"), col("h.est").as("est"))
+  }
+
   /** The once-per-benchmark eval-gram bloom [[decontaminateDocs]]
     * broadcasts: word-8-gram xxhash64s of `evalDocs`' text column
     * (same [[gram8HashSql]] family as the probe side), sized by the

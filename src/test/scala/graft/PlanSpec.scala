@@ -406,6 +406,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("incremental dedup: existing corpus streams against broadcast candidates") {
+    val p = plan("q_dedup_incremental")
+    // the corpus-sized existing side must never shuffle — the verify
+    // semi-join and the final mark join both broadcast the small side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("char entropy: two partial+final aggregate pairs, zero joins") {
+    val p = plan("q_text_entropy")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("global rank windows WITHIN buckets — never a single-partition window") {
     val p = plan("q_global_rank")
     // the window's partition spec must be the derived range bucket;

@@ -378,4 +378,46 @@ class StreamingSpec extends AnyFunSuite {
         s"interval-join state should hold only in-horizon rows, got $stateRows")
     } finally q.stop()
   }
+
+  test("streaming heavy-hitters: sketch bounds hold per window, state stays sketch-sized") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val trend = Streams.trendingTokens(
+      src.toDF().toDF("doc_id", "text", "ts"),
+      k = 3, windowLen = "10 minutes", watermark = "0 seconds")
+    val q = trend.writeStream.format("memory").queryName("trend")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [10:00,10:10): alpha×12, beta×6, ten singletons → N=28,
+      // the Misra–Gries guarantee threshold is N/(k+1)=7. Fed across
+      // two batches to force a state-store sketch MERGE, not one pass.
+      src.addData((1L, ("alpha " * 6 + "beta " * 3 + "c1 c2 c3 c4 c5").trim, ts(1)))
+      q.processAllAvailable()
+      src.addData((2L, ("alpha " * 6 + "beta " * 3 + "c6 c7 c8 c9 c10").trim, ts(2)))
+      q.processAllAvailable()
+      // no window finalized yet, and the open window holds ONE sketch row
+      assert(spark.sql("SELECT * FROM trend").count() == 0)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows >= 1 && stateRows <= 2,
+        s"open-window state should be one sketch buffer, got $stateRows rows")
+      // advance the watermark past the window end → it emits once
+      src.addData((3L, "flush", ts(25)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT win_start, n_toks, tok, est FROM trend").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      assert(rows.nonEmpty && rows.forall(_._1 == ts(0)), rows.toSeq)
+      assert(rows.forall(_._2 == 28L), rows.toSeq)
+      assert(rows.length <= 3, s"sketch must emit <= k rows: ${rows.toSeq}")
+      val exact = Map("alpha" -> 12L, "beta" -> 6L) ++
+        (1 to 10).map(i => s"c$i" -> 1L)
+      val est = rows.map(r => r._3 -> r._4).toMap
+      // coverage: the one token above N/(k+1) must survive
+      assert(est.contains("alpha"), est)
+      // underestimate: never above the true count
+      assert(est.forall { case (t, e) => e <= exact(t) }, est)
+      // bounded error: underestimate by at most N/(k+1)
+      assert(est.forall { case (t, e) => exact(t) - e <= 7L }, est)
+    } finally q.stop()
+  }
 }
