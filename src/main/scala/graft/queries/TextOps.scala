@@ -1846,7 +1846,10 @@ object TextOps {
         sum(col("dc")).cast("bigint"),
         coalesce(sum(when(col("lang") === "en", col("dc"))).cast("bigint"), lit(0L))).head()
       val (nr, nt) = (totRow.getLong(0), totRow.getLong(1))
-      val ratio = cr.join(ct, Seq("b"), "left")
+      // ct is bucket-sized BY CONSTRUCTION (≤4096 rows) — declare the
+      // broadcast instead of relying on the auto threshold, which a
+      // host session may have disabled
+      val ratio = cr.join(broadcast(ct), Seq("b"), "left")
         .selectExpr("b",
           s"""CAST(round((ln((coalesce(ctc, 0) + 1.0) / (${nt}L + 4096))
                         - ln((crc + 1.0) / (${nr}L + 4096))) * 1000000) AS BIGINT) AS micro""")

@@ -18,6 +18,10 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // plan assertions must not depend on suite order: another suite
+    // (ScaleToolsSpec) disables auto-broadcast on the SHARED session,
+    // and getOrCreate applies runtime confs — pin the default back
+    .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
     .getOrCreate()
 
   private val sfDir = "/root/testdata/sf0.001"
