@@ -875,6 +875,43 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- quality-aware dedup: keep the BEST copy, not an arbitrary one ----
+    // Exact dedup conventionally keeps min(doc_id) per fingerprint;
+    // production pipelines keep the highest-QUALITY duplicate (the
+    // re-crawl with the cleanest extraction — the RefinedWeb/CCNet
+    // treatment). One mergeable max-of-struct aggregate (the q_lww_agg
+    // idiom) picks argmax(score, then smallest doc_id) per fingerprint
+    // group: lexicographic struct max is partial-aggregable, so the
+    // exchange carries one candidate per (partition, fingerprint) —
+    // never the duplicate groups themselves. Inputs are the shared
+    // fingerprint normalization and the memoized classifier aggregate;
+    // ties on score resolve by negated-id max = smallest doc_id,
+    // deterministic on both engines.
+    "q_dedup_keep_best" -> Q(
+      s"""WITH $qmodelCteSql,
+          f AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+                FROM documents),
+          sc AS (SELECT f.doc_id, f.fp, CAST(sw AS DOUBLE) / (1e6 * n) AS score
+                 FROM f JOIN qm ON f.doc_id = qm.doc_id)
+         SELECT fp,
+                -(max(struct_pack(s := score, i := -doc_id))).i AS keep_id,
+                (max(struct_pack(s := score, i := -doc_id))).s AS keep_score,
+                count(*) AS n_copies
+         FROM sc GROUP BY fp ORDER BY fp""") { (s, d) =>
+      val f = t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+      f.join(qmodelAgg(s, d)
+          .selectExpr("doc_id", "CAST(sw AS DOUBLE) / (1e6 * n) AS score"),
+          Seq("doc_id"))
+        .groupBy(col("fp"))
+        .agg(max(struct(col("score").as("s"), (-col("doc_id")).as("i"))).as("best"),
+          count(lit(1)).cast("bigint").as("n_copies"))
+        .selectExpr("fp", "-best.i AS keep_id", "best.s AS keep_score", "n_copies")
+        .orderBy(col("fp"))
+    },
+
     // ---- character-entropy quality signal ---------------------------------
     // Shannon entropy of the character distribution per document — the
     // classic cheap gibberish/boilerplate screen (low entropy = runs

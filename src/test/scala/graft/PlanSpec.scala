@@ -420,6 +420,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("keep-best dedup: partial+final max-of-struct, one keyed join, no pairs") {
+    val p = plan("q_dedup_keep_best")
+    // the argmax must be a mergeable aggregate (one candidate per
+    // partition per fingerprint crosses the exchange), never a window
+    // over duplicate groups
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("char entropy: two partial+final aggregate pairs, zero joins") {
     val p = plan("q_text_entropy")
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 4, p)
