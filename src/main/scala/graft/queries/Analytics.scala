@@ -544,6 +544,63 @@ object Analytics {
         .orderBy(col("event_id"))
     },
 
+    // ---- forward as-of join (next-event attribution) ----------------------
+    // The mirror direction pandas merge_asof calls 'forward': for each
+    // view, the user's NEXT purchase (smallest purchase ts >= view
+    // ts) — time-to-conversion analysis. Same merge-scan plan as
+    // q_asof_join over the descending order; DuckDB expresses it as
+    // ASOF with the <= inequality.
+    "q_asof_forward" -> Q(
+      """SELECT v.event_id, v.user_id,
+                strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS next_purchase_ts
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+           ON v.user_id = p.user_id AND v.ts <= p.ts
+         ORDER BY v.event_id""") { (s, d) =>
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      graft.operators.AsOfJoin
+        .asOf(views, purchases, "user_id", "ts", "next_raw", forward = true)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+          date_format(col("next_raw"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("next_purchase_ts"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- as-of join with tolerance (bounded-staleness match) ---------------
+    // pandas merge_asof's `tolerance`: the as-of match only counts if
+    // it is RECENT enough (signup within 7 days of the purchase) —
+    // attribution windows, staleness bounds. The tolerance is a pure
+    // map-side post-filter on the identical merge-scan plan (zero
+    // extra exchanges); both engines compare the SAME epoch-ms
+    // difference of exact integers.
+    "q_asof_tolerance" -> Q(
+      """SELECT p.event_id, p.user_id,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                strftime(CASE WHEN epoch_ms(p.ts) - epoch_ms(s.ts) <= 604800000
+                         THEN s.ts END, '%Y-%m-%d %H:%M:%S.%f') AS recent_signup_ts
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""") { (s, d) =>
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"))
+      graft.operators.AsOfJoin
+        .asOf(purchases, signups, "user_id", "ts", "signup_raw",
+          toleranceMs = Some(604800000L))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          date_format(col("signup_raw"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("recent_signup_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- banded range join (graft.operators.RangeJoin) — price-band
     // rollup; the oracle is the plain BETWEEN join, the Spark side is
     // the bucketed equi-join that replaces the nested-loop at scale.
