@@ -35,6 +35,8 @@ import org.apache.spark.sql.functions._
   *
   * The input is scanned three times (boundaries, counts, final plan) —
   * callers ranking an expensive derivation should persist it first.
+  * `__bkt` is claimed as a working column name; inputs must not carry
+  * a column by that name (it is overwritten and then dropped).
   *
   * Reference behavior target: the reference engine's ORDER BY surface
   * (StorageEngine/SQL/query_executor.hpp sorts result sets on the
