@@ -410,6 +410,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("as-of variants stay merge-scans: one keyed window, no join operator") {
+    // forward and tolerance ride the SAME union+window plan as the
+    // backward form — a Join node appearing here would mean the
+    // range-explosion shape snuck back in
+    for (q <- Seq("q_asof_forward", "q_asof_tolerance")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: ${p.take(1200)}")
+      assert(!p.contains("Join"), s"$q: ${p.take(1200)}")
+    }
+  }
+
   test("incremental dedup: existing corpus streams against broadcast candidates") {
     val p = plan("q_dedup_incremental")
     // the corpus-sized existing side must never shuffle — the verify
