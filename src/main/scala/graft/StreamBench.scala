@@ -294,7 +294,11 @@ object StreamBench {
       q.processAllAvailable()
       val secs = (System.nanoTime() - t0) / 1e9
       q.stop()
-      // exact per-window token counts over the same rows, same tokenizer
+      // exact per-window token counts over the same rows. The JVM
+      // tokenizer below MUST stay semantically identical to
+      // Streams.toksSql (lowercase, split on \s+, drop empties): the
+      // three gates measure the SKETCH only while the two tokenizers
+      // agree — if toksSql ever changes, change this line with it.
       val winMs = 3600 * 1000L
       val exact = new scala.collection.mutable.HashMap[(Long, String), Long]().withDefaultValue(0L)
       val winTotals = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
@@ -319,8 +323,13 @@ object StreamBench {
         val err = ests.forall { case (tok, est) => exact((w, tok)) - est <= thr }
         (cov, under, err)
       }
+      // fail CLOSED: forall over zero emitted windows would report all
+      // three bounds true — every corpus window must actually emit
+      val allEmitted = byWin.keySet == winTotals.keySet
       (secs, byWin.size, peak,
-        verdicts.forall(_._1), verdicts.forall(_._2), verdicts.forall(_._3))
+        allEmitted && verdicts.forall(_._1),
+        allEmitted && verdicts.forall(_._2),
+        allEmitted && verdicts.forall(_._3))
     }
 
     println(

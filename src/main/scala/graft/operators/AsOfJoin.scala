@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * One shuffle by key, one sort within partitions — no range-join
   * explosion, no per-row probing, skew-bounded by the hottest key
   * like any window. The tolerance is a pure map-side post-filter on
-  * the identical plan: zero extra exchanges. At 100 TB this is the
+  * the identical plan: zero extra exchanges. `__side` is claimed as a
+  * working column name, and a pre-existing left column named
+  * `asOfCol` is overwritten — inputs must carry neither. At 100 TB
+  * this is the
   * same plan a sort-merge as-of join would produce, expressed with
   * built-in operators (preference (a) of the custom-operator ladder).
   */
@@ -61,12 +64,13 @@ object AsOfJoin {
       .drop("__side")
     toleranceMs.fold(joined) { tol =>
       // CAST handles TIMESTAMP_NTZ inputs (unix_millis requires TZ;
-      // the session runs UTC so the epoch is unambiguous)
+      // the session runs UTC so the epoch is unambiguous); backticks
+      // keep non-bare column names working on this path too
       val diff =
         if (forward)
-          s"unix_millis(CAST($asOfCol AS TIMESTAMP)) - unix_millis(CAST($ts AS TIMESTAMP))"
+          s"unix_millis(CAST(`$asOfCol` AS TIMESTAMP)) - unix_millis(CAST(`$ts` AS TIMESTAMP))"
         else
-          s"unix_millis(CAST($ts AS TIMESTAMP)) - unix_millis(CAST($asOfCol AS TIMESTAMP))"
+          s"unix_millis(CAST(`$ts` AS TIMESTAMP)) - unix_millis(CAST(`$asOfCol` AS TIMESTAMP))"
       joined.withColumn(asOfCol, when(expr(s"$diff <= ${tol}L"), col(asOfCol)))
     }
   }

@@ -21,6 +21,24 @@ object QualityRule {
   val floorSql: String =
     s"n_tokens >= $minTokens AND n_tokens <= $maxTokens AND stop_ratio <= $maxStopRatio"
 
+  /** The ONE fingerprint normalization (md5 of lowercased text with
+    * punctuation/whitespace collapsed), shared by the batch dedup
+    * family (q_fingerprint / q_dedup_incremental / q_dedup_keep_best)
+    * and the streaming exact dedup (Streams.dedupDocs) — a unilateral
+    * edit to any copy would silently desynchronize batch, stream, and
+    * oracle fingerprints, so there are no copies.
+    */
+  def fpNormCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+  }
+
+  /** DuckDB twin of [[fpNormCol]] (the 'g' flag is DuckDB's
+    * replace-all spelling; Spark replaces all by default).
+    */
+  val fpNormSqlDuck: String =
+    "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
   /** The ONE bloom-filter sizing rule for eval-gram decontamination,
     * shared by the batch q_decontam_bloom and the streaming
     * decontaminateDocs filter: (items, bits) from the measured eval

@@ -813,12 +813,10 @@ object TextOps {
 
     // ---- document fingerprint: md5 of whitespace/punct-normalized text ----
     "q_fingerprint" -> Q(
-      """SELECT doc_id,
-                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-         FROM documents ORDER BY doc_id""") { (s, d) =>
+      s"""SELECT doc_id, ${QualityRule.fpNormSqlDuck} AS fp
+          FROM documents ORDER BY doc_id""") { (s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+        .select(col("doc_id"), QualityRule.fpNormCol.as("fp"))
         .orderBy(col("doc_id"))
     },
 
@@ -837,9 +835,8 @@ object TextOps {
     // bloom false positives only cost candidate-verify work. The
     // incoming batch is the only relation that ever exchanges.
     "q_dedup_incremental" -> Q(
-      """WITH f AS (SELECT doc_id,
-                      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-                    FROM documents),
+      s"""WITH f AS (SELECT doc_id, ${QualityRule.fpNormSqlDuck} AS fp
+                     FROM documents),
           ex AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 9),
           inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 9)
          SELECT inc.doc_id,
@@ -848,8 +845,7 @@ object TextOps {
          ORDER BY inc.doc_id""") { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       val f = t(s, d, "documents")
-        .select(col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+        .select(col("doc_id"), QualityRule.fpNormCol.as("fp"))
       val ex = f.filter(col("doc_id") % 10 =!= 9)
         .select(col("fp"), xxhash64(col("fp")).as("h"))
       val inc = f.filter(col("doc_id") % 10 === 9)
@@ -863,13 +859,23 @@ object TextOps {
             WHERE bloom_contains(
               (SELECT bloom_agg(h, ${estItems}L, ${numBits}L) FROM graft_incr_existing), h)""")
         .localCheckpoint(false)
-      // existing corpus STREAMS against the broadcast candidate set —
-      // the big side never shuffles, never builds a hash table
+      // bloomSizing clamps at Spark's runtime-filter caps (4M items /
+      // 64M bits); past that the filter saturates GRACEFULLY — false
+      // positives grow, exactness never suffers — but the candidate
+      // set stops being small, so the verify path is chosen by the
+      // MEASURED candidate count (the checkpoint makes this free):
+      // small → existing corpus STREAMS against the broadcast set (the
+      // big side never shuffles); saturated → a shuffled semi-join,
+      // which can never blow the driver
+      val nCand = cand.count()
+      val candFps = cand.select(col("fp")).distinct()
+      val bcastOk = nCand <= 4000000L
       val dupFps = ex.select(col("fp"))
-        .join(broadcast(cand.select(col("fp")).distinct()), Seq("fp"), "leftsemi")
+        .join(if (bcastOk) broadcast(candFps) else candFps, Seq("fp"), "leftsemi")
         .distinct()
+      val mark = dupFps.withColumn("hit", lit(1))
       inc.select(col("doc_id"), col("fp"))
-        .join(broadcast(dupFps.withColumn("hit", lit(1))), Seq("fp"), "left")
+        .join(if (bcastOk) broadcast(mark) else mark, Seq("fp"), "left")
         .selectExpr("doc_id",
           "CAST(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup")
         .orderBy(col("doc_id"))
@@ -889,8 +895,7 @@ object TextOps {
     // deterministic on both engines.
     "q_dedup_keep_best" -> Q(
       s"""WITH $qmodelCteSql,
-          f AS (SELECT doc_id,
-                  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          f AS (SELECT doc_id, ${QualityRule.fpNormSqlDuck} AS fp
                 FROM documents),
           sc AS (SELECT f.doc_id, f.fp, CAST(sw AS DOUBLE) / (1e6 * n) AS score
                  FROM f JOIN qm ON f.doc_id = qm.doc_id)
@@ -901,7 +906,7 @@ object TextOps {
          FROM sc GROUP BY fp ORDER BY fp""") { (s, d) =>
       val f = t(s, d, "documents")
         .select(col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+          QualityRule.fpNormCol.as("fp"))
       f.join(qmodelAgg(s, d)
           .selectExpr("doc_id", "CAST(sw AS DOUBLE) / (1e6 * n) AS score"),
           Seq("doc_id"))

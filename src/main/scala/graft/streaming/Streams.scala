@@ -80,8 +80,7 @@ object Streams {
     */
   def dedupDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("fp",
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .withColumn("fp", graft.queries.QualityRule.fpNormCol)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
