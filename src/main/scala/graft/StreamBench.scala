@@ -61,11 +61,28 @@ object StreamBench {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     val epoch = Timestamp.valueOf("2026-01-01 00:00:00").getTime
 
+    /** State peak over EVERY progress update since the last sample —
+      * `lastProgress` alone misses intermediate batches inside one
+      * `processAllAvailable` call and the final flush batch, so the
+      * peak could undercount. `recentProgress` holds the rolling
+      * buffer of all updates; max over it per sample is exact as long
+      * as samples come at least every ~100 batches (we sample every
+      * chunk).
+      */
+    def recentPeak(q: org.apache.spark.sql.streaming.StreamingQuery, cur: Long): Long = {
+      val ps = q.recentProgress
+      if (ps == null || ps.isEmpty) cur
+      else math.max(cur, ps.map(p => p.stateOperators.map(_.numRowsTotal).sum).max)
+    }
+
     /** run the near-dedup stream over `docs` (already time-ordered),
       * fed in fixed-size chunks so the watermark advances at the same
-      * cadence in every run; returns (secs, kept, statePeakRows)
+      * cadence in every run; returns (secs, kept, statePeakRows).
+      * `chunk` is the micro-batch trigger size — the cadence knob that
+      * separates per-batch fixed cost from per-row operator cost.
       */
-    def runDedup(docs: IndexedSeq[(Long, String, Timestamp)]): (Double, Long, Long) = {
+    def runDedup(docs: IndexedSeq[(Long, String, Timestamp)],
+                 chunk: Int = 500): (Double, Long, Long) = {
       val src = MemoryStream[(Long, String, Timestamp)]
       val kept = new java.util.concurrent.atomic.AtomicLong(0L)
       var peak = 0L
@@ -74,13 +91,13 @@ object StreamBench {
         .foreachBatch { (b: Dataset[Row], _: Long) => kept.addAndGet(b.count()); () }
         .start()
       val t0 = System.nanoTime()
-      docs.grouped(500).foreach { c =>
+      docs.grouped(chunk).foreach { c =>
         src.addData(c: _*)
         q.processAllAvailable()
-        val p = q.lastProgress
-        if (p != null) peak = math.max(peak, p.stateOperators.map(_.numRowsTotal).sum)
+        peak = recentPeak(q, peak)
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      peak = recentPeak(q, peak)
       q.stop()
       (secs, kept.get(), peak)
     }
@@ -107,6 +124,15 @@ object StreamBench {
     val (secs10, kept10, peak10) = runDedup(docs10)
 
     val stateBoundOk = peak10 <= 3 * math.max(peak1, 1L)
+
+    // Cadence vs operator cost: the 1× corpus again at a 10× trigger
+    // (5000-row micro-batches). The near-dedup operator is stateful
+    // map-side work + four bounded dedup stages — per-BATCH fixed cost
+    // (state store commit, planning) dominates at small triggers, so
+    // rows/s must grow near-linearly with the trigger while the state
+    // peak stays rate×watermark-bounded (the event-time span and
+    // arrival order are identical, only the batch boundaries move).
+    val (secs1b, kept1b, peak1b) = runDedup(docs1, chunk = 5000)
 
     // ---- phase 4: stream-side bloom decontamination -----------------------
     // The stateless ingest-path filter: eval-gram bloom from the
@@ -231,7 +257,7 @@ object StreamBench {
         } yield (v._1, p._1)
       }.toSet
     }
-    val (ajSecs, ajPairs, ajPeak, ajParityOk) = {
+    def runAttrib(chunk: Int): (Double, Long, Long, Boolean) = {
       val vSrc = MemoryStream[(Long, Long, Timestamp)]
       val pSrc = MemoryStream[(Long, Long, Timestamp, Double)]
       val pairs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
@@ -246,16 +272,16 @@ object StreamBench {
             .foreach(r => pairs.add((r.getLong(0), r.getLong(1)))); ()
         }.start()
       val t0 = System.nanoTime()
-      evs.grouped(500).foreach { chunk =>
-        val vs = chunk.filter(_._3 == "view").map(e => (e._2, e._1, e._4))
-        val ps = chunk.filter(_._3 == "purchase").map(e => (e._2, e._1, e._4, e._5))
+      evs.grouped(chunk).foreach { c =>
+        val vs = c.filter(_._3 == "view").map(e => (e._2, e._1, e._4))
+        val ps = c.filter(_._3 == "purchase").map(e => (e._2, e._1, e._4, e._5))
         if (vs.nonEmpty) vSrc.addData(vs.toIndexedSeq: _*)
         if (ps.nonEmpty) pSrc.addData(ps.toIndexedSeq: _*)
         q.processAllAvailable()
-        val p = q.lastProgress
-        if (p != null) peak = math.max(peak, p.stateOperators.map(_.numRowsTotal).sum)
+        peak = recentPeak(q, peak)
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      peak = recentPeak(q, peak)
       q.stop()
       val got = {
         val it = pairs.iterator(); val b = Set.newBuilder[(Long, Long)]
@@ -263,6 +289,12 @@ object StreamBench {
       }
       (secs, got.size.toLong, peak, got == expectedPairs)
     }
+    val (ajSecs, ajPairs, ajPeak, ajParityOk) = runAttrib(500)
+    // 10× trigger: the interval-join state is bounded by the condition
+    // (rate × horizon), independent of batch boundaries — rows/s must
+    // grow with the trigger while the peak stays horizon-bounded and
+    // the attributed pair set stays EXACTLY the batch relation.
+    val (ajSecsB, ajPairsB, ajPeakB, ajParityOkB) = runAttrib(5000)
 
     // ---- phase 7: windowed trending tokens (Misra–Gries on the stream) ----
     // The token stream grouped into event-time hours, each open hour
@@ -285,13 +317,13 @@ object StreamBench {
       docs1.grouped(500).foreach { c =>
         src.addData(c: _*)
         q.processAllAvailable()
-        val p = q.lastProgress
-        if (p != null) peak = math.max(peak, p.stateOperators.map(_.numRowsTotal).sum)
+        peak = recentPeak(q, peak)
       }
       // sentinel far in the future flushes every corpus window (its own
       // window never emits and is excluded from the gates)
       src.addData((-1L, "flush", new Timestamp(epoch + 24L * 3600 * 1000)))
       q.processAllAvailable()
+      peak = recentPeak(q, peak)
       val secs = (System.nanoTime() - t0) / 1e9
       q.stop()
       // exact per-window token counts over the same rows. The JVM
@@ -332,8 +364,19 @@ object StreamBench {
         allEmitted && verdicts.forall(_._3))
     }
 
+    // cadence verdicts: at a 10× trigger the per-row rate must grow
+    // (the small-trigger figure is batch-floor-bound, not operator-
+    // bound) while state peaks stay rate/horizon-bounded.
+    val ndRate1 = docs1.size / secs1
+    val ndRateB = docs1.size / secs1b
+    val ajRate1 = evs.length / ajSecs
+    val ajRateB = evs.length / ajSecsB
+    val cadenceOk = ndRateB >= 2 * ndRate1 && ajRateB >= 2 * ajRate1 &&
+      peak1b <= 3 * math.max(peak1, 1L) && ajPeakB <= 3 * math.max(ajPeak, 1L) &&
+      ajParityOkB
+
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":${evs.length / ajSecs}%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"near_dedup_trigger10":{"rows":${docs1.size},"secs":$secs1b%.2f,"rows_per_sec":$ndRateB%.0f,"kept":$kept1b,"state_peak_rows":$peak1b},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk}}""")
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact distributed global ranking.
   *
@@ -33,10 +34,21 @@ import org.apache.spark.sql.functions._
   * ties, so the result is deterministic and equal to
   * `row_number() OVER (ORDER BY score DESC, tieId)`.
   *
-  * The input is scanned three times (boundaries, counts, final plan) —
-  * callers ranking an expensive derivation should persist it first.
-  * `__bkt` is claimed as a working column name; inputs must not carry
-  * a column by that name (it is overwritten and then dropped).
+  * The input feeds three passes (boundaries, counts, final plan), so
+  * the operator SELF-DEFENDS: an input that is not already persisted
+  * is persisted here (MEMORY_AND_DISK — eviction degrades to
+  * recompute, never to failure) and materialized by the boundary
+  * pass, so an expensive upstream derivation is computed exactly
+  * once. The cache is left in place because the returned lazy plan
+  * reads it; callers that need the memory back unpersist the input
+  * after consuming the result. `__bkt` is claimed as a working column
+  * name; inputs must not carry a column by that name (it is
+  * overwritten and then dropped).
+  *
+  * Scores must be non-null and non-NaN: neither has a defined rank
+  * position (window NaN ordering diverges from predicate arithmetic),
+  * so such rows map to a null bucket and the counts pass fails loudly
+  * instead of silently mis-ranking.
   *
   * Reference behavior target: the reference engine's ORDER BY surface
   * (StorageEngine/SQL/query_executor.hpp sorts result sets on the
@@ -47,9 +59,13 @@ object GlobalRank {
 
   def withRank(df: DataFrame, score: Column, tieId: Column,
                rankName: String, buckets: Int = 64): DataFrame = {
+    val in =
+      if (df.storageLevel != StorageLevel.NONE) df
+      else df.persist(StorageLevel.MEMORY_AND_DISK)
+    val sc = score.cast("double")
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val bRow = df
-      .agg(percentile_approx(score.cast("double"), array(qs.map(lit): _*),
+    val bRow = in
+      .agg(percentile_approx(sc, array(qs.map(lit): _*),
         lit(10000)).as("bs"))
       .head
     val bounds =
@@ -57,12 +73,21 @@ object GlobalRank {
        else bRow.getSeq[Double](0).toList).distinct.sorted
     // bucket index: how many boundaries sit strictly ABOVE this score.
     // Highest scores -> bucket 0; equal scores -> equal bucket.
-    val bkt = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + (score.cast("double") < lit(b)).cast("int")
+    // Null/NaN scores map to a null bucket and are rejected below.
+    val bktDefined = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + (sc < lit(b)).cast("int")
     }
-    val withB = df.withColumn("__bkt", bkt)
+    val bkt =
+      when(sc.isNull || isnan(sc), lit(null).cast("int")).otherwise(bktDefined)
+    val withB = in.withColumn("__bkt", bkt)
     val counts = withB.groupBy(col("__bkt")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"GlobalRank.withRank: score column contains ${r.getLong(1)} " +
+            "null or NaN value(s) — ranks are undefined for them; " +
+            "filter or impute before ranking")
+        r.getInt(0) -> r.getLong(1)
+      }.sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).init
     val offExpr = counts.map(_._1).zip(offsets).foldLeft(lit(0L)) {
       case (acc, (k, off)) => when(col("__bkt") === k, lit(off)).otherwise(acc)

@@ -869,7 +869,13 @@ object TextOps {
       // which can never blow the driver
       val nCand = cand.count()
       val candFps = cand.select(col("fp")).distinct()
-      val bcastOk = nCand <= 4000000L
+      // An explicit broadcast() hint bypasses Spark's size-based auto
+      // threshold, so the cutoff must be BYTE-aware, not row-count-aware:
+      // a 32-char md5 fingerprint costs ~80 B in an on-heap broadcast
+      // hash relation, so cap the broadcast path at a 64 MB relation
+      // (~800k candidates) — beyond that the shuffled semi-join is the
+      // safe shape regardless of how the bloom sized itself.
+      val bcastOk = nCand * 80L <= (64L << 20)
       val dupFps = ex.select(col("fp"))
         .join(if (bcastOk) broadcast(candFps) else candFps, Seq("fp"), "leftsemi")
         .distinct()
@@ -932,7 +938,8 @@ object TextOps {
     "q_text_entropy" -> Q(
       """WITH ch AS (SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
                      FROM documents),
-          pt AS (SELECT doc_id, c, count(*) AS ci FROM ch GROUP BY doc_id, c),
+          pt AS (SELECT doc_id, c, count(*) AS ci FROM ch
+                 WHERE c <> '' GROUP BY doc_id, c),
           pm AS (SELECT doc_id, ci, CAST(round(ln(ci) * 1000000) AS BIGINT) AS mi FROM pt),
           ag AS (SELECT doc_id, CAST(sum(ci) AS BIGINT) AS n,
                         CAST(sum(ci * mi) AS BIGINT) AS sm
@@ -940,8 +947,14 @@ object TextOps {
          SELECT doc_id, n AS n_chars_tot,
                 CAST(CAST(round(ln(n) * 1000000) AS BIGINT) * n - sm AS DOUBLE) / (1e6 * n) AS h_nats
          FROM ag ORDER BY doc_id""") { (s, d) =>
+      // Empty-string "chars" are filtered on BOTH engines: a degenerate
+      // empty document splits to [""] in Spark, which would otherwise be
+      // counted as an alphabet symbol; with the filter an empty doc
+      // simply has no char rows and drops out of the output identically
+      // on both sides (TextOpsEdgeSpec pins this).
       t(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), "")).as("c"))
+        .filter(col("c") =!= "")
         .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("ci"))
         .selectExpr("doc_id", "ci", "CAST(round(ln(ci) * 1000000) AS BIGINT) AS mi")
         .groupBy(col("doc_id"))

@@ -73,6 +73,22 @@ class CurationSpec extends AnyFunSuite {
       g._4 >= 0.8 && g._5 >= 2, s"good doc stats: $g")
   }
 
+  test("char entropy: empty and whitespace-only documents tokenize safely") {
+    val dir = writeDocs(Seq(
+      (1L, "", "en"), (2L, "   ", "en"), (3L, "aabb", "en")))
+    val rows = SparkEntry.queries("q_text_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // an empty doc splits to [""] — the empty-string 'char' is filtered
+    // on BOTH engines, so the doc has no char rows and emits no row
+    // (rather than counting "" as an alphabet symbol)
+    assert(!rows.contains(1L), s"empty doc must not emit a row: $rows")
+    // whitespace-only: one symbol type (space) over 3 chars -> H = 0
+    assert(rows(2L) == ((3L, 0.0)), s"whitespace doc: ${rows(2L)}")
+    // two symbols at equal mass -> H = ln 2 (within the micro-nat grid)
+    assert(rows(3L)._1 == 4L &&
+      math.abs(rows(3L)._2 - math.log(2)) < 1e-5, s"aabb doc: ${rows(3L)}")
+  }
+
   test("DSIR weights: target-vocabulary docs score positive, off-target negative, mixed between") {
     // target slice (lang=en) writes with vocabulary aX, off-target
     // (lang=xx) with vocabulary bX; the scorer never sees the labels

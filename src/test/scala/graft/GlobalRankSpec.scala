@@ -66,4 +66,56 @@ class GlobalRankSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("__bkt"), plan.take(1500))
   }
+
+  test("self-defending persist: upstream derivation is computed once") {
+    import spark.implicits._
+    // An expensive upstream is simulated by an accumulator that counts
+    // per-partition evaluations. Without the operator's own persist the
+    // three passes (boundaries, counts, final plan) would evaluate every
+    // partition three times; with it, the boundary pass materializes the
+    // cache and the later passes read it.
+    val acc = spark.sparkContext.longAccumulator("upstream-evals")
+    val base = (1L to 2000L).map(i => (i, (i % 37).toDouble))
+      .toDF("id", "score").repartition(4)
+    val upstream = base.as[(Long, Double)]
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("id", "score")
+    val out = GlobalRank.withRank(upstream, col("score"), col("id"), "rnk", 8)
+    assert(out.count() == 2000L)
+    assert(acc.value == 4,
+      s"upstream partitions evaluated ${acc.value} times across 4 partitions " +
+        "— the operator must persist an unpersisted input so the three " +
+        "passes share one computation")
+    assert(out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rnk"))
+      .toMap == reference(base))
+  }
+
+  test("an already-persisted input is not re-persisted (caller contract)") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, (i % 7).toDouble)).toDF("id", "score")
+      .persist()
+    try {
+      assert(ranked(df, 8) == reference(df))
+      assert(df.storageLevel.useMemory, "caller's persist must survive")
+    } finally df.unpersist()
+  }
+
+  test("null scores fail loudly instead of mis-ranking") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("id", "score")
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withRank(df, col("score"), col("id"), "rnk", 4).collect()
+    }
+    assert(e.getMessage.contains("null or NaN"))
+  }
+
+  test("NaN scores fail loudly instead of mis-ranking") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (2L, Double.NaN), (3L, 1.0)).toDF("id", "score")
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withRank(df, col("score"), col("id"), "rnk", 4).collect()
+    }
+    assert(e.getMessage.contains("null or NaN"))
+  }
 }
