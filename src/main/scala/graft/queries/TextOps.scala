@@ -321,6 +321,26 @@ object TextOps {
       .filter(col("mn") =!= col("mx")))
   }
 
+  /** Keep-one-copy variant of [[dupSpans]]: the canonical holder of a
+    * duplicated 8-gram is min(doc_id) over the docs containing it —
+    * that doc's occurrence is NOT marked, every other doc's is, so the
+    * canonical copy of a duplicated span survives excision while the
+    * other copies lose it. The keeper identity is per-GRAM (it rides
+    * the same window min the >1-docs test already computes — zero
+    * extra plan cost): a span whose copies all come from one source
+    * has a single well-defined keeper; an island stitched from grams
+    * with different canonical holders splits conservatively at the
+    * holder boundary, which only ever PRESERVES more text. Same one
+    * by-gram exchange, same islands — still no join of any kind.
+    */
+  private def dupSpansKeepOne(s: SparkSession, d: String): DataFrame = {
+    val wg = Window.partitionBy(col("g"))
+    islandSpans(gramRows(s, d, 8)
+      .withColumn("mn", min(col("doc_id")).over(wg))
+      .withColumn("mx", max(col("doc_id")).over(wg))
+      .filter(col("mn") =!= col("mx") && col("doc_id") =!= col("mn")))
+  }
+
   /** Gaps-and-islands over marked (doc_id, pos) gram starts → maximal
     * spans of >= 16 tokens. The merge step shared by every span
     * producer (corpus-dup spans, eval-leak spans).
@@ -363,6 +383,63 @@ object TextOps {
        spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 8 AS span_len
                  FROM isl GROUP BY doc_id, island
                  HAVING max(pos) - min(pos) + 8 >= 16)"""
+
+  /** DuckDB mirror of [[dupSpansKeepOne]] — same CTE tail name
+    * `spans(doc_id, span_start, span_len)`, with the per-gram
+    * canonical-holder (min doc_id) exempt from marking.
+    */
+  private val keep1SpansCte =
+    s"""$gramPosCte,
+       mk AS (SELECT doc_id, pos,
+                min(doc_id) OVER (PARTITION BY g) AS mn,
+                max(doc_id) OVER (PARTITION BY g) AS mx
+              FROM g8),
+       isl AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM mk WHERE mn <> mx AND doc_id <> mn),
+       spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 8 AS span_len
+                 FROM isl GROUP BY doc_id, island
+                 HAVING max(pos) - min(pos) + 8 >= 16)"""
+
+  /** The span-removal consumer shared by the remove-all and
+    * keep-one-copy apply queries: span lists group per doc (tiny),
+    * ONE keyed left join carries them to the corpus, and removal is a
+    * map-side higher-order filter over the token array — no
+    * token-level join. Docs without spans pass through verbatim.
+    */
+  private def applySpansDf(s: SparkSession, d: String, spans: DataFrame): DataFrame = {
+    val sp = spans
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_len").as("l"))).as("spans"))
+    toksFrame(s, d)
+      .join(sp, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "size(toks) AS n_toks",
+        """CASE WHEN spans IS NULL THEN toks ELSE
+             filter(toks, (x, i) -> NOT exists(spans, sp -> i >= sp.s AND i < sp.s + sp.l))
+           END AS clean""")
+      .selectExpr("doc_id",
+        "array_join(clean, ' ') AS clean_text",
+        "n_toks - size(clean) AS n_removed")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[applySpansDf]] over any CTE chain ending in
+    * `spans(doc_id, span_start, span_len)` (and exposing `toks`).
+    */
+  private def applySpansSql(cte: String): String =
+    s"""WITH $cte,
+        sp AS (SELECT doc_id, list({'s': span_start, 'l': span_len}) AS spans
+               FROM spans GROUP BY doc_id)
+        SELECT doc_id,
+               coalesce(array_to_string(clean, ' '), '') AS clean_text,
+               n_toks - len(clean) AS n_removed
+        FROM (SELECT t.doc_id, len(t.toks) AS n_toks,
+                CASE WHEN sp.spans IS NULL THEN t.toks ELSE
+                  [t.toks[i] for i in range(1, len(t.toks) + 1)
+                   if len(list_filter(sp.spans, x -> i - 1 >= x.s AND i - 1 < x.s + x.l)) = 0]
+                END AS clean
+              FROM toks t LEFT JOIN sp USING (doc_id))
+        ORDER BY doc_id"""
 
   /** (doc_id, simhash): simhash over DISTINCT lowercased tokens.
     * Tokens are EXPLODED to rows: one codegen'd md5-derived 60-bit
@@ -2327,33 +2404,24 @@ object TextOps {
     // them to the corpus, and the removal itself is a map-side
     // higher-order filter over the token array: no token-level join,
     // no explosion. Docs without spans pass through verbatim.
-    "q_dedup_spans_apply" -> Q(
-      s"""WITH $spansCte,
-          sp AS (SELECT doc_id, list({'s': span_start, 'l': span_len}) AS spans
-                 FROM spans GROUP BY doc_id)
-          SELECT doc_id,
-                 coalesce(array_to_string(clean, ' '), '') AS clean_text,
-                 n_toks - len(clean) AS n_removed
-          FROM (SELECT t.doc_id, len(t.toks) AS n_toks,
-                  CASE WHEN sp.spans IS NULL THEN t.toks ELSE
-                    [t.toks[i] for i in range(1, len(t.toks) + 1)
-                     if len(list_filter(sp.spans, x -> i - 1 >= x.s AND i - 1 < x.s + x.l)) = 0]
-                  END AS clean
-                FROM toks t LEFT JOIN sp USING (doc_id))
-          ORDER BY doc_id""") { (s, d) =>
-      val spans = dupSpans(s, d)
-        .groupBy(col("doc_id"))
-        .agg(collect_list(struct(col("span_start").as("s"), col("span_len").as("l"))).as("spans"))
-      toksFrame(s, d)
-        .join(spans, Seq("doc_id"), "left")
-        .selectExpr("doc_id", "size(toks) AS n_toks",
-          """CASE WHEN spans IS NULL THEN toks ELSE
-               filter(toks, (x, i) -> NOT exists(spans, sp -> i >= sp.s AND i < sp.s + sp.l))
-             END AS clean""")
-        .selectExpr("doc_id",
-          "array_join(clean, ' ') AS clean_text",
-          "n_toks - size(clean) AS n_removed")
-        .orderBy(col("doc_id"))
+    "q_dedup_spans_apply" -> Q(applySpansSql(spansCte)) { (s, d) =>
+      applySpansDf(s, d, dupSpans(s, d))
+    },
+
+    // ---- keep-one-copy span dedup ------------------------------------------
+    // The canonical-copy variant the remove-all form deliberately is
+    // not (a license-header trimmer wants ONE surviving copy, not
+    // zero): per duplicated 8-gram the canonical holder is
+    // min(doc_id) — that doc keeps its occurrence, every other doc's
+    // is excised. The keeper identity is per-gram, riding the SAME
+    // window min the >1-docs test already computes, so relative to
+    // q_dedup_spans_apply this costs nothing: same one by-gram
+    // exchange, same islands, same single keyed left join to the
+    // corpus, still no token-level join. Spans whose copies span
+    // multiple canonical holders split at the holder boundary, which
+    // only preserves more text (documented on dupSpansKeepOne).
+    "q_dedup_spans_keep1" -> Q(applySpansSql(keep1SpansCte)) { (s, d) =>
+      applySpansDf(s, d, dupSpansKeepOne(s, d))
     },
 
     // ---- MinHash + LSH near-dup (sub-quadratic scale path) ----------------

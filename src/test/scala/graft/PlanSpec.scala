@@ -329,6 +329,23 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(pd).size == 5, pd)
   }
 
+  test("keep-one span apply: one keyed span join, never a token-level join") {
+    // the keeper filter rides the detect pipeline's existing window
+    // min — the ONLY join in the whole apply plan is the single keyed
+    // left join of per-doc span lists back to the corpus (removal is
+    // a map-side higher-order filter)
+    val p = plan("q_dedup_spans_keep1")
+    // formatted mode lists each node once in the detail section as
+    // "(n) <Node>" — exactly one join node, and it broadcasts the
+    // per-doc span lists (tiny) over the corpus
+    val joins = "\\(\\d+\\) \\w*Join".r.findAllIn(p).toVector
+    assert(joins.size == 1 && joins.head.contains("BroadcastHashJoin"), joins.toString + p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // and the detect half keeps the span-family discipline: the
+    // >1-docs + canonical-holder tests are window min/max, no distinct
+    assert(!p.toLowerCase.contains("distinct"), p)
+  }
+
   test("LM perplexity broadcasts the model; every aggregate is partial+final") {
     val p = plan("q_lm_perplexity")
     // the scale claim: model tables are vocabulary-sized, so the

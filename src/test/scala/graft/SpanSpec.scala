@@ -63,6 +63,32 @@ class SpanSpec extends AnyFunSuite {
       applied)
   }
 
+  test("keep-one-copy apply: the min-doc canonical copy survives, every other copy is excised") {
+    val sharedA = toks("a", 20)
+    val sharedB = toks("b", 20)
+    val dir = writeDocs(Seq(
+      1L -> (toks("u", 4) ++ sharedA ++ toks("v", 4)),  // canonical holder of A
+      2L -> (toks("w", 5) ++ sharedA ++ toks("x", 5)),  // loses A
+      3L -> (sharedA ++ toks("y", 8)),                  // loses A
+      7L -> (toks("p", 3) ++ sharedB),                  // canonical holder of B
+      8L -> (sharedB ++ toks("q", 3)),                  // loses B
+      9L -> toks("z", 30)))                             // unique, untouched
+    val out = SparkEntry.queries("q_dedup_spans_keep1")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Number](2).longValue)).toSeq
+    assert(out == Seq(
+      (1L, (toks("u", 4) ++ sharedA ++ toks("v", 4)).mkString(" "), 0L),
+      (2L, (toks("w", 5) ++ toks("x", 5)).mkString(" "), 20L),
+      (3L, toks("y", 8).mkString(" "), 20L),
+      (7L, (toks("p", 3) ++ sharedB).mkString(" "), 0L),
+      (8L, toks("q", 3).mkString(" "), 20L),
+      (9L, toks("z", 30).mkString(" "), 0L)), out)
+    // contrast with remove-all: the same corpus loses EVERY copy there
+    val all = SparkEntry.queries("q_dedup_spans_apply")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](2).longValue)).toMap
+    assert(all(1L) == 20L && all(7L) == 20L,
+      s"remove-all must excise the canonical copies keep1 preserves: $all")
+  }
+
   test("eval-leak excision reports the leak only in the training doc") {
     // doc 50 is in the eval slice (doc_id % 50 == 0); doc 1 leaked a
     // 20-token eval run; doc 2 shares nothing with eval
