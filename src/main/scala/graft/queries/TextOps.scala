@@ -1819,6 +1819,88 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- distributed classifier-training step ------------------------------
+    // The training half of the quality-classifier family, pairing
+    // q_quality_model (apply) the way q_kmeans_update pairs
+    // q_dedup_semantic (assign): one full-batch logistic-regression
+    // epoch over hashed token features — the CCNet/GPT-3-style
+    // fastText recipe (hashing trick, 4096 buckets, the q_dsir_weights
+    // bucket construction) with lang='en' as the target-domain label.
+    // Start weights are md5-derived integers per BUCKET (the
+    // q_quality_model stand-in discipline — a warm-start table is a
+    // broadcast map with an identical plan). Exact fixed point
+    // throughout (the q_kmeans_update discipline): the margin is an
+    // exact integer sum of micro-weights, the per-doc logistic
+    // residual y − σ(score) rounds ONCE to integer micro units (σ over
+    // the same IEEE double on both engines), and the per-bucket
+    // gradient Σ dc·r is an exact partial-aggregable integer sum. The
+    // update w_new = w_old + grad/n_docs (gradient ascent on mean
+    // log-likelihood, unit rate in micro units) is one IEEE division
+    // + add of exact integers — bit-identical across engines.
+    //
+    // 100 TB shape: one (doc,bucket) partial aggregate, one per-doc
+    // reduction, one doc-keyed join of two frames derived from the
+    // same persisted aggregate, and a BUCKET-sized (≤4096 rows) final
+    // exchange carrying the gradient — the weight table never grows
+    // with the corpus, exactly why the hashing trick is the published
+    // web-scale recipe. Iterating = re-running this step with the
+    // emitted table broadcast back in.
+    "q_classifier_train_step" -> Q(
+      """WITH t AS (SELECT d.doc_id, d.lang,
+              unnest(list_filter(string_split_regex(lower(d.text), '\s+'), x -> x != '')) AS tok
+            FROM documents d),
+         tb AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
+                FROM t),
+         docb AS (SELECT doc_id, b, max(lang) AS lang, count(*) AS dc
+                  FROM tb GROUP BY doc_id, b),
+         wt AS (SELECT DISTINCT b,
+                  ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2000001 - 1000000 AS w
+                FROM docb),
+         pd AS (SELECT d.doc_id, max(d.lang) AS lang,
+                  CAST(sum(d.dc * w.w) AS BIGINT) AS sw,
+                  CAST(sum(d.dc) AS BIGINT) AS n
+                FROM docb d JOIN wt w ON d.b = w.b GROUP BY d.doc_id),
+         rs AS (SELECT doc_id,
+                  CAST(round(1000000 * ((CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                     - 1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (1e6 * n)))))) AS BIGINT) AS r
+                FROM pd),
+         g AS (SELECT d.b, CAST(sum(d.dc * r.r) AS BIGINT) AS grad_micro
+               FROM docb d JOIN rs r ON d.doc_id = r.doc_id GROUP BY d.b)
+         SELECT g.b AS bucket, w.w AS w_old, g.grad_micro,
+                w.w + CAST(g.grad_micro AS DOUBLE) / (SELECT count(*) FROM pd) AS w_new
+         FROM g JOIN wt w ON g.b = w.b ORDER BY bucket""") { (s, d) =>
+      val wExpr = "CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2000001 - 1000000"
+      val docb = t(s, d, "documents")
+        .selectExpr("doc_id", "lang",
+          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        .selectExpr("doc_id", "lang",
+          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4096 AS b")
+        .groupBy(col("doc_id"), col("b"))
+        .agg(max(col("lang")).as("lang"), count(lit(1)).as("dc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val resid = docb
+        .selectExpr("doc_id", "lang", "dc", s"$wExpr AS w")
+        .groupBy(col("doc_id"))
+        .agg(max(col("lang")).as("lang"),
+          sum(expr("dc * w")).cast("bigint").as("sw"),
+          sum(col("dc")).cast("bigint").as("n"))
+        .selectExpr("doc_id",
+          """CAST(round(1000000 * ((CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               - 1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (1e6 * n)))))) AS BIGINT) AS r""")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // n_docs is one driver scalar (the vocabSize pattern) and
+      // materializes the resid persist the gradient join reads
+      val nd = resid.count()
+      docb.join(resid, Seq("doc_id"))
+        .groupBy(col("b"))
+        .agg(sum(expr("dc * r")).cast("bigint").as("grad_micro"))
+        .selectExpr("b AS bucket", s"$wExpr AS w_old", "grad_micro",
+          s"($wExpr) + CAST(grad_micro AS DOUBLE) / ${nd}L AS w_new")
+        .orderBy(col("bucket"))
+    },
+
     // ---- exact distributed global ranking ---------------------------------
     // Curation pipelines order the WHOLE corpus by a quality signal
     // ("keep the best-scoring X%", curriculum ordering) — which naively

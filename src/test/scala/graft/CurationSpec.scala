@@ -114,6 +114,37 @@ class CurationSpec extends AnyFunSuite {
       s"mixed doc must land between: ${rows(4L)._2} < ${rows(7L)._2} < ${rows(1L)._2}")
   }
 
+  test("classifier train step: target-only buckets get positive gradient, off-target negative, exact update") {
+    // disjoint vocabularies: aX tokens appear only in lang='en' docs
+    // (label 1), bX only in lang='xx' docs (label 0). For a y=1 doc the
+    // residual y − σ(score) is strictly positive, for y=0 strictly
+    // negative — so every bucket touched ONLY by target docs must
+    // carry a positive gradient and every off-target-only bucket a
+    // negative one (bucket collisions between the two vocabularies are
+    // excluded via the same md5 arithmetic).
+    val aText = (1 to 200).map(i => s"a${i % 13}").mkString(" ")
+    val bText = (1 to 200).map(i => s"b${i % 13}").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, aText, "en"), (2L, aText, "en"), (3L, bText, "xx"), (4L, bText, "xx")))
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(hex.substring(0, 15), 16) % 4096).toLong
+    }
+    val aB = (0 until 13).map(i => bucket(s"a$i")).toSet
+    val bB = (0 until 13).map(i => bucket(s"b$i")).toSet
+    val rows = SparkEntry.queries("q_classifier_train_step")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == (aB | bB), s"buckets: ${rows.keySet} vs ${aB | bB}")
+    (aB -- bB).foreach { b => assert(rows(b)._2 > 0, s"target bucket $b: ${rows(b)}") }
+    (bB -- aB).foreach { b => assert(rows(b)._2 < 0, s"off-target bucket $b: ${rows(b)}") }
+    assert((aB -- bB).nonEmpty && (bB -- aB).nonEmpty, "fixture collided entirely")
+    // the update rule is exactly w_old + grad / n_docs (4 docs)
+    rows.values.foreach { case (wOld, grad, wNew) =>
+      assert(wNew == wOld + grad.toDouble / 4L, s"update: $wOld $grad $wNew")
+    }
+  }
+
   test("cluster balance caps the oversized cluster via the exact hash set, keeps small clusters whole") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("curationspec").toString

@@ -346,6 +346,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("distinct"), p)
   }
 
+  test("classifier train step: bucket-sized gradient exchange, partial aggregates, no window") {
+    val p = plan("q_classifier_train_step")
+    // the gradient reduction must exchange on the BUCKET key (≤4096
+    // rows cross the wire after map-side combine), never on the corpus
+    assert(p.contains("hashpartitioning(b#") || p.contains("hashpartitioning(b,"), p)
+    // every aggregate partial+final; no window, no cartesian anywhere
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("LM perplexity broadcasts the model; every aggregate is partial+final") {
     val p = plan("q_lm_perplexity")
     // the scale claim: model tables are vocabulary-sized, so the
