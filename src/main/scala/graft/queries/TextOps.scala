@@ -206,6 +206,89 @@ object TextOps {
       .filter(col("w2").isNotNull)
   }
 
+  /** Number of BPE training rounds for q_bpe_train — fixed so the
+    * vocabulary evolution is a deterministic oracle target.
+    */
+  private[graft] val bpeTrainRounds = 6
+
+  /** One BPE round's pair table over a (doc_id, toks) frame:
+    * (doc_id, pos, tok, nxt) adjacency rows. Window-shaped like
+    * bigramRows but over an ARBITRARY token frame (the trainer
+    * re-tokenizes between rounds, so it cannot use the memoized
+    * corpus frame past round 1).
+    */
+  private def bpeAdj(cur: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    cur.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(wd))
+  }
+
+  /** Apply one merge (a,b) -> "a b" to a (doc_id, toks) frame with the
+    * GREEDY left-to-right non-overlap rule, entirely in windows over
+    * the by-doc partition — no joins, no interpreted per-token fold:
+    * hit positions group into runs via a running non-hit count, a run
+    * takes its even offsets (floor(L/2) for the w1=w2 runs — the
+    * q_bpe_merge_step rule), taken positions emit the merged token
+    * (space-joined, distinguishable since corpus tokens never contain
+    * spaces) and their consumed successors drop.
+    */
+  private def bpeApply(cur: DataFrame, a: String, b: String): DataFrame = {
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wg = Window.partitionBy(col("doc_id"), col("grp"))
+    bpeAdj(cur)
+      .withColumn("hit",
+        col("tok") === lit(a) && coalesce(col("nxt") === lit(b), lit(false)))
+      .withColumn("grp", sum(when(col("hit"), 0).otherwise(1)).over(wd))
+      .withColumn("take", col("hit") &&
+        ((col("pos") - min(when(col("hit"), col("pos"))).over(wg)) % 2 === 0))
+      .withColumn("prevtake", coalesce(lag(col("take"), 1).over(wd), lit(false)))
+      .filter(!col("prevtake"))
+      .select(col("doc_id"), col("pos"),
+        when(col("take"), concat(col("tok"), lit(" "), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)").as("toks"))
+  }
+
+  /** DuckDB twin of the n-round trainer: a generated CTE chain —
+    * round r selects best_r from toks_(r-1)'s adjacency counts and
+    * rebuilds toks_r with the identical windowed greedy rule.
+    */
+  private def bpeTrainSql(n: Int): String = {
+    val base =
+      """toks0 AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+           FROM documents)"""
+    val rounds = (1 to n).map { r =>
+      val apply = if (r == n) "" else s""",
+         h$r AS (SELECT doc_id, pos, tok, nxt,
+                   (tok = (SELECT w1 FROM best$r)
+                    AND coalesce(nxt = (SELECT w2 FROM best$r), false)) AS hit
+                 FROM m$r),
+         g$r AS (SELECT *, sum(CASE WHEN hit THEN 0 ELSE 1 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM h$r),
+         t$r AS (SELECT *, hit AND ((pos - min(CASE WHEN hit THEN pos END)
+                        OVER (PARTITION BY doc_id, grp)) % 2 = 0) AS take FROM g$r),
+         e$r AS (SELECT doc_id, pos,
+                   CASE WHEN take THEN tok || ' ' || nxt ELSE tok END AS tok,
+                   coalesce(lag(take) OVER (PARTITION BY doc_id ORDER BY pos), false) AS prevtake
+                 FROM t$r),
+         toks$r AS (SELECT doc_id, list(tok ORDER BY pos) AS toks
+                    FROM e$r WHERE NOT prevtake GROUP BY doc_id)"""
+      s"""p$r AS (SELECT doc_id, unnest(toks) AS tok,
+                unnest(range(1, len(toks) + 1)) - 1 AS pos FROM toks${r - 1}),
+         m$r AS (SELECT doc_id, pos, tok,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM p$r),
+         bg$r AS (SELECT tok AS w1, nxt AS w2, count(*) AS c
+                  FROM m$r WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         best$r AS (SELECT w1, w2, c FROM bg$r ORDER BY c DESC, w1, w2 LIMIT 1)$apply"""
+    }.mkString(",\n")
+    val sel = (1 to n)
+      .map(r => s"SELECT CAST($r AS INT) AS round, w1, w2, CAST(c AS BIGINT) AS cnt FROM best$r")
+      .mkString("\n UNION ALL ")
+    s"WITH $base,\n$rounds\n SELECT * FROM (\n $sel\n ) ORDER BY round"
+  }
+
   /** Corpus vocabulary size (distinct tokens) — one scalar per
     * dataset, memoized like nDocs; the add-one smoothing denominator.
     */
@@ -2263,6 +2346,50 @@ object TextOps {
       merges
         .select(col("doc_id"), lit(a).as("w1"), lit(b).as("w2"), col("merges"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- multi-round BPE trainer (the tokenizer-build loop) ----------------
+    // q_bpe_merge_step is one round; a tokenizer BUILD iterates: per
+    // round, pick the most frequent adjacent pair (ties lexicographic
+    // — the q_bpe_merge_step selection rule), APPLY it to every
+    // sequence with the greedy left-to-right non-overlap rule, and
+    // recount. The emitted merge table (round, pair, count) is the
+    // vocabulary evolution a tokenizer ships — fully oracled: DuckDB
+    // replays the identical rounds via a generated CTE chain with the
+    // same windowed greedy application (run-grouped hit positions,
+    // even offsets taken, consumed successors dropped), so the whole
+    // n-round trajectory hash-matches.
+    //
+    // 100 TB shape: every round is one corpus pass — a by-doc window
+    // chain for the rebuild (no joins; the merged sequences
+    // re-materialize via eager localCheckpoint, the honest shape for
+    // ANY iterative trainer — q_kmeans_update would iterate the same
+    // way) plus a vocabulary-sized partial pair aggregate reduced to
+    // one driver scalar. Real training batches the top-m pairs per
+    // round; that is the same plan with LIMIT m and a driver loop
+    // over non-interacting pairs, so the round count here is the
+    // conservative m=1 form.
+    "q_bpe_train" -> Q(bpeTrainSql(bpeTrainRounds)) { (s, d) =>
+      import s.implicits._
+      var cur = toksFrame(s, d).select(col("doc_id"), col("toks"))
+      val table = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var r = 1
+      var exhausted = false
+      while (r <= bpeTrainRounds && !exhausted) {
+        // one driver scalar per round, like q_bpe_merge_step's best
+        val best = bpeAdj(cur).filter(col("nxt").isNotNull)
+          .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).collect()
+        if (best.isEmpty) exhausted = true // no pairs left: a tiny corpus
+        else {                             // fully merged before round n
+          val (a, b) = (best.head.getString(0), best.head.getString(1))
+          table += ((r, a, b, best.head.getLong(2)))
+          if (r < bpeTrainRounds) cur = bpeApply(cur, a, b).localCheckpoint(true)
+        }
+        r += 1
+      }
+      table.toSeq.toDF("round", "w1", "w2", "cnt").orderBy(col("round"))
     },
 
     // ---- per-source quality mix (curation reporting) ----------------------

@@ -521,6 +521,36 @@ class GroundTruthSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE trainer: merged tokens re-participate across rounds (hand-computed trajectory)") {
+    import spark.implicits._
+    // two docs whose 6-round trajectory is computed by hand, covering
+    // merged-token participation (round 2 merges round 1's output),
+    // the repeated-token greedy branch (round 3 merges (abc,abc): a
+    // run of 3 yields ONE site, not two), and lexicographic
+    // tie-breaks among count-1 pairs (rounds 4-6)
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c d e a b c"))
+    val dir = Files.createTempDirectory("graft-bpetrain").toString
+    try {
+      docs.map { case (id, t) => (id, t, "en", "srcT", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q_bpe_train")(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == Seq(
+        (1, "a", "b", 5L),
+        (2, "a b", "c", 5L),
+        (3, "a b c", "a b c", 2L),
+        (4, "a b c", "d", 1L),
+        (5, "a b c a b c", "a b c", 1L),
+        (6, "a b c d", "e", 1L)), got)
+    } finally {
+      graft.queries.TextOps.releaseCaches()
+      graft.engine.Persist.deleteRecursively(Paths.get(dir))
+    }
+  }
+
   test("LM perplexity ranks gibberish far above repetitive text (planted truth)") {
     import spark.implicits._
     // 30 identical docs cycling one 8-word phrase (every bigram seen
