@@ -15,8 +15,38 @@ object SparkEntry {
 
   private val registry: Map[String, Q] =
     CoreSql.all ++ Analytics.all ++ TextOps.all ++ VectorOps.all ++ Map(
-      "q_mm_features" -> Q.noOracle((s, d) => operators.Multimodal.pipeline(s, d)),
-      "q_mm_frames"   -> Q.noOracle((s, d) => operators.Multimodal.framesPipeline(s, d)),
+      // feature extraction IS oracle-checkable on its decode-verified
+      // scalar slots: decoded dimensions and the decoder-route code
+      // reproduce the generator's closed-form id arithmetic (float
+      // codec statistics stay planted-truth-gated in MultimodalSpec)
+      "q_mm_features" -> Q(
+        """SELECT doc_id AS id,
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                       WHEN 1 THEN 'wav' ELSE 'mjpeg' END AS format,
+                  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id % 8) * 8
+                                       WHEN 1 THEN 16000
+                                       ELSE 16 + (doc_id % 4) * 8 END AS INT) AS d0,
+                  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id % 5) * 8
+                                       WHEN 1 THEN 800 + (doc_id % 10) * 80
+                                       ELSE 16 + (doc_id % 3) * 8 END AS INT) AS d1,
+                  CAST(CASE WHEN doc_id % 3 = 2 THEN 3 + (doc_id % 4) ELSE 0 END AS INT) AS d2,
+                  CAST(doc_id % 3 + 1 AS INT) AS route
+           FROM documents ORDER BY id""")(
+        (s, d) => operators.Multimodal.pipeline(s, d)),
+      // audio PCM chunking: WAV payload length is closed-form in the
+      // id (44-byte header + 2 bytes/sample), so the every-4th-64-byte
+      // frame table including the partial tail chunk is fully oracled
+      "q_mm_frames" -> Q(
+        """WITH a AS (SELECT doc_id AS id, 1644 + 160 * (doc_id % 10) AS len
+                      FROM documents WHERE doc_id % 3 = 1)
+           SELECT id, CAST(r.range AS INT) AS frame_idx,
+                  CAST(LEAST(64, len - r.range * 64) AS INT) AS n_bytes
+           FROM a CROSS JOIN range(0, 100, 4) r
+           WHERE r.range * 64 < len
+           ORDER BY id, frame_idx""")(
+        (s, d) => operators.Multimodal.framesPipeline(s, d)),
       // video decode IS oracle-checkable: each decoded frame's raster
       // dimensions must reproduce the generator's closed-form (id →
       // w, h, nFrames) arithmetic, which DuckDB recomputes directly —

@@ -602,12 +602,21 @@ object Multimodal {
     }
   }
 
-  /** Declared frame-sampling query: scalar columns only (rows-only check). */
+  /** Declared frame-sampling query — the audio modality's PCM
+    * payloads chunked into fixed 64-byte frames, every 4th kept (the
+    * keyframe-sampler row-explosion shape). Audio-only in the
+    * DECLARED form because a WAV PCM payload's length is closed-form
+    * in the id (44-byte RIFF header + 2 bytes/sample), so frame
+    * indices and byte counts carry a FULL DuckDB oracle — a skipped
+    * row, wrong stride, or off-by-one tail chunk hash-fails. The
+    * operator itself ([[sampleFrames]]) chunks any modality;
+    * MultimodalSpec pins its per-chunk checksums on planted bytes.
+    */
   def framesPipeline(spark: SparkSession, dir: String): DataFrame =
-    sampleFrames(mediaTable(spark, dir))
+    sampleFrames(mediaTable(spark, dir).filter(_.meta.modality == "audio"))
       .toDF()
-      .select(col("id"), col("frameIdx").as("frame_idx"),
-        col("nBytes").as("n_bytes"), col("frameChecksum").as("frame_checksum"))
+      .select(col("id"), col("frameIdx").cast("int").as("frame_idx"),
+        col("nBytes").cast("int").as("n_bytes"))
       .orderBy(col("id"), col("frame_idx"))
 
   // ---- ingest artifact -----------------------------------------------------
@@ -713,15 +722,23 @@ object Multimodal {
       .select(col("id"), col("modality"), col("format"),
         col("nBytes").as("n_bytes"), col("checksum"), col("features"))
 
-  /** Declared pipeline output (SparkEntry/Verify): scalar columns only —
-    * the raw array<float> is folded to a single hash so the result is
-    * sortable/hashable by any downstream tool; the array variant stays
-    * available via [[featureFrame]].
+  /** Declared pipeline output (SparkEntry/Verify): the decode-VERIFIED
+    * scalar slots — decoded dimensions (image w/h, audio rate/frame
+    * count, video w/h + frame count) and the decoder-route code, every
+    * one a generator closed-form in the id, so the whole table carries
+    * a full DuckDB oracle: a broken codec, format sniffer, or route
+    * dispatch hash-fails the round. The float statistics (channel
+    * means, RMS, zero-cross rate, luma) stay on [[featureFrame]],
+    * planted-pixel/sample-gated in MultimodalSpec — floats computed
+    * inside a codec are not a cross-engine hash surface.
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame =
     featureFrame(spark, dir)
-      .withColumn("feat_hash",
-        xxhash64(concat_ws(",", col("features").cast("array<string>"))))
-      .drop("features")
+      .select(col("id"), col("modality"), col("format"),
+        element_at(col("features"), 1).cast("int").as("d0"),
+        element_at(col("features"), 2).cast("int").as("d1"),
+        when(col("modality") === "video", element_at(col("features"), 3))
+          .otherwise(lit(0f)).cast("int").as("d2"),
+        element_at(col("features"), FeatureDim).cast("int").as("route"))
       .orderBy(col("id"))
 }

@@ -334,10 +334,11 @@ class MultimodalSpec extends AnyFunSuite {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
     val feat = Multimodal.pipeline(spark, sfDir)
     assert(feat.schema.fields.forall(f => !f.dataType.typeName.contains("array")))
+    assert(feat.schema.fieldNames.toSeq ==
+      Seq("id", "modality", "format", "d0", "d1", "d2", "route"))
     assert(feat.count() > 0)
     val frames = Multimodal.framesPipeline(spark, sfDir)
-    assert(frames.schema.fieldNames.toSeq ==
-      Seq("id", "frame_idx", "n_bytes", "frame_checksum"))
+    assert(frames.schema.fieldNames.toSeq == Seq("id", "frame_idx", "n_bytes"))
     assert(frames.count() > 0)
   }
 }
