@@ -27,7 +27,7 @@ object Tables {
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    if (tsIsNanos(spark, path)) {
+    if (tsIsNanosCached(spark, path)) {
       import org.apache.spark.sql.types._
       // NANOS: a user-supplied LongType schema reads the raw nanos —
       // no session-wide legacy conf mutation — and truncates to
@@ -42,9 +42,28 @@ object Tables {
     } else spark.read.parquet(path)
   }
 
+  /** [[tsIsNanos]] memoized per (path, mtime, length) — the unit of a
+    * parquet file cannot change while its fingerprint is unchanged, so
+    * the footer open happens once per DATASET, not once per plan
+    * build. The unmemoized footer read cost ~0.2 s per query on every
+    * events-table plan (the r12 q_lww_tombstone drift, adjudicated in
+    * SURVEY §2.13); one fs.getFileStatus is the whole per-plan cost
+    * now. A regenerated dataset changes mtime/length and re-reads, and
+    * TablesSpec's epoch tripwire backstops any unit drift this misses.
+    */
+  private val unitMemo = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def tsIsNanosCached(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    unitMemo.getOrElseUpdate(s"$path:${st.getModificationTime}:${st.getLen}",
+      tsIsNanos(spark, path))
+  }
+
   /** True iff the parquet footer annotates `ts` as TIMESTAMP(NANOS).
-    * One footer read per plan build (driver-side, milliseconds); INT96
-    * and MICROS/MILLIS encodings return false and take the plain
+    * One footer read per dataset fingerprint (see [[tsIsNanosCached]]);
+    * INT96 and MICROS/MILLIS encodings return false and take the plain
     * reader. Works on a single file or a directory of part files.
     */
   private def tsIsNanos(spark: SparkSession, path: String): Boolean = {
