@@ -289,6 +289,57 @@ object TextOps {
     s"WITH $base,\n$rounds\n SELECT * FROM (\n $sel\n ) ORDER BY round"
   }
 
+  /** Number of epochs for q_classifier_train — fixed so the weight
+    * trajectory is a deterministic oracle target.
+    */
+  private[graft] val classifierTrainEpochs = 3
+
+  /** DuckDB twin of the multi-epoch trainer: a generated CTE chain —
+    * epoch e scores against w(e-1), reduces the integer gradient, and
+    * updates with symmetric toward-zero truncation of grad/n_docs
+    * (`//` on the non-negative magnitude — floor equals truncate
+    * there, so Spark's DIV and DuckDB's // agree even though they
+    * disagree on negative operands).
+    */
+  private def classifierTrainSql(epochs: Int): String = {
+    val base =
+      """t AS (SELECT d.doc_id, d.lang,
+             unnest(list_filter(string_split_regex(lower(d.text), '\s+'), x -> x != '')) AS tok
+           FROM documents d),
+        tb AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
+               FROM t),
+        docb AS (SELECT doc_id, b, max(lang) AS lang, count(*) AS dc
+                 FROM tb GROUP BY doc_id, b),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM docb),
+        w0 AS (SELECT DISTINCT b,
+                 ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2000001 - 1000000 AS w
+               FROM docb)"""
+    val chain = (1 to epochs).map { e =>
+      s"""pd$e AS (SELECT d.doc_id, max(d.lang) AS lang,
+                 CAST(sum(d.dc * w.w) AS BIGINT) AS sw,
+                 CAST(sum(d.dc) AS BIGINT) AS n
+               FROM docb d JOIN w${e - 1} w ON d.b = w.b GROUP BY d.doc_id),
+         rs$e AS (SELECT doc_id,
+                  CAST(round(1000000 * ((CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                     - 1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (1e6 * n)))))) AS BIGINT) AS r
+                FROM pd$e),
+         g$e AS (SELECT d.b, CAST(sum(d.dc * r.r) AS BIGINT) AS g
+               FROM docb d JOIN rs$e r USING (doc_id) GROUP BY d.b),
+         w$e AS (SELECT w.b,
+                  w.w + coalesce(CASE WHEN g.g >= 0 THEN g.g // (SELECT n FROM nd)
+                                      ELSE -((-g.g) // (SELECT n FROM nd)) END, 0) AS w
+                FROM w${e - 1} w LEFT JOIN g$e g ON w.b = g.b),
+         m$e AS (SELECT CAST($e AS INT) AS epoch,
+                  CAST((SELECT count(*) FROM pd$e WHERE (sw > 0) = (lang = 'en')) AS BIGINT) AS n_correct,
+                  CAST((SELECT n FROM nd) AS BIGINT) AS n_docs,
+                  CAST((SELECT sum(w) FROM w$e) AS BIGINT) AS w_sum,
+                  CAST((SELECT sum(abs(w)) FROM w$e) AS BIGINT) AS w_l1)"""
+    }.mkString(",\n")
+    val sel = (1 to epochs).map(e => s"SELECT * FROM m$e").mkString("\n UNION ALL ")
+    s"WITH $base,\n$chain\n SELECT * FROM (\n $sel\n ) ORDER BY epoch"
+  }
+
   /** Corpus vocabulary size (distinct tokens) — one scalar per
     * dataset, memoized like nDocs; the add-one smoothing denominator.
     */
@@ -1982,6 +2033,70 @@ object TextOps {
         .selectExpr("b AS bucket", s"$wExpr AS w_old", "grad_micro",
           s"($wExpr) + CAST(grad_micro AS DOUBLE) / ${nd}L AS w_new")
         .orderBy(col("bucket"))
+    },
+
+    // ---- multi-epoch classifier trainer (the full training loop) ----------
+    // q_classifier_train_step is one epoch; the production recipe
+    // iterates with the updated weight table broadcast back in. This
+    // is that loop, run for a fixed 3 epochs ENTIRELY in exact
+    // integers so the whole trajectory hash-matches: weights stay
+    // integer micro units across epochs (the update truncates
+    // grad/n_docs toward zero symmetrically — `g DIV n` on the
+    // non-negative magnitude, identical on both engines, where a raw
+    // signed floor-vs-truncate would diverge), margins are integer
+    // sums against the broadcast integer table, and the per-doc
+    // logistic residual rounds once per epoch. Emitted per epoch:
+    // training accuracy (n_correct, the sign-match count) plus the
+    // weight table's exact sum and L1 mass — a trajectory summary
+    // that pins every weight without shipping 4096×epochs rows.
+    //
+    // 100 TB shape per epoch: one broadcast join of the ≤4096-row
+    // weight table over the persisted (doc,bucket) aggregate, one
+    // per-doc reduction, one bucket-sized gradient exchange, one
+    // bucket-sized update — iterating costs epochs × one corpus pass,
+    // exactly like q_bpe_train and q_kmeans_update. The final result
+    // is driver-row-sized, so the per-epoch plan gates live on
+    // q_classifier_train_step (identical epoch shape).
+    "q_classifier_train" -> Q(classifierTrainSql(classifierTrainEpochs)) { (s, d) =>
+      import s.implicits._
+      val wExpr = "CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2000001 - 1000000"
+      val docb = t(s, d, "documents")
+        .selectExpr("doc_id", "lang",
+          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        .selectExpr("doc_id", "lang",
+          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4096 AS b")
+        .groupBy(col("doc_id"), col("b"))
+        .agg(max(col("lang")).as("lang"), count(lit(1)).as("dc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = docb.agg(countDistinct(col("doc_id"))).head.getLong(0)
+      var w = docb.select(col("b")).distinct()
+        .selectExpr("b", s"$wExpr AS w").localCheckpoint(true)
+      val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+      for (e <- 1 to classifierTrainEpochs) {
+        val pd = docb.join(broadcast(w), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("lang")).as("lang"),
+            sum(expr("dc * w")).cast("bigint").as("sw"),
+            sum(col("dc")).cast("bigint").as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nCorrect = pd.filter(expr("(sw > 0) = (lang = 'en')")).count()
+        val rs = pd.selectExpr("doc_id",
+          """CAST(round(1000000 * ((CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               - 1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (1e6 * n)))))) AS BIGINT) AS r""")
+        val g = docb.join(rs, Seq("doc_id"))
+          .groupBy(col("b")).agg(sum(expr("dc * r")).cast("bigint").as("g"))
+        w = w.join(g, Seq("b"), "left")
+          .selectExpr("b",
+            s"""w + coalesce(CASE WHEN g >= 0 THEN g DIV ${nd}L
+                                  ELSE -((-g) DIV ${nd}L) END, 0L) AS w""")
+          .localCheckpoint(true)
+        pd.unpersist()
+        val sums = w.agg(sum(col("w")).cast("bigint"), sum(abs(col("w"))).cast("bigint")).head()
+        traj += ((e, nCorrect, nd, sums.getLong(0), sums.getLong(1)))
+      }
+      traj.toSeq.toDF("epoch", "n_correct", "n_docs", "w_sum", "w_l1")
+        .orderBy(col("epoch"))
     },
 
     // ---- exact distributed global ranking ---------------------------------

@@ -145,6 +145,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-epoch classifier training reaches perfect separation on disjoint vocabularies") {
+    // same disjoint-vocabulary construction as the single-step test:
+    // after one update the target buckets carry strongly positive
+    // weights and the off-target buckets strongly negative ones
+    // (gradient magnitudes dwarf the [-1e6,1e6] stand-in init), so
+    // epochs 2 and 3 must classify all four docs correctly; the
+    // weight-mass trajectory must be an exact integer record
+    val aText = (1 to 200).map(i => s"a${i % 13}").mkString(" ")
+    val bText = (1 to 200).map(i => s"b${i % 13}").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, aText, "en"), (2L, aText, "en"), (3L, bText, "xx"), (4L, bText, "xx")))
+    val rows = SparkEntry.queries("q_classifier_train")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3), rows.toSeq)
+    assert(rows.forall(_._3 == 4L), s"n_docs: ${rows.toSeq}")
+    assert(rows(1)._2 == 4L && rows(2)._2 == 4L,
+      s"epochs 2 and 3 must separate perfectly: ${rows.toSeq}")
+    // L1 mass grows as the separating weights strengthen
+    assert(rows(2)._5 > rows(0)._5, s"w_l1 trajectory: ${rows.toSeq}")
+  }
+
   test("cluster balance caps the oversized cluster via the exact hash set, keeps small clusters whole") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("curationspec").toString
