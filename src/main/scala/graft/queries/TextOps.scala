@@ -294,6 +294,30 @@ object TextOps {
     */
   private[graft] val classifierTrainEpochs = 3
 
+  /** md5-derived integer micro-weight for a hashed feature bucket `b`
+    * — the classifier family's stand-in init (a warm-start table is a
+    * broadcast map with an identical plan). Shared by the single-step
+    * and multi-epoch trainers so their epoch-1 state cannot drift.
+    */
+  private val classifierWExpr =
+    "CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2000001 - 1000000"
+
+  /** (doc_id, b, lang, dc) — per-document hashed-bucket token counts
+    * with the label column carried through (the q_dsir_weights docb
+    * shape), persisted: the classifier trainers read it once per
+    * margin pass and once per gradient pass per epoch.
+    */
+  private def classifierDocb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .selectExpr("doc_id", "lang",
+        "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .selectExpr("doc_id", "lang",
+        "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4096 AS b")
+      .groupBy(col("doc_id"), col("b"))
+      .agg(max(col("lang")).as("lang"), count(lit(1)).as("dc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** DuckDB twin of the multi-epoch trainer: a generated CTE chain —
     * epoch e scores against w(e-1), reduces the integer gradient, and
     * updates with symmetric toward-zero truncation of grad/n_docs
@@ -2004,16 +2028,8 @@ object TextOps {
          SELECT g.b AS bucket, w.w AS w_old, g.grad_micro,
                 w.w + CAST(g.grad_micro AS DOUBLE) / (SELECT count(*) FROM pd) AS w_new
          FROM g JOIN wt w ON g.b = w.b ORDER BY bucket""") { (s, d) =>
-      val wExpr = "CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2000001 - 1000000"
-      val docb = t(s, d, "documents")
-        .selectExpr("doc_id", "lang",
-          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
-        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-        .selectExpr("doc_id", "lang",
-          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4096 AS b")
-        .groupBy(col("doc_id"), col("b"))
-        .agg(max(col("lang")).as("lang"), count(lit(1)).as("dc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wExpr = classifierWExpr
+      val docb = classifierDocb(s, d)
       val resid = docb
         .selectExpr("doc_id", "lang", "dc", s"$wExpr AS w")
         .groupBy(col("doc_id"))
@@ -2059,19 +2075,10 @@ object TextOps {
     // q_classifier_train_step (identical epoch shape).
     "q_classifier_train" -> Q(classifierTrainSql(classifierTrainEpochs)) { (s, d) =>
       import s.implicits._
-      val wExpr = "CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2000001 - 1000000"
-      val docb = t(s, d, "documents")
-        .selectExpr("doc_id", "lang",
-          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
-        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-        .selectExpr("doc_id", "lang",
-          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4096 AS b")
-        .groupBy(col("doc_id"), col("b"))
-        .agg(max(col("lang")).as("lang"), count(lit(1)).as("dc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docb = classifierDocb(s, d)
       val nd = docb.agg(countDistinct(col("doc_id"))).head.getLong(0)
       var w = docb.select(col("b")).distinct()
-        .selectExpr("b", s"$wExpr AS w").localCheckpoint(true)
+        .selectExpr("b", s"$classifierWExpr AS w").localCheckpoint(true)
       val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
       for (e <- 1 to classifierTrainEpochs) {
         val pd = docb.join(broadcast(w), Seq("b"))
