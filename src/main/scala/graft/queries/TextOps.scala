@@ -250,17 +250,19 @@ object TextOps {
       .agg(expr("transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)").as("toks"))
   }
 
-  /** DuckDB twin of the n-round trainer: a generated CTE chain —
-    * round r selects best_r from toks_(r-1)'s adjacency counts and
-    * rebuilds toks_r with the identical windowed greedy rule.
+  /** The shared CTE chain for the BPE family's oracles: round r
+    * selects best_r from toks_(r-1)'s adjacency counts and rebuilds
+    * toks_r with the identical windowed greedy rule. `applyLast`
+    * controls whether round n's merge is applied (the trainer only
+    * needs its selection; the apply query needs toks_n).
     */
-  private def bpeTrainSql(n: Int): String = {
+  private def bpeChainSql(n: Int, applyLast: Boolean): String = {
     val base =
       """toks0 AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
            FROM documents)"""
     val rounds = (1 to n).map { r =>
-      val apply = if (r == n) "" else s""",
+      val apply = if (r == n && !applyLast) "" else s""",
          h$r AS (SELECT doc_id, pos, tok, nxt,
                    (tok = (SELECT w1 FROM best$r)
                     AND coalesce(nxt = (SELECT w2 FROM best$r), false)) AS hit
@@ -283,10 +285,60 @@ object TextOps {
                   FROM m$r WHERE nxt IS NOT NULL GROUP BY 1, 2),
          best$r AS (SELECT w1, w2, c FROM bg$r ORDER BY c DESC, w1, w2 LIMIT 1)$apply"""
     }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
+  /** DuckDB twin of the n-round trainer: the chain's merge table. */
+  private def bpeTrainSql(n: Int): String = {
     val sel = (1 to n)
       .map(r => s"SELECT CAST($r AS INT) AS round, w1, w2, CAST(c AS BIGINT) AS cnt FROM best$r")
       .mkString("\n UNION ALL ")
-    s"WITH $base,\n$rounds\n SELECT * FROM (\n $sel\n ) ORDER BY round"
+    s"WITH ${bpeChainSql(n, applyLast = false)}\n SELECT * FROM (\n $sel\n ) ORDER BY round"
+  }
+
+  /** DuckDB twin of the tokenizer APPLY: per-doc token counts before
+    * and after all n learned merges (the compression report a
+    * tokenizer build ends with). Zero-token docs never enter the
+    * positions frame, so the final frame left-joins and coalesces.
+    */
+  private def bpeApplySql(n: Int): String =
+    s"""WITH ${bpeChainSql(n, applyLast = true)}
+        SELECT t0.doc_id,
+               CAST(len(t0.toks) AS BIGINT) AS n_tokens_raw,
+               CAST(coalesce(len(tn.toks), 0) AS BIGINT) AS n_tokens_bpe
+        FROM toks0 t0 LEFT JOIN toks$n tn USING (doc_id)
+        ORDER BY t0.doc_id"""
+
+  /** Run the n-round BPE trainer once: per round pick the most
+    * frequent adjacent pair (one driver scalar, like
+    * q_bpe_merge_step's best), apply it greedily, re-materialize via
+    * eager localCheckpoint. Returns the merge table AND the final
+    * token frame with every learned merge applied — the one loop
+    * feeding both q_bpe_train (the table) and q_bpe_apply (the
+    * corpus), so the two cannot drift. A corpus that runs out of
+    * pairs early stops cleanly (the oracle chain's empty best_r
+    * rounds are no-ops).
+    */
+  private def bpeTrainLoop(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var cur = toksFrame(s, d).select(col("doc_id"), col("toks"))
+    val table = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= bpeTrainRounds && !exhausted) {
+      val best = bpeAdj(cur).filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).collect()
+      if (best.isEmpty) exhausted = true // no pairs left: a tiny corpus
+      else {                             // fully merged before round n
+        val (a, b) = (best.head.getString(0), best.head.getString(1))
+        table += ((r, a, b, best.head.getLong(2)))
+        cur = bpeApply(cur, a, b).localCheckpoint(true)
+      }
+      r += 1
+    }
+    (table.toSeq, cur)
   }
 
   /** Number of epochs for q_classifier_train — fixed so the weight
@@ -2493,25 +2545,26 @@ object TextOps {
     // conservative m=1 form.
     "q_bpe_train" -> Q(bpeTrainSql(bpeTrainRounds)) { (s, d) =>
       import s.implicits._
-      var cur = toksFrame(s, d).select(col("doc_id"), col("toks"))
-      val table = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      var r = 1
-      var exhausted = false
-      while (r <= bpeTrainRounds && !exhausted) {
-        // one driver scalar per round, like q_bpe_merge_step's best
-        val best = bpeAdj(cur).filter(col("nxt").isNotNull)
-          .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
-          .agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).collect()
-        if (best.isEmpty) exhausted = true // no pairs left: a tiny corpus
-        else {                             // fully merged before round n
-          val (a, b) = (best.head.getString(0), best.head.getString(1))
-          table += ((r, a, b, best.head.getLong(2)))
-          if (r < bpeTrainRounds) cur = bpeApply(cur, a, b).localCheckpoint(true)
-        }
-        r += 1
-      }
-      table.toSeq.toDF("round", "w1", "w2", "cnt").orderBy(col("round"))
+      bpeTrainLoop(s, d)._1.toDF("round", "w1", "w2", "cnt").orderBy(col("round"))
+    },
+
+    // ---- tokenizer apply (the consumer half of train -> apply) ------------
+    // Tokenize the corpus with ALL the merges q_bpe_train learns and
+    // report per-document token counts before and after — the
+    // compression report a tokenizer build ends with (and the number
+    // a token-budgeted mixture consumes). One shared training loop
+    // feeds both queries, so the merge table and the applied corpus
+    // cannot drift; the oracle extends the same generated CTE chain
+    // through round n's apply and counts toks_n per doc.
+    "q_bpe_apply" -> Q(bpeApplySql(bpeTrainRounds)) { (s, d) =>
+      val fin = bpeTrainLoop(s, d)._2
+      toksFrame(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens_raw"))
+        .join(fin.select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens_bpe")), Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_tokens_raw",
+          "coalesce(n_tokens_bpe, 0L) AS n_tokens_bpe")
+        .orderBy(col("doc_id"))
     },
 
     // ---- per-source quality mix (curation reporting) ----------------------

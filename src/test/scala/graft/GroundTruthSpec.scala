@@ -545,6 +545,11 @@ class GroundTruthSpec extends AnyFunSuite {
         (4, "a b c", "d", 1L),
         (5, "a b c a b c", "a b c", 1L),
         (6, "a b c d", "e", 1L)), got)
+      // the apply half: all six merges collapse doc 1 (9 raw tokens)
+      // to a single unit and doc 2 (8 raw) to two
+      val applied = SparkEntry.queries("q_bpe_apply")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(applied == Seq((1L, 9L, 1L), (2L, 8L, 2L)), applied)
     } finally {
       graft.queries.TextOps.releaseCaches()
       graft.engine.Persist.deleteRecursively(Paths.get(dir))
