@@ -109,6 +109,11 @@ object StreamBench {
     }.toIndexedSeq
     val (secs1, kept1, peak1) = runDedup(docs1)
 
+    // the ONE 10×-trigger size the cadence experiment uses — the
+    // runs and the state-bound gates must agree on it, so it is
+    // defined once and threaded through both
+    val bigTrigger = 5000
+
     // 10×: ten letter-substituted copies interleaved over 50 hours —
     // SAME docs/hour arrival rate, 10× total volume. Bounded state
     // means the peak tracks rate × watermark, not corpus size.
@@ -132,7 +137,7 @@ object StreamBench {
     // rows/s must grow near-linearly with the trigger while the state
     // peak stays rate×watermark-bounded (the event-time span and
     // arrival order are identical, only the batch boundaries move).
-    val (secs1b, kept1b, peak1b) = runDedup(docs1, chunk = 5000)
+    val (secs1b, kept1b, peak1b) = runDedup(docs1, chunk = bigTrigger)
 
     // ---- phase 4: stream-side bloom decontamination -----------------------
     // The stateless ingest-path filter: eval-gram bloom from the
@@ -294,7 +299,7 @@ object StreamBench {
     // (rate × horizon), independent of batch boundaries — rows/s must
     // grow with the trigger while the peak stays horizon-bounded and
     // the attributed pair set stays EXACTLY the batch relation.
-    val (ajSecsB, ajPairsB, ajPeakB, ajParityOkB) = runAttrib(5000)
+    val (ajSecsB, ajPairsB, ajPeakB, ajParityOkB) = runAttrib(bigTrigger)
 
     // ---- phase 7: windowed trending tokens (Misra–Gries on the stream) ----
     // The token stream grouped into event-time hours, each open hour
@@ -372,7 +377,6 @@ object StreamBench {
     // not-yet-evictable when a batch commits — trigger-proportional,
     // never stream-proportional (measured: attrib peak 657 → 5136 at
     // trigger 500 → 5000 on the same 40k stream, i.e. ≈ one batch).
-    val bigTrigger = 5000L
     val ndRate1 = docs1.size / secs1
     val ndRateB = docs1.size / secs1b
     val ajRate1 = evs.length / ajSecs

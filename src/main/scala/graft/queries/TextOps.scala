@@ -355,20 +355,43 @@ object TextOps {
     "CAST(conv(substring(md5(concat('w:', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2000001 - 1000000"
 
   /** (doc_id, b, lang, dc) — per-document hashed-bucket token counts
-    * with the label column carried through (the q_dsir_weights docb
-    * shape), persisted: the classifier trainers read it once per
-    * margin pass and once per gradient pass per epoch.
+    * with the label column carried through. ONE construction shared
+    * by q_dsir_weights and both classifier trainers (the documented
+    * cross-query feature-space identity), memoized so repeat calls
+    * reuse one persisted frame and releaseCaches() can free it.
     */
   private def classifierDocb(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .selectExpr("doc_id", "lang",
-        "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
-      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-      .selectExpr("doc_id", "lang",
-        "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4096 AS b")
-      .groupBy(col("doc_id"), col("b"))
-      .agg(max(col("lang")).as("lang"), count(lit(1)).as("dc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    memoized(s, s"classifierDocb:$d") {
+      t(s, d, "documents")
+        .selectExpr("doc_id", "lang",
+          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        .selectExpr("doc_id", "lang",
+          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4096 AS b")
+        .groupBy(col("doc_id"), col("b"))
+        .agg(max(col("lang")).as("lang"), count(lit(1)).as("dc"))
+    }
+
+  /** DuckDB twin of [[classifierDocb]] — CTEs ending in
+    * `docb(doc_id, b, lang, dc)`, shared by the q_dsir_weights and
+    * classifier-trainer oracles so the hashed feature space cannot
+    * drift between them.
+    */
+  private val classifierCteSql =
+    """t AS (SELECT d.doc_id, d.lang,
+           unnest(list_filter(string_split_regex(lower(d.text), '\s+'), x -> x != '')) AS tok
+         FROM documents d),
+      tb AS (SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
+             FROM t),
+      docb AS (SELECT doc_id, b, max(lang) AS lang, count(*) AS dc
+               FROM tb GROUP BY doc_id, b)"""
+
+  /** DuckDB twin of [[classifierWExpr]] as a named weight-init CTE. */
+  private def classifierWInitCte(name: String) =
+    s"""$name AS (SELECT DISTINCT b,
+          ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2000001 - 1000000 AS w
+        FROM docb)"""
 
   /** DuckDB twin of the multi-epoch trainer: a generated CTE chain —
     * epoch e scores against w(e-1), reduces the integer gradient, and
@@ -379,18 +402,9 @@ object TextOps {
     */
   private def classifierTrainSql(epochs: Int): String = {
     val base =
-      """t AS (SELECT d.doc_id, d.lang,
-             unnest(list_filter(string_split_regex(lower(d.text), '\s+'), x -> x != '')) AS tok
-           FROM documents d),
-        tb AS (SELECT doc_id, lang,
-                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
-               FROM t),
-        docb AS (SELECT doc_id, b, max(lang) AS lang, count(*) AS dc
-                 FROM tb GROUP BY doc_id, b),
+      s"""$classifierCteSql,
         nd AS (SELECT count(DISTINCT doc_id) AS n FROM docb),
-        w0 AS (SELECT DISTINCT b,
-                 ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2000001 - 1000000 AS w
-               FROM docb)"""
+        ${classifierWInitCte("w0")}"""
     val chain = (1 to epochs).map { e =>
       s"""pd$e AS (SELECT d.doc_id, max(d.lang) AS lang,
                  CAST(sum(d.dc * w.w) AS BIGINT) AS sw,
@@ -2056,17 +2070,8 @@ object TextOps {
     // web-scale recipe. Iterating = re-running this step with the
     // emitted table broadcast back in.
     "q_classifier_train_step" -> Q(
-      """WITH t AS (SELECT d.doc_id, d.lang,
-              unnest(list_filter(string_split_regex(lower(d.text), '\s+'), x -> x != '')) AS tok
-            FROM documents d),
-         tb AS (SELECT doc_id, lang,
-                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
-                FROM t),
-         docb AS (SELECT doc_id, b, max(lang) AS lang, count(*) AS dc
-                  FROM tb GROUP BY doc_id, b),
-         wt AS (SELECT DISTINCT b,
-                  ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2000001 - 1000000 AS w
-                FROM docb),
+      s"""WITH $classifierCteSql,
+         ${classifierWInitCte("wt")},
          pd AS (SELECT d.doc_id, max(d.lang) AS lang,
                   CAST(sum(d.dc * w.w) AS BIGINT) AS sw,
                   CAST(sum(d.dc) AS BIGINT) AS n
@@ -2082,18 +2087,21 @@ object TextOps {
          FROM g JOIN wt w ON g.b = w.b ORDER BY bucket""") { (s, d) =>
       val wExpr = classifierWExpr
       val docb = classifierDocb(s, d)
-      val resid = docb
-        .selectExpr("doc_id", "lang", "dc", s"$wExpr AS w")
-        .groupBy(col("doc_id"))
-        .agg(max(col("lang")).as("lang"),
-          sum(expr("dc * w")).cast("bigint").as("sw"),
-          sum(col("dc")).cast("bigint").as("n"))
-        .selectExpr("doc_id",
-          """CAST(round(1000000 * ((CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-               - 1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (1e6 * n)))))) AS BIGINT) AS r""")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // memoized (not a raw persist) so releaseCaches() can free it;
+      // the gradient join below reads it twice otherwise
+      val resid = memoized(s, s"classifierResid:$d") {
+        docb
+          .selectExpr("doc_id", "lang", "dc", s"$wExpr AS w")
+          .groupBy(col("doc_id"))
+          .agg(max(col("lang")).as("lang"),
+            sum(expr("dc * w")).cast("bigint").as("sw"),
+            sum(col("dc")).cast("bigint").as("n"))
+          .selectExpr("doc_id",
+            """CAST(round(1000000 * ((CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 - 1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (1e6 * n)))))) AS BIGINT) AS r""")
+      }
       // n_docs is one driver scalar (the vocabSize pattern) and
-      // materializes the resid persist the gradient join reads
+      // materializes the memoized resid the gradient join reads
       val nd = resid.count()
       docb.join(resid, Seq("doc_id"))
         .groupBy(col("b"))
@@ -2274,14 +2282,7 @@ object TextOps {
     // The persisted docb frame is read three times (ct, cr, scoring)
     // instead of re-tokenizing the corpus per table.
     "q_dsir_weights" -> Q(
-      """WITH t AS (SELECT d.doc_id, d.lang,
-              unnest(list_filter(string_split_regex(lower(d.text), '\s+'), x -> x != '')) AS tok
-            FROM documents d),
-         tb AS (SELECT doc_id, lang,
-                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
-                FROM t),
-         docb AS (SELECT doc_id, b, max(lang) AS lang, count(*) AS dc
-                  FROM tb GROUP BY doc_id, b),
+      s"""WITH $classifierCteSql,
          cr AS (SELECT b, CAST(sum(dc) AS BIGINT) AS crc FROM docb GROUP BY b),
          ct AS (SELECT b, CAST(sum(dc) AS BIGINT) AS ctc FROM docb
                 WHERE lang = 'en' GROUP BY b),
@@ -2298,15 +2299,7 @@ object TextOps {
                 CAST(CASE WHEN sum(d.dc * r.micro) > 0 THEN 1 ELSE 0 END AS INT) AS keep
          FROM docb d JOIN ratio r ON d.b = r.b
          GROUP BY d.doc_id ORDER BY doc_id""") { (s, d) =>
-      val docb = t(s, d, "documents")
-        .selectExpr("doc_id", "lang",
-          "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
-        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-        .selectExpr("doc_id", "lang",
-          "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) % 4096 AS b")
-        .groupBy(col("doc_id"), col("b"))
-        .agg(max(col("lang")).as("lang"), count(lit(1)).as("dc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docb = classifierDocb(s, d)
       val cr = docb.groupBy(col("b")).agg(sum(col("dc")).cast("bigint").as("crc"))
       val ct = docb.filter(col("lang") === "en")
         .groupBy(col("b")).agg(sum(col("dc")).cast("bigint").as("ctc"))
