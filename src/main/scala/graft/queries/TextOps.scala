@@ -1425,6 +1425,94 @@ object TextOps {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // ---- BM25 retrieval ----------------------------------------------------
+    // Okapi BM25 top-k retrieval (k1=1.2, b=0.75): 8 fixed query docs
+    // (their first 6 tokens are the query terms) ranked against the
+    // whole corpus — the retrieval step of retrieval-based data
+    // selection and decontamination audits. Cross-engine float
+    // discipline: per-term idf rounds ONCE to integer micro-nats
+    // (the q_lm_perplexity trick), the tf-saturation factor is a
+    // ratio of EXACT integers (k1/b cleared through x20:
+    // tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) == 44*tf*S / (20*tf*S +
+    // 6*S + 18*N*dl) with S = total tokens, N = docs) rounded once to
+    // micro units, and the per-(query,doc) score is an exact integer
+    // sum of micro-products — order-independent, so Spark's partial
+    // aggregation hash-matches DuckDB's fold.
+    // Scale shape: query terms and their df are broadcast (≤48 rows);
+    // the corpus-side probe is ONE map-side broadcast join over the
+    // (doc, token) tf frame; top-5 per query uses the bounded-heap
+    // topk_struct aggregate, never a per-query window sort — at
+    // 100 TB each partition ships 5 rows per query, and no shuffle
+    // moves more than the matching (doc, query-term) pairs.
+    "q_bm25_topk" -> Q(
+      """WITH toks AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+            FROM documents),
+         tfc AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+                   SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok
+                   FROM toks)
+                 GROUP BY doc_id, dl, tok),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS s FROM toks),
+         qt AS (SELECT DISTINCT qid, tok FROM (
+                  SELECT doc_id AS qid, unnest(toks[1:6]) AS tok FROM toks
+                  WHERE doc_id IN (7, 61, 113, 167, 229, 283, 337, 401))),
+         dfq AS (SELECT tok, count(*) AS df FROM tfc
+                 WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+         cand AS (SELECT q.qid, t.doc_id,
+                    CAST(sum(
+                      CAST(round(ln((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1000000) AS BIGINT)
+                      * CAST(round(1000000.0 * (44.0 * t.tf * s.s)
+                          / (20.0 * t.tf * s.s + 6.0 * s.s + 18.0 * n.n * t.dl)) AS BIGINT)
+                    ) AS BIGINT) AS score_fp
+                  FROM tfc t JOIN qt q ON t.tok = q.tok
+                       JOIN dfq d ON t.tok = d.tok
+                       CROSS JOIN n CROSS JOIN s
+                  WHERE t.doc_id != q.qid
+                  GROUP BY q.qid, t.doc_id),
+         ranked AS (SELECT qid, doc_id, score_fp,
+                      row_number() OVER (PARTITION BY qid
+                          ORDER BY score_fp DESC, doc_id) AS rank
+                    FROM cand)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score_fp,
+                CAST(score_fp AS DOUBLE) / 1e12 AS score
+         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val qids = Seq(7L, 61L, 113L, 167L, 229L, 283L, 337L, 401L)
+      val n = nDocs(s, d)
+      val toks = toksFrame(s, d)
+      val sTot = toks.agg(sum(size(col("toks"))).cast("bigint")).first().getLong(0)
+      val tfc = memoized(s, s"bm25tf:$d") {
+        toks.select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
+            explode(col("toks")).as("tok"))
+          .groupBy(col("doc_id"), col("dl"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+      }
+      val qt = toks.filter(col("doc_id").isin(qids: _*))
+        .select(col("doc_id").as("qid"), explode(slice(col("toks"), 1, 6)).as("tok"))
+        .distinct()
+      val dfq = tfc.join(broadcast(qt.select(col("tok")).distinct()), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val cand = tfc
+        .join(broadcast(qt), "tok")
+        .filter(col("doc_id") =!= col("qid"))
+        .join(broadcast(dfq), "tok")
+        .withColumn("idf_micro", expr(
+          s"CAST(round(ln(($n.0 - df + 0.5) / (df + 0.5) + 1.0) * 1000000) AS BIGINT)"))
+        .withColumn("tfsat_micro", expr(
+          s"""CAST(round(1000000.0 * (44.0 * tf * ${sTot}L)
+                / (20.0 * tf * ${sTot}L + 6.0 * ${sTot}L + 18.0 * ${n}L * dl)) AS BIGINT)"""))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(expr("idf_micro * tfsat_micro")).cast("bigint").as("score_fp"))
+      cand.groupBy(col("qid"))
+        .agg(expr("topk_struct(struct(-score_fp AS s1, doc_id AS s2), 5)").as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "r")))
+        .selectExpr("qid", "CAST(pos + 1 AS BIGINT) AS rank", "r.s2 AS doc_id",
+          "CAST(-r.s1 AS BIGINT) AS score_fp",
+          "CAST(CAST(-r.s1 AS BIGINT) AS DOUBLE) / 1e12 AS score")
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // ---- sequence packing ---------------------------------------------------
     // Assign documents to fixed-token-budget training sequences: the
     // running token count within each source stream determines which

@@ -201,4 +201,25 @@ class CurationSpec extends AnyFunSuite {
     assert(gotKeep == expectKeep, s"got $gotKeep expected $expectKeep")
     assert(gotKeep.size < aIds.size, "the oversized cluster must actually shrink")
   }
+
+  test("BM25: term coverage beats saturated tf, self and no-match docs excluded") {
+    // doc 7 is one of the fixed query docs — its 3 tokens are the
+    // query. doc 1 covers all three terms (two of them rare), doc 4
+    // repeats the common term (tf saturation), doc 2 has one common
+    // term, doc 3 matches nothing.
+    val dir = writeDocs(Seq(
+      (7L, "alpha beta gamma", "en"),
+      (1L, "alpha beta gamma fill1 fill2", "en"),
+      (2L, "alpha fill1 fill2 fill3 fill4", "en"),
+      (3L, "fill1 fill2 fill3", "en"),
+      (4L, "alpha alpha alpha alpha fill1", "en")))
+    val rows = SparkEntry.queries("q_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.forall(_._1 == 7L), rows.toSeq)           // only qid 7 has terms
+    assert(rows.map(_._3).toSeq == Seq(1L, 4L, 2L), rows.toSeq) // coverage > tf > single hit
+    assert(!rows.exists(_._3 == 7L), "query doc must not retrieve itself")
+    assert(!rows.exists(_._3 == 3L), "zero-overlap doc must not appear")
+    // scores strictly descend with rank (distinct planted profiles)
+    assert(rows.sortBy(_._2).map(_._4).sliding(2).forall(p => p(0) > p(1)), rows.toSeq)
+  }
 }

@@ -509,4 +509,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 4, p)
   }
+
+  test("bm25: broadcast query-term probe, heap top-k — no window, no pair sort") {
+    val p = plan("q_bm25_topk")
+    // the query-term and df relations (≤48 rows) must broadcast over
+    // the corpus tf frame, never shuffle it; the per-query top-5 must
+    // be the bounded-heap topk_struct aggregate (k rows per partition
+    // cross the exchange), never a per-query window sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("topk_struct"), p.take(2000))
+  }
 }
