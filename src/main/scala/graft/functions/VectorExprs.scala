@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -261,6 +261,109 @@ case class CosineArgmax(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `pq_encode(array<int> qv, array<struct<cid bigint, cv array<int>>>
+  * codebook, int m) → array<struct<code bigint, dist bigint>>`:
+  * product-quantization encoding — the vector splits into `m` equal
+  * contiguous subspaces, and each subspace is assigned the codebook
+  * row whose SAME subspace slice minimizes integer squared-L2
+  * distance (ties → lowest cid; the codebook literal must be
+  * cid-ascending). Every arithmetic step is exact int64 — unlike
+  * cosine there is no float discipline to manage, which is what lets
+  * the whole PQ family carry full DuckDB hash-match oracles.
+  *
+  * Same execution shape as [[CosineArgmax]]: the codebook rides in as
+  * a FOLDABLE literal parsed once per task into primitive arrays, and
+  * each row runs m·k fused difference loops inside whole-stage
+  * codegen — no n×k row materialization, no aggregate, no exchange.
+  * At 100 TB, PQ encoding is a pure map over the corpus scan.
+  */
+case class PqEncode(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val nSub: Int = {
+    require(third.foldable, "pq_encode subspace count must be a literal")
+    val m = third.eval(null).asInstanceOf[Number].intValue()
+    require(m > 0, s"pq_encode subspace count must be positive, got $m")
+    m
+  }
+
+  @transient private lazy val codebook: (Array[Long], Array[Array[Int]]) = {
+    require(second.foldable, "pq_encode codebook must be a literal")
+    val arr = second.eval(null).asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    require(k > 0, "pq_encode codebook is empty")
+    val ids = new Array[Long](k)
+    val vecs = new Array[Array[Int]](k)
+    var i = 0
+    while (i < k) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      vecs(i) = row.getArray(1).toIntArray()
+      i += 1
+    }
+    (ids, vecs)
+  }
+
+  def evalVec(v: ArrayData): ArrayData = {
+    val (ids, vecs) = codebook
+    val dim = v.numElements()
+    if (dim % nSub != 0)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim $dim not divisible into $nSub subspaces")
+    val sub = dim / nSub
+    val a = v.toIntArray()
+    val out = new Array[Any](nSub)
+    var m = 0
+    while (m < nSub) {
+      val off = m * sub
+      var bestDist = Long.MaxValue
+      var bestId = -1L
+      var c = 0
+      while (c < ids.length) {
+        val cv = vecs(c)
+        // a short codebook row would silently zero-pad the slice and
+        // mis-assign — DuckDB's unnest join has no such row to match
+        if (cv.length != dim)
+          throw new IllegalArgumentException(
+            s"pq_encode: vector dim $dim != codebook dim ${cv.length}")
+        var dist = 0L
+        var j = 0
+        while (j < sub) {
+          val diff = (a(off + j) - cv(off + j)).toLong
+          dist += diff * diff
+          j += 1
+        }
+        // strict < keeps the FIRST minimum — lowest cid, since the
+        // codebook literal is cid-ascending
+        if (dist < bestDist) { bestDist = dist; bestId = ids(c) }
+        c += 1
+      }
+      out(m) = InternalRow(bestId, bestDist)
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    evalVec(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqKernel", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, (a, _, _) => s"${ev.value} = $ref.evalVec($a);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqEncode =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Runtime registration (idempotent) — callers that build their own
   * SparkSession can also install [[GraftExtensions]] instead.
   */
@@ -297,6 +400,8 @@ object GraftFunctions {
       "int8_scale", exprs => Int8Scale(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "int8_round", exprs => Int8Round(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
@@ -348,6 +453,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("int8_round"),
       new ExpressionInfo(classOf[Int8Round].getName, "int8_round"),
       (exprs: Seq[Expression]) => Int8Round(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) => PqEncode(exprs(0), exprs(1), exprs(2))))
     e.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

@@ -572,6 +572,99 @@ object VectorOps {
         .orderBy(col("cid"), col("dim"))
     },
 
+    // ---- product quantization: encode ------------------------------------
+    // PQ (Jégou et al. 2011) — the memory-bound ANN storage path the
+    // int8 row quantization leads to: the 64-dim vector splits into 4
+    // contiguous 16-dim subspaces, each assigned the nearest codebook
+    // entry by squared-L2 on the SAME subspace slice. A vector stores
+    // as 4 small codes (here 4×16 codebook → 4 bytes/vec vs 256) and
+    // search runs over codes only (q_ann_pq_adc). Deterministic
+    // stand-in codebook (the q_kmeans_update convention — a trained
+    // per-subspace codebook is the same literal with the same plan);
+    // distances are EXACT int64 (quantized ints, integer squares), so
+    // unlike cosine ops there is no float discipline at all and the
+    // whole family hash-matches DuckDB.
+    //
+    // 100 TB shape: encoding is ONE codegen'd projection over the
+    // corpus scan — the pq_encode kernel (functions.PqEncode) runs
+    // m·k fused difference loops per row against the literal
+    // codebook; no join, no aggregate, no exchange.
+    "q_pq_encode" -> Q(
+      s"""WITH $pqCteSql
+         SELECT vec_id,
+                max(CASE WHEN m = 0 THEN cid END) AS c0,
+                max(CASE WHEN m = 1 THEN cid END) AS c1,
+                max(CASE WHEN m = 2 THEN cid END) AS c2,
+                max(CASE WHEN m = 3 THEN cid END) AS c3,
+                CAST(sum(dist) AS BIGINT) AS err
+         FROM sel GROUP BY vec_id ORDER BY vec_id""") { (s, d) =>
+      pqEncoded(s, d).selectExpr("vec_id",
+          "pc[0].code AS c0", "pc[1].code AS c1",
+          "pc[2].code AS c2", "pc[3].code AS c3",
+          "CAST(pc[0].dist + pc[1].dist + pc[2].dist + pc[3].dist AS BIGINT) AS err")
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- product quantization: asymmetric-distance search ------------------
+    // The PQ search half: each query precomputes a distance TABLE —
+    // its exact squared-L2 to every codebook entry per subspace
+    // (queries × m × k rows, broadcast-sized) — and a corpus vector's
+    // approximate distance is then just Σ_m dtable[m][code_m]: four
+    // integer lookups per candidate, never a 64-dim loop. This is
+    // the lookup structure that makes billion-scale ANN (IVF-PQ)
+    // memory-feasible; recall vs exact KNN is spec-gated, while the
+    // op itself is integer-exact and fully oracled.
+    //
+    // 100 TB shape: the corpus side reads CODES only (map-side encode
+    // → posexplode to n·m rows); the distance table broadcasts onto
+    // it; per-(query, vec) sums partial-aggregate before one
+    // exchange, and top-5 per query is the bounded-heap topk_struct —
+    // k rows per partition per query, never a window sort.
+    "q_ann_pq_adc" -> Q(
+      s"""WITH $pqCteSql,
+         qsel AS (SELECT vec_id AS q_id, qv AS qqv FROM q WHERE vec_id < 10),
+         qe AS (SELECT q_id, unnest(qqv) AS qx, unnest(range(len(qqv))) AS pos FROM qsel),
+         dt AS (SELECT qe.q_id, ce.cid AS code, CAST(qe.pos // 16 AS BIGINT) AS m,
+                  CAST(sum(CAST(qe.qx - ce.cx AS BIGINT) * CAST(qe.qx - ce.cx AS BIGINT)) AS BIGINT) AS qdist
+                FROM qe JOIN ce ON qe.pos = ce.pos
+                GROUP BY qe.q_id, ce.cid, m),
+         ad AS (SELECT dt.q_id, sel.vec_id, CAST(sum(dt.qdist) AS BIGINT) AS adist
+                FROM sel JOIN dt ON sel.m = dt.m AND sel.cid = dt.code
+                WHERE sel.vec_id != dt.q_id
+                GROUP BY dt.q_id, sel.vec_id),
+         rk AS (SELECT q_id, vec_id, adist,
+                  row_number() OVER (PARTITION BY q_id
+                      ORDER BY adist, vec_id) AS rank
+                FROM ad)
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adist
+         FROM rk WHERE rank <= 5 ORDER BY q_id, rank""") { (s, d) =>
+      import s.implicits._
+      val cb = pqCodebook(s, d)
+      val qs = quantized(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
+      // distance tables: queries × codebook × subspaces — 640 rows,
+      // interpreted HOF is fine at this size; broadcast below
+      val dtab = qs.crossJoin(broadcast(cb.toDF("code", "cv")))
+        .withColumn("m", explode(sequence(lit(0), lit(3))))
+        .selectExpr("q_id", "code", "m",
+          """aggregate(sequence(0, 15), 0L,
+               (acc, j) -> acc + CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)
+                               * CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)) AS qdist""")
+      val codes = pqEncoded(s, d)
+        .select(col("vec_id"), posexplode(col("pc")).as(Seq("m", "pcs")))
+        .select(col("vec_id"), col("m"), col("pcs.code").as("code"))
+      codes.join(broadcast(dtab), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qdist")).cast("bigint").as("adist"))
+        .groupBy(col("q_id"))
+        .agg(expr("topk_struct(struct(adist AS s1, vec_id AS s2), 5)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "r")))
+        .selectExpr("q_id", "CAST(pos + 1 AS BIGINT) AS rank",
+          "r.s2 AS neighbor_id", "CAST(r.s1 AS BIGINT) AS adist")
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // ---- cluster-balanced subsampling (topic-mix rebalancing) --------------
     // The third member of the cluster family (assign = q_dedup_semantic,
     // train = q_kmeans_update): cap every cluster at ceil(N / 2k) kept
@@ -594,6 +687,61 @@ object VectorOps {
       clusterBalance(s, d).orderBy(col("vec_id"))
     }
   )
+
+  /** PQ codebook: the int8-quantized vectors at vec_id % 31 == 0
+    * below 31·16 — 16 deterministic centroids (cid = vec_id / 31,
+    * ascending) shared by all 4 subspaces. Model-sized driver collect
+    * (the assigned()/IVF-probe pattern); a trained per-subspace
+    * codebook is the same literal with the same plan.
+    */
+  private def pqCodebook(s: SparkSession, d: String): Seq[(Long, Seq[Int])] = {
+    val cb = quantized(s, d)
+      .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31 * 16)
+      .selectExpr("CAST(vec_id DIV 31 AS BIGINT) AS cid", "qv")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+      .sortBy(_._1)
+    require(cb.nonEmpty,
+      s"no vec_id % 31 == 0 codebook vectors in $d — PQ cannot encode")
+    cb
+  }
+
+  /** (vec_id, pc: array<struct<code, dist>>) — the corpus PQ-encoded
+    * by the fused pq_encode kernel against [[pqCodebook]]: one
+    * codegen'd projection, shared by q_pq_encode and q_ann_pq_adc so
+    * storage and search codes cannot drift.
+    */
+  private def pqEncoded(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d)
+    quantized(s, d).select(col("vec_id"),
+      call_function("pq_encode", col("qv"), typedlit(cb), lit(4)).as("pc"))
+  }
+
+  /** The PQ CTE chain shared by both PQ oracles, ending in
+    * `sel(vec_id, m, cid, dist)` — per (vector, subspace) the argmin
+    * codebook entry and its exact integer squared-L2 — plus the
+    * intermediate `q` (quantized corpus) and `ce` (exploded codebook)
+    * the ADC oracle reuses. Mirrors quantized()/pqCodebook()/the
+    * kernel's slice rule exactly: subspace = pos // 16 over the
+    * 64-dim contract, codebook = vec_id % 31 == 0 below 496.
+    */
+  private lazy val pqCteSql: String =
+    """s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127, 1e-300) AS scale
+           FROM embeddings),
+       q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv FROM s),
+       cb AS (SELECT CAST(vec_id // 31 AS BIGINT) AS cid, qv AS cv FROM q
+              WHERE vec_id % 31 = 0 AND vec_id < 496),
+       e AS (SELECT vec_id, unnest(qv) AS x, unnest(range(len(qv))) AS pos FROM q),
+       ce AS (SELECT cid, unnest(cv) AS cx, unnest(range(len(cv))) AS pos FROM cb),
+       dists AS (SELECT e.vec_id, ce.cid, CAST(e.pos // 16 AS BIGINT) AS m,
+                   CAST(sum(CAST(e.x - ce.cx AS BIGINT) * CAST(e.x - ce.cx AS BIGINT)) AS BIGINT) AS dist
+                 FROM e JOIN ce ON e.pos = ce.pos
+                 GROUP BY e.vec_id, ce.cid, m),
+       best AS (SELECT vec_id, m, cid, dist,
+                  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+                FROM dists),
+       sel AS (SELECT vec_id, m, cid, dist FROM best WHERE rk = 1)"""
 
   /** The cluster-balance CTE chain ending in
     * `bal(vec_id, cid, n_c, keep)` — shared by q_cluster_balance and

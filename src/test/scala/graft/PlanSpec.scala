@@ -510,6 +510,21 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("pq encode is one fused projection — no join, no aggregate, no n×k rows") {
+    val p = plan("q_pq_encode")
+    assert(p.contains("pq_encode"), p.take(2000))
+    assert(!p.contains("Join"), p)
+    assert(!"HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).hasNext, p)
+  }
+
+  test("pq ADC search: broadcast distance table, heap top-k, no window") {
+    val p = plan("q_ann_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("topk_struct"), p.take(2000))
+  }
+
   test("bm25: broadcast query-term probe, heap top-k — no window, no pair sort") {
     val p = plan("q_bm25_topk")
     // the query-term and df relations (≤48 rows) must broadcast over

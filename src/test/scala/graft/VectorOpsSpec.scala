@@ -327,4 +327,54 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(p1 != p2, s"stale artifact would be served: $p1")
     graft.engine.Persist.deleteRecursively(Paths.get(dir))
   }
+
+  test("PQ: clustered corpus encodes to its own centers; ADC retrieves in-cluster") {
+    // PQ's contract is on STRUCTURED data (random uniform vectors are
+    // its worst case — the declared queries' synthetic corpus only
+    // exercises exactness, which the DuckDB oracle covers). Plant 16
+    // well-separated centers at the codebook source ids (31·c) with
+    // every other vector a tiny jitter off its id%16 center: every
+    // subspace must code to the member's own center, and ADC top-5
+    // must stay in-cluster for all 10 queries.
+    import spark.implicits._
+    val dim = 64
+    // modulus 17 > 16 clusters and 5 invertible mod 17 → all 16
+    // center patterns are DISTINCT shifts (a period-13 variant made
+    // clusters 13-15 alias clusters 0-2)
+    def center(k: Int): Array[Float] =
+      Array.tabulate(dim)(j => (50 * (((k * 5 + j) % 17) - 8)).toFloat)
+    val rows = (0L until 500L).map { id =>
+      val v: Array[Float] =
+        if (id % 31 == 0 && id < 496) center((id / 31).toInt)
+        else {
+          val c = center((id % 16).toInt)
+          Array.tabulate(dim)(j => c(j) + (((id * (j + 3)) % 3).toInt - 1) * 0.5f)
+        }
+      (id, v.toSeq, (id % 16).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pqspec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def cluster(id: Long): Long = if (id % 31 == 0 && id < 496) id / 31 else id % 16
+    val enc = SparkEntry.queries("q_pq_encode")(spark, dir).collect()
+    enc.foreach { r =>
+      val id = r.getLong(0)
+      val codes = (1 to 4).map(r.getLong)
+      assert(codes.forall(_ == cluster(id)),
+        s"vec $id coded $codes, expected all ${cluster(id)}")
+    }
+    // codebook vectors reconstruct exactly
+    assert(enc.filter(r => r.getLong(0) % 31 == 0 && r.getLong(0) < 496)
+      .forall(_.getLong(5) == 0L), "centroid rows must have err 0")
+
+    val adc = SparkEntry.queries("q_ann_pq_adc")(spark, dir).collect()
+    assert(adc.nonEmpty)
+    adc.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(cluster(n) == cluster(q),
+        s"query $q retrieved out-of-cluster neighbor $n")
+    }
+    graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
