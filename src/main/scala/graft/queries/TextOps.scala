@@ -1838,6 +1838,67 @@ object TextOps {
         .orderBy(col("doc_id"), col("copy_idx"))
     },
 
+    // ---- temperature-scaled mixture -----------------------------------------
+    // The published alternative to hand-set weights (multilingual
+    // pretraining practice: sample source i ∝ mass_i^α, α = 0.5):
+    // temperature α < 1 flattens the source distribution — small
+    // sources upsample, dominant ones downsample — while keeping the
+    // total output mass ≈ the corpus. Per-source char mass m_i scales
+    // to a_i = round(1e6·√m_i) ONCE (the micro-integer discipline:
+    // the only cross-engine float op is one sqrt on an exact integer,
+    // rounded immediately), the normalizer Σa_i is then an exact
+    // integer sum, and the per-source copy rate (a_i/Σa)·(T/m_i)
+    // rounds once to micro units. The fractional copy resolves by
+    // the SAME deterministic per-doc hash as q_mix_weighted, so
+    // every emitted copy hash-matches.
+    // Shape at 100 TB: one source-sized aggregate, the rate table
+    // broadcasts back, and the fan-out is map-only — zero windows,
+    // zero keyed shuffles of the corpus.
+    "q_mix_temperature" -> Q(
+      """WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+                    FROM documents GROUP BY source),
+            a AS (SELECT source, mass,
+                    CAST(round(1000000 * sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS am
+                  FROM m),
+            tot AS (SELECT CAST(sum(mass) AS BIGINT) AS t,
+                           CAST(sum(am) AS BIGINT) AS asum FROM a),
+            r AS (SELECT a.source,
+                    CAST(round(1000000.0 * CAST(a.am AS DOUBLE) * tot.t
+                         / (CAST(tot.asum AS DOUBLE) * a.mass)) AS BIGINT) AS rate_micro
+                  FROM a CROSS JOIN tot),
+            c AS (SELECT d.doc_id, d.source, r.rate_micro,
+                    CAST(r.rate_micro // 1000000 AS INT) +
+                    CASE WHEN (d.doc_id * 2654435761 + 12345) % 1000000
+                              < r.rate_micro % 1000000 THEN 1 ELSE 0 END AS n_copies
+                  FROM documents d JOIN r ON d.source = r.source)
+         SELECT doc_id, source, rate_micro,
+                CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+         FROM c WHERE n_copies > 0
+         ORDER BY doc_id, copy_idx""") { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val m = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("bigint").as("mass"))
+        .withColumn("am",
+          expr("CAST(round(1000000 * sqrt(CAST(mass AS DOUBLE))) AS BIGINT)"))
+      val tot = m.agg(sum(col("mass")).cast("bigint").as("t"),
+        sum(col("am")).cast("bigint").as("asum"))
+      val r = m.crossJoin(broadcast(tot))
+        .selectExpr("source",
+          """CAST(round(1000000.0 * CAST(am AS DOUBLE) * t
+               / (CAST(asum AS DOUBLE) * mass)) AS BIGINT) AS rate_micro""")
+      docs.join(broadcast(r), "source")
+        .withColumn("rh",
+          pmod(col("doc_id") * lit(2654435761L) + lit(12345L), lit(1000000L)))
+        .withColumn("n_copies", expr(
+          """CAST(rate_micro DIV 1000000 AS INT) +
+             CASE WHEN rh < rate_micro % 1000000 THEN 1 ELSE 0 END"""))
+        .filter(col("n_copies") > 0)
+        .withColumn("copy_idx", explode(sequence(lit(1), col("n_copies"))))
+        .select(col("doc_id"), col("source"), col("rate_micro"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    },
+
     // ---- token-budget corpus selection --------------------------------------
     // Data selection under a token budget: per source, keep the
     // highest-quality documents whose cumulative token count fits

@@ -202,6 +202,30 @@ class CurationSpec extends AnyFunSuite {
     assert(gotKeep.size < aIds.size, "the oversized cluster must actually shrink")
   }
 
+  test("temperature mixture flattens: small source upsamples, big source downsamples") {
+    // source masses 100 vs 10000 chars (two docs each): α=0.5 gives
+    // a-weights 1:10, so rates (a_i/Σa)·(T/m_i) = 9.18 and 0.918 —
+    // the small source must emit >1 copy/doc, the big one <1 on
+    // average, and total output mass stays ≈ corpus mass
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curationspec").toString
+    Seq((1L, "a" * 50, "src1"), (2L, "a" * 50, "src1"),
+        (3L, "a" * 5000, "src2"), (4L, "a" * 5000, "src2"))
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val rateSmall = rows.find(_._2 == "src1").map(_._3)
+    val rateBig = rows.find(_._2 == "src2").map(_._3)
+    assert(rateSmall.exists(_ > 1000000L), s"small-source rate $rateSmall must upsample")
+    assert(rateBig.forall(_ < 1000000L), s"big-source rate $rateBig must downsample")
+    // exact expected rates: a = (round(1e6·√100), round(1e6·√10000)) = (1e7, 1e8)/10
+    // rate_small = (1e7/1.1e8)·(10100/100) = 9.1818...; micro-rounded
+    assert(rateSmall.contains(9181818L), rateSmall)
+    assert(rateBig.contains(918182L), rateBig)
+  }
+
   test("BM25: term coverage beats saturated tf, self and no-match docs excluded") {
     // doc 7 is one of the fixed query docs — its 3 tokens are the
     // query. doc 1 covers all three terms (two of them rare), doc 4

@@ -510,6 +510,14 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("temperature mixture: broadcast rate table, map-only fan-out, no window") {
+    val p = plan("q_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pq encode is one fused projection — no join, no aggregate, no n×k rows") {
     val p = plan("q_pq_encode")
     assert(p.contains("pq_encode"), p.take(2000))
