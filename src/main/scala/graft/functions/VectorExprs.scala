@@ -306,10 +306,16 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
       val row = arr.getStruct(i, 2)
       ids(i) = row.getLong(0)
       vecs(i) = row.getArray(1).toIntArray()
+      // ragged codebooks are rejected ONCE at parse — the per-row
+      // kernel then only checks the input dim against cbDim
+      require(vecs(i).length == vecs(0).length,
+        s"pq_encode codebook is ragged: row $i dim ${vecs(i).length} != ${vecs(0).length}")
       i += 1
     }
     (ids, vecs)
   }
+
+  @transient private lazy val cbDim: Int = codebook._2(0).length
 
   def evalVec(v: ArrayData): ArrayData = {
     val (ids, vecs) = codebook
@@ -317,6 +323,12 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
     if (dim % nSub != 0)
       throw new IllegalArgumentException(
         s"pq_encode: vector dim $dim not divisible into $nSub subspaces")
+    // a dim mismatch would silently zero-pad slices and mis-assign —
+    // DuckDB's unnest join has no such row to match; checked once per
+    // row (codebook raggedness is rejected at parse)
+    if (cbDim != dim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim $dim != codebook dim $cbDim")
     val sub = dim / nSub
     val a = v.toIntArray()
     val out = new Array[Any](nSub)
@@ -328,11 +340,6 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
       var c = 0
       while (c < ids.length) {
         val cv = vecs(c)
-        // a short codebook row would silently zero-pad the slice and
-        // mis-assign — DuckDB's unnest join has no such row to match
-        if (cv.length != dim)
-          throw new IllegalArgumentException(
-            s"pq_encode: vector dim $dim != codebook dim ${cv.length}")
         var dist = 0L
         var j = 0
         while (j < sub) {

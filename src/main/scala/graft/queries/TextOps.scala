@@ -113,6 +113,7 @@ object TextOps {
     // doc count after releasing the frames
     nDocsMemo.clear()
     vocabMemo.clear()
+    corpusTokMemo.clear()
   }
 
   /** Document count per dataset — parquet-metadata cheap, memoized;
@@ -121,6 +122,15 @@ object TextOps {
   private val nDocsMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
   private def nDocs(s: SparkSession, d: String): Long =
     nDocsMemo.getOrElseUpdate(d, t(s, d, "documents").count())
+
+  /** Corpus token total per dataset (BM25's avgdl denominator) — one
+    * aggregate over the memoized toks frame, memoized like nDocs so
+    * repeat invocations skip the driver job.
+    */
+  private val corpusTokMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def corpusTokens(s: SparkSession, d: String): Long =
+    corpusTokMemo.getOrElseUpdate(d,
+      toksFrame(s, d).agg(sum(size(col("toks"))).cast("bigint")).first().getLong(0))
 
   /** Stop-shingle document-frequency cutoff, derived from corpus size
     * (the same treatment as `AnnIndex.bitsFor`): a fixed cutoff drops
@@ -1010,12 +1020,20 @@ object TextOps {
     * key, no RNG, identical on any engine and at any stream
     * position. Stateless map-side fan-out: works verbatim on batch
     * and streaming frames; input columns pass through plus copy_idx.
+    *
+    * The hash is computed in residue form — ((doc_id mod 1e6) ·
+    * (2654435761 mod 1e6) + 12345) mod 1e6, identical by modular
+    * arithmetic — because the direct product overflows int64 at
+    * doc_id ≈ 3.5e9: Spark would wrap silently while DuckDB raises,
+    * exactly at the billions-of-docs scale this fan-out targets.
+    * The residue product is ≤ 1e12, overflow-free.
     */
   private[graft] def mixCopies(docs: DataFrame): DataFrame = {
     val wi = (expr("CAST(substring(source, 4, 10) AS INT)") % 4 + 1).cast("int")
     val base = element_at(typedlit(Seq(0, 0, 1, 2)), wi)
     val thr = element_at(typedlit(Seq(250000L, 500000L, 0L, 500000L)), wi)
-    val r = pmod(col("doc_id") * lit(2654435761L) + lit(12345L), lit(1000000L))
+    val r = pmod(pmod(col("doc_id"), lit(1000000L)) * lit(435761L) + lit(12345L),
+      lit(1000000L))
     docs.withColumn("n_copies", base + when(r < thr, 1).otherwise(0))
       .filter(col("n_copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(1), col("n_copies"))))
@@ -1451,10 +1469,10 @@ object TextOps {
     // 100 TB each partition ships 5 rows per query, and no shuffle
     // moves more than the matching (doc, query-term) pairs.
     "q_bm25_topk" -> Q(
-      """WITH toks AS (SELECT doc_id,
+      """WITH toks AS MATERIALIZED (SELECT doc_id,
               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
             FROM documents),
-         tfc AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+         tfc AS MATERIALIZED (SELECT doc_id, dl, tok, count(*) AS tf FROM (
                    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok
                    FROM toks)
                  GROUP BY doc_id, dl, tok),
@@ -1487,7 +1505,7 @@ object TextOps {
       val qids = Seq(7L, 61L, 113L, 167L, 229L, 283L, 337L, 401L)
       val n = nDocs(s, d)
       val toks = toksFrame(s, d)
-      val sTot = toks.agg(sum(size(col("toks"))).cast("bigint")).first().getLong(0)
+      val sTot = corpusTokens(s, d)
       val tfc = memoized(s, s"bm25tf:$d") {
         toks.select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
             explode(col("toks")).as("tok"))
@@ -1831,7 +1849,7 @@ object TextOps {
     "q_mix_weighted" -> Q(
       """WITH w AS (SELECT doc_id, source,
                       CAST(substr(source, 4) AS INT) % 4 AS wi,
-                      (doc_id * 2654435761 + 12345) % 1000000 AS r
+                      ((doc_id % 1000000) * 435761 + 12345) % 1000000 AS r
                     FROM documents),
             c AS (SELECT doc_id, source,
                     [0,0,1,2][wi+1] +
@@ -1874,7 +1892,7 @@ object TextOps {
                   FROM a CROSS JOIN tot),
             c AS (SELECT d.doc_id, d.source, r.rate_micro,
                     CAST(r.rate_micro // 1000000 AS INT) +
-                    CASE WHEN (d.doc_id * 2654435761 + 12345) % 1000000
+                    CASE WHEN ((d.doc_id % 1000000) * 435761 + 12345) % 1000000
                               < r.rate_micro % 1000000 THEN 1 ELSE 0 END AS n_copies
                   FROM documents d JOIN r ON d.source = r.source)
          SELECT doc_id, source, rate_micro,
@@ -1895,7 +1913,8 @@ object TextOps {
                / (CAST(asum AS DOUBLE) * mass)) AS BIGINT) AS rate_micro""")
       docs.join(broadcast(r), "source")
         .withColumn("rh",
-          pmod(col("doc_id") * lit(2654435761L) + lit(12345L), lit(1000000L)))
+          pmod(pmod(col("doc_id"), lit(1000000L)) * lit(435761L) + lit(12345L),
+            lit(1000000L)))
         .withColumn("n_copies", expr(
           """CAST(rate_micro DIV 1000000 AS INT) +
              CASE WHEN rh < rate_micro % 1000000 THEN 1 ELSE 0 END"""))

@@ -598,7 +598,7 @@ object VectorOps {
                 max(CASE WHEN m = 3 THEN cid END) AS c3,
                 CAST(sum(dist) AS BIGINT) AS err
          FROM sel GROUP BY vec_id ORDER BY vec_id""") { (s, d) =>
-      pqEncoded(s, d).selectExpr("vec_id",
+      pqEncoded(s, d, pqCodebook(s, d)).selectExpr("vec_id",
           "pc[0].code AS c0", "pc[1].code AS c1",
           "pc[2].code AS c2", "pc[3].code AS c3",
           "CAST(pc[0].dist + pc[1].dist + pc[2].dist + pc[3].dist AS BIGINT) AS err")
@@ -650,7 +650,7 @@ object VectorOps {
           """aggregate(sequence(0, 15), 0L,
                (acc, j) -> acc + CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)
                                * CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)) AS qdist""")
-      val codes = pqEncoded(s, d)
+      val codes = pqEncoded(s, d, cb)
         .select(col("vec_id"), posexplode(col("pc")).as(Seq("m", "pcs")))
         .select(col("vec_id"), col("m"), col("pcs.code").as("code"))
       codes.join(broadcast(dtab), Seq("m", "code"))
@@ -709,13 +709,15 @@ object VectorOps {
   /** (vec_id, pc: array<struct<code, dist>>) — the corpus PQ-encoded
     * by the fused pq_encode kernel against [[pqCodebook]]: one
     * codegen'd projection, shared by q_pq_encode and q_ann_pq_adc so
-    * storage and search codes cannot drift.
+    * storage and search codes cannot drift. Callers that already
+    * collected the codebook pass it in (q_ann_pq_adc needs it for
+    * the distance tables too — collecting twice would run two
+    * identical corpus-scan jobs before the query starts).
     */
-  private def pqEncoded(s: SparkSession, d: String): DataFrame = {
-    val cb = pqCodebook(s, d)
+  private def pqEncoded(s: SparkSession, d: String,
+                        cb: Seq[(Long, Seq[Int])]): DataFrame =
     quantized(s, d).select(col("vec_id"),
       call_function("pq_encode", col("qv"), typedlit(cb), lit(4)).as("pc"))
-  }
 
   /** The PQ CTE chain shared by both PQ oracles, ending in
     * `sel(vec_id, m, cid, dist)` — per (vector, subspace) the argmin
