@@ -431,6 +431,15 @@ object VectorOps {
     // AnnIndex artifact build.
     "q_ann_ivf" -> Q.noOracle { (s, d) => ivfTop5(s, d) },
 
+    // ---- IVF-PQ: pruned probe + ADC shortlist + exact re-rank --------------
+    // See ivfPqTop5 — the billion-scale composition (inverted-file
+    // pruning bounds the candidate read, PQ codes bound its bytes,
+    // ADC bounds its arithmetic, exact cosine re-ranks only a
+    // 50-per-query shortlist). Rows-only like the other
+    // engine-specific index paths; recall gated on the
+    // planted-cluster fixture where the PQ contract holds.
+    "q_ann_ivfpq" -> Q.noOracle { (s, d) => ivfPqTop5(s, d) },
+
     // ---- ANN recall audit (self-gating, driver-checked) --------------------
     // The rows-only ANN paths' recall gates, moved INTO the declared
     // surface (the q_mm_decode_audit pattern): both approximate
@@ -849,6 +858,67 @@ object VectorOps {
       .join(broadcast(qVecsDf), Seq("q_id"))
       .selectExpr("q_id", "vec_id", cosExpr)
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The IVF-PQ pipeline behind q_ann_ivfpq — the composition every
+    * billion-scale ANN deployment runs: IVF probing prunes the member
+    * read to the probed cid partitions (the q_ann_ivf path), ADC over
+    * PQ codes shortlists 50 candidates per query with 4 integer
+    * table-lookups per candidate (never a 64-dim float loop), and
+    * ONLY the shortlist pays an exact-cosine re-rank — a
+    * queries×50-row window, corpus-size-independent.
+    *
+    * At 100 TB the codes frame is the stored index (4 bytes/vector);
+    * here codes are derived in-plan by the same fused pq_encode
+    * kernel as q_pq_encode, against the same corpus codebook, so the
+    * stored-codes deployment is this exact plan minus one projection.
+    * Recall is gated on the planted-cluster fixture (VectorOpsSpec) —
+    * PQ's contract is structured data, same as q_pq_encode.
+    */
+  private def ivfPqTop5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cents, membersPath) = AnnIndex.ivf(s, d)
+    val qRows = registered(s, d).filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = AnnIndex.probeClusters(qRows.toSeq, cents, ivfProbes(cents.length))
+    val probedCids = probes.map(_._2).distinct
+    val probesDf = probes.toDF("q_id", "cid")
+    val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
+    val cb = pqCodebook(s, d)
+    // per-query integer distance tables (queries × k × m, broadcast)
+    val dtab = qVecsDf
+      .selectExpr("q_id", "int8_round(qv, int8_scale(qv)) AS qqv")
+      .crossJoin(broadcast(cb.toDF("code", "cv")))
+      .withColumn("m", explode(sequence(lit(0), lit(3))))
+      .selectExpr("q_id", "code", "m",
+        """aggregate(sequence(0, 15), 0L,
+             (acc, j) -> acc + CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)
+                             * CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)) AS qdist""")
+    val members = s.read.parquet(membersPath)
+      .filter(col("cid").isin(probedCids: _*))   // partition pruning
+      .join(broadcast(probesDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val short = members
+      .select(col("q_id"), col("vec_id"),
+        call_function("pq_encode",
+          expr("int8_round(v, int8_scale(v))"), typedlit(cb), lit(4)).as("pc"))
+      .select(col("q_id"), col("vec_id"), posexplode(col("pc")).as(Seq("m", "pcs")))
+      .select(col("q_id"), col("m"), col("pcs.code").as("code"), col("vec_id"))
+      .join(broadcast(dtab), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qdist")).cast("bigint").as("adist"))
+      .groupBy(col("q_id"))
+      .agg(expr("topk_struct(struct(adist AS s1, vec_id AS s2), 50)").as("top"))
+      .select(col("q_id"), explode(col("top")).as("r"))
+      .select(col("q_id"), col("r.s2").as("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    registered(s, d).join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qVecsDf), Seq("q_id"))
+      .selectExpr("q_id", "vec_id", "cosine_sim(qv, v) AS cosine")
+      .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy(col("q_id"), col("rank"))

@@ -533,6 +533,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("topk_struct"), p.take(2000))
   }
 
+  test("ivf-pq: pruned scan, broadcast tables, heap shortlist — exact cosine only on the shortlist") {
+    val p = plan("q_ann_ivfpq")
+    // every join must broadcast (probes, distance tables, shortlist,
+    // query vectors — all workload-sized); the shortlist must be the
+    // bounded heap; the only Window is the 50-per-query exact re-rank
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("topk_struct"), p.take(2000))
+    // exactly one Window NODE (the shortlist re-rank) — formatted
+    // mode prints each node twice and WindowGroupLimit also contains
+    // "Window", so count tree entries only
+    assert("Window \\(".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("bm25: broadcast query-term probe, heap top-k — no window, no pair sort") {
     val p = plan("q_bm25_topk")
     // the query-term and df relations (≤48 rows) must broadcast over

@@ -375,6 +375,21 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(cluster(n) == cluster(q),
         s"query $q retrieved out-of-cluster neighbor $n")
     }
+
+    // IVF-PQ: the full pruned-probe + ADC-shortlist + exact-re-rank
+    // composition must keep recall vs exact KNN on the same fixture
+    val ivfpq = SparkEntry.queries("q_ann_ivfpq")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = SparkEntry.queries("q_knn_exact")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, es) =>
+      ivfpq.getOrElse(q, Set.empty[Long]).intersect(es).size.toDouble / es.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-PQ top-5 mean recall on clustered fixture: $mean%.3f")
+    assert(mean >= 0.8, f"IVF-PQ recall $mean%.3f < 0.8 (per-query: $recalls)")
     graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 }
