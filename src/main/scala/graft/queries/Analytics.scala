@@ -835,6 +835,64 @@ object Analytics {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- Z-order layout codes (multi-dimensional data clustering) -----------
+    // The lakehouse OPTIMIZE ZORDER primitive: each event's (user,
+    // hour) pair min/max-normalizes to two 16-bit fields and
+    // bit-interleaves into a 32-bit Morton code; files laid out by
+    // code ranges then serve BOTH user-range and time-range
+    // predicates from ~2^(-k/2) of the files (top 6 code bits
+    // alternate 3 user + 3 hour bits → a 1/8-of-range box on EITHER
+    // dimension touches ≤ 16 of the 64 buckets — ZOrderSpec measures
+    // exactly this). All integer arithmetic, so the code table
+    // hash-matches. Scale shape: min/max are footer-cheap stats, the
+    // code is map-only, and the physical write is
+    // repartitionByRange(zcode).sortWithinPartitions — ONE range
+    // exchange, the same plan OPTIMIZE runs.
+    "q_zorder" -> Q(
+      s"""WITH b AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
+                     min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h0,
+                     max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h1 FROM events),
+         sc AS (SELECT event_id,
+                  CAST((user_id - b.u0) * 65536 // (b.u1 - b.u0 + 1) AS BIGINT) AS zx,
+                  CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600 - b.h0) * 65536
+                       // (b.h1 - b.h0 + 1) AS BIGINT) AS zt
+                FROM events CROSS JOIN b),
+         z AS (SELECT event_id, zx, zt,
+                 CAST(${mortonDuck("zx", "zt")} AS BIGINT) AS zcode FROM sc)
+         SELECT event_id, zx, zt, zcode, CAST(zcode >> 26 AS BIGINT) AS zbucket
+         FROM z ORDER BY event_id""") { (s, d) =>
+      val hourExpr = "CAST(unix_timestamp(ts) AS BIGINT) DIV 3600"
+      val b = t(s, d, "events").agg(
+        min(col("user_id")), max(col("user_id")),
+        min(expr(hourExpr)), max(expr(hourExpr))).head()
+      val (u0, u1, h0, h1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      t(s, d, "events")
+        .selectExpr("event_id",
+          s"CAST((user_id - ${u0}L) * 65536 DIV ${u1 - u0 + 1}L AS BIGINT) AS zx",
+          s"CAST(($hourExpr - ${h0}L) * 65536 DIV ${h1 - h0 + 1}L AS BIGINT) AS zt")
+        .selectExpr("event_id", "zx", "zt",
+          s"CAST(${mortonSpark("zx", "zt")} AS BIGINT) AS zcode")
+        .selectExpr("event_id", "zx", "zt", "zcode",
+          "CAST(shiftright(zcode, 26) AS BIGINT) AS zbucket")
+        .orderBy(col("event_id"))
     }
   )
+
+  /** Morton bit-interleave of two 16-bit fields — x takes even bit
+    * positions, y odd — written as pure shift/mask/add arithmetic.
+    * Two renderings of the SAME formula: Spark's shiftleft/shiftright
+    * functions and DuckDB's <</>> operators (fully parenthesized, so
+    * engine precedence cannot differ).
+    */
+  private def mortonSpark(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"shiftleft((shiftright($x, $i) & 1), ${2 * i}) + " +
+        s"shiftleft((shiftright($y, $i) & 1), ${2 * i + 1})").mkString("(", " + ", ")")
+
+  private def mortonDuck(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " + ", ")")
 }

@@ -583,4 +583,27 @@ class GroundTruthSpec extends AnyFunSuite {
       graft.engine.Persist.deleteRecursively(Paths.get(dir))
     }
   }
+
+  test("z-order: a 1/8-range box on EITHER dimension touches ≤ 16 of 64 buckets") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(srcDir)))
+    // the 2-D pruning claim, measured: top-6 code bits interleave 3
+    // user + 3 hour bits, so an ALIGNED 1/8 box fixes 3 bits of one
+    // dimension → ≤ 2^3 buckets of its own dim × 2^3 of the other =
+    // 8; an unaligned 1/8 box can straddle one boundary → ≤ 16. A
+    // single-dimension sorted layout serves only ITS dimension —
+    // the other dimension's boxes touch every file.
+    val rows = SparkEntry.queries("q_zorder")(spark, srcDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))  // zx, zt, zbucket
+    val all = rows.map(_._3).toSet
+    assert(all.size >= 32, s"corpus should span most of the 64 buckets, got ${all.size}")
+    val userBox = rows.filter(r => r._1 >= 16384 && r._1 < 24576).map(_._3).toSet
+    val timeBox = rows.filter(r => r._2 >= 16384 && r._2 < 24576).map(_._3).toSet
+    assert(rows.exists(r => r._1 >= 16384 && r._1 < 24576), "user box must be populated")
+    assert(rows.exists(r => r._2 >= 16384 && r._2 < 24576), "time box must be populated")
+    assert(userBox.size <= 8, s"aligned user box touched ${userBox.size} buckets")
+    assert(timeBox.size <= 8, s"aligned time box touched ${timeBox.size} buckets")
+    // unaligned box (straddles one top-3-bit boundary): ≤ 16
+    val skew = rows.filter(r => r._1 >= 20000 && r._1 < 28192).map(_._3).toSet
+    assert(skew.size <= 16, s"unaligned user box touched ${skew.size} buckets")
+  }
 }

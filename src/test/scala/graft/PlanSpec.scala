@@ -533,6 +533,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("topk_struct"), p.take(2000))
   }
 
+  test("z-order codes are map-only: stats are driver scalars, no join, no window") {
+    val p = plan("q_zorder")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!"HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).hasNext, p)
+  }
+
   test("ivf-pq: pruned scan, broadcast tables, heap shortlist — exact cosine only on the shortlist") {
     val p = plan("q_ann_ivfpq")
     // every join must broadcast (probes, distance tables, shortlist,
