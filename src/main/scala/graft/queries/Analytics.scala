@@ -864,10 +864,26 @@ object Analytics {
          SELECT event_id, zx, zt, zcode, CAST(zcode >> 26 AS BIGINT) AS zbucket
          FROM z ORDER BY event_id""") { (s, d) =>
       val hourExpr = "CAST(unix_timestamp(ts) AS BIGINT) DIV 3600"
+      // stats over STORED columns only (user_id, ts) — parquet
+      // aggregate pushdown can serve these from footers; the hour
+      // bounds derive in the driver because hour is monotonic in ts
       val b = t(s, d, "events").agg(
-        min(col("user_id")), max(col("user_id")),
-        min(expr(hourExpr)), max(expr(hourExpr))).head()
-      val (u0, u1, h0, h1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        min(col("user_id")), max(col("user_id")), min(col("ts")), max(col("ts"))).head()
+      val (u0, u1) = (b.getLong(0), b.getLong(1))
+      // the footer-aware events loader may surface ts as TIMESTAMP
+      // (Instant/Timestamp) or TIMESTAMP_NTZ (LocalDateTime, wall
+      // time in the UTC session zone) — same instant either way
+      def hourOf(i: Int): Long = {
+        val secs = b.get(i) match {
+          case t: java.sql.Timestamp => Math.floorDiv(t.getTime, 1000L)
+          case l: java.time.LocalDateTime => l.toEpochSecond(java.time.ZoneOffset.UTC)
+          case t: java.time.Instant => t.getEpochSecond
+          case other => throw new IllegalStateException(
+            s"unexpected ts stat type ${other.getClass}")
+        }
+        Math.floorDiv(secs, 3600L)
+      }
+      val (h0, h1) = (hourOf(2), hourOf(3))
       t(s, d, "events")
         .selectExpr("event_id",
           s"CAST((user_id - ${u0}L) * 65536 DIV ${u1 - u0 + 1}L AS BIGINT) AS zx",

@@ -647,18 +647,10 @@ object VectorOps {
                 FROM ad)
          SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, adist
          FROM rk WHERE rank <= 5 ORDER BY q_id, rank""") { (s, d) =>
-      import s.implicits._
       val cb = pqCodebook(s, d)
       val qs = quantized(s, d).filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
-      // distance tables: queries × codebook × subspaces — 640 rows,
-      // interpreted HOF is fine at this size; broadcast below
-      val dtab = qs.crossJoin(broadcast(cb.toDF("code", "cv")))
-        .withColumn("m", explode(sequence(lit(0), lit(3))))
-        .selectExpr("q_id", "code", "m",
-          """aggregate(sequence(0, 15), 0L,
-               (acc, j) -> acc + CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)
-                               * CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)) AS qdist""")
+      val dtab = adcDistTable(qs, cb)
       val codes = pqEncoded(s, d, cb)
         .select(col("vec_id"), posexplode(col("pc")).as(Seq("m", "pcs")))
         .select(col("vec_id"), col("m"), col("pcs.code").as("code"))
@@ -842,17 +834,9 @@ object VectorOps {
     * Shared with the recall audit.
     */
   private def ivfTop5(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val (cents, membersPath) = AnnIndex.ivf(s, d)
-    val qRows = registered(s, d).filter(col("vec_id") < 10).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probes = AnnIndex.probeClusters(qRows.toSeq, cents, ivfProbes(cents.length))
-    val probedCids = probes.map(_._2).distinct
-    val probesDf = probes.toDF("q_id", "cid")
-    val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
+    val (probesDf, qVecsDf, pruned) = ivfProbeCtx(s, d)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    s.read.parquet(membersPath)
-      .filter(col("cid").isin(probedCids: _*))   // partition pruning
+    pruned
       .join(broadcast(probesDf), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(qVecsDf), Seq("q_id"))
@@ -861,6 +845,27 @@ object VectorOps {
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF probe context shared by ivfTop5 and ivfPqTop5 (one probe
+    * semantics for both index consumers): the artifact load, the
+    * driver-held query vectors, the probe assignment table, and the
+    * cid-partition-PRUNED member read (vec_id, v, cid — only probed
+    * partitions are ever scanned).
+    */
+  private def ivfProbeCtx(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val (cents, membersPath) = AnnIndex.ivf(s, d)
+    val qRows = registered(s, d).filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = AnnIndex.probeClusters(qRows.toSeq, cents, ivfProbes(cents.length))
+    val probedCids = probes.map(_._2).distinct
+    val probesDf = probes.toDF("q_id", "cid")
+    val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
+    val pruned = s.read.parquet(membersPath)
+      .filter(col("cid").isin(probedCids: _*))   // partition pruning
+    (probesDf, qVecsDf, pruned)
   }
 
   /** The IVF-PQ pipeline behind q_ann_ivfpq — the composition every
@@ -879,34 +884,20 @@ object VectorOps {
     * PQ's contract is structured data, same as q_pq_encode.
     */
   private def ivfPqTop5(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val (cents, membersPath) = AnnIndex.ivf(s, d)
-    val qRows = registered(s, d).filter(col("vec_id") < 10).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probes = AnnIndex.probeClusters(qRows.toSeq, cents, ivfProbes(cents.length))
-    val probedCids = probes.map(_._2).distinct
-    val probesDf = probes.toDF("q_id", "cid")
-    val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
+    val (probesDf, qVecsDf, pruned) = ivfProbeCtx(s, d)
     val cb = pqCodebook(s, d)
-    // per-query integer distance tables (queries × k × m, broadcast)
-    val dtab = qVecsDf
-      .selectExpr("q_id", "int8_round(qv, int8_scale(qv)) AS qqv")
-      .crossJoin(broadcast(cb.toDF("code", "cv")))
-      .withColumn("m", explode(sequence(lit(0), lit(3))))
-      .selectExpr("q_id", "code", "m",
-        """aggregate(sequence(0, 15), 0L,
-             (acc, j) -> acc + CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)
-                             * CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)) AS qdist""")
-    val members = s.read.parquet(membersPath)
-      .filter(col("cid").isin(probedCids: _*))   // partition pruning
-      .join(broadcast(probesDf), Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-    val short = members
-      .select(col("q_id"), col("vec_id"),
+    val dtab = adcDistTable(
+      qVecsDf.selectExpr("q_id", "int8_round(qv, int8_scale(qv)) AS qqv"), cb)
+    // encode ONCE per candidate vector (codes are q_id-independent),
+    // then fan out per probing query
+    val short = pruned
+      .select(col("cid"), col("vec_id"),
         call_function("pq_encode",
           expr("int8_round(v, int8_scale(v))"), typedlit(cb), lit(4)).as("pc"))
-      .select(col("q_id"), col("vec_id"), posexplode(col("pc")).as(Seq("m", "pcs")))
-      .select(col("q_id"), col("m"), col("pcs.code").as("code"), col("vec_id"))
+      .select(col("cid"), col("vec_id"), posexplode(col("pc")).as(Seq("m", "pcs")))
+      .select(col("cid"), col("vec_id"), col("m"), col("pcs.code").as("code"))
+      .join(broadcast(probesDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(dtab), Seq("q_id", "m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("qdist")).cast("bigint").as("adist"))
@@ -914,14 +905,35 @@ object VectorOps {
       .agg(expr("topk_struct(struct(adist AS s1, vec_id AS s2), 50)").as("top"))
       .select(col("q_id"), explode(col("top")).as("r"))
       .select(col("q_id"), col("r.s2").as("vec_id"))
+    // exact re-rank reads the shortlist vectors from the PRUNED
+    // member read (it carries v) — never a second full corpus scan
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    registered(s, d).join(broadcast(short), Seq("vec_id"))
+    pruned.select(col("vec_id"), col("v"))
+      .join(broadcast(short), Seq("vec_id"))
       .join(broadcast(qVecsDf), Seq("q_id"))
       .selectExpr("q_id", "vec_id", "cosine_sim(qv, v) AS cosine")
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Per-query ADC distance tables (q_id, code, m, qdist): the
+    * query's exact int64 squared-L2 to every codebook entry per
+    * subspace — queries × k × m rows, broadcast by callers. ONE
+    * builder shared by q_ann_pq_adc and ivfPqTop5 so the ADC
+    * distance definition cannot drift between the flat and
+    * IVF-pruned search paths. Interpreted HOF is fine at this size
+    * (≤ queries·k·m = 640 evaluations).
+    */
+  private def adcDistTable(qint: DataFrame, cb: Seq[(Long, Seq[Int])]): DataFrame = {
+    import qint.sparkSession.implicits._
+    qint.crossJoin(broadcast(cb.toDF("code", "cv")))
+      .withColumn("m", explode(sequence(lit(0), lit(3))))
+      .selectExpr("q_id", "code", "m",
+        """aggregate(sequence(0, 15), 0L,
+             (acc, j) -> acc + CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)
+                             * CAST(qqv[m * 16 + j] - cv[m * 16 + j] AS BIGINT)) AS qdist""")
   }
 
   /** The zero-norm-filtered corpus (vec_id, v, nv) with its cluster

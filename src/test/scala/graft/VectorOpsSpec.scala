@@ -355,6 +355,7 @@ class VectorOpsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("pqspec").toString
     rows.toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
 
     def cluster(id: Long): Long = if (id % 31 == 0 && id < 496) id / 31 else id % 16
     val enc = SparkEntry.queries("q_pq_encode")(spark, dir).collect()
@@ -390,6 +391,12 @@ class VectorOpsSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     info(f"IVF-PQ top-5 mean recall on clustered fixture: $mean%.3f")
     assert(mean >= 0.8, f"IVF-PQ recall $mean%.3f < 0.8 (per-query: $recalls)")
-    graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+    } finally {
+      // the IVF run built index artifacts keyed by this random temp
+      // path — prune them (no later run can ever reuse the key), and
+      // delete the fixture even when an assertion above fails
+      graft.queries.AnnIndex.pruneArtifacts(dir)
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
   }
 }
