@@ -115,7 +115,10 @@ object Bench {
       candidates.iterator.map(parsePrior).find(_.nonEmpty).getOrElse(Map.empty)
     val adjudicated = results.map { case (name, t) =>
       val p = prior.getOrElse(name, -1.0)
-      if (p > 0 && t > 0 && t > 5 * p && t > 0.5) {
+      // >=: a measurement landing EXACTLY on the 5x boundary is noise
+      // too (observed: q_agg_sum 1.755 vs prior 0.351 — 5.000x — slid
+      // past the strict compare and shipped un-adjudicated)
+      if (p > 0 && t > 0 && t >= 5 * p && t > 0.5) {
         val re = Seq(timeOne(fnOf(name)), timeOne(fnOf(name))).flatten
         spark.catalog.clearCache()
         val best = (re :+ t).min
