@@ -244,4 +244,39 @@ class FunctionsSpec extends AnyFunSuite {
       assert(rel <= 0.15, s"$sf: exact=$ex approx=$ap rel=$rel")
     }
   }
+
+  test("pq_encode: argmin per subspace, tie to lowest cid, loud on bad shapes") {
+    GraftFunctions.register(spark)
+    // 4-dim vector, 2 subspaces of 2; codebook rows chosen so each
+    // subspace picks a DIFFERENT centroid: v=[1,1,9,9] is nearest
+    // cid 0 ([1,1,0,0]) in subspace 0 and cid 1 ([0,0,9,9]) in 1
+    val row = spark.sql(
+      """SELECT pq_encode(array(1, 1, 9, 9),
+           array(named_struct('cid', 0L, 'cv', array(1, 1, 0, 0)),
+                 named_struct('cid', 1L, 'cv', array(0, 0, 9, 9))), 2) AS pc""").head()
+    val pc = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(pc.map(r => (r.getLong(0), r.getLong(1))) == Seq((0L, 0L), (1L, 0L)), pc)
+
+    // exact tie (two identical codebook rows) resolves to the LOWEST
+    // cid — the ascending-literal contract shared with the oracle
+    val tie = spark.sql(
+      """SELECT pq_encode(array(5, 5),
+           array(named_struct('cid', 3L, 'cv', array(5, 5)),
+                 named_struct('cid', 7L, 'cv', array(5, 5))), 1) AS pc""").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(tie.map(_.getLong(0)) == Seq(3L), tie)
+
+    // vector dim not divisible by m, vector/codebook dim mismatch,
+    // and ragged codebooks must all fail loudly, never mis-assign
+    for (bad <- Seq(
+      "SELECT pq_encode(array(1, 2, 3), array(named_struct('cid', 0L, 'cv', array(1, 2, 3))), 2)",
+      "SELECT pq_encode(array(1, 2), array(named_struct('cid', 0L, 'cv', array(1, 2, 3))), 1)",
+      """SELECT pq_encode(array(1, 2), array(named_struct('cid', 0L, 'cv', array(1, 2)),
+           named_struct('cid', 1L, 'cv', array(1))), 1)""")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("pq_encode")), e.toString)
+    }
+  }
 }
