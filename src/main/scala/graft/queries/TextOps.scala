@@ -123,6 +123,53 @@ object TextOps {
   private def nDocs(s: SparkSession, d: String): Long =
     nDocsMemo.getOrElseUpdate(d, t(s, d, "documents").count())
 
+  /** (docbg, model) — the add-one-smoothed bigram LM shared by
+    * q_lm_train (emits the model) and q_lm_perplexity (scores with
+    * it). ONE corpus-wide window pass: docbg (per-doc bigram types)
+    * is memoized, and the model's global counts re-aggregate IT —
+    * bgc = Σ_doc dc over (w1,w2), ctx = Σ c12 over w1 — instead of
+    * re-running the posexplode+lead pipeline per count table. The
+    * memo also keeps the scoring join's probe side from re-deriving
+    * the window output. Each bigram type's ln-prob rounds ONCE to
+    * integer micro-nats (the cross-engine float discipline).
+    */
+  private def lmModelFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val v = vocabSize(s, d)
+    val docbg = memoized(s, s"lmdocbg:$d") {
+      bigramRows(s, d)
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("dc"))
+    }
+    val bgc = docbg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("dc")).cast("bigint").as("c12"))
+    val ctx = bgc.groupBy(col("w1")).agg(sum(col("c12")).cast("bigint").as("c1"))
+    val model = bgc.join(ctx, Seq("w1"))
+      .selectExpr("w1", "w2", "c12", "c1",
+        s"CAST(round(ln((c12 + 1.0) / (c1 + ${v}L)) * 1000000) AS BIGINT) AS micro")
+    (docbg, model)
+  }
+
+  /** DuckDB twin of [[lmModelFrames]] — CTEs ending in
+    * `docbg(doc_id, w1, w2, dc)` and `model(w1, w2, c12, c1, micro)`,
+    * shared by the q_lm_train and q_lm_perplexity oracles.
+    */
+  private val lmModelCteSql: String =
+    """toksrc AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+          FROM documents),
+       bg AS (SELECT doc_id,
+                unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+                unnest([toks[i+1] for i in range(1, len(toks))]) AS w2
+              FROM toksrc),
+       v AS (SELECT count(DISTINCT tok) AS v
+             FROM (SELECT unnest(toks) AS tok FROM toksrc)),
+       docbg AS (SELECT doc_id, w1, w2, count(*) AS dc FROM bg GROUP BY doc_id, w1, w2),
+       bgc AS (SELECT w1, w2, CAST(sum(dc) AS BIGINT) AS c12 FROM docbg GROUP BY w1, w2),
+       ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+       model AS (SELECT bgc.w1, bgc.w2, bgc.c12, ctx.c1,
+                   CAST(round(ln((bgc.c12 + 1.0) / (ctx.c1 + v.v)) * 1000000) AS BIGINT) AS micro
+                 FROM bgc JOIN ctx ON bgc.w1 = ctx.w1 CROSS JOIN v)"""
+
   /** Corpus token total per dataset (BM25's avgdl denominator) — one
     * aggregate over the memoized toks frame, memoized like nDocs so
     * repeat invocations skip the driver job.
@@ -2575,47 +2622,37 @@ object TextOps {
     // pipeline is corpus-pair-sized. Docs with <2 tokens have no
     // bigrams and drop out (both engines, by the inner model join).
     "q_lm_perplexity" -> Q(
-      """WITH toksrc AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
-            FROM documents),
-         bg AS (SELECT doc_id,
-                  unnest([toks[i] for i in range(1, len(toks))]) AS w1,
-                  unnest([toks[i+1] for i in range(1, len(toks))]) AS w2
-                FROM toksrc),
-         v AS (SELECT count(DISTINCT tok) AS v
-               FROM (SELECT unnest(toks) AS tok FROM toksrc)),
-         ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-         bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-         model AS (SELECT bgc.w1, bgc.w2,
-                     CAST(round(ln((bgc.c12 + 1.0) / (ctx.c1 + v.v)) * 1000000) AS BIGINT) AS micro
-                   FROM bgc JOIN ctx ON bgc.w1 = ctx.w1 CROSS JOIN v),
-         docbg AS (SELECT doc_id, w1, w2, count(*) AS dc FROM bg GROUP BY doc_id, w1, w2)
+      s"""WITH $lmModelCteSql
          SELECT d.doc_id, CAST(sum(d.dc) AS BIGINT) AS n_bigrams,
                 CAST(-sum(d.dc * m.micro) AS DOUBLE) / (1e6 * sum(d.dc)) AS avg_nll
          FROM docbg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
          GROUP BY d.doc_id ORDER BY doc_id""") { (s, d) =>
-      val v = vocabSize(s, d)
-      // ONE corpus-wide window pass: docbg (per-doc bigram types) is
-      // computed and persisted once, and the model's global counts
-      // re-aggregate IT — bgc = Σ_doc dc over (w1,w2), ctx = Σ c12
-      // over w1 — instead of re-running the posexplode+lead pipeline
-      // once per count table. The persist also keeps the scoring
-      // join's probe side from re-deriving the window output.
-      val docbg = bigramRows(s, d)
-        .groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("dc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bgc = docbg.groupBy(col("w1"), col("w2")).agg(sum(col("dc")).as("c12"))
-      val ctx = bgc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      val model = bgc.join(ctx, Seq("w1"))
-        .selectExpr("w1", "w2",
-          s"CAST(round(ln((c12 + 1.0) / (c1 + ${v}L)) * 1000000) AS BIGINT) AS micro")
-      docbg.join(broadcast(model), Seq("w1", "w2"))
+      val (docbg, model) = lmModelFrames(s, d)
+      docbg.join(broadcast(model.select(col("w1"), col("w2"), col("micro"))),
+          Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(sum(col("dc")).as("nb"), sum(col("dc") * col("micro")).as("sm"))
         .selectExpr("doc_id", "CAST(nb AS BIGINT) AS n_bigrams",
           "CAST(-sm AS DOUBLE) / (1e6 * nb) AS avg_nll")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- bigram-LM trainer (the model table itself) -----------------------
+    // The trainer half of the LM family (q_lm_perplexity is the
+    // apply): emit the add-one-smoothed bigram model — raw pair
+    // count, left-context total, and the micro-nat conditional
+    // ln p(w2|w1) every scorer consumes. ONE shared construction
+    // (lmModelFrames/lmModelCteSql) feeds both queries, so a scoring
+    // run can never drift from the published model. Vocabulary-sized
+    // output: Zipf keeps bigram TYPES orders of magnitude below
+    // corpus tokens, which is exactly why the model broadcasts at
+    // scoring time.
+    "q_lm_train" -> Q(
+      s"""WITH $lmModelCteSql
+         SELECT w1, w2, c12, c1, micro FROM model ORDER BY w1, w2""") { (s, d) =>
+      val (_, model) = lmModelFrames(s, d)
+      model.select(col("w1"), col("w2"), col("c12"), col("c1"), col("micro"))
+        .orderBy(col("w1"), col("w2"))
     },
 
     // ---- one BPE merge round (tokenizer-training primitive) ---------------

@@ -357,6 +357,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("LM trainer: vocabulary-sized partial aggregates, no cartesian") {
+    val p = plan("q_lm_train")
+    // model construction = docbg -> bgc -> ctx, each a partial+final
+    // aggregate pair; the ctx join is vocab-sized on both sides
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("LM perplexity broadcasts the model; every aggregate is partial+final") {
     val p = plan("q_lm_perplexity")
     // the scale claim: model tables are vocabulary-sized, so the
