@@ -42,23 +42,52 @@ object Tables {
     } else spark.read.parquet(path)
   }
 
-  /** [[tsIsNanos]] memoized per (path, mtime, length) — the unit of a
+  /** [[tsIsNanos]] memoized per data-file fingerprint — the unit of a
     * parquet file cannot change while its fingerprint is unchanged, so
     * the footer open happens once per DATASET, not once per plan
     * build. The unmemoized footer read cost ~0.2 s per query on every
     * events-table plan (the r12 q_lww_tombstone drift, adjudicated in
-    * SURVEY §2.13); one fs.getFileStatus is the whole per-plan cost
-    * now. A regenerated dataset changes mtime/length and re-reads, and
-    * TablesSpec's epoch tripwire backstops any unit drift this misses.
+    * SURVEY §2.13); one file-status round-trip is the whole per-plan
+    * cost now. The fingerprint is taken on the FIRST PART FILE (the
+    * one [[tsIsNanos]] actually opens), not the dataset directory: a
+    * directory's own mtime does not change when a child part file is
+    * rewritten in place, so a directory-keyed memo could serve a stale
+    * NANOS/MICROS decision until JVM restart. A regenerated dataset
+    * changes the part file's mtime/length (or its name) and re-reads,
+    * and TablesSpec's epoch tripwire backstops any unit drift this
+    * misses.
     */
   private val unitMemo = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private def tsIsNanosCached(spark: SparkSession, path: String): Boolean = {
+    unitMemo.getOrElseUpdate(datasetFingerprint(spark, path),
+      tsIsNanos(spark, path))
+  }
+
+  /** Memo key for [[tsIsNanosCached]]: path + name/mtime/length of the
+    * data file the footer probe opens. Package-private for spec
+    * coverage (an in-place part-file rewrite must change the key).
+    */
+  private[graft] def datasetFingerprint(spark: SparkSession, path: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val file = resolveDataFile(conf, path)
+    val st = file.getFileSystem(conf).getFileStatus(file)
+    s"$path:${file.getName}:${st.getModificationTime}:${st.getLen}"
+  }
+
+  /** The concrete parquet file backing `path`: the path itself if it
+    * is a file, else the lexicographically first non-hidden part file.
+    */
+  private def resolveDataFile(conf: org.apache.hadoop.conf.Configuration,
+                              path: String): org.apache.hadoop.fs.Path = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val st = fs.getFileStatus(p)
-    unitMemo.getOrElseUpdate(s"$path:${st.getModificationTime}:${st.getLen}",
-      tsIsNanos(spark, path))
+    val fs = p.getFileSystem(conf)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).map(_.getPath)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .sortBy(_.getName).headOption
+        .getOrElse(sys.error(s"no parquet part files under $path"))
+    else p
   }
 
   /** True iff the parquet footer annotates `ts` as TIMESTAMP(NANOS).
@@ -67,20 +96,11 @@ object Tables {
     * reader. Works on a single file or a directory of part files.
     */
   private def tsIsNanos(spark: SparkSession, path: String): Boolean = {
-    import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .sortBy(_.getName).headOption
-          .getOrElse(sys.error(s"no parquet part files under $path"))
-      else p
+    val file = resolveDataFile(conf, path)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       import scala.jdk.CollectionConverters._

@@ -310,6 +310,13 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
       // kernel then only checks the input dim against cbDim
       require(vecs(i).length == vecs(0).length,
         s"pq_encode codebook is ragged: row $i dim ${vecs(i).length} != ${vecs(0).length}")
+      // the lowest-cid tie rule in the argmin loop depends on the
+      // literal being cid-ascending; an out-of-order codebook would
+      // silently return the first-LISTED cid on exact ties and
+      // diverge from the oracle's ORDER BY dist, cid — fail loudly
+      require(i == 0 || ids(i) > ids(i - 1),
+        s"pq_encode codebook must be strictly cid-ascending: " +
+          s"cid ${ids(i)} at row $i follows ${ids(i - 1)}")
       i += 1
     }
     (ids, vecs)

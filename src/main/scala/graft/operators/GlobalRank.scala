@@ -40,8 +40,12 @@ import org.apache.spark.storage.StorageLevel
   * recompute, never to failure) and materialized by the boundary
   * pass, so an expensive upstream derivation is computed exactly
   * once. The cache is left in place because the returned lazy plan
-  * reads it; callers that need the memory back unpersist the input
-  * after consuming the result. `__bkt` is claimed as a working column
+  * reads it; operator-OWNED persists (inputs this operator itself
+  * cached, as opposed to caller-persisted inputs) are tracked and
+  * released by [[releaseCaches]] — long-lived drivers ranking many
+  * distinct inputs call it after consuming results, mirroring
+  * TextOps.releaseCaches; an early release merely degrades the lazy
+  * plan to recompute. `__bkt` is claimed as a working column
   * name; inputs must not carry a column by that name (it is
   * overwritten and then dropped).
   *
@@ -57,11 +61,33 @@ import org.apache.spark.storage.StorageLevel
   */
 object GlobalRank {
 
+  /** Persists THIS operator created (never caller-owned ones) — the
+    * release obligation the scaladoc used to leave to callers, now
+    * collectable in one call. Identity-keyed set: the same input
+    * ranked twice while still cached is held once.
+    */
+  private val ownedPersists =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  /** Unpersist every input [[withRank]] itself cached. Safe to call
+    * while returned rank plans are still unconsumed — they degrade to
+    * recompute, never to failure.
+    */
+  def releaseCaches(): Unit = {
+    ownedPersists.forEach(_.unpersist(blocking = false))
+    ownedPersists.clear()
+  }
+
   def withRank(df: DataFrame, score: Column, tieId: Column,
                rankName: String, buckets: Int = 64): DataFrame = {
     val in =
       if (df.storageLevel != StorageLevel.NONE) df
-      else df.persist(StorageLevel.MEMORY_AND_DISK)
+      else {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        ownedPersists.add(p)
+        p
+      }
     val sc = score.cast("double")
     val qs = (1 until buckets).map(_.toDouble / buckets)
     val bRow = in

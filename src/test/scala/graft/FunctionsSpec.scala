@@ -267,12 +267,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(tie.map(_.getLong(0)) == Seq(3L), tie)
 
     // vector dim not divisible by m, vector/codebook dim mismatch,
-    // and ragged codebooks must all fail loudly, never mis-assign
+    // ragged codebooks, and out-of-order / duplicate-cid codebooks
+    // (which would break the lowest-cid tie rule) must all fail
+    // loudly, never mis-assign
     for (bad <- Seq(
       "SELECT pq_encode(array(1, 2, 3), array(named_struct('cid', 0L, 'cv', array(1, 2, 3))), 2)",
       "SELECT pq_encode(array(1, 2), array(named_struct('cid', 0L, 'cv', array(1, 2, 3))), 1)",
       """SELECT pq_encode(array(1, 2), array(named_struct('cid', 0L, 'cv', array(1, 2)),
-           named_struct('cid', 1L, 'cv', array(1))), 1)""")) {
+           named_struct('cid', 1L, 'cv', array(1))), 1)""",
+      """SELECT pq_encode(array(5, 5), array(named_struct('cid', 7L, 'cv', array(5, 5)),
+           named_struct('cid', 3L, 'cv', array(5, 5))), 1)""",
+      """SELECT pq_encode(array(5, 5), array(named_struct('cid', 3L, 'cv', array(5, 5)),
+           named_struct('cid', 3L, 'cv', array(6, 6))), 1)""")) {
       val e = intercept[Exception](spark.sql(bad).collect())
       def msgs(t: Throwable): Seq[String] =
         Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))

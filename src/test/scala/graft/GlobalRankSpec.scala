@@ -118,4 +118,31 @@ class GlobalRankSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("null or NaN"))
   }
+
+  test("releaseCaches frees operator-owned persists, never caller-owned") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // operator-owned: withRank persists this one itself
+    val ownedIn = (1L to 300L).map(i => (i, (i % 5).toDouble)).toDF("id", "score")
+    val out = GlobalRank.withRank(ownedIn, col("score"), col("id"), "rnk", 4)
+    assert(out.count() == 300L)
+    // caller-owned: persisted before the call, must survive release
+    val callerIn = (1L to 300L).map(i => (i, (i % 3).toDouble)).toDF("id", "score")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      GlobalRank.withRank(callerIn, col("score"), col("id"), "rnk", 4).count()
+      assert(ownedIn.storageLevel != StorageLevel.NONE,
+        "precondition: withRank persisted its input")
+      GlobalRank.releaseCaches()
+      assert(ownedIn.storageLevel == StorageLevel.NONE,
+        "operator-owned persist must be freed by releaseCaches")
+      assert(callerIn.storageLevel != StorageLevel.NONE,
+        "caller-owned persist must survive releaseCaches")
+      // the released plan still computes correctly (degrades to recompute)
+      assert(out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rnk"))
+        .toMap == reference(ownedIn))
+      // a second release is a harmless no-op
+      GlobalRank.releaseCaches()
+    } finally callerIn.unpersist()
+  }
 }

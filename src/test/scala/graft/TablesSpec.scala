@@ -146,4 +146,28 @@ class TablesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("unit-memo fingerprint tracks the part file, not the directory (in-place rewrite invalidates)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fp").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "events.parquet").getAbsolutePath
+    Seq((1L, "a")).toDF("event_id", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    val fp1 = Tables.datasetFingerprint(spark, path)
+    assert(Tables.datasetFingerprint(spark, path) == fp1,
+      "fingerprint must be stable while the data file is unchanged")
+    // rewrite the part file IN PLACE: same file name, same directory —
+    // only the file's own mtime (and possibly length) move. The old
+    // directory-keyed memo missed exactly this case.
+    val part = new java.io.File(dir, "events.parquet").listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .minBy(_.getName)
+    val bytes = Files.readAllBytes(part.toPath)
+    Files.write(part.toPath, bytes)
+    assert(part.setLastModified(part.lastModified() + 5000))
+    val fp2 = Tables.datasetFingerprint(spark, path)
+    assert(fp2 != fp1,
+      s"in-place part-file rewrite must change the fingerprint ($fp1)")
+  }
 }
