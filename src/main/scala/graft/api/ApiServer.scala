@@ -21,6 +21,7 @@ import graft.engine.{Engine, EngineStats, ResultSet}
   *   GET  /api/status                   engine stats (M5)
   *   POST /api/admin/flush              force flush all tables
   *   POST /api/admin/compact            compact all tables
+  *   POST /api/admin/optimize           {"table","zorder":"c1,c2"} → z-order rewrite
   *   GET  /api/health                   liveness + uptime
   *   GET  /api/info                     capability discovery
   *
@@ -270,6 +271,33 @@ final class ApiServer(engine: Engine, port: Int = 0) {
             (503, failure(e.getMessage, "COMPACTION_BUSY"))
         }
 
+      // OPTIMIZE ZORDER — declare 2-4 layout columns and rewrite the
+      // table's cold tiers Morton-clustered (engine extension; the
+      // reference's unwired columnar-layout ambition, lsm_levels.hpp:84-99)
+      case ("POST", "/api/admin/optimize") =>
+        (jsonField(body, "table"), jsonField(body, "zorder")) match {
+          case (Some(table), Some(zorder)) =>
+            val cols = zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            try {
+              val outcome = engine.optimizeZorder(table, cols)
+              (200, success(jobj(
+                "message" -> jstr(s"OPTIMIZE ${outcome}: '$table' zorder(${cols.mkString(",")})"),
+                "outcome" -> jstr(outcome))))
+            } catch {
+              case e: graft.engine.EngineException
+                  if e.getMessage.startsWith("Table '") &&
+                     e.getMessage.endsWith("does not exist") =>
+                (404, failure(e.getMessage, "NOT_FOUND"))
+              case e: graft.engine.EngineException if e.getMessage.contains("busy") =>
+                (503, failure(e.getMessage, "COMPACTION_BUSY"))
+              case e: graft.engine.EngineException =>
+                (400, failure(e.getMessage, "INVALID_REQUEST"))
+            }
+          case _ =>
+            (400, failure("Body must carry 'table' and 'zorder' (comma-separated columns)",
+              "INVALID_REQUEST"))
+        }
+
       // reference api_server.hpp:271-285 — pause/resume the compaction
       // scheduler; paused triggers queue as deferred jobs, resume drains
       case ("POST", "/api/admin/compact/pause") =>
@@ -307,7 +335,8 @@ final class ApiServer(engine: Engine, port: Int = 0) {
             "DELETE", "SHOW TABLES", "EXPLAIN", "DESCRIBE").map(jstr)),
           "extensions" -> jarr(Seq(
             "POST /api/sparksql (full Spark SQL)",
-            "POST /api/explainspark (tier feed + Catalyst physical plan)").map(jstr)))))
+            "POST /api/explainspark (tier feed + Catalyst physical plan)",
+            "POST /api/admin/optimize (z-order cold-tier rewrite)").map(jstr)))))
 
       case _ => (404, failure(s"No route for $method $path", "NOT_FOUND"))
     }

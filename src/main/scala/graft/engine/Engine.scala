@@ -61,6 +61,15 @@ final class Engine(
     val latest = mutable.LinkedHashMap.empty[Any, RowVersion]
     val log    = mutable.ArrayBuffer.empty[RowVersion]
     var coldDirs: Vector[String] = Vector.empty
+    /** declared z-order layout columns (empty = pk-sorted tiers, the
+      * default). Set by [[optimizeZorder]], persisted in the manifest,
+      * honored by every subsequent BOTTOM-tier rewrite (admin major
+      * compaction) so the optimized clustering survives ingest;
+      * leveled merges of young tiers stay pk-sorted — they are small,
+      * short-lived, and pk order serves the fresh-data point/range
+      * path best.
+      */
+    var layout: Vector[String] = Vector.empty
     /** tiers replaced by recent compactions, batched per compaction —
       * each batch is retained for `tierRetainGens` further compactions
       * before deletion, so in-flight snapshot scans / toLocalIterator
@@ -217,9 +226,10 @@ final class Engine(
     var maxSeq = 0L
     Persist.loadCatalog(catalogPath(dir)).foreach { m =>
       val store = new HotStore(m)
-      val (tiers, flushedMax) = Persist.loadManifest(coldRoot(dir, m.name))
+      val (tiers, flushedMax, layout) = Persist.loadManifest(coldRoot(dir, m.name))
       store.coldDirs = tiers
       store.maxFlushedSeq = flushedMax
+      store.layout = layout
       // reclaim tiers a previous run retired but never GC'd (deferred
       // tier deletion, see compactStore): anything under coldRoot not
       // named by the manifest is garbage.
@@ -288,7 +298,7 @@ final class Engine(
         store.coldDirs = store.coldDirs :+ tier
         store.coldStats = eagerStats.map(s => (store.coldDirs, s))
         store.maxFlushedSeq = math.max(store.maxFlushedSeq, flushedMax)
-        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
+        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout)
         store.latest.clear()
         store.log.clear()
         store.approxBytes = 0L
@@ -408,7 +418,8 @@ final class Engine(
   /** tier level from its directory name: flush outputs are L0
     * (`tier-<seq>`), leveled-merge outputs carry their level
     * (`tier-l<level>-<seq>`), and major-compaction outputs
-    * (`tier-c<seq>`) are bottom-level by construction — the encoding
+    * (`tier-c<seq>`, or `tier-z<seq>` when written under a declared
+    * z-order layout) are bottom-level by construction — the encoding
     * makes levels survive manifest save/load with no format change.
     */
   private[graft] def levelOf(path: String): Int = {
@@ -417,9 +428,17 @@ final class Engine(
       val digits = name.drop("tier-l".length).takeWhile(_.isDigit)
       if (digits.isEmpty) 0 else math.min(digits.toInt, maxLevels - 1)
     }
-    else if (name.startsWith("tier-c")) maxLevels - 1
+    else if (name.startsWith("tier-c") || name.startsWith("tier-z")) maxLevels - 1
     else 0
   }
+
+  /** True iff this tier was written z-ordered (the `tier-z` encoding
+    * from [[levelOf]]'s naming scheme): lets a major rewrite decide
+    * whether a single surviving bottom tier still needs a layout pass
+    * without opening any files.
+    */
+  private def isLayoutTier(path: String): Boolean =
+    java.nio.file.Paths.get(path).getFileName.toString.startsWith("tier-z")
 
   /** byte budget for level L >= 1 (reference getLevelSizeLimit,
     * lsm_levels.hpp:116-124: base · mult^(L-1); L0 is count-triggered).
@@ -510,7 +529,7 @@ final class Engine(
         store.coldStats = store.coldStats.collect {
           case (k, s) if k == before => (store.coldDirs, s)
         }
-        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
+        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout)
         retire(store, inputs)
         store.version.incrementAndGet()
         true
@@ -549,9 +568,25 @@ final class Engine(
 
   private def compactStore(store: HotStore): Unit = {
     val dir = dataDir.getOrElse(return)
+    if (compactionPaused.get()) { deferCompaction(store.meta.name, major = true); return }
+    rewriteBottom(store, dir, compactPartBytes)
+    ()
+  }
+
+  /** The full cold rewrite shared by admin major compaction and
+    * OPTIMIZE: merge every cold tier into ONE bottom tier, laid out
+    * per the store's declared layout (z-order when set, pk-sorted
+    * otherwise). Returns true iff a rewrite happened and swapped in.
+    *
+    * No-op guard: fewer than two inputs AND nothing to re-lay-out —
+    * a declared layout with a non-`tier-z` bottom tier still rewrites
+    * (that is how a deferred OPTIMIZE converges after resume), while
+    * repeated admin compacts of an already-laid-out single tier stay
+    * free.
+    */
+  private def rewriteBottom(store: HotStore, dir: String, partBytes: Long): Boolean = {
     val m = store.meta
-    if (compactionPaused.get()) { deferCompaction(m.name, major = true); return }
-    // admin compaction SERIALIZES on the per-store pass guard (waits,
+    // admin rewrite SERIALIZES on the per-store pass guard (waits,
     // unlike the flush-path trigger which skips): two concurrent
     // majors would otherwise merge the same inputs twice, and the
     // loser's abandon path would delete a directory the winner just
@@ -569,11 +604,13 @@ final class Engine(
       // same capture / merge-unlocked / re-checked-swap shape as
       // mergeLevel: the full rewrite is the LONGEST merge, so it is
       // the one that most needs to run outside the store lock
-      val inputs = store.synchronized(store.coldDirs)
-      if (inputs.size < 2) return
+      val (inputs, layout) = store.synchronized((store.coldDirs, store.layout))
+      val needsLayout = layout.nonEmpty && inputs.exists(t => !isLayoutTier(t))
+      if (inputs.isEmpty || (inputs.size < 2 && !needsLayout)) return false
+      val prefix = if (layout.nonEmpty) "tier-z" else "tier-c"
       val target = coldRoot(dir, m.name)
-        .resolve(f"tier-c${seqGen.get()}%012d-u${tierUniq.incrementAndGet()}%d").toString
-      writeMerged(m, inputs, target, dropTombstones = true)
+        .resolve(f"$prefix${seqGen.get()}%012d-u${tierUniq.incrementAndGet()}%d").toString
+      writeMerged(m, inputs, target, dropTombstones = true, layout, partBytes)
       val swapped = store.synchronized {
         if (!inputs.forall(store.coldDirs.contains)) false
         else {
@@ -585,7 +622,7 @@ final class Engine(
           store.coldStats = store.coldStats.collect {
             case (k, s) if k == before => (store.coldDirs, s)
           }
-          Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq)
+          Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout)
           retire(store, inputs)
           store.version.incrementAndGet()
           true
@@ -593,29 +630,157 @@ final class Engine(
       }
       if (swapped) { opCompactions.incrementAndGet(); trimRetired(store) }
       else Persist.deleteRecursively(java.nio.file.Paths.get(target))
+      swapped
     } finally store.compacting.set(false)
+  }
+
+  /** OPTIMIZE <table> ZORDER BY (cols...) — the lakehouse layout verb
+    * (reference analogue: the never-wired columnar-level layout,
+    * lsm_levels.hpp:84-99; the query-surface twin with its DuckDB
+    * oracle is q_zorder). Declares 2-4 numeric/TIMESTAMP layout
+    * columns, persists them in the manifest, and rewrites ALL cold
+    * tiers into one bottom tier clustered by Morton code
+    * (`repartitionByRange(zcode)` + in-partition zcode sort — one
+    * range exchange), so a multi-dimensional predicate box reads a
+    * FRACTION of row groups via parquet footer min/max on the layout
+    * columns ([[coldRowGroupStats]] measures exactly this; the
+    * ZOrderOptimizeSpec gate asserts it).
+    *
+    * Contracts preserved: the merged snapshot is CONTENT-IDENTICAL
+    * (same LWW window dedup as compaction — layout moves rows between
+    * files, never changes them); point lookups stay cold-seek-able
+    * (every tier file still carries its pk bloom filter — pk footer
+    * ranges overlap post-layout, so the bloom does the pruning the
+    * min/max no longer can); the layout survives ingest (subsequent
+    * admin major compactions rewrite `tier-z`, see [[rewriteBottom]]).
+    * Declaring the pk among the layout columns keeps partial pk
+    * locality at the cost of one dimension of box selectivity.
+    *
+    * While the compaction scheduler is paused the layout is recorded
+    * and the rewrite DEFERRED (drained z-ordered on resume, like any
+    * admin compaction).
+    *
+    * @return "rewritten" | "deferred" | "noop" (already laid out)
+    */
+  def optimizeZorder(table: String, cols: Seq[String],
+                     targetPartBytes: Long = compactPartBytes): String = {
+    val store = storeOf(table)
+    val m = store.meta
+    val dir = dataDir.getOrElse(throw new EngineException(
+      "OPTIMIZE requires a persistent data directory"))
+    if (cols.size < 2 || cols.size > 4)
+      throw new EngineException(
+        s"OPTIMIZE ZORDER takes 2 to 4 layout columns, got ${cols.size}")
+    val resolved = cols.map { c =>
+      val cd = m.indexOf(c).map(m.cols).getOrElse(throw new EngineException(
+        s"Column '$c' does not exist in table '${m.name}'"))
+      cd.tpe match {
+        case ColType.I64 | ColType.I32 | ColType.F64 | ColType.F32 | ColType.Ts => cd.name
+        case other => throw new EngineException(
+          s"Column '${cd.name}' (${other.sqlName}) cannot be a z-order layout column — numeric or TIMESTAMP only")
+      }
+    }.toVector
+    if (resolved.map(_.toLowerCase).distinct.size != resolved.size)
+      throw new EngineException("OPTIMIZE ZORDER layout columns must be distinct")
+    store.synchronized {
+      store.layout = resolved
+      Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs,
+        store.maxFlushedSeq, store.layout)
+    }
+    if (compactionPaused.get()) { deferCompaction(m.name, major = true); "deferred" }
+    else if (rewriteBottom(store, dir, targetPartBytes)) "rewritten"
+    else "noop"
+  }
+
+  /** Row-group pruning observability for the layout gate: how many
+    * cold row groups a conjunctive per-column `[lo, hi]` box predicate
+    * would have to read, by parquet footer min/max alone, against the
+    * total. Footer-only (no data pages touched); a row group lacking
+    * stats for a queried column counts as overlapping — it cannot be
+    * pruned, so the figure never understates the read.
+    */
+  def coldRowGroupStats(table: String,
+                        box: Map[String, (Double, Double)]): (Long, Long) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val store = storeOf(table)
+    val tiers = store.synchronized(store.coldDirs)
+    val conf = spark.sessionState.newHadoopConf()
+    var overlapping = 0L
+    var total = 0L
+    tiers.foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(t)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        else Array(p)
+      files.foreach { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try reader.getFooter.getBlocks.asScala.foreach { b =>
+          total += 1
+          val reads = box.forall { case (cname, (lo, hi)) =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString.equalsIgnoreCase(cname)) match {
+              case Some(cc) if cc.getStatistics != null &&
+                  cc.getStatistics.hasNonNullValue =>
+                (cc.getStatistics.genericGetMin, cc.getStatistics.genericGetMax) match {
+                  case (mn: Number, mx: Number) =>
+                    mx.doubleValue >= lo && mn.doubleValue <= hi
+                  case _ => true
+                }
+              case _ => true
+            }
+          }
+          if (reads) overlapping += 1
+        } finally reader.close()
+      }
+    }
+    (overlapping, total)
   }
 
   /** The merge job shared by leveled and major compaction: union the
     * input tiers, keep the max-__seq version per pk (LWW window dedup).
     * Output partition count is sized by input bytes — a single-task
-    * write (coalesce(1)) is a scale-killer; repartitionByRange on the
-    * pk keeps the merged tier globally pk-sorted across multiple files
-    * (parquet row-group min/max pruning still works per file, and the
-    * write parallelizes).
+    * write (coalesce(1)) is a scale-killer; repartitionByRange keeps
+    * the merged tier globally sorted across multiple files (parquet
+    * row-group min/max pruning still works per file, and the write
+    * parallelizes). Sort key: the pk by default; under a declared
+    * z-order `layout`, the Morton code over the layout columns
+    * (bounds from ONE column-pruned pass over the RAW tier union —
+    * overwritten versions only widen bounds, never corrupt them) with
+    * the pk as in-partition tiebreak, then the working code column is
+    * dropped — pruning rides on the footer min/max of the layout
+    * columns themselves, no stored code needed. Either way the pk
+    * bloom filter is written per file, so cold point seeks survive
+    * any layout.
     */
   private def writeMerged(m: TableMeta, inputs: Vector[String], target: String,
-                          dropTombstones: Boolean): Unit = {
+                          dropTombstones: Boolean,
+                          layout: Vector[String] = Vector.empty,
+                          partBytes: Long = compactPartBytes): Unit = {
     val cold = inputs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
     val w = Window.partitionBy(col(m.pk)).orderBy(col("__seq").desc)
     val parts = math.max(1L, math.min(4096L,
-      inputs.map(dirBytes).sum / compactPartBytes + 1L)).toInt
+      inputs.map(dirBytes).sum / partBytes + 1L)).toInt
     val merged = cold.withColumn("__rn", row_number().over(w))
       .filter(if (dropTombstones) col("__rn") === 1 && !col("__tombstone")
               else col("__rn") === 1)
-    merged.drop("__rn")
-      .repartitionByRange(parts, col(m.pk)).sortWithinPartitions(col(m.pk))
-      .write.mode("overwrite")
+      .drop("__rn")
+    val laid =
+      if (layout.isEmpty)
+        merged.repartitionByRange(parts, col(m.pk)).sortWithinPartitions(col(m.pk))
+      else {
+        val bs = graft.operators.ZOrder.bounds(cold, layout)
+        merged
+          .withColumn("__zcode", graft.operators.ZOrder.zcodeColumn(layout, bs))
+          .repartitionByRange(parts, col("__zcode"))
+          .sortWithinPartitions(col("__zcode"), col(m.pk))
+          .drop("__zcode")
+      }
+    laid.write.mode("overwrite")
       .option(s"parquet.bloom.filter.enabled#${m.pk}", "true")
       .parquet(target)
   }
@@ -844,15 +1009,18 @@ final class Engine(
     lines += "Snapshot Sources:"
     referenced.foreach { t =>
       val store = storeOf(t)
-      val (hotRows, cold) = store.synchronized {
-        (store.latest.valuesIterator.count(!_.tombstone), store.coldDirs)
+      val (hotRows, cold, layout) = store.synchronized {
+        (store.latest.valuesIterator.count(!_.tombstone), store.coldDirs,
+          store.layout)
       }
       val byLevel =
         if (cold.isEmpty) ""
         else cold.groupBy(levelOf).toVector.sortBy(_._1)
           .map { case (l, ts) => s"L$l x${ts.size}" }.mkString(" ", " ", "") +
           s", ~${cold.map(tierRows).sum} rows cold"
-      lines += s"  - $t: hot rows $hotRows, cold tiers ${cold.size}$byLevel"
+      val layoutNote =
+        if (layout.isEmpty) "" else s", layout zorder(${layout.mkString(",")})"
+      lines += s"  - $t: hot rows $hotRows, cold tiers ${cold.size}$byLevel$layoutNote"
     }
     lines += ""
     lines += df.queryExecution.explainString(

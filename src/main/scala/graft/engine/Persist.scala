@@ -11,7 +11,7 @@ import scala.jdk.CollectionConverters._
   * Engine recovery.
   *
   * catalog.sdb:   TABLE <name> <pk> / COLUMN <name> <type> <0|1> / END
-  * MANIFEST:      MAXSEQ <n> / TIER <dirname>...
+  * MANIFEST:      MAXSEQ <n> / [LAYOUT <col>...] / TIER <dirname>...
   */
 object Persist {
 
@@ -52,26 +52,36 @@ object Persist {
     out.result()
   }
 
-  /** @return (tier dirs in flush order, max seq durable in parquet) */
-  def loadManifest(coldRoot: Path): (Vector[String], Long) = {
+  /** @return (tier dirs in flush order, max seq durable in parquet,
+    *         declared z-order layout columns — empty when the table
+    *         was never OPTIMIZEd). Pre-layout manifests load fine
+    *         (no LAYOUT line → empty), and pre-layout readers skip
+    *         the LAYOUT line via the catch-all — the format change
+    *         is compatible both ways.
+    */
+  def loadManifest(coldRoot: Path): (Vector[String], Long, Vector[String]) = {
     val mf = coldRoot.resolve("MANIFEST")
-    if (!Files.exists(mf)) return (Vector.empty, 0L)
+    if (!Files.exists(mf)) return (Vector.empty, 0L, Vector.empty)
     var maxSeq = 0L
+    var layout = Vector.empty[String]
     val tiers = Vector.newBuilder[String]
     Files.readAllLines(mf).asScala.map(_.trim).filter(_.nonEmpty).foreach { line =>
       val parts = line.split("\\s+")
       parts(0) match {
         case "MAXSEQ" => maxSeq = parts(1).toLong
         case "TIER"   => tiers += coldRoot.resolve(parts(1)).toString
+        case "LAYOUT" => layout = parts.drop(1).toVector
         case _        => ()
       }
     }
-    (tiers.result(), maxSeq)
+    (tiers.result(), maxSeq, layout)
   }
 
-  def saveManifest(coldRoot: Path, tiers: Vector[String], maxSeq: Long): Unit = {
+  def saveManifest(coldRoot: Path, tiers: Vector[String], maxSeq: Long,
+                   layout: Vector[String] = Vector.empty): Unit = {
     Files.createDirectories(coldRoot)
     val body = s"MAXSEQ $maxSeq\n" +
+      (if (layout.nonEmpty) s"LAYOUT ${layout.mkString(" ")}\n" else "") +
       tiers.map(t => s"TIER ${Paths.get(t).getFileName}\n").mkString
     val tmp = coldRoot.resolve("MANIFEST.tmp")
     Files.writeString(tmp, body)

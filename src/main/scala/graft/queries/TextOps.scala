@@ -289,12 +289,26 @@ object TextOps {
     * (space-joined, distinguishable since corpus tokens never contain
     * spaces) and their consumed successors drop.
     */
-  private def bpeApply(cur: DataFrame, a: String, b: String): DataFrame = {
+  private def bpeApply(cur: DataFrame, a: String, b: String): DataFrame =
+    bpeApplySet(cur, Seq((a, b)))
+
+  /** Apply a BATCH of token-disjoint merges in ONE window pass — the
+    * m=1 case is exactly the single-pair rule. Disjointness (no token
+    * appears in two pairs, guaranteed by [[bpeSelectTopm]]) is what
+    * makes one pass sound: consecutive hit positions would need the
+    * shared middle token to be w2 of one pair and w1 of another, so
+    * under disjointness a run of hits always belongs to ONE pair with
+    * w1 = w2 — precisely the repeated-token case the even-offset run
+    * rule already resolves.
+    */
+  private def bpeApplySet(cur: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wg = Window.partitionBy(col("doc_id"), col("grp"))
+    val hit = pairs.map { case (a, b) =>
+      col("tok") === lit(a) && coalesce(col("nxt") === lit(b), lit(false))
+    }.reduce(_ || _)
     bpeAdj(cur)
-      .withColumn("hit",
-        col("tok") === lit(a) && coalesce(col("nxt") === lit(b), lit(false)))
+      .withColumn("hit", hit)
       .withColumn("grp", sum(when(col("hit"), 0).otherwise(1)).over(wd))
       .withColumn("take", col("hit") &&
         ((col("pos") - min(when(col("hit"), col("pos"))).over(wg)) % 2 === 0))
@@ -402,6 +416,120 @@ object TextOps {
       r += 1
     }
     (table.toSeq, cur)
+  }
+
+  /** Top-m batched BPE parameters (q_bpe_train_topm): m merges per
+    * round from a 4m-candidate window, over fewer rounds — the shape
+    * real vocabulary builds use (one pair aggregate amortizes across
+    * m merges instead of one).
+    */
+  private[graft] val bpeTopmM = 8
+  private[graft] val bpeTopmRounds = 3
+  private[graft] val bpeTopmCand = 32
+
+  /** The batched-round CONFLICT RULE, identical on both engines: rank
+    * the top `bpeTopmCand` pairs by (count desc, w1, w2); a candidate
+    * is kept iff NO higher-ranked candidate (kept or not) shares a
+    * token with it; the round's batch is the first m kept. Blocking
+    * on all higher-ranked candidates — not just accepted ones — keeps
+    * the rule order-independent and join-expressible (the oracle's
+    * NOT EXISTS, no recursion); it is slightly conservative (a
+    * blocked pair may block further pairs), which costs at most
+    * re-selecting the blocked pair next round. Kept pairs are
+    * pairwise token-DISJOINT, the precondition of [[bpeApplySet]].
+    */
+  private def bpeSelectTopm(cands: Seq[(String, String, Long)])
+      : Seq[(String, String, Long)] = {
+    val kept = cands.zipWithIndex.filter { case ((w1, w2, _), i) =>
+      cands.take(i).forall { case (h1, h2, _) =>
+        h1 != w1 && h1 != w2 && h2 != w1 && h2 != w2
+      }
+    }.map(_._1)
+    kept.take(bpeTopmM)
+  }
+
+  /** The top-m trainer: per round ONE vocabulary-sized pair aggregate
+    * reduced to a 4m-row driver read (never corpus-sized), the
+    * blocking-rule selection, and one batched window apply. Emits the
+    * full merge table (round, sel, w1, w2, cnt). Counts are the
+    * PRE-round adjacency counts for every pair in the batch — the
+    * standard batched-BPE approximation, and exactly where the top-m
+    * and m×top-1 trajectories diverge (GroundTruthSpec pins a
+    * fixture where they do).
+    */
+  private def bpeTrainTopmLoop(s: SparkSession, d: String)
+      : Seq[(Int, Int, String, String, Long)] = {
+    var cur = toksFrame(s, d).select(col("doc_id"), col("toks"))
+    val table = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= bpeTopmRounds && !exhausted) {
+      val cands = bpeAdj(cur).filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(bpeTopmCand).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2))).toSeq
+      val sel = bpeSelectTopm(cands)
+      if (sel.isEmpty) exhausted = true
+      else {
+        sel.zipWithIndex.foreach { case ((a, b, c), i) =>
+          table += ((r, i + 1, a, b, c))
+        }
+        cur = bpeApplySet(cur, sel.map(p => (p._1, p._2))).localCheckpoint(true)
+      }
+      r += 1
+    }
+    table.toSeq
+  }
+
+  /** DuckDB twin of the top-m trainer: the same generated
+    * MATERIALIZED CTE chain as [[bpeChainSql]], with the per-round
+    * scalar best replaced by the ranked-candidate window + the
+    * NOT-EXISTS blocking rule + the first-m cut, and the apply's hit
+    * test replaced by a correlated EXISTS against the round's
+    * selection set (NULL nxt falls out false, like the coalesce in
+    * the m=1 chain).
+    */
+  private def bpeTopmSql(rounds: Int, m: Int, cand: Int): String = {
+    val base =
+      """toks0 AS MATERIALIZED (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+           FROM documents)"""
+    val chain = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok,
+                unnest(range(1, len(toks) + 1)) - 1 AS pos FROM toks${r - 1}),
+         m$r AS MATERIALIZED (SELECT doc_id, pos, tok,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM p$r),
+         bg$r AS MATERIALIZED (SELECT tok AS w1, nxt AS w2, count(*) AS c
+                  FROM m$r WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         cand$r AS MATERIALIZED (SELECT w1, w2, c,
+                    row_number() OVER (ORDER BY c DESC, w1, w2) AS rk
+                  FROM bg$r ORDER BY rk LIMIT $cand),
+         sel$r AS MATERIALIZED (SELECT w1, w2, c,
+                    row_number() OVER (ORDER BY rk) AS sn
+                  FROM cand$r c
+                  WHERE NOT EXISTS (SELECT 1 FROM cand$r h WHERE h.rk < c.rk
+                        AND (h.w1 = c.w1 OR h.w1 = c.w2 OR h.w2 = c.w1 OR h.w2 = c.w2))
+                  ORDER BY sn LIMIT $m),
+         h$r AS MATERIALIZED (SELECT doc_id, pos, tok, nxt,
+                   EXISTS (SELECT 1 FROM sel$r s
+                           WHERE s.w1 = m$r.tok AND s.w2 = m$r.nxt) AS hit
+                 FROM m$r),
+         g$r AS MATERIALIZED (SELECT *, sum(CASE WHEN hit THEN 0 ELSE 1 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM h$r),
+         t$r AS MATERIALIZED (SELECT *, hit AND ((pos - min(CASE WHEN hit THEN pos END)
+                        OVER (PARTITION BY doc_id, grp)) % 2 = 0) AS take FROM g$r),
+         e$r AS MATERIALIZED (SELECT doc_id, pos,
+                   CASE WHEN take THEN tok || ' ' || nxt ELSE tok END AS tok,
+                   coalesce(lag(take) OVER (PARTITION BY doc_id ORDER BY pos), false) AS prevtake
+                 FROM t$r),
+         toks$r AS MATERIALIZED (SELECT doc_id, list(tok ORDER BY pos) AS toks
+                    FROM e$r WHERE NOT prevtake GROUP BY doc_id)"""
+    }.mkString(",\n")
+    val sels = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS INT) AS round, CAST(sn AS INT) AS sel, w1, w2, CAST(c AS BIGINT) AS cnt FROM sel$r")
+      .mkString("\n UNION ALL ")
+    s"WITH $base,\n$chain\n SELECT * FROM (\n $sels\n ) ORDER BY round, sel"
   }
 
   /** Number of epochs for q_classifier_train — fixed so the weight
@@ -2750,6 +2878,24 @@ object TextOps {
     "q_bpe_train" -> Q(bpeTrainSql(bpeTrainRounds)) { (s, d) =>
       import s.implicits._
       bpeTrainLoop(s, d)._1.toDF("round", "w1", "w2", "cnt").orderBy(col("round"))
+    },
+
+    // ---- top-m batched BPE training (r15 directive 3) ---------------------
+    // Real vocabulary builds batch m merges per round so one
+    // vocabulary-sized pair aggregate amortizes across m merges (6
+    // rounds of m=1 pay 6 corpus passes for 6 merges; 3 rounds of m=8
+    // pay 3 for up to 24). Per round: the pair aggregate → a
+    // 4m-candidate driver read → the blocking conflict rule
+    // (bpeSelectTopm — kept pairs pairwise token-disjoint, so ONE
+    // window pass applies the whole batch) → one batched apply.
+    // Counts are pre-round adjacencies for the whole batch — the
+    // standard batched-BPE approximation, and where top-m diverges
+    // from m×top-1 (GroundTruthSpec pins a fixture where it does).
+    // Fully hash-match oracled via the generated NOT-EXISTS CTE chain.
+    "q_bpe_train_topm" -> Q(bpeTopmSql(bpeTopmRounds, bpeTopmM, bpeTopmCand)) { (s, d) =>
+      import s.implicits._
+      bpeTrainTopmLoop(s, d).toDF("round", "sel", "w1", "w2", "cnt")
+        .orderBy(col("round"), col("sel"))
     },
 
     // ---- tokenizer apply (the consumer half of train -> apply) ------------

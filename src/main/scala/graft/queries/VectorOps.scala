@@ -44,6 +44,13 @@ object VectorOps {
     */
   def probeRadius(bits: Int): Int = if (bits <= 10) 2 else 3
 
+  /** Lloyd iterations for q_kmeans_train — fixed so the trajectory is
+    * a deterministic oracle target (the classifierTrainEpochs rule).
+    * Declared BEFORE the `all` map: kmeansTrainSql reads it at object
+    * initialization, and a later declaration would still be 0 there.
+    */
+  private[graft] val kmeansTrainIters = 3
+
   /** All XOR masks of Hamming weight ≤ radius over `bits` bits. */
   private[graft] def masksUpTo(bits: Int, radius: Int): Seq[Int] = {
     def combos(start: Int, left: Int): Seq[Int] =
@@ -467,6 +474,56 @@ object VectorOps {
         .orderBy(col("method"))
     },
 
+    // ---- incremental index maintenance (self-gating, driver-checked) -------
+    // The frozen-artifact upsert discipline (AnnIndex.ivfIncremental /
+    // lshIncremental): the index is built over ~94% of the corpus,
+    // the remaining vec_id % 17 == 0 slice arrives LATER and folds in
+    // WITHOUT rebuild — IVF assigns the batch to the frozen centroids
+    // and appends cid-partitioned members; LSH hashes it through the
+    // fixed seeded planes and appends bucket rows. Two emitted
+    // verdicts per index, both hash-matched against literal-1
+    // oracles: batch_indexed (every batch vector is actually
+    // searchable in the grown artifact — an upsert that silently
+    // drops rows FAILs) and recall_ok (mean top-5 recall ≥ 0.8 vs
+    // exact KNN over the FULL grown corpus — the staleness bound of
+    // the frozen quantizer is audited, never assumed).
+    "q_ann_upsert" -> Q(
+      """SELECT * FROM (SELECT 'ivf' AS method, CAST(1 AS INT) AS batch_indexed,
+                               CAST(1 AS INT) AS recall_ok
+         UNION ALL SELECT 'lsh', CAST(1 AS INT), CAST(1 AS INT)) ORDER BY method""") { (s, d) =>
+      import s.implicits._
+      val m = AnnIndex.IncMod
+      val live = registered(s, d).filter(expr("dot_product(v, v) > 0"))
+      val batchLive = live.filter(col("vec_id") % m === 0).count()
+      val batchAll = base(s, d).filter(col("vec_id") % m === 0).count()
+
+      val (cents, membersPath) = AnnIndex.ivfIncremental(s, d)
+      val ivfBatchIndexed =
+        s.read.parquet(membersPath).filter(col("vec_id") % m === 0)
+          .select(col("vec_id")).distinct().count() == batchAll
+      val lshIdx = AnnIndex.lshIncremental(s, d)
+      val lshBatchIndexed =
+        lshIdx.filter(col("vec_id") % m === 0)
+          .select(col("vec_id")).distinct().count() == batchLive
+
+      val exact = knnTop5(registered(s, d)).select(col("q_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nExact = exact.count()
+      def recallOk(approx: DataFrame): Boolean = {
+        val hits = exact.join(approx.select(col("q_id"), col("neighbor_id")),
+          Seq("q_id", "neighbor_id"), "left_semi").count()
+        hits.toDouble / nExact >= 0.8
+      }
+      val rows = Seq(
+        ("ivf", ivfBatchIndexed, recallOk(ivfTop5From(s, d, (cents, membersPath)))),
+        ("lsh", lshBatchIndexed, recallOk(lshTop5From(s, d, lshIdx))))
+      rows.map { case (n, b, r) => (n, if (b) 1 else 0, if (r) 1 else 0) }
+        .toDF("method", "batch_indexed", "recall_ok")
+        .select(col("method"), col("batch_indexed").cast("int"),
+          col("recall_ok").cast("int"))
+        .orderBy(col("method"))
+    },
+
     // ---- embedding-cosine near-duplicate pairs ----------------------------
     // The synthetic corpus has no true near-dups (global max cosine
     // ≈0.5), so the declared query reports the strongest pairs above
@@ -579,6 +636,33 @@ object VectorOps {
         .selectExpr("cid", "dim", "sum_q", "n",
           "CAST(sum_q AS DOUBLE) / n AS centroid_q")
         .orderBy(col("cid"), col("dim"))
+    },
+
+    // ---- n-iteration Lloyd trainer (r15 directive 5) -----------------------
+    // The full training trajectory the single q_kmeans_update step
+    // belongs to — the q_classifier_train treatment of the cluster
+    // family: 3 Lloyd iterations, each ONE corpus scan (map-side
+    // cosine_argmax assignment against the driver-held codebook — the
+    // literal is model-sized, collected once per iteration) plus one
+    // codebook-sized integer exchange (per-(cid,dim) sums), emitting
+    // per-iteration (n_assigned, n_clusters, inertia_u, centroid_sum,
+    // centroid_chk). Everything hash-matches: the corpus lives in
+    // the oracle-exact int8 space (integer component sums are exact
+    // in any order), centroids are one sum/n division per dimension
+    // (bit-identical inputs → bit-identical doubles in both engines),
+    // per-row cosines are the established bit-identical kernels, and
+    // inertia totals in micro-units with per-row rounding BEFORE the
+    // integer sum (the micro-nat discipline). Empty clusters drop out
+    // (k may shrink — n_clusters records it); assignment ties resolve
+    // to the lowest cid on both engines.
+    "q_kmeans_train" -> Q(kmeansTrainSql(kmeansTrainIters)) { (s, d) =>
+      import s.implicits._
+      kmeansTrainLoop(s, d)
+        .toDF("iter", "n_assigned", "n_clusters", "inertia_u",
+          "centroid_sum", "centroid_chk")
+        .select(col("iter").cast("int"), col("n_assigned"), col("n_clusters"),
+          col("inertia_u"), col("centroid_sum"), col("centroid_chk"))
+        .orderBy(col("iter"))
     },
 
     // ---- product quantization: encode ------------------------------------
@@ -803,9 +887,14 @@ object VectorOps {
     * from the query side's multi-probe buckets, exact-cosine re-rank,
     * top-5 per query. Shared with the recall audit.
     */
-  private def lshTop5(s: SparkSession, d: String): DataFrame = {
+  private def lshTop5(s: SparkSession, d: String): DataFrame =
+    lshTop5From(s, d, AnnIndex.lshIndex(s, d))
+
+  /** Bucket-probe + exact re-rank over ANY LSH index frame — shared
+    * by the full build and the incrementally-grown index.
+    */
+  private def lshTop5From(s: SparkSession, d: String, idx: DataFrame): DataFrame = {
     val bits = bitsFor(corpusSize(s, d))
-    val idx = AnnIndex.lshIndex(s, d)
     val probeMasks: Seq[Int] = masksUpTo(bits, probeRadius(bits))
     val queries = idx.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
@@ -833,8 +922,16 @@ object VectorOps {
     * probing, cid-partition-pruned member read, exact-cosine re-rank.
     * Shared with the recall audit.
     */
-  private def ivfTop5(s: SparkSession, d: String): DataFrame = {
-    val (probesDf, qVecsDf, pruned) = ivfProbeCtx(s, d)
+  private def ivfTop5(s: SparkSession, d: String): DataFrame =
+    ivfTop5From(s, d, AnnIndex.ivf(s, d))
+
+  /** The same probe-prune-rerank pipeline over ANY IVF artifact pair
+    * — the full-corpus build and the incrementally-grown index
+    * (q_ann_upsert) search identically.
+    */
+  private def ivfTop5From(s: SparkSession, d: String,
+                          artifact: (Array[Array[Double]], String)): DataFrame = {
+    val (probesDf, qVecsDf, pruned) = ivfProbeCtxFrom(s, d, artifact)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     pruned
       .join(broadcast(probesDf), Seq("cid"))
@@ -854,9 +951,14 @@ object VectorOps {
     * partitions are ever scanned).
     */
   private def ivfProbeCtx(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    ivfProbeCtxFrom(s, d, AnnIndex.ivf(s, d))
+
+  private def ivfProbeCtxFrom(s: SparkSession, d: String,
+                              artifact: (Array[Array[Double]], String))
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val (cents, membersPath) = AnnIndex.ivf(s, d)
+    val (cents, membersPath) = artifact
     val qRows = registered(s, d).filter(col("vec_id") < 10).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val probes = AnnIndex.probeClusters(qRows.toSeq, cents, ivfProbes(cents.length))
@@ -963,6 +1065,129 @@ object VectorOps {
         "an empty codebook cannot assign clusters")
     live.withColumn("cid",
       call_function("cosine_argmax", col("v"), typedlit(codebook)))
+  }
+
+  /** The n-iteration Lloyd loop behind q_kmeans_train. Per iteration:
+    * ONE corpus scan (fused cosine_argmax assignment + a broadcast
+    * cid→centroid join for the assigned cosine) feeding two
+    * aggregates — the trajectory scalars and the per-(cid, dim)
+    * integer sums; the sums (k×64 rows, codebook-sized) come back to
+    * the driver to mint the next iteration's literal codebook and the
+    * centroid checksums, exactly the IVF-probe collect discipline.
+    * Seed codebook: the quantized vec_id % 53 == 0 slice
+    * (cid-ascending, the q_dedup_semantic convention).
+    */
+  private def kmeansTrainLoop(s: SparkSession, d: String)
+      : Seq[(Int, Long, Long, Long, Long, Long)] = {
+    graft.functions.GraftFunctions.register(s)
+    val live = quantized(s, d)
+      .selectExpr("vec_id", "CAST(qv AS array<double>) AS v")
+      .filter(expr("dot_product(v, v) > 0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import s.implicits._
+      var codebook: Seq[(Long, Seq[Double])] = live
+        .filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id"), col("v")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      require(codebook.nonEmpty,
+        s"no live vec_id % 53 == 0 seed centroids in $d")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, Long)]
+      for (it <- 1 to kmeansTrainIters) {
+        val cbDf = codebook.toDF("cid", "cv")
+        // persisted: the trajectory aggregate and the update aggregate
+        // both consume the scored frame — without the cache boundary
+        // each would re-run the n·k argmax kernel (measured 33 s →
+        // 20 s at the 30× carrier)
+        val scored = live
+          .withColumn("cid",
+            call_function("cosine_argmax", col("v"), typedlit(codebook)))
+          .join(broadcast(cbDf), Seq("cid"))
+          .selectExpr("vec_id", "cid", "v", "cosine_sim(v, cv) AS cos")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val t = scored.agg(
+          count(lit(1)).as("n_assigned"),
+          countDistinct(col("cid")).as("n_clusters"),
+          sum(expr("CAST(round((1 - cos) * 1e6) AS BIGINT)")).as("inertia_u")).head()
+        // codebook-sized: k×64 rows to the driver — next iteration's
+        // literal codebook AND the checksums fall out of one collect
+        val upd = scored
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim0", "x")))
+          .select(col("cid"), (col("dim0") + lit(1)).cast("long").as("dim"),
+            col("x").cast("long").as("xi"))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("xi")).as("sum_q"), count(lit(1)).as("n"))
+          .collect()
+        scored.unpersist(blocking = false)
+        // centroid_sum is assignment-INVARIANT (the per-cluster sums
+        // partition the corpus) — a data-integrity check; centroid_chk
+        // weights each sum by its (cid, dim) cell, so any vector
+        // changing cluster between iterations moves it — the actual
+        // trajectory fingerprint alongside the inertia
+        val centroidSum = upd.map(_.getAs[Long]("sum_q")).sum
+        val centroidChk = upd.map(r => r.getAs[Long]("sum_q") *
+          (r.getAs[Long]("cid") % 9973 + r.getAs[Long]("dim"))).sum
+        out += ((it, t.getLong(0), t.getLong(1), t.getLong(2), centroidSum, centroidChk))
+        codebook = upd.groupBy(_.getAs[Long]("cid")).toSeq
+          .map { case (cid, rows) =>
+            val arr = new Array[Double](rows.length)
+            rows.foreach(r =>
+              arr(r.getAs[Long]("dim").toInt - 1) =
+                r.getAs[Long]("sum_q").toDouble / r.getAs[Long]("n"))
+            (cid, arr.toSeq)
+          }.sortBy(_._1)
+      }
+      out.toSeq
+    } finally { live.unpersist(blocking = false); () }
+  }
+
+  /** DuckDB twin of [[kmeansTrainLoop]]: a generated MATERIALIZED CTE
+    * chain — iteration i scores against cb_(i-1) (the scored frame
+    * stays NARROW: vec_id, cid, cos; vectors re-join from live for
+    * the update), re-estimates centroids as exact integer sums over
+    * the int8 space divided once, and emits the same trajectory
+    * scalars. Assignment ties: ORDER BY cos DESC, cid — the kernel's
+    * lowest-cid rule.
+    */
+  private def kmeansTrainSql(iters: Int): String = {
+    val base =
+      """q0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0,
+               greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127, 1e-300) AS scale
+             FROM embeddings),
+         e AS (SELECT vec_id,
+                 list_transform(v0, x -> CAST(CAST(round(x / scale) AS INT) AS DOUBLE)) AS v
+               FROM q0),
+         live AS MATERIALIZED (SELECT vec_id, v FROM e
+                  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+         cb0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM live WHERE vec_id % 53 = 0)"""
+    val rounds = (1 to iters).map { i =>
+      s"""sc$i AS MATERIALIZED (SELECT live.vec_id, cb.cid,
+                list_cosine_similarity(live.v, cb.cv) AS cos
+              FROM live CROSS JOIN cb${i - 1} cb),
+         asg$i AS MATERIALIZED (SELECT vec_id, cid, cos FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid) AS rk FROM sc$i) WHERE rk = 1),
+         comp$i AS MATERIALIZED (SELECT a.cid, unnest(l.v) AS x,
+                unnest(range(1, len(l.v) + 1)) AS dim
+              FROM asg$i a JOIN live l USING (vec_id)),
+         upd$i AS MATERIALIZED (SELECT cid, dim, sum(CAST(x AS BIGINT)) AS sum_q,
+                count(*) AS n
+              FROM comp$i GROUP BY cid, dim),
+         cb$i AS MATERIALIZED (SELECT cid, list(CAST(sum_q AS DOUBLE) / n ORDER BY dim) AS cv
+              FROM upd$i GROUP BY cid),
+         traj$i AS (SELECT CAST($i AS INT) AS iter,
+                CAST(count(*) AS BIGINT) AS n_assigned,
+                CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+                CAST(sum(CAST(round((1 - cos) * 1e6) AS BIGINT)) AS BIGINT) AS inertia_u
+              FROM asg$i),
+         chk$i AS (SELECT CAST(sum(sum_q) AS BIGINT) AS centroid_sum,
+                CAST(sum(sum_q * (cid % 9973 + dim)) AS BIGINT) AS centroid_chk FROM upd$i)"""
+    }.mkString(",\n")
+    val sels = (1 to iters)
+      .map(i => s"SELECT iter, n_assigned, n_clusters, inertia_u, centroid_sum, centroid_chk FROM traj$i, chk$i")
+      .mkString("\n UNION ALL ")
+    s"WITH $base,\n$rounds\n SELECT * FROM (\n $sels\n ) ORDER BY iter"
   }
 
   def semanticDedup(s: SparkSession, d: String, minCosine: Double): DataFrame = {

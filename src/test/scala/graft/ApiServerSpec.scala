@@ -143,6 +143,41 @@ class ApiServerSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /api/admin/optimize validates, rewrites z-ordered, and reports outcome") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-zopt").toString
+    try {
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql("CREATE TABLE zapi (id BIGINT NOT NULL, x BIGINT, y BIGINT)").ok)
+      e.batchPut("zapi", (1L to 500L).map(i =>
+        Array[Any](i, (i * 37L) % 100L, (i * 53L) % 100L)))
+      e.forceFlush("zapi")
+      val srv = new ApiServer(e)
+      srv.start()
+      try {
+        val p = srv.boundPort
+        val (c1, b1) = post(p, "/api/admin/optimize",
+          """{"table": "zapi", "zorder": "x,y"}""")
+        assert(c1 == 200 && b1.contains(""""outcome":"rewritten""""), b1)
+        // the optimized layout is visible in the explainspark tier feed
+        val (c2, b2) = post(p, "/api/explainspark",
+          """{"sql": "SELECT count(*) FROM zapi"}""")
+        assert(c2 == 200 && b2.contains("zorder(x,y)"), b2)
+        // validation surfaces as client errors, not 500s
+        val (c3, b3) = post(p, "/api/admin/optimize",
+          """{"table": "nope", "zorder": "x,y"}""")
+        assert(c3 == 404 && b3.contains("does not exist"), b3)
+        val (c4, b4) = post(p, "/api/admin/optimize",
+          """{"table": "zapi", "zorder": "x"}""")
+        assert(c4 == 400 && b4.contains("2 to 4"), b4)
+        val (c5, _) = post(p, "/api/admin/optimize", """{"table": "zapi"}""")
+        assert(c5 == 400)
+        // data intact after the rewrite
+        val (c6, b6) = post(p, "/api/query", """{"sql": "SELECT COUNT(*) FROM zapi"}""")
+        assert(c6 == 200 && b6.contains("\"500\""), b6)
+      } finally srv.stop()
+    } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("POST /api/admin/compact/pause and /resume round-trip") {
     withServer { p =>
       val (c1, b1) = post(p, "/api/admin/compact/pause", "")

@@ -556,6 +556,43 @@ class GroundTruthSpec extends AnyFunSuite {
     }
   }
 
+  test("top-m BPE: batched round diverges from m x top-1 (blocking conflict rule)") {
+    import spark.implicits._
+    // fixture engineered so the trajectories MUST diverge: (a,b) and
+    // (b,c) tie at count 10, (d,e) trails at 6. The batched round
+    // ranks (a,b) < (b,c) < (d,e), BLOCKS (b,c) on the shared b, and
+    // selects {(a,b), (d,e)} together — while sequential top-1 spends
+    // its second merge on ("a b", c), the pair the first merge
+    // CREATED, and only reaches (d,e) in round 3.
+    val docs = (1 to 10).map(i => (i.toLong, "a b c")) ++
+      (11 to 16).map(i => (i.toLong, "d e"))
+    val dir = Files.createTempDirectory("graft-bpetopm").toString
+    try {
+      docs.map { case (id, t) => (id, t, "en", "srcM", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val topm = SparkEntry.queries("q_bpe_train_topm")(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      assert(topm == Seq(
+        (1, 1, "a", "b", 10L),
+        (1, 2, "d", "e", 6L),
+        (2, 1, "a b", "c", 10L)), topm)
+      val seq1 = SparkEntry.queries("q_bpe_train")(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(seq1 == Seq(
+        (1, "a", "b", 10L),
+        (2, "a b", "c", 10L),
+        (3, "d", "e", 6L)), seq1)
+      // the divergence in one line: round-1 batch != first two
+      // sequential merges (and not merely reordered within a round)
+      assert(topm.filter(_._1 == 1).map(t => (t._3, t._4)).toSet !=
+        seq1.take(2).map(t => (t._2, t._3)).toSet)
+    } finally {
+      graft.queries.TextOps.releaseCaches()
+      graft.engine.Persist.deleteRecursively(Paths.get(dir))
+    }
+  }
+
   test("LM perplexity ranks gibberish far above repetitive text (planted truth)") {
     import spark.implicits._
     // 30 identical docs cycling one 8-word phrase (every bigram seen

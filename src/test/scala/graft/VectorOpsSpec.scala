@@ -157,6 +157,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(bitsFor(1L << 40) == 24) // cap
   }
 
+  test("incremental ANN upsert: batch folds into frozen artifacts, idempotent, audited") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    import graft.queries.AnnIndex
+    val n = AnnIndex.corpusSize(spark, sfDir)
+    // grown IVF members cover the WHOLE corpus exactly once (base
+    // build + one batch append — no drops, no duplicates)
+    val (cents1, mp) = AnnIndex.ivfIncremental(spark, sfDir)
+    val members = spark.read.parquet(mp)
+    assert(members.count() == n, "grown members must cover the corpus once")
+    assert(members.select("vec_id").distinct().count() == n)
+    // a second access is a pure read: the _UPSERTED marker prevents a
+    // duplicate append, and the frozen codebook is byte-stable
+    val (cents2, mp2) = AnnIndex.ivfIncremental(spark, sfDir)
+    assert(mp2 == mp && spark.read.parquet(mp2).count() == n)
+    assert(cents1.length == cents2.length &&
+      cents1.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+    // declared audit: batch searchable + recall >= 0.8 on the grown
+    // corpus for BOTH index families
+    val rows = SparkEntry.queries("q_ann_upsert")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(rows == Seq(("ivf", 1, 1), ("lsh", 1, 1)), rows.toString)
+  }
+
   test("multi-probe mask generation covers exactly the Hamming ball") {
     import graft.queries.VectorOps.masksUpTo
     val m = masksUpTo(8, 2)

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+
+/** The OPTIMIZE ZORDER gate (VERDICT r14 directive 1): rewriting a
+  * table's cold tiers Morton-clustered must (a) leave the merged
+  * snapshot CONTENT-IDENTICAL, (b) make a two-dimensional predicate
+  * box read a FRACTION of the row groups it read before (measured
+  * from parquet footers via Engine.coldRowGroupStats — the same
+  * min/max pruning the scan uses), (c) keep cold point lookups
+  * working (pk blooms survive the layout), and (d) survive restart
+  * AND subsequent ingest + major compaction (layout persisted in the
+  * manifest, honored by every bottom rewrite).
+  */
+class ZOrderOptimizeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def withDir(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zopt").toString
+    try f(dir)
+    finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  // x and y decorrelated from the pk and from each other (distinct
+  // odd multipliers mod 4096) — so in pk-sorted files EVERY file
+  // spans essentially the full (x, y) range and nothing prunes
+  private def row(id: Long): Array[Any] =
+    Array[Any](id, (id * 2654435761L) % 4096L, (id * 40503L) % 4096L, "p" * 48)
+
+  private val ddl =
+    "CREATE TABLE zt (id BIGINT NOT NULL, x BIGINT, y BIGINT, pad VARCHAR(64))"
+
+  // a 1/8 x 1/8 box in both layout dimensions
+  private val box = Map("x" -> (0.0, 511.0), "y" -> (0.0, 511.0))
+
+  test("optimize rewrites z-ordered: identical snapshot, pruned row groups, live blooms, durable layout") {
+    withDir { dir =>
+      // high compactTrigger keeps the four flushed L0 tiers distinct,
+      // so the BEFORE measurement covers a multi-tier pk-sorted set
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql(ddl).ok)
+      for (chunk <- 0 until 4) {
+        e.batchPut("zt", (1 to 6000).map(j => row((chunk * 6000 + j).toLong)))
+        e.forceFlush("zt")
+      }
+      val before = e.snapshot("zt").orderBy("id").collect().toSeq
+      assert(before.size == 24000)
+
+      val (ovB, totB) = e.coldRowGroupStats("zt", box)
+      assert(totB >= 4, s"expected >=4 row groups before, got $totB")
+      assert(ovB.toDouble / totB >= 0.9,
+        s"pk-sorted tiers should NOT prune the 2-D box: $ovB/$totB")
+
+      // small target part size so the 2.4 MB test corpus still yields
+      // a multi-file layout (a real deployment keeps the 64 MB default)
+      val outcome = e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10)
+      assert(outcome == "rewritten")
+
+      // (a) snapshot content-identical
+      val after = e.snapshot("zt").orderBy("id").collect().toSeq
+      assert(after == before, "OPTIMIZE must not change the merged snapshot")
+
+      // (b) the same box now reads a fraction of the row groups
+      val (ovA, totA) = e.coldRowGroupStats("zt", box)
+      assert(totA >= 16, s"expected a multi-file z layout, got $totA row groups")
+      val frac = ovA.toDouble / totA
+      info(f"row-group pruning for the 1/8 x 1/8 box: before $ovB/$totB, after $ovA/$totA (${frac * 100}%.1f%%)")
+      assert(frac <= 0.3,
+        s"z-ordered tier must prune the 2-D box to <=30% of row groups, got $ovA/$totA")
+
+      // (c) cold point lookups still served (bloom path — pk footer
+      // ranges overlap after the layout, the bloom prunes instead)
+      val got = e.batchGet("zt", Seq(5L, 12345L, 23999L, 999999L))
+      assert(got.size == 3 && got(12345L)(0) == 12345L)
+
+      // the bottom tier advertises its layout in the name encoding
+      assert(e.storeOf("zt").coldDirs.forall(t =>
+        java.nio.file.Paths.get(t).getFileName.toString.startsWith("tier-z")))
+      assert(e.explainSpark("SELECT count(*) FROM zt").contains("zorder(x,y)"))
+
+      // (d) restart: layout + pruning survive the manifest round-trip
+      val e2 = new Engine(spark, Some(dir))
+      assert(e2.snapshot("zt").orderBy("id").collect().toSeq == before)
+      assert(e2.coldRowGroupStats("zt", box) == ((ovA, totA)))
+
+      // ingest more, flush, admin major compaction: the rewrite must
+      // come out z-ordered again (tier-z), not regress to pk-sorted
+      e2.batchPut("zt", (24001 to 30000).map(i => row(i.toLong)))
+      e2.forceFlush("zt")
+      e2.compact("zt")
+      val tiers = e2.storeOf("zt").coldDirs
+      assert(tiers.size == 1 &&
+        java.nio.file.Paths.get(tiers.head).getFileName.toString.startsWith("tier-z"),
+        s"major compaction under a declared layout must write tier-z, got $tiers")
+      assert(e2.sql("SELECT COUNT(*) FROM zt").rows.head.head == "30000")
+    }
+  }
+
+  test("optimize validates its layout columns loudly") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql(ddl).ok)
+      e.batchPut("zt", (1 to 100).map(i => row(i.toLong)))
+      e.forceFlush("zt")
+      def err(f: => Any): String =
+        intercept[graft.engine.EngineException](f).getMessage
+      assert(err(e.optimizeZorder("nope", Seq("x", "y"))).contains("does not exist"))
+      assert(err(e.optimizeZorder("zt", Seq("x", "zzz"))).contains("does not exist"))
+      assert(err(e.optimizeZorder("zt", Seq("x"))).contains("2 to 4"))
+      assert(err(e.optimizeZorder("zt", Seq("x", "y", "x", "y", "id"))).contains("2 to 4"))
+      assert(err(e.optimizeZorder("zt", Seq("x", "pad"))).contains("numeric or TIMESTAMP"))
+      assert(err(e.optimizeZorder("zt", Seq("x", "X"))).contains("distinct"))
+      // nothing above may have recorded a layout
+      assert(e.storeOf("zt").layout.isEmpty)
+    }
+  }
+
+  test("optimize under a paused scheduler defers, and resume drains it z-ordered") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql(ddl).ok)
+      e.batchPut("zt", (1 to 2000).map(i => row(i.toLong)))
+      e.forceFlush("zt")
+      e.pauseCompaction()
+      try {
+        assert(e.optimizeZorder("zt", Seq("x", "y")) == "deferred")
+        // layout recorded immediately, rewrite deferred
+        assert(e.storeOf("zt").layout == Vector("x", "y"))
+        assert(!e.storeOf("zt").coldDirs.exists(t =>
+          java.nio.file.Paths.get(t).getFileName.toString.startsWith("tier-z")))
+      } finally e.resumeCompaction()
+      // the drained rewrite converges even from a SINGLE pk-sorted
+      // tier (the needsLayout clause in the bottom-rewrite no-op guard)
+      val tiers = e.storeOf("zt").coldDirs
+      assert(tiers.size == 1 &&
+        java.nio.file.Paths.get(tiers.head).getFileName.toString.startsWith("tier-z"),
+        s"resume must drain the deferred OPTIMIZE z-ordered, got $tiers")
+      // and a repeat admin compact of the laid-out single tier is free
+      val beforeDirs = e.storeOf("zt").coldDirs
+      e.compact("zt")
+      assert(e.storeOf("zt").coldDirs == beforeDirs)
+    }
+  }
+}
