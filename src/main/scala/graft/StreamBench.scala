@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -256,6 +257,54 @@ object StreamBench {
       (secs, got.size.toLong, got == batch)
     }
 
+    // ---- phase 5c: streaming semantic dedup (SemDeDup member) -------------
+    // The batch q_dedup_semantic on the ingest path: stateless
+    // cosine_argmax assignment against the SAME vec_id % 53 == 0
+    // codebook the batch collects, per-cluster watermarked keep-state.
+    // parity_ok gates the full (vec_id -> cid, keep) map against the
+    // declared batch query on the same rows (vectors fed in vec_id
+    // order, spread over 30 min, 1 h watermark — the compared span
+    // sits inside the watermark so no comparison is lost to aging);
+    // state_peak_cluster_rows is the output-carried per-cluster state
+    // size maximum — rate x watermark bounded by construction, and at
+    // this feed entirely within one watermark window.
+    val (sdSecs, sdKept, sdPeak, sdParityOk) = {
+      val live = Tables.t(spark, sfDir, "embeddings")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+        .filter(expr(
+          "aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x) > 0"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val codebook = live.filter(_._1 % 53 == 0).toSeq
+      val span = 30L * 60 * 1000
+      val feed = live.zipWithIndex.map { case ((id, v), i) =>
+        (id, v, new Timestamp(epoch + i.toLong * span / live.length))
+      }.toIndexedSeq
+      val src = MemoryStream[(Long, Seq[Double], Timestamp)]
+      val out = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Int)]()
+      val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = Streams.semanticDedupVecs(
+          src.toDF().toDF("vec_id", "v", "ts"), codebook, minCosine = 0.35)
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (b: Dataset[graft.streaming.Streams.SemOut], _: Long) =>
+          b.collect().foreach { o =>
+            out.put(o.vec_id, (o.cid, o.keep))
+            peak.getAndAccumulate(o.state_rows.toLong, math.max)
+          }; ()
+        }.start()
+      val t0 = System.nanoTime()
+      feed.grouped(500).foreach { c => src.addData(c: _*); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val batch = SparkEntry.queries("q_dedup_semantic")(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+      spark.catalog.clearCache()
+      val got = {
+        val b = Map.newBuilder[Long, (Long, Int)]
+        out.forEach((k, v) => b += (k -> v)); b.result()
+      }
+      (secs, got.values.count(_._2 == 1).toLong, peak.get(), got == batch)
+    }
+
     // ---- phase 6: stream-stream interval join (attribution) ---------------
     // Both event streams fed in aligned time order (chunks cover the
     // same event-time window on both sides, so the cross-side
@@ -414,7 +463,7 @@ object StreamBench {
       peak1b, peak1, ajPeakB, ajPeak, bigTrigger, ajParityOkB)
 
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"near_dedup_trigger10":{"rows":${docs1.size},"secs":$secs1b%.2f,"rows_per_sec":$ndRateB%.0f,"kept":$kept1b,"state_peak_rows":$peak1b},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_ratio_nd":$ndRatio%.2f,"cadence_ratio_aj":$ajRatio%.2f,"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"near_dedup_trigger10":{"rows":${docs1.size},"secs":$secs1b%.2f,"rows_per_sec":$ndRateB%.0f,"kept":$kept1b,"state_peak_rows":$peak1b},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"sem_dedup":{"secs":$sdSecs%.2f,"kept":$sdKept,"state_peak_cluster_rows":$sdPeak,"parity_ok":$sdParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_ratio_nd":$ndRatio%.2f,"cadence_ratio_aj":$ajRatio%.2f,"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk}}""")
     spark.stop()
   }
 }

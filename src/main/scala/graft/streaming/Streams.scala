@@ -323,6 +323,81 @@ object Streams {
   }
 
   case class Evt(user_id: Long, ts: java.sql.Timestamp)
+  case class SemIn(vec_id: Long, cid: Long, v: Seq[Double], ts: java.sql.Timestamp)
+  case class SemState(rows: Vector[(Long, Seq[Double], Long)])
+  case class SemOut(vec_id: Long, cid: Long, keep: Int, state_rows: Int)
+
+  /** Streaming SemDeDup member (the batch q_dedup_semantic on the
+    * ingest path): assignment is STATELESS — the same fused
+    * cosine_argmax projection against a literal codebook the batch
+    * runs (the codebook is a parameter, so a capped or sampled
+    * codebook — the fix for the batch query's n/53 driver-codebook
+    * growth note — is just what the caller passes) — and the
+    * within-cluster prune is per-cluster keep-state: every arriving
+    * vector compares against the cluster's vectors still inside the
+    * watermark, emits keep=0 iff any matches at `minCosine`, and
+    * registers itself either way (the batch rule drops b against ANY
+    * earlier a, kept or dropped — transitive chains behave
+    * identically). For a stream arriving in vec_id order the emitted
+    * verdicts EQUAL the batch query's on the same rows (StreamingSpec
+    * gates this exactly; within one micro-batch the group's rows are
+    * sorted by vec_id so batch boundaries cannot reorder).
+    *
+    * State discipline (the trendingTokens/sessionize treatment):
+    * rows older than the current watermark are evicted on every
+    * group invocation, and the group times out (removing the whole
+    * cluster's state) once the watermark passes its newest row — so
+    * state is O(rate × watermark) per cluster, never
+    * O(stream). Each output row carries `state_rows` (the cluster's
+    * state size after the row registered), the observable StreamBench
+    * gates the rate bound on — no store-internals introspection
+    * needed.
+    *
+    * Input `vecs`: (vec_id, v: array<double>, ts) with zero-norm rows
+    * already excluded (cosine undefined — the batch live-set rule).
+    */
+  def semanticDedupVecs(vecs: DataFrame, codebook: Seq[(Long, Seq[Double])],
+                        minCosine: Double,
+                        watermark: String = "1 hour"): Dataset[SemOut] = {
+    import vecs.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    require(codebook.nonEmpty, "semanticDedupVecs: empty codebook")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs
+      .withWatermark("ts", watermark)
+      .withColumn("cid",
+        call_function("cosine_argmax", col("v"), typedLit(codebook)))
+      .select(col("vec_id"), col("cid"), col("v"), col("ts"))
+      .as[SemIn]
+      .groupByKey(_.cid)
+      .flatMapGroupsWithState[SemState, SemOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (cid, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var rows = state.getOption.map(_.rows).getOrElse(Vector.empty)
+              .filter(_._3 >= wm)
+            val out = Vector.newBuilder[SemOut]
+            it.toVector.sortBy(_.vec_id).foreach { r =>
+              val dup = rows.exists { case (_, v0, _) => cos(v0, r.v) >= minCosine }
+              rows :+= ((r.vec_id, r.v, r.ts.getTime))
+              out += SemOut(r.vec_id, cid, if (dup) 0 else 1, rows.size)
+            }
+            state.update(SemState(rows))
+            val maxTs = rows.map(_._3).max
+            state.setTimeoutTimestamp(math.max(maxTs, wm) + 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Int)
 

@@ -421,6 +421,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup: batch-rule verdicts, transitive registration, watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two-centroid codebook; 4-dim vectors with hand-computed verdicts
+    val codebook: Seq[(Long, Seq[Double])] = Seq(
+      10L -> Seq(1.0, 0.0, 0.0, 0.0), 20L -> Seq(0.0, 1.0, 0.0, 0.0))
+    val wave: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(1.0, 0.05, 0.0, 0.0),    // cid 10, first -> keep
+      2L -> Seq(0.99, 0.06, 0.0, 0.0),   // cid 10, ~dup of v1 -> drop
+      3L -> Seq(0.0, 1.0, 0.0, 0.0),     // cid 20, first -> keep
+      4L -> Seq(0.03, 0.98, 0.2, 0.0),   // cid 20, ~dup of v3 -> drop
+      5L -> Seq(0.0, 0.1, 1.0, 0.0),     // cid 20, far from v3/v4 -> keep
+      6L -> Seq(0.02, 0.97, 0.25, 0.0))  // cid 20, ~dup of DROPPED v4 -> drop (transitive)
+    val expect = Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 1, 6L -> 0)
+
+    val src = MemoryStream[(Long, Seq[Double], Timestamp)]
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Int, Int)]
+    val q = Streams.semanticDedupVecs(
+        src.toDF().toDF("vec_id", "v", "ts"), codebook, minCosine = 0.9)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.SemOut], _: Long) =>
+        b.collect().foreach(o => got(o.vec_id) = (o.cid, o.keep, o.state_rows)); ()
+      }.start()
+    try {
+      // wave 1 split across two micro-batches — verdicts must not
+      // depend on batch boundaries (state carries registrations over)
+      val w1 = wave.zipWithIndex.map { case ((id, v), i) => (id, v, ts(i)) }
+      src.addData(w1.take(3): _*); q.processAllAvailable()
+      src.addData(w1.drop(3): _*); q.processAllAvailable()
+      assert(got.view.mapValues(_._2).toMap == expect, got.toMap.toString)
+      assert(got(1L)._1 == 10L && got(3L)._1 == 20L && got(5L)._1 == 20L)
+      // v6 saw state {v3, v4, v5} -> state_rows 4 after registering
+      assert(got(6L)._3 == 4, got(6L).toString)
+
+      // the watermark only advances at batch BOUNDARIES (from the
+      // previous batch's max event time), so push it past wave 1
+      // with one orthogonal vector at 19:00 — its own micro-batch
+      // commits watermark 18:00 and wave-1 state becomes evictable
+      src.addData((999L, Seq(0.0, 0.0, 0.0, 1.0), Timestamp.valueOf("2026-01-01 19:00:00")))
+      q.processAllAvailable()
+
+      // wave 2: the SAME geometry 10 hours later with fresh ids. The
+      // 1-hour watermark has passed wave 1 entirely, so state must
+      // have aged out: identical verdicts (otherwise every wave-2
+      // vector would be dropped as a dup of its wave-1 original) and
+      // cluster-10 state holding only the pusher + the new row.
+      got.clear()
+      val w2 = wave.zipWithIndex.map { case ((id, v), i) =>
+        (id + 100L, v, Timestamp.valueOf(f"2026-01-01 20:${i}%02d:00")) }
+      src.addData(w2: _*); q.processAllAvailable()
+      val expect2 = expect.map { case (k, v) => (k + 100L, v) }
+      assert(got.view.filterKeys(_ > 100L).mapValues(_._2).toMap == expect2,
+        got.toMap.toString)
+      assert(got(101L)._3 <= 2, s"wave-2 cluster-10 state must be fresh: ${got(101L)}")
+    } finally q.stop()
+  }
+
   test("cadence gate: direction+margin on rate, trigger-bounded state, parity") {
     def gate(nd: Double, aj: Double, p1b: Long = 100, p1: Long = 50,
              ajB: Long = 100, ajP: Long = 50, trig: Long = 5000,
