@@ -1051,6 +1051,16 @@ object VectorOps {
     * collect (the IVF-probe pattern), cid-ascending so the kernel's
     * first-strict-max tie rule means lowest cid — matching the
     * oracle's ORDER BY cos DESC, cid.
+    *
+    * GROWTH CAVEAT (adjudicated r14): the vec_id % 53 slice makes
+    * k ∝ n — faithful to SemDeDup's own k ∝ n recipe and fine at
+    * every measured scale, but the driver-held codebook and the
+    * kernel literal grow as ~n/53 vectors, so a billion-vector
+    * deployment caps k with a sampled/trained codebook instead. The
+    * pipeline is codebook-agnostic by construction: the streaming
+    * member (Streams.semanticDedupVecs) already takes the codebook
+    * as a parameter, and this batch path needs only this collect
+    * swapped for the capped table — same plan, same kernel.
     */
   private def assigned(s: SparkSession, d: String): DataFrame = {
     val live = registered(s, d).filter(expr("dot_product(v, v) > 0"))
