@@ -332,7 +332,8 @@ final class ApiServer(engine: Engine, port: Int = 0) {
           "engine" -> jstr("graft — Spark-native HTAP engine"),
           "supportedStatements" -> jarr(Seq(
             "CREATE TABLE", "DROP TABLE", "INSERT", "SELECT", "UPDATE",
-            "DELETE", "SHOW TABLES", "EXPLAIN", "DESCRIBE").map(jstr)),
+            "DELETE", "SHOW TABLES", "EXPLAIN", "DESCRIBE",
+            "OPTIMIZE ... ZORDER BY").map(jstr)),
           "extensions" -> jarr(Seq(
             "POST /api/sparksql (full Spark SQL)",
             "POST /api/explainspark (tier feed + Catalyst physical plan)",

@@ -1245,7 +1245,20 @@ final class Engine(
       ResultSet(ok = true, Vector("Tables"), tableNames.map(Vector(_)))
     case Stmt.Explain(sel)   => execExplain(sel)
     case Stmt.Describe(t)    => execDescribe(t)
+    case o: Stmt.Optimize    => execOptimize(o)
   }
+
+  /** OPTIMIZE <table> ZORDER BY (...) through the SQL front — the
+    * same [[optimizeZorder]] the admin endpoint calls, surfaced in
+    * the dialect so /api/query and the shell reach it too.
+    */
+  private def execOptimize(o: Stmt.Optimize): ResultSet =
+    try {
+      val outcome = optimizeZorder(o.table, o.zorderCols)
+      ResultSet(ok = true, Vector("Result"),
+        Vector(Vector(s"OPTIMIZE $outcome: '${o.table}' " +
+          s"zorder(${o.zorderCols.mkString(",")})")))
+    } catch { case e: EngineException => ResultSet.err(e.getMessage) }
 
   private def execCreate(c: Stmt.CreateTable): ResultSet = this.synchronized {
     val key = c.table.toLowerCase

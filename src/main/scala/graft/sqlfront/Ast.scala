@@ -42,4 +42,8 @@ object Stmt {
   case object ShowTables extends Stmt
   final case class Explain(select: Select) extends Stmt
   final case class Describe(table: String) extends Stmt
+  /** OPTIMIZE <table> ZORDER BY (c1, c2[, ...]) — the cold-tier
+    * layout rewrite (engine extension; Engine.optimizeZorder).
+    */
+  final case class Optimize(table: String, zorderCols: Vector[String]) extends Stmt
 }

@@ -116,6 +116,7 @@ object Parser {
           case "SHOW"     => { next(); expectKw("TABLES"); Stmt.ShowTables }
           case "EXPLAIN"  => { next(); select() match { case sel: Stmt.Select => Stmt.Explain(sel) } }
           case "DESCRIBE" | "DESC" => { next(); Stmt.Describe(ident()) }
+          case "OPTIMIZE" => optimize()
           case other      => fail(s"unsupported statement '$other'")
         }
         case t => fail(s"unexpected token $t")
@@ -165,6 +166,16 @@ object Parser {
     }
 
     private def drop(): Stmt = { next(); expectKw("TABLE"); Stmt.DropTable(ident()) }
+
+    /** OPTIMIZE <table> ZORDER BY (c1, c2[, ...]) */
+    private def optimize(): Stmt = {
+      next(); val table = ident()
+      expectKw("ZORDER"); expectKw("BY"); expectPunct("(")
+      val cols = ArrayBuffer(ident())
+      while (isPunct(",")) { next(); cols += ident() }
+      expectPunct(")")
+      Stmt.Optimize(table, cols.toVector)
+    }
 
     private def insert(): Stmt = {
       next(); expectKw("INTO")

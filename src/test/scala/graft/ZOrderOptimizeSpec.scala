@@ -105,6 +105,25 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE ... ZORDER BY reaches the rewrite through the SQL front") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql(ddl).ok)
+      e.batchPut("zt", (1 to 1000).map(i => row(i.toLong)))
+      e.forceFlush("zt")
+      val rs = e.sql("OPTIMIZE zt ZORDER BY (x, y)")
+      assert(rs.ok && rs.rows.head.head.contains("rewritten"), rs.toString)
+      assert(e.storeOf("zt").layout == Vector("x", "y"))
+      assert(e.storeOf("zt").coldDirs.forall(t =>
+        java.nio.file.Paths.get(t).getFileName.toString.startsWith("tier-z")))
+      // validation errors surface as SQL errors, not exceptions
+      val bad = e.sql("OPTIMIZE zt ZORDER BY (x)")
+      assert(!bad.ok && bad.error.contains("2 to 4"), bad.toString)
+      val parseErr = e.sql("OPTIMIZE zt CLUSTER BY (x, y)")
+      assert(!parseErr.ok, parseErr.toString)
+    }
+  }
+
   test("optimize validates its layout columns loudly") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir))
