@@ -240,7 +240,9 @@ final class ApiServer(engine: Engine, port: Int = 0) {
               "name" -> jstr(c.name),
               "type" -> jstr(c.tpe.sqlName),
               "nullable" -> (!c.notNull && c.name != m.pk).toString))),
-            "columnCount" -> m.cols.size.toString)))
+            "columnCount" -> m.cols.size.toString,
+            // declared z-order layout (empty = pk-sorted tiers)
+            "zorderLayout" -> jarr(engine.layoutOf(name).map(jstr)))))
         }
 
       case ("GET", TablePath(name, "/describe")) =>

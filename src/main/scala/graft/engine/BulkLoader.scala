@@ -57,14 +57,30 @@ object BulkLoader {
     * (the hot store is driver memory by design, SURVEY §3.1), and
     * each chunk lands under one lock + one delta-log fsync.
     *
+    * Timestamp sources: the engine's TIMESTAMP is int64 (reference
+    * columnar_format.hpp:26 — epoch numbers, not a logical type), so
+    * a Spark TIMESTAMP or TIMESTAMP_NTZ source column converts to
+    * epoch SECONDS. NTZ needs the explicit hop through TIMESTAMP
+    * first (Spark refuses NTZ→BIGINT directly; session-zone
+    * interpretation of the wall time, so a UTC session round-trips) —
+    * without it, loading the footer-aware events table (which
+    * surfaces ts as NTZ for MICROS files) failed analysis.
+    *
     * @return number of rows inserted (upserts count once)
     */
   def loadFrom(engine: Engine, table: String, df: DataFrame,
                chunk: Int = 10000): Long = {
     val m = engine.meta(table).getOrElse(
       throw new EngineException(s"Table '$table' does not exist"))
-    val projected = df.select(m.schema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    val srcType = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val projected = df.select(m.schema.fields.map { f =>
+      val c = org.apache.spark.sql.functions.col(f.name)
+      val needsHop = f.dataType == org.apache.spark.sql.types.LongType &&
+        srcType.get(f.name.toLowerCase)
+          .contains(org.apache.spark.sql.types.TimestampNTZType)
+      (if (needsHop) c.cast(org.apache.spark.sql.types.TimestampType) else c)
+        .cast(f.dataType)
+    }: _*)
     val width = m.cols.size
     var inserted = 0L
     import scala.jdk.CollectionConverters._

@@ -869,6 +869,16 @@ final class Engine(
 
   def tableNames: Vector[String] = this.synchronized { catalog.keys.toVector }
 
+  /** The table's declared z-order layout columns (empty = pk-sorted
+    * tiers, the default; empty for unknown tables too — the schema
+    * endpoint 404s on meta() first).
+    */
+  def layoutOf(table: String): Vector[String] =
+    this.synchronized(stores.get(table.toLowerCase)) match {
+      case Some(st) => st.synchronized(st.layout)
+      case None     => Vector.empty
+    }
+
   def meta(table: String): Option[TableMeta] =
     this.synchronized { catalog.get(table.toLowerCase) }
 

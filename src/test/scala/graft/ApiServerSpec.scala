@@ -174,6 +174,9 @@ class ApiServerSpec extends AnyFunSuite {
         // data intact after the rewrite
         val (c6, b6) = post(p, "/api/query", """{"sql": "SELECT COUNT(*) FROM zapi"}""")
         assert(c6 == 200 && b6.contains("\"500\""), b6)
+        // the declared layout is discoverable on the schema endpoint
+        val (c7, b7) = get(p, "/api/tables/zapi")
+        assert(c7 == 200 && b7.contains(""""zorderLayout":["x","y"]"""), b7)
       } finally srv.stop()
     } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
   }

@@ -615,6 +615,29 @@ class EngineOpsSpec extends AnyFunSuite {
     graft.engine.Persist.deleteRecursively(csv)
   }
 
+  test("loadFrom ingests TIMESTAMP and TIMESTAMP_NTZ sources into the int64 TIMESTAMP column") {
+    import graft.engine.BulkLoader
+    import org.apache.spark.sql.functions._
+    val e = new Engine(spark)
+    assert(e.sql("CREATE TABLE lt (id BIGINT NOT NULL, ts TIMESTAMP)").ok)
+    // NTZ is what the footer-aware events loader surfaces for MICROS
+    // files — the NTZ->BIGINT cast fails analysis without the
+    // TIMESTAMP hop (found loading the 10x events table, r15)
+    import spark.implicits._
+    val df = Seq((1L, "2026-01-01 00:00:00"), (2L, "2026-01-01 01:00:00"))
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp_ntz").as("ts"))
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    assert(BulkLoader.loadFrom(e, "lt", df) == 2)
+    // UTC session: wall time 2026-01-01T00:00 == epoch 1767225600 s
+    assert(e.sql("SELECT ts FROM lt WHERE id = 1").rows.head.head == "1767225600")
+    // plain TIMESTAMP (LTZ) sources upsert through the same path
+    val df2 = Seq((3L, "2026-01-01 02:00:00")).toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp").as("ts"))
+    assert(BulkLoader.loadFrom(e, "lt", df2) == 1)
+    assert(e.sql("SELECT COUNT(*) FROM lt").rows.head.head == "3")
+  }
+
   test("recovery reports truncated bytes; checkpoint snapshots the log") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir))
