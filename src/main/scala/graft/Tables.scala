@@ -47,8 +47,11 @@ object Tables {
     * the footer open happens once per DATASET, not once per plan
     * build. The unmemoized footer read cost ~0.2 s per query on every
     * events-table plan (the r12 q_lww_tombstone drift, adjudicated in
-    * SURVEY §2.13); one file-status round-trip is the whole per-plan
-    * cost now. The fingerprint is taken on the FIRST PART FILE (the
+    * SURVEY §2.13); the whole per-plan cost now is resolving the data
+    * file (one file status, plus one listing for a directory — whose
+    * statuses already carry the mtime/length the key needs, so no
+    * further round-trip). The fingerprint is taken on the FIRST PART
+    * FILE (the
     * one [[tsIsNanos]] actually opens), not the dataset directory: a
     * directory's own mtime does not change when a child part file is
     * rewritten in place, so a directory-keyed memo could serve a stale
@@ -69,25 +72,28 @@ object Tables {
     */
   private[graft] def datasetFingerprint(spark: SparkSession, path: String): String = {
     val conf = spark.sessionState.newHadoopConf()
-    val file = resolveDataFile(conf, path)
-    val st = file.getFileSystem(conf).getFileStatus(file)
-    s"$path:${file.getName}:${st.getModificationTime}:${st.getLen}"
+    val st = resolveDataFile(conf, path)
+    s"$path:${st.getPath.getName}:${st.getModificationTime}:${st.getLen}"
   }
 
-  /** The concrete parquet file backing `path`: the path itself if it
-    * is a file, else the lexicographically first non-hidden part file.
+  /** The concrete parquet file backing `path` — its FileStatus, so
+    * fingerprinting spends no extra round-trip beyond resolution
+    * itself (one getFileStatus for a file path; plus one listStatus
+    * for a directory, whose returned statuses carry mtime/length).
     */
   private def resolveDataFile(conf: org.apache.hadoop.conf.Configuration,
-                              path: String): org.apache.hadoop.fs.Path = {
+                              path: String): org.apache.hadoop.fs.FileStatus = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).map(_.getPath)
-        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        .sortBy(_.getName).headOption
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p)
+        .filter(f => !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName).headOption
         .getOrElse(sys.error(s"no parquet part files under $path"))
-    else p
+    else st
   }
 
   /** True iff the parquet footer annotates `ts` as TIMESTAMP(NANOS).
@@ -100,7 +106,7 @@ object Tables {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sessionState.newHadoopConf()
-    val file = resolveDataFile(conf, path)
+    val file = resolveDataFile(conf, path).getPath
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       import scala.jdk.CollectionConverters._

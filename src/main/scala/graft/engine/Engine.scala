@@ -70,6 +70,11 @@ final class Engine(
       * path best.
       */
     var layout: Vector[String] = Vector.empty
+    /** part-size the last OPTIMIZE requested (-1 = engine default):
+      * honored by subsequent major rewrites, incl. a deferred
+      * OPTIMIZE drained after resume; persisted with the layout.
+      */
+    var layoutPartBytes: Long = -1L
     /** tiers replaced by recent compactions, batched per compaction —
       * each batch is retained for `tierRetainGens` further compactions
       * before deletion, so in-flight snapshot scans / toLocalIterator
@@ -226,10 +231,12 @@ final class Engine(
     var maxSeq = 0L
     Persist.loadCatalog(catalogPath(dir)).foreach { m =>
       val store = new HotStore(m)
-      val (tiers, flushedMax, layout) = Persist.loadManifest(coldRoot(dir, m.name))
+      val (tiers, flushedMax, layout, layoutPb) =
+        Persist.loadManifest(coldRoot(dir, m.name))
       store.coldDirs = tiers
       store.maxFlushedSeq = flushedMax
       store.layout = layout
+      store.layoutPartBytes = layoutPb
       // reclaim tiers a previous run retired but never GC'd (deferred
       // tier deletion, see compactStore): anything under coldRoot not
       // named by the manifest is garbage.
@@ -298,7 +305,7 @@ final class Engine(
         store.coldDirs = store.coldDirs :+ tier
         store.coldStats = eagerStats.map(s => (store.coldDirs, s))
         store.maxFlushedSeq = math.max(store.maxFlushedSeq, flushedMax)
-        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout)
+        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes)
         store.latest.clear()
         store.log.clear()
         store.approxBytes = 0L
@@ -418,9 +425,11 @@ final class Engine(
   /** tier level from its directory name: flush outputs are L0
     * (`tier-<seq>`), leveled-merge outputs carry their level
     * (`tier-l<level>-<seq>`), and major-compaction outputs
-    * (`tier-c<seq>`, or `tier-z<seq>` when written under a declared
-    * z-order layout) are bottom-level by construction — the encoding
-    * makes levels survive manifest save/load with no format change.
+    * (`tier-c<seq>`, or `tier-zh<layout-hash>-<seq>` when written
+    * under a declared z-order layout — the hash names WHICH layout,
+    * see [[isLayoutTierFor]]) are bottom-level by construction — the
+    * encoding makes levels survive manifest save/load with no format
+    * change.
     */
   private[graft] def levelOf(path: String): Int = {
     val name = java.nio.file.Paths.get(path).getFileName.toString
@@ -432,13 +441,24 @@ final class Engine(
     else 0
   }
 
-  /** True iff this tier was written z-ordered (the `tier-z` encoding
-    * from [[levelOf]]'s naming scheme): lets a major rewrite decide
-    * whether a single surviving bottom tier still needs a layout pass
-    * without opening any files.
+  /** Stable fingerprint of a layout column list, carried in z-tier
+    * names (`tier-zh<hash>-...`): lets a major rewrite decide whether
+    * a surviving bottom tier was written under the CURRENT layout
+    * without opening any files — re-OPTIMIZing with different columns
+    * must rewrite, re-OPTIMIZing with the same ones may no-op.
     */
-  private def isLayoutTier(path: String): Boolean =
-    java.nio.file.Paths.get(path).getFileName.toString.startsWith("tier-z")
+  private def layoutHash(layout: Vector[String]): String =
+    f"${layout.map(_.toLowerCase).mkString(",").hashCode}%08x"
+
+  /** True iff this tier was written z-ordered UNDER `layout` (the
+    * `tier-zh<hash>` encoding from [[levelOf]]'s naming scheme). A
+    * bare `tier-z` without a readable hash (never minted, but cheap
+    * to tolerate) counts as some OTHER layout and rewrites.
+    */
+  private def isLayoutTierFor(path: String, layout: Vector[String]): Boolean = {
+    val name = java.nio.file.Paths.get(path).getFileName.toString
+    name.startsWith(s"tier-zh${layoutHash(layout)}-")
+  }
 
   /** byte budget for level L >= 1 (reference getLevelSizeLimit,
     * lsm_levels.hpp:116-124: base · mult^(L-1); L0 is count-triggered).
@@ -529,7 +549,7 @@ final class Engine(
         store.coldStats = store.coldStats.collect {
           case (k, s) if k == before => (store.coldDirs, s)
         }
-        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout)
+        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes)
         retire(store, inputs)
         store.version.incrementAndGet()
         true
@@ -569,22 +589,32 @@ final class Engine(
   private def compactStore(store: HotStore): Unit = {
     val dir = dataDir.getOrElse(return)
     if (compactionPaused.get()) { deferCompaction(store.meta.name, major = true); return }
-    rewriteBottom(store, dir, compactPartBytes)
+    // honor the part-size a (possibly deferred) OPTIMIZE requested —
+    // a drained OPTIMIZE must come out at the granularity it asked for
+    val pb = store.synchronized(
+      if (store.layoutPartBytes > 0) store.layoutPartBytes else compactPartBytes)
+    rewriteBottom(store, dir, pb)
     ()
   }
 
   /** The full cold rewrite shared by admin major compaction and
     * OPTIMIZE: merge every cold tier into ONE bottom tier, laid out
     * per the store's declared layout (z-order when set, pk-sorted
-    * otherwise). Returns true iff a rewrite happened and swapped in.
+    * otherwise). Returns "rewritten" (swapped in), "noop" (nothing to
+    * do — genuinely already laid out, or <2 inputs with no layout
+    * due), or "aborted" (the rewrite RAN but a concurrent tier change
+    * invalidated the swap — retriable, and distinct from noop so a
+    * caller never mistakes an abandoned rewrite for a laid-out table).
     *
     * No-op guard: fewer than two inputs AND nothing to re-lay-out —
-    * a declared layout with a non-`tier-z` bottom tier still rewrites
-    * (that is how a deferred OPTIMIZE converges after resume), while
-    * repeated admin compacts of an already-laid-out single tier stay
-    * free.
+    * a declared layout whose bottom tier was not written under the
+    * CURRENT layout (any non-z tier, or a z tier carrying a different
+    * layout hash) still rewrites (that is how a deferred OPTIMIZE
+    * converges after resume, and how re-OPTIMIZing with new columns
+    * takes effect), while repeated admin compacts of an
+    * already-laid-out single tier stay free.
     */
-  private def rewriteBottom(store: HotStore, dir: String, partBytes: Long): Boolean = {
+  private def rewriteBottom(store: HotStore, dir: String, partBytes: Long): String = {
     val m = store.meta
     // admin rewrite SERIALIZES on the per-store pass guard (waits,
     // unlike the flush-path trigger which skips): two concurrent
@@ -605,9 +635,11 @@ final class Engine(
       // mergeLevel: the full rewrite is the LONGEST merge, so it is
       // the one that most needs to run outside the store lock
       val (inputs, layout) = store.synchronized((store.coldDirs, store.layout))
-      val needsLayout = layout.nonEmpty && inputs.exists(t => !isLayoutTier(t))
-      if (inputs.isEmpty || (inputs.size < 2 && !needsLayout)) return false
-      val prefix = if (layout.nonEmpty) "tier-z" else "tier-c"
+      val needsLayout = layout.nonEmpty &&
+        inputs.exists(t => !isLayoutTierFor(t, layout))
+      if (inputs.isEmpty || (inputs.size < 2 && !needsLayout)) return "noop"
+      val prefix =
+        if (layout.nonEmpty) s"tier-zh${layoutHash(layout)}-" else "tier-c"
       val target = coldRoot(dir, m.name)
         .resolve(f"$prefix${seqGen.get()}%012d-u${tierUniq.incrementAndGet()}%d").toString
       writeMerged(m, inputs, target, dropTombstones = true, layout, partBytes)
@@ -622,15 +654,14 @@ final class Engine(
           store.coldStats = store.coldStats.collect {
             case (k, s) if k == before => (store.coldDirs, s)
           }
-          Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout)
+          Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes)
           retire(store, inputs)
           store.version.incrementAndGet()
           true
         }
       }
-      if (swapped) { opCompactions.incrementAndGet(); trimRetired(store) }
-      else Persist.deleteRecursively(java.nio.file.Paths.get(target))
-      swapped
+      if (swapped) { opCompactions.incrementAndGet(); trimRetired(store); "rewritten" }
+      else { Persist.deleteRecursively(java.nio.file.Paths.get(target)); "aborted" }
     } finally store.compacting.set(false)
   }
 
@@ -660,7 +691,9 @@ final class Engine(
     * and the rewrite DEFERRED (drained z-ordered on resume, like any
     * admin compaction).
     *
-    * @return "rewritten" | "deferred" | "noop" (already laid out)
+    * @return "rewritten" | "deferred" | "noop" (already laid out) |
+    *         "aborted" (the rewrite ran but a concurrent tier change
+    *         invalidated the swap — retriable; tiers unchanged)
     */
   def optimizeZorder(table: String, cols: Seq[String],
                      targetPartBytes: Long = compactPartBytes): String = {
@@ -668,6 +701,9 @@ final class Engine(
     val m = store.meta
     val dir = dataDir.getOrElse(throw new EngineException(
       "OPTIMIZE requires a persistent data directory"))
+    if (targetPartBytes <= 0)
+      throw new EngineException(
+        s"OPTIMIZE target part size must be positive, got $targetPartBytes")
     if (cols.size < 2 || cols.size > 4)
       throw new EngineException(
         s"OPTIMIZE ZORDER takes 2 to 4 layout columns, got ${cols.size}")
@@ -684,12 +720,12 @@ final class Engine(
       throw new EngineException("OPTIMIZE ZORDER layout columns must be distinct")
     store.synchronized {
       store.layout = resolved
+      store.layoutPartBytes = targetPartBytes
       Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs,
-        store.maxFlushedSeq, store.layout)
+        store.maxFlushedSeq, store.layout, store.layoutPartBytes)
     }
     if (compactionPaused.get()) { deferCompaction(m.name, major = true); "deferred" }
-    else if (rewriteBottom(store, dir, targetPartBytes)) "rewritten"
-    else "noop"
+    else rewriteBottom(store, dir, targetPartBytes)
   }
 
   /** Row-group pruning observability for the layout gate: how many
@@ -710,33 +746,39 @@ final class Engine(
     var overlapping = 0L
     var total = 0L
     tiers.foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(t)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath)
-            .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        else Array(p)
-      files.foreach { f =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-        try reader.getFooter.getBlocks.asScala.foreach { b =>
-          total += 1
-          val reads = box.forall { case (cname, (lo, hi)) =>
-            b.getColumns.asScala
-              .find(_.getPath.toDotString.equalsIgnoreCase(cname)) match {
-              case Some(cc) if cc.getStatistics != null &&
-                  cc.getStatistics.hasNonNullValue =>
-                (cc.getStatistics.genericGetMin, cc.getStatistics.genericGetMax) match {
-                  case (mn: Number, mx: Number) =>
-                    mx.doubleValue >= lo && mn.doubleValue <= hi
-                  case _ => true
-                }
-              case _ => true
+      // a tier retired by a concurrent compaction can vanish between
+      // the listing capture and the footer open (deferred tier GC) —
+      // skip it like dirBytes does; its replacement is not in this
+      // pass's listing and the caller re-reads for a fresh view
+      try {
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).map(_.getPath)
+              .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          else Array(p)
+        files.foreach { f =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+          try reader.getFooter.getBlocks.asScala.foreach { b =>
+            total += 1
+            val reads = box.forall { case (cname, (lo, hi)) =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString.equalsIgnoreCase(cname)) match {
+                case Some(cc) if cc.getStatistics != null &&
+                    cc.getStatistics.hasNonNullValue =>
+                  (cc.getStatistics.genericGetMin, cc.getStatistics.genericGetMax) match {
+                    case (mn: Number, mx: Number) =>
+                      mx.doubleValue >= lo && mn.doubleValue <= hi
+                    case _ => true
+                  }
+                case _ => true
+              }
             }
-          }
-          if (reads) overlapping += 1
-        } finally reader.close()
-      }
+            if (reads) overlapping += 1
+          } finally reader.close()
+        }
+      } catch { case _: java.io.FileNotFoundException => () }
     }
     (overlapping, total)
   }

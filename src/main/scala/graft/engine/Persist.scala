@@ -11,7 +11,7 @@ import scala.jdk.CollectionConverters._
   * Engine recovery.
   *
   * catalog.sdb:   TABLE <name> <pk> / COLUMN <name> <type> <0|1> / END
-  * MANIFEST:      MAXSEQ <n> / [LAYOUT <col>...] / TIER <dirname>...
+  * MANIFEST:      MAXSEQ <n> / [LAYOUT <col>...] / [LAYOUTBYTES <n>] / TIER <dirname>...
   */
 object Persist {
 
@@ -54,16 +54,18 @@ object Persist {
 
   /** @return (tier dirs in flush order, max seq durable in parquet,
     *         declared z-order layout columns — empty when the table
-    *         was never OPTIMIZEd). Pre-layout manifests load fine
-    *         (no LAYOUT line → empty), and pre-layout readers skip
-    *         the LAYOUT line via the catch-all — the format change
-    *         is compatible both ways.
+    *         was never OPTIMIZEd, requested layout part-size bytes —
+    *         -1 = engine default). Pre-layout manifests load fine
+    *         (no LAYOUT/LAYOUTBYTES line → empty/-1), and pre-layout
+    *         readers skip both lines via the catch-all — the format
+    *         change is compatible both ways.
     */
-  def loadManifest(coldRoot: Path): (Vector[String], Long, Vector[String]) = {
+  def loadManifest(coldRoot: Path): (Vector[String], Long, Vector[String], Long) = {
     val mf = coldRoot.resolve("MANIFEST")
-    if (!Files.exists(mf)) return (Vector.empty, 0L, Vector.empty)
+    if (!Files.exists(mf)) return (Vector.empty, 0L, Vector.empty, -1L)
     var maxSeq = 0L
     var layout = Vector.empty[String]
+    var layoutPartBytes = -1L
     val tiers = Vector.newBuilder[String]
     Files.readAllLines(mf).asScala.map(_.trim).filter(_.nonEmpty).foreach { line =>
       val parts = line.split("\\s+")
@@ -71,17 +73,21 @@ object Persist {
         case "MAXSEQ" => maxSeq = parts(1).toLong
         case "TIER"   => tiers += coldRoot.resolve(parts(1)).toString
         case "LAYOUT" => layout = parts.drop(1).toVector
+        case "LAYOUTBYTES" => layoutPartBytes = parts(1).toLong
         case _        => ()
       }
     }
-    (tiers.result(), maxSeq, layout)
+    (tiers.result(), maxSeq, layout, layoutPartBytes)
   }
 
   def saveManifest(coldRoot: Path, tiers: Vector[String], maxSeq: Long,
-                   layout: Vector[String] = Vector.empty): Unit = {
+                   layout: Vector[String] = Vector.empty,
+                   layoutPartBytes: Long = -1L): Unit = {
     Files.createDirectories(coldRoot)
     val body = s"MAXSEQ $maxSeq\n" +
       (if (layout.nonEmpty) s"LAYOUT ${layout.mkString(" ")}\n" else "") +
+      (if (layout.nonEmpty && layoutPartBytes > 0)
+         s"LAYOUTBYTES $layoutPartBytes\n" else "") +
       tiers.map(t => s"TIER ${Paths.get(t).getFileName}\n").mkString
     val tmp = coldRoot.resolve("MANIFEST.tmp")
     Files.writeString(tmp, body)

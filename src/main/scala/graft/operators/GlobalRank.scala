@@ -75,8 +75,15 @@ object GlobalRank {
     * recompute, never to failure.
     */
   def releaseCaches(): Unit = {
-    ownedPersists.forEach(_.unpersist(blocking = false))
-    ownedPersists.clear()
+    // remove-then-unpersist per entry (no bulk clear): a concurrent
+    // withRank persist landing mid-release stays tracked for the next
+    // release instead of being dropped from the set still-cached
+    val it = ownedPersists.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      it.remove()
+      p.unpersist(blocking = false)
+    }
   }
 
   def withRank(df: DataFrame, score: Column, tieId: Column,

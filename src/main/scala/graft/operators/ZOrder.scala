@@ -45,8 +45,16 @@ object ZOrder {
     * extra versions only widen the range, never corrupt the code.
     */
   def bounds(df: DataFrame, cols: Seq[String]): Map[String, (Double, Double)] = {
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")), max(col(c).cast("double"))))
+    // min/max over FINITE values only: one NaN row would otherwise
+    // make hi=NaN (Spark max sorts NaN above everything) and poison
+    // scale for every row; infinities would zero it. Non-finite rows
+    // still get codes — zcodeColumn maps them to the edge cells.
+    val aggs = cols.flatMap { c =>
+      val d = col(c).cast("double")
+      val fin = when(!isnan(d) &&
+        !d.isin(Double.PositiveInfinity, Double.NegativeInfinity), d)
+      Seq(min(fin), max(fin))
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
       val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
@@ -69,8 +77,15 @@ object ZOrder {
       if (hi <= lo) lit(0L)
       else {
         val scale = cells.toDouble / (hi - lo)
-        val raw = floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) * lit(scale))
-        least(lit(cells - 1), greatest(lit(0L), raw.cast("long")))
+        val x = col(c).cast("double")
+        // null and NaN rows land in cell 0 (they have no order
+        // position; parquet stats exclude them too); ±Infinity rides
+        // the double-space clamp to the edge cells. Clamp BEFORE the
+        // long cast — CAST(NaN/Infinity AS LONG) throws under Spark's
+        // default ANSI mode, so the cast must only ever see [0, cells).
+        val v = when(x.isNull || isnan(x), lit(lo)).otherwise(x)
+        val raw = floor((v - lit(lo)) * lit(scale))
+        least(lit((cells - 1).toDouble), greatest(lit(0.0), raw)).cast("long")
       }
     }
     (0 until bits).flatMap { i =>

@@ -204,16 +204,18 @@ object AnnIndex {
 
   /** Build-or-read the IVF artifact; returns the driver-held codebook
     * (K×64 doubles — model-sized, like any coarse quantizer) and the
-    * path of the cid-partitioned member files.
+    * paths of the cid-partitioned member files (one element here; the
+    * incremental artifact adds its arrivals directory — consumers
+    * read the list as one dataset either way).
     */
-  def ivf(s: SparkSession, d: String): (Array[Array[Double]], String) = {
+  def ivf(s: SparkSession, d: String): (Array[Array[Double]], Seq[String]) = {
     val path = ivfPath(s, d)
     val membersPath = s"$path/members"
     val centsPath = s"$path/centroids"
     if (!ready(membersPath)) synchronized {
       if (!ready(membersPath)) buildIvf(s, d, centsPath, membersPath)
     }
-    (readCents(s, centsPath), membersPath)
+    (readCents(s, centsPath), Seq(membersPath))
   }
 
   /** Load the driver-held codebook back from its artifact parquet. */
@@ -335,12 +337,13 @@ object AnnIndex {
   // The frozen-artifact upsert discipline (VERDICT r13/r14 directive):
   // an arriving vector batch folds into a built index WITHOUT rebuild.
   //  - IVF: assign the batch to the FROZEN centroids (one broadcast
-  //    codebook pass over the BATCH, never the corpus) and append its
-  //    cid-partitioned member files — exactly the add() path of every
+  //    codebook pass over the BATCH, never the corpus) and commit its
+  //    cid-partitioned member files as an arrivals directory read
+  //    alongside the base — exactly the add() path of every
   //    inverted-file ANN system with a trained coarse quantizer.
-  //  - LSH: hash the batch through the FIXED seeded planes and append
-  //    its (vec_id, tbl, bucket) rows — plane determinism guarantees
-  //    the appended rows equal what a full rebuild would emit.
+  //  - LSH: hash the batch through the FIXED seeded planes and commit
+  //    its (vec_id, tbl, bucket) rows the same way — plane determinism
+  //    guarantees the arrival rows equal what a full rebuild would emit.
   //
   // Staleness bound (documented contract): the frozen quantizer was
   // trained WITHOUT the arrivals, so recall on the grown corpus is
@@ -364,76 +367,94 @@ object AnnIndex {
 
   def ivfIncPath(s: SparkSession, d: String): String = {
     val k = ivfK(corpusSize(s, d))
-    s"$artifactRoot/${key(d, s"_ivfinc_K${k}_I${IvfIters}_M$IncMod")}"
+    // v2: arrivals live in their own overwrite-committed directory
+    // (the version tag keeps pre-change appended-members artifacts,
+    // which would double-count the batch under this reader, from
+    // being served)
+    s"$artifactRoot/${key(d, s"_ivfinc2_K${k}_I${IvfIters}_M$IncMod")}"
   }
 
   def lshIncPath(s: SparkSession, d: String): String = {
     val bits = bitsFor(corpusSize(s, d))
-    s"$artifactRoot/${key(d, s"_lshinc2_T${Tables}_B${bits}_M$IncMod")}"
+    // v3: same arrivals-directory change as ivfIncPath
+    s"$artifactRoot/${key(d, s"_lshinc3_T${Tables}_B${bits}_M$IncMod")}"
   }
 
   /** Build-or-read the incremental IVF artifact: frozen base build
-    * over the base slice, then ONE upsert of the arrival slice gated
-    * by an `_UPSERTED` marker (created only after the append commits,
-    * so a killed upsert re-runs rather than serving a half-grown
-    * index). Returns (frozen codebook, grown members path).
+    * over the base slice, then ONE upsert of the arrival slice into
+    * its OWN overwrite-committed directory. The arrivals directory's
+    * `_SUCCESS` is the upsert's commit marker: a killed upsert leaves
+    * no `_SUCCESS` and re-runs as a fresh Overwrite — never a second
+    * append into shared files, so a crash at ANY point (including
+    * the old scheme's window between append-commit and marker
+    * creation) cannot double-index the batch. Returns (frozen
+    * codebook, member paths — base + arrivals, read as one dataset).
     */
-  def ivfIncremental(s: SparkSession, d: String): (Array[Array[Double]], String) = {
+  def ivfIncremental(s: SparkSession, d: String): (Array[Array[Double]], Seq[String]) = {
     val path = ivfIncPath(s, d)
     val membersPath = s"$path/members"
+    val arrivalsPath = s"$path/members_arrivals"
     val centsPath = s"$path/centroids"
-    val marker = Paths.get(path, "_UPSERTED")
     if (!ready(membersPath)) synchronized {
       if (!ready(membersPath)) {
-        Files.deleteIfExists(marker)
         buildIvfFrom(s, base(s, d).filter(col("vec_id") % IncMod =!= 0),
           ivfK(corpusSize(s, d)), centsPath, membersPath)
       }
     }
-    if (!Files.exists(marker)) synchronized {
-      if (!Files.exists(marker)) {
+    if (!ready(arrivalsPath)) synchronized {
+      if (!ready(arrivalsPath)) {
         upsertIvf(s, base(s, d).filter(col("vec_id") % IncMod === 0),
-          readCents(s, centsPath), membersPath)
-        Files.createFile(marker)
+          readCents(s, centsPath), arrivalsPath)
       }
     }
-    (readCents(s, centsPath), membersPath)
+    (readCents(s, centsPath), Seq(membersPath, arrivalsPath))
   }
+
+  /** Read a member-path list as one dataset. Each root is read
+    * separately and unioned: the base and arrivals directories are
+    * sibling partition roots, and Spark's multi-root partition
+    * inference rejects that shape (CONFLICTING_DIRECTORY_STRUCTURES)
+    * — per-root reads infer `cid` correctly and cid filters still
+    * partition-prune into each branch's scan.
+    */
+  def readMembers(s: SparkSession, paths: Seq[String]): DataFrame =
+    paths.map(s.read.parquet(_)).reduce(_.unionByName(_))
 
   /** Fold an arriving (vec_id, v) batch into frozen IVF artifacts:
     * nearest-frozen-centroid assignment over the batch only, then a
-    * cid-partitioned APPEND — no training, no corpus re-scan. Batch
-    * vec_ids must be new (an id already indexed would appear twice;
-    * LWW semantics belong to the engine tier, not the index).
+    * cid-partitioned overwrite of the batch's arrivals directory —
+    * no training, no corpus re-scan, and idempotent (re-running
+    * replaces the directory rather than appending). Batch vec_ids
+    * must be new (an id already indexed would appear twice; LWW
+    * semantics belong to the engine tier, not the index).
     */
   def upsertIvf(s: SparkSession, batch: DataFrame,
-                cents: Array[Array[Double]], membersPath: String): Unit =
+                cents: Array[Array[Double]], arrivalsPath: String): Unit =
     assignMembers(s, batch, cents)
-      .write.mode(SaveMode.Append).partitionBy("cid").parquet(membersPath)
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(arrivalsPath)
 
   /** Build-or-read the incremental LSH artifact (same split and
-    * marker discipline as [[ivfIncremental]]); rows only, like the
-    * full LSH index.
+    * arrivals-directory commit discipline as [[ivfIncremental]]);
+    * rows only, like the full LSH index.
     */
   def lshIncremental(s: SparkSession, d: String): DataFrame = {
     val path = lshIncPath(s, d)
-    val marker = Paths.get(path, "_UPSERTED")
+    val rowsPath = s"$path/rows"
+    val arrivalsPath = s"$path/arrivals"
     val bits = bitsFor(corpusSize(s, d))
-    if (!ready(path)) synchronized {
-      if (!ready(path)) {
-        Files.deleteIfExists(marker)
+    if (!ready(rowsPath)) synchronized {
+      if (!ready(rowsPath)) {
         lshRowsOf(s, t(s, d, "embeddings").filter(col("vec_id") % IncMod =!= 0), bits)
-          .write.mode(SaveMode.Overwrite).parquet(path)
+          .write.mode(SaveMode.Overwrite).parquet(rowsPath)
       }
     }
-    if (!Files.exists(marker)) synchronized {
-      if (!Files.exists(marker)) {
+    if (!ready(arrivalsPath)) synchronized {
+      if (!ready(arrivalsPath)) {
         lshRowsOf(s, t(s, d, "embeddings").filter(col("vec_id") % IncMod === 0), bits)
-          .write.mode(SaveMode.Append).parquet(path)
-        Files.createFile(marker)
+          .write.mode(SaveMode.Overwrite).parquet(arrivalsPath)
       }
     }
-    s.read.parquet(path)
+    s.read.parquet(rowsPath, arrivalsPath)
   }
 
   /** Driver-side probe selection: distances from each query vector to

@@ -469,6 +469,7 @@ object VectorOps {
             Seq("q_id", "neighbor_id"), "left_semi").count()
           (name, if (hits.toDouble / nExact >= 0.8) 1 else 0)
       }
+      exact.unpersist(blocking = false) // both joins consumed above
       rows.toDF("method", "recall_ok")
         .select(col("method"), col("recall_ok").cast("int"))
         .orderBy(col("method"))
@@ -479,8 +480,10 @@ object VectorOps {
     // lshIncremental): the index is built over ~94% of the corpus,
     // the remaining vec_id % 17 == 0 slice arrives LATER and folds in
     // WITHOUT rebuild — IVF assigns the batch to the frozen centroids
-    // and appends cid-partitioned members; LSH hashes it through the
-    // fixed seeded planes and appends bucket rows. Two emitted
+    // and commits cid-partitioned arrival members; LSH hashes it
+    // through the fixed seeded planes and commits the batch's bucket
+    // rows (each an overwrite-committed arrivals directory — see
+    // AnnIndex.ivfIncremental for the crash discipline). Two emitted
     // verdicts per index, both hash-matched against literal-1
     // oracles: batch_indexed (every batch vector is actually
     // searchable in the grown artifact — an upsert that silently
@@ -497,9 +500,9 @@ object VectorOps {
       val batchLive = live.filter(col("vec_id") % m === 0).count()
       val batchAll = base(s, d).filter(col("vec_id") % m === 0).count()
 
-      val (cents, membersPath) = AnnIndex.ivfIncremental(s, d)
+      val (cents, memberPaths) = AnnIndex.ivfIncremental(s, d)
       val ivfBatchIndexed =
-        s.read.parquet(membersPath).filter(col("vec_id") % m === 0)
+        AnnIndex.readMembers(s, memberPaths).filter(col("vec_id") % m === 0)
           .select(col("vec_id")).distinct().count() == batchAll
       val lshIdx = AnnIndex.lshIncremental(s, d)
       val lshBatchIndexed =
@@ -515,8 +518,11 @@ object VectorOps {
         hits.toDouble / nExact >= 0.8
       }
       val rows = Seq(
-        ("ivf", ivfBatchIndexed, recallOk(ivfTop5From(s, d, (cents, membersPath)))),
+        ("ivf", ivfBatchIndexed, recallOk(ivfTop5From(s, d, (cents, memberPaths)))),
         ("lsh", lshBatchIndexed, recallOk(lshTop5From(s, d, lshIdx))))
+      // both recallOk actions are consumed by now — release the
+      // exact-KNN cache instead of pinning it for the driver lifetime
+      exact.unpersist(blocking = false)
       rows.map { case (n, b, r) => (n, if (b) 1 else 0, if (r) 1 else 0) }
         .toDF("method", "batch_indexed", "recall_ok")
         .select(col("method"), col("batch_indexed").cast("int"),
@@ -930,7 +936,7 @@ object VectorOps {
     * (q_ann_upsert) search identically.
     */
   private def ivfTop5From(s: SparkSession, d: String,
-                          artifact: (Array[Array[Double]], String)): DataFrame = {
+                          artifact: (Array[Array[Double]], Seq[String])): DataFrame = {
     val (probesDf, qVecsDf, pruned) = ivfProbeCtxFrom(s, d, artifact)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     pruned
@@ -955,17 +961,17 @@ object VectorOps {
     ivfProbeCtxFrom(s, d, AnnIndex.ivf(s, d))
 
   private def ivfProbeCtxFrom(s: SparkSession, d: String,
-                              artifact: (Array[Array[Double]], String))
+                              artifact: (Array[Array[Double]], Seq[String]))
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val (cents, membersPath) = artifact
+    val (cents, memberPaths) = artifact
     val qRows = registered(s, d).filter(col("vec_id") < 10).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val probes = AnnIndex.probeClusters(qRows.toSeq, cents, ivfProbes(cents.length))
     val probedCids = probes.map(_._2).distinct
     val probesDf = probes.toDF("q_id", "cid")
     val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
-    val pruned = s.read.parquet(membersPath)
+    val pruned = AnnIndex.readMembers(s, memberPaths)
       .filter(col("cid").isin(probedCids: _*))   // partition pruning
     (probesDf, qVecsDf, pruned)
   }

@@ -164,15 +164,25 @@ class VectorOpsSpec extends AnyFunSuite {
     // grown IVF members cover the WHOLE corpus exactly once (base
     // build + one batch append — no drops, no duplicates)
     val (cents1, mp) = AnnIndex.ivfIncremental(spark, sfDir)
-    val members = spark.read.parquet(mp)
+    val members = AnnIndex.readMembers(spark, mp)
     assert(members.count() == n, "grown members must cover the corpus once")
     assert(members.select("vec_id").distinct().count() == n)
-    // a second access is a pure read: the _UPSERTED marker prevents a
-    // duplicate append, and the frozen codebook is byte-stable
+    // a second access is a pure read: the committed arrivals
+    // directory (its _SUCCESS is the upsert marker) prevents a
+    // duplicate fold-in, and the frozen codebook is byte-stable
     val (cents2, mp2) = AnnIndex.ivfIncremental(spark, sfDir)
-    assert(mp2 == mp && spark.read.parquet(mp2).count() == n)
+    assert(mp2 == mp && AnnIndex.readMembers(spark, mp2).count() == n)
     assert(cents1.length == cents2.length &&
       cents1.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+    // crash-window regression: a killed upsert leaves the arrivals
+    // directory WITHOUT _SUCCESS — the re-run must Overwrite it, never
+    // append a second copy of the batch into the index
+    val arrivals = mp.find(_.contains("arrivals")).get
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(arrivals, "_SUCCESS"))
+    val (_, mp3) = AnnIndex.ivfIncremental(spark, sfDir)
+    val regrown = AnnIndex.readMembers(spark, mp3)
+    assert(regrown.count() == n, "re-run after a simulated crash must not double-index")
+    assert(regrown.select("vec_id").distinct().count() == n)
     // declared audit: batch searchable + recall >= 0.8 on the grown
     // corpus for BOTH index families
     val rows = SparkEntry.queries("q_ann_upsert")(spark, sfDir).collect()

@@ -124,6 +124,36 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
     }
   }
 
+  test("z-codes stay defined under NaN/Infinity/null layout values (ANSI-safe cast)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ZOrder
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(1.0), Some(10.0)),
+      (2L, Some(Double.NaN), Some(20.0)),
+      (3L, Some(Double.PositiveInfinity), Some(30.0)),
+      (4L, Some(Double.NegativeInfinity), Some(40.0)),
+      (5L, None: Option[Double], Some(25.0)),
+      (6L, Some(100.0), Some(40.0)),
+      (7L, Some(1.0), Some(20.0)),   // finite twin of row 2 (NaN -> lo cell)
+      (8L, Some(100.0), Some(30.0))  // finite twin of row 3 (+inf -> hi cell)
+    ).toDF("id", "a", "b")
+    // bounds are taken over FINITE values only — one NaN/Inf row must
+    // not poison the scale for the whole tier
+    val bs = ZOrder.bounds(df, Seq("a", "b"))
+    assert(bs("a") == ((1.0, 100.0)) && bs("b") == ((10.0, 40.0)), bs.toString)
+    // the code projection must not throw under Spark's default ANSI
+    // mode (CAST(NaN AS LONG) would), and every code stays in range
+    val codes = df.select(col("id"), ZOrder.zcodeColumn(Seq("a", "b"), bs).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes.values.forall(z => z >= 0L && z < (1L << 32)), codes.toString)
+    // NaN and null land in cell 0 of their dimension; infinities clamp
+    // to the edge cells — each equals its finite twin's code
+    assert(codes(2L) == codes(7L), s"NaN must code like lo: $codes")
+    assert(codes(3L) == codes(8L), s"+Inf must clamp to the hi cell: $codes")
+    assert(codes(4L) != codes(3L), "-Inf and +Inf must land on opposite edges")
+  }
+
   test("optimize validates its layout columns loudly") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir))
@@ -140,6 +170,58 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
       assert(err(e.optimizeZorder("zt", Seq("x", "X"))).contains("distinct"))
       // nothing above may have recorded a layout
       assert(e.storeOf("zt").layout.isEmpty)
+    }
+  }
+
+  test("re-OPTIMIZE with different columns rewrites; with the same columns it stays free") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql(ddl).ok)
+      e.batchPut("zt", (1 to 3000).map(i => row(i.toLong)))
+      e.forceFlush("zt")
+      assert(e.optimizeZorder("zt", Seq("x", "y")) == "rewritten")
+      val t1 = e.storeOf("zt").coldDirs
+      // same columns over the already-laid-out single tier: free
+      assert(e.optimizeZorder("zt", Seq("x", "y")) == "noop")
+      assert(e.storeOf("zt").coldDirs == t1)
+      // DIFFERENT columns must rewrite — the tier name carries the
+      // layout hash it was written under, so the guard can tell a
+      // stale z layout from the current one without opening files
+      assert(e.optimizeZorder("zt", Seq("id", "x")) == "rewritten")
+      val t2 = e.storeOf("zt").coldDirs
+      assert(t2 != t1, "new layout columns must produce a new bottom tier")
+      assert(e.storeOf("zt").layout == Vector("id", "x"))
+      // and the new layout is itself stable under a repeat
+      assert(e.optimizeZorder("zt", Seq("id", "x")) == "noop")
+      assert(e.snapshot("zt").count() == 3000)
+    }
+  }
+
+  test("the OPTIMIZE part size is persisted and honored by later major rewrites") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql(ddl).ok)
+      e.batchPut("zt", (1 to 12000).map(i => row(i.toLong)))
+      e.forceFlush("zt")
+      assert(e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10)
+        == "rewritten")
+      def partFiles(t: String): Int =
+        java.nio.file.Files.list(java.nio.file.Paths.get(t)).toArray
+          .map(_.toString).count(f => f.contains("part-") && f.endsWith(".parquet"))
+      val n1 = partFiles(e.storeOf("zt").coldDirs.head)
+      assert(n1 >= 8, s"32 KiB parts over ~1 MB must yield a multi-file tier, got $n1")
+      // restart, ingest, admin major: the rewrite must come out at the
+      // REQUESTED granularity (LAYOUTBYTES round-trips the manifest),
+      // not collapse to one default-size file
+      val e2 = new Engine(spark, Some(dir))
+      e2.batchPut("zt", (12001 to 14000).map(i => row(i.toLong)))
+      e2.forceFlush("zt")
+      e2.compact("zt")
+      val tiers = e2.storeOf("zt").coldDirs
+      assert(tiers.size == 1)
+      val n2 = partFiles(tiers.head)
+      assert(n2 >= 8, s"post-restart major rewrite ignored the persisted part size: $n2 files")
+      assert(e2.sql("SELECT COUNT(*) FROM zt").rows.head.head == "14000")
     }
   }
 
