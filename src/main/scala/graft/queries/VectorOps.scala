@@ -520,6 +520,12 @@ object VectorOps {
       val rows = Seq(
         ("ivf", ivfBatchIndexed, recallOk(ivfTop5From(s, d, (cents, memberPaths)))),
         ("lsh", lshBatchIndexed, recallOk(lshTop5From(s, d, lshIdx))))
+      // The PQ upsert member is NOT audited here: PQ's recall
+      // contract is structured data (the q_ann_ivfpq treatment), so
+      // its grown-index recall is gated on the planted-cluster
+      // fixture in VectorOpsSpec via ivfPqUpsertTop5 — on THIS
+      // random corpus the ADC shortlist legitimately misses exact
+      // top-5 neighbors and a 0.8 gate would be noise, not signal.
       // both recallOk actions are consumed by now — release the
       // exact-KNN cache instead of pinning it for the driver lifetime
       exact.unpersist(blocking = false)
@@ -991,8 +997,24 @@ object VectorOps {
     * Recall is gated on the planted-cluster fixture (VectorOpsSpec) —
     * PQ's contract is structured data, same as q_pq_encode.
     */
-  private def ivfPqTop5(s: SparkSession, d: String): DataFrame = {
-    val (probesDf, qVecsDf, pruned) = ivfProbeCtx(s, d)
+  private def ivfPqTop5(s: SparkSession, d: String): DataFrame =
+    ivfPqTop5From(s, d, AnnIndex.ivf(s, d))
+
+  /** The same ADC-shortlist-then-rerank pipeline over ANY IVF
+    * artifact pair — the full-corpus build and the incrementally
+    * grown index (q_ann_upsert's pq member) search identically: PQ
+    * codes derive in-plan from whatever members the artifact names,
+    * against the same FROZEN codebook (pqCodebook's fixed slice —
+    * arrivals never retrain it), so folding a batch into the IVF
+    * members is the whole PQ upsert.
+    */
+  private[graft] def ivfPqUpsertTop5(s: SparkSession, d: String): DataFrame = {
+    val (cents, memberPaths) = AnnIndex.ivfIncremental(s, d)
+    ivfPqTop5From(s, d, (cents, memberPaths))
+  }
+  private def ivfPqTop5From(s: SparkSession, d: String,
+                            artifact: (Array[Array[Double]], Seq[String])): DataFrame = {
+    val (probesDf, qVecsDf, pruned) = ivfProbeCtxFrom(s, d, artifact)
     val cb = pqCodebook(s, d)
     val dtab = adcDistTable(
       qVecsDf.selectExpr("q_id", "int8_round(qv, int8_scale(qv)) AS qqv"), cb)

@@ -424,6 +424,23 @@ class VectorOpsSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     info(f"IVF-PQ top-5 mean recall on clustered fixture: $mean%.3f")
     assert(mean >= 0.8, f"IVF-PQ recall $mean%.3f < 0.8 (per-query: $recalls)")
+
+    // PQ over the incrementally GROWN index (base = vec_id % 17 != 0,
+    // arrivals folded in without rebuild): the ADC-shortlist-rerank
+    // pipeline must keep recall vs exact KNN over the FULL fixture —
+    // the upsert member of the IVF-PQ family, audited here because
+    // PQ's recall contract is structured data (same treatment as
+    // q_ann_ivfpq itself, which is rows-only on the random corpus)
+    val grown = graft.queries.VectorOps.ivfPqUpsertTop5(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val gRecalls = exact.map { case (q, es) =>
+      grown.getOrElse(q, Set.empty[Long]).intersect(es).size.toDouble / es.size
+    }
+    val gMean = gRecalls.sum / gRecalls.size
+    info(f"IVF-PQ top-5 mean recall over the grown (upserted) index: $gMean%.3f")
+    assert(gMean >= 0.8,
+      f"grown-index IVF-PQ recall $gMean%.3f < 0.8 (per-query: $gRecalls)")
     } finally {
       // the IVF run built index artifacts keyed by this random temp
       // path — prune them (no later run can ever reuse the key), and
