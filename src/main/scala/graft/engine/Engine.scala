@@ -441,23 +441,43 @@ final class Engine(
     else 0
   }
 
-  /** Stable fingerprint of a layout column list, carried in z-tier
-    * names (`tier-zh<hash>-...`): lets a major rewrite decide whether
-    * a surviving bottom tier was written under the CURRENT layout
-    * without opening any files — re-OPTIMIZing with different columns
-    * must rewrite, re-OPTIMIZing with the same ones may no-op.
+  /** Collision-FREE fingerprint of a (layout columns, part size)
+    * pair, carried in z-tier names (`tier-z-<token>-...`): lets a
+    * major rewrite decide whether a surviving bottom tier was written
+    * under the CURRENT layout AND granularity without opening any
+    * files — re-OPTIMIZing with different columns OR a different
+    * part size must rewrite; a repeat with the same pair may no-op.
+    * The token is the lowercased column names themselves ("."-joined;
+    * any char outside [a-z0-9_] hex-escaped, so the encoding is
+    * injective and "." never appears inside a name) plus the part
+    * size — not a 32-bit hash, which could collide two different
+    * layouts into a silent no-op. Pathologically long column lists
+    * fall back to a 128-bit content digest.
     */
-  private def layoutHash(layout: Vector[String]): String =
-    f"${layout.map(_.toLowerCase).mkString(",").hashCode}%08x"
+  private def layoutToken(layout: Vector[String], partBytes: Long): String = {
+    val cols = layout.map(_.toLowerCase.flatMap { c =>
+      if (c == '_' || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c.toString
+      else f"=${c.toInt}%04x"
+    }).mkString(".")
+    val tok = s"$cols-pb$partBytes"
+    if (tok.length <= 120) tok
+    else {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest((layout.map(_.toLowerCase).mkString(" ") + s" $partBytes")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.take(16).map(b => f"$b%02x").mkString + s"-pb$partBytes"
+    }
+  }
 
-  /** True iff this tier was written z-ordered UNDER `layout` (the
-    * `tier-zh<hash>` encoding from [[levelOf]]'s naming scheme). A
-    * bare `tier-z` without a readable hash (never minted, but cheap
-    * to tolerate) counts as some OTHER layout and rewrites.
+  /** True iff this tier was written z-ordered UNDER `layout` at
+    * `partBytes` (the `tier-z-<token>` encoding from [[levelOf]]'s
+    * naming scheme). A z tier carrying any other token — older naming
+    * schemes included — counts as stale and rewrites.
     */
-  private def isLayoutTierFor(path: String, layout: Vector[String]): Boolean = {
+  private def isLayoutTierFor(path: String, layout: Vector[String],
+                              partBytes: Long): Boolean = {
     val name = java.nio.file.Paths.get(path).getFileName.toString
-    name.startsWith(s"tier-zh${layoutHash(layout)}-")
+    name.startsWith(s"tier-z-${layoutToken(layout, partBytes)}-")
   }
 
   /** byte budget for level L >= 1 (reference getLevelSizeLimit,
@@ -608,11 +628,12 @@ final class Engine(
     *
     * No-op guard: fewer than two inputs AND nothing to re-lay-out —
     * a declared layout whose bottom tier was not written under the
-    * CURRENT layout (any non-z tier, or a z tier carrying a different
-    * layout hash) still rewrites (that is how a deferred OPTIMIZE
-    * converges after resume, and how re-OPTIMIZing with new columns
-    * takes effect), while repeated admin compacts of an
-    * already-laid-out single tier stay free.
+    * CURRENT (columns, part size) pair (any non-z tier, or a z tier
+    * carrying a different layout token) still rewrites (that is how
+    * a deferred OPTIMIZE converges after resume, and how
+    * re-OPTIMIZing with new columns OR a new granularity takes
+    * effect), while repeated admin compacts of an already-laid-out
+    * single tier stay free.
     */
   private def rewriteBottom(store: HotStore, dir: String, partBytes: Long): String = {
     val m = store.meta
@@ -636,10 +657,11 @@ final class Engine(
       // the one that most needs to run outside the store lock
       val (inputs, layout) = store.synchronized((store.coldDirs, store.layout))
       val needsLayout = layout.nonEmpty &&
-        inputs.exists(t => !isLayoutTierFor(t, layout))
+        inputs.exists(t => !isLayoutTierFor(t, layout, partBytes))
       if (inputs.isEmpty || (inputs.size < 2 && !needsLayout)) return "noop"
       val prefix =
-        if (layout.nonEmpty) s"tier-zh${layoutHash(layout)}-" else "tier-c"
+        if (layout.nonEmpty) s"tier-z-${layoutToken(layout, partBytes)}-"
+        else "tier-c"
       val target = coldRoot(dir, m.name)
         .resolve(f"$prefix${seqGen.get()}%012d-u${tierUniq.incrementAndGet()}%d").toString
       writeMerged(m, inputs, target, dropTombstones = true, layout, partBytes)

@@ -415,10 +415,26 @@ object AnnIndex {
     * sibling partition roots, and Spark's multi-root partition
     * inference rejects that shape (CONFLICTING_DIRECTORY_STRUCTURES)
     * — per-root reads infer `cid` correctly and cid filters still
-    * partition-prune into each branch's scan.
+    * partition-prune into each branch's scan. A committed-but-EMPTY
+    * root (a corpus with no arrival-slice rows writes `_SUCCESS` and
+    * nothing else) is skipped: reading it alone can infer no schema,
+    * and an empty batch must degrade to base-only, not poison every
+    * later access.
     */
-  def readMembers(s: SparkSession, paths: Seq[String]): DataFrame =
-    paths.map(s.read.parquet(_)).reduce(_.unionByName(_))
+  def readMembers(s: SparkSession, paths: Seq[String]): DataFrame = {
+    val withData = paths.filter { p =>
+      val dir = Paths.get(p)
+      Files.isDirectory(dir) && {
+        val ls = Files.list(dir)
+        try ls.anyMatch { f =>
+          val n = f.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        } finally ls.close()
+      }
+    }
+    require(withData.nonEmpty, s"no index data under any of: ${paths.mkString(", ")}")
+    withData.map(s.read.parquet(_)).reduce(_.unionByName(_))
+  }
 
   /** Fold an arriving (vec_id, v) batch into frozen IVF artifacts:
     * nearest-frozen-centroid assignment over the batch only, then a

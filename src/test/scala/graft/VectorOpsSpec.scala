@@ -190,6 +190,26 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(rows == Seq(("ivf", 1, 1), ("lsh", 1, 1)), rows.toString)
   }
 
+  test("readMembers tolerates a committed-but-empty arrivals root") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val base = Files.createTempDirectory("rm-base")
+    val arr = Files.createTempDirectory("rm-arr")
+    try {
+      Seq((1L, Seq(1.0), 0), (2L, Seq(2.0), 1)).toDF("vec_id", "v", "cid")
+        .write.mode("overwrite").parquet(base.toString)
+      // a zero-row upsert commits _SUCCESS and nothing else — the
+      // union must degrade to base-only, not fail schema inference
+      Files.createFile(arr.resolve("_SUCCESS"))
+      val df = graft.queries.AnnIndex.readMembers(
+        spark, Seq(base.toString, arr.toString))
+      assert(df.count() == 2)
+    } finally {
+      graft.engine.Persist.deleteRecursively(base)
+      graft.engine.Persist.deleteRecursively(arr)
+    }
+  }
+
   test("multi-probe mask generation covers exactly the Hamming ball") {
     import graft.queries.VectorOps.masksUpTo
     val m = masksUpTo(8, 2)

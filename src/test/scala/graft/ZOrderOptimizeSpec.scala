@@ -193,6 +193,12 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
       assert(e.storeOf("zt").layout == Vector("id", "x"))
       // and the new layout is itself stable under a repeat
       assert(e.optimizeZorder("zt", Seq("id", "x")) == "noop")
+      // SAME columns at a DIFFERENT part size must also rewrite —
+      // the tier token carries the granularity, not just the columns
+      assert(e.optimizeZorder("zt", Seq("id", "x"), targetPartBytes = 32L << 10)
+        == "rewritten")
+      assert(e.optimizeZorder("zt", Seq("id", "x"), targetPartBytes = 32L << 10)
+        == "noop")
       assert(e.snapshot("zt").count() == 3000)
     }
   }
