@@ -425,11 +425,11 @@ final class Engine(
   /** tier level from its directory name: flush outputs are L0
     * (`tier-<seq>`), leveled-merge outputs carry their level
     * (`tier-l<level>-<seq>`), and major-compaction outputs
-    * (`tier-c<seq>`, or `tier-zh<layout-hash>-<seq>` when written
-    * under a declared z-order layout — the hash names WHICH layout,
-    * see [[isLayoutTierFor]]) are bottom-level by construction — the
-    * encoding makes levels survive manifest save/load with no format
-    * change.
+    * (`tier-c<seq>`, or `tier-z-<token>-<seq>` when written under a
+    * declared z-order layout — the token names WHICH layout at WHICH
+    * granularity, see [[layoutToken]]) are bottom-level by
+    * construction — the encoding makes levels survive manifest
+    * save/load with no format change.
     */
   private[graft] def levelOf(path: String): Int = {
     val name = java.nio.file.Paths.get(path).getFileName.toString
@@ -469,16 +469,13 @@ final class Engine(
     }
   }
 
-  /** True iff this tier was written z-ordered UNDER `layout` at
-    * `partBytes` (the `tier-z-<token>` encoding from [[levelOf]]'s
-    * naming scheme). A z tier carrying any other token — older naming
-    * schemes included — counts as stale and rewrites.
+  /** The tier-name prefix a z-ordered rewrite under `layout` at
+    * `partBytes` mints, and the membership test [[rewriteBottom]]
+    * uses: a z tier carrying any other token — older naming schemes
+    * included — counts as stale and rewrites.
     */
-  private def isLayoutTierFor(path: String, layout: Vector[String],
-                              partBytes: Long): Boolean = {
-    val name = java.nio.file.Paths.get(path).getFileName.toString
-    name.startsWith(s"tier-z-${layoutToken(layout, partBytes)}-")
-  }
+  private def layoutTierPrefix(layout: Vector[String], partBytes: Long): String =
+    s"tier-z-${layoutToken(layout, partBytes)}-"
 
   /** byte budget for level L >= 1 (reference getLevelSizeLimit,
     * lsm_levels.hpp:116-124: base · mult^(L-1); L0 is count-triggered).
@@ -656,12 +653,14 @@ final class Engine(
       // mergeLevel: the full rewrite is the LONGEST merge, so it is
       // the one that most needs to run outside the store lock
       val (inputs, layout) = store.synchronized((store.coldDirs, store.layout))
-      val needsLayout = layout.nonEmpty &&
-        inputs.exists(t => !isLayoutTierFor(t, layout, partBytes))
+      // ONE token computation serves both the staleness scan and the
+      // minted output name, so the two can never drift apart
+      val zPrefix =
+        if (layout.nonEmpty) layoutTierPrefix(layout, partBytes) else ""
+      val needsLayout = layout.nonEmpty && inputs.exists(t =>
+        !java.nio.file.Paths.get(t).getFileName.toString.startsWith(zPrefix))
       if (inputs.isEmpty || (inputs.size < 2 && !needsLayout)) return "noop"
-      val prefix =
-        if (layout.nonEmpty) s"tier-z-${layoutToken(layout, partBytes)}-"
-        else "tier-c"
+      val prefix = if (layout.nonEmpty) zPrefix else "tier-c"
       val target = coldRoot(dir, m.name)
         .resolve(f"$prefix${seqGen.get()}%012d-u${tierUniq.incrementAndGet()}%d").toString
       writeMerged(m, inputs, target, dropTombstones = true, layout, partBytes)

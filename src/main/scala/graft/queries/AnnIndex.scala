@@ -424,13 +424,15 @@ object AnnIndex {
   def readMembers(s: SparkSession, paths: Seq[String]): DataFrame = {
     val withData = paths.filter { p =>
       val dir = Paths.get(p)
-      Files.isDirectory(dir) && {
-        val ls = Files.list(dir)
-        try ls.anyMatch { f =>
-          val n = f.getFileName.toString
-          !n.startsWith("_") && !n.startsWith(".")
-        } finally ls.close()
-      }
+      // a MISSING root stays loud (out-of-band artifact deletion must
+      // not silently serve partial search results) — only a present,
+      // committed, genuinely empty directory is skipped
+      require(Files.isDirectory(dir), s"missing index root: $p")
+      val ls = Files.list(dir)
+      try ls.anyMatch { f =>
+        val n = f.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      } finally ls.close()
     }
     require(withData.nonEmpty, s"no index data under any of: ${paths.mkString(", ")}")
     withData.map(s.read.parquet(_)).reduce(_.unionByName(_))
