@@ -154,6 +154,31 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
     assert(codes(4L) != codes(3L), "-Inf and +Inf must land on opposite edges")
   }
 
+  test("optimize survives NaN/Infinity rows in a DOUBLE layout column end-to-end") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql(
+        "CREATE TABLE nt (id BIGINT NOT NULL, x BIGINT, v DOUBLE)").ok)
+      val rows: Seq[Array[Any]] = (1 to 2000).map { i =>
+        val v: Any =
+          if (i % 501 == 0) Double.NaN
+          else if (i % 502 == 0) Double.PositiveInfinity
+          else if (i % 503 == 0) Double.NegativeInfinity
+          else (i * 40503 % 4096).toDouble
+        Array[Any](i.toLong, (i * 2654435761L) % 4096L, v)
+      }
+      e.batchPut("nt", rows)
+      e.forceFlush("nt")
+      val before = e.snapshot("nt").orderBy("id").collect().toSeq
+      // under ANSI, an unguarded CAST(NaN AS LONG) would abort this
+      // whole rewrite — the guard must land every row in a valid cell
+      assert(e.optimizeZorder("nt", Seq("x", "v")) == "rewritten")
+      assert(e.snapshot("nt").orderBy("id").collect().toSeq == before,
+        "OPTIMIZE over dirty numerics must not change the snapshot")
+      assert(e.optimizeZorder("nt", Seq("x", "v")) == "noop")
+    }
+  }
+
   test("optimize validates its layout columns loudly") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir))
