@@ -145,6 +145,17 @@ final class ApiServer(engine: Engine, port: Int = 0) {
     }
   }
 
+  /** Extract a top-level integer field from a (flat) JSON body — a
+    * bare number or a quoted digit string both parse; anything else
+    * yields None (callers that require the field when present check
+    * for the key themselves and reject loudly).
+    */
+  private[api] def jsonLongField(body: String, key: String): Option[Long] = {
+    val pat = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\"?(-?\\d+)\"?").r
+    pat.findFirstMatchIn(body).flatMap(m => m.group(1).toLongOption)
+  }
+
   // ---- routing -------------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {
@@ -275,13 +286,20 @@ final class ApiServer(engine: Engine, port: Int = 0) {
 
       // OPTIMIZE ZORDER — declare 2-4 layout columns and rewrite the
       // table's cold tiers Morton-clustered (engine extension; the
-      // reference's unwired columnar-layout ambition, lsm_levels.hpp:84-99)
+      // reference's unwired columnar-layout ambition, lsm_levels.hpp:84-99).
+      // Optional "part_bytes" sets the rewrite granularity (persisted
+      // with the layout, honored by deferred drains and later majors).
       case ("POST", "/api/admin/optimize") =>
         (jsonField(body, "table"), jsonField(body, "zorder")) match {
-          case (Some(table), Some(zorder)) =>
+          case (Some(table), Some(zorder))
+              if !(body.contains("\"part_bytes\"") &&
+                   jsonLongField(body, "part_bytes").isEmpty) =>
             val cols = zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq
             try {
-              val outcome = engine.optimizeZorder(table, cols)
+              val outcome = jsonLongField(body, "part_bytes") match {
+                case Some(pb) => engine.optimizeZorder(table, cols, pb)
+                case None     => engine.optimizeZorder(table, cols)
+              }
               (200, success(jobj(
                 "message" -> jstr(s"OPTIMIZE ${outcome}: '$table' zorder(${cols.mkString(",")})"),
                 "outcome" -> jstr(outcome))))
@@ -296,7 +314,8 @@ final class ApiServer(engine: Engine, port: Int = 0) {
                 (400, failure(e.getMessage, "INVALID_REQUEST"))
             }
           case _ =>
-            (400, failure("Body must carry 'table' and 'zorder' (comma-separated columns)",
+            (400, failure("Body must carry 'table' and 'zorder' (comma-separated " +
+              "columns); optional 'part_bytes' must be a positive integer",
               "INVALID_REQUEST"))
         }
 

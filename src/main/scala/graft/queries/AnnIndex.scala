@@ -2,6 +2,7 @@ package graft.queries
 
 import java.nio.file.{Files, Paths}
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -408,6 +409,27 @@ object AnnIndex {
       }
     }
     (readCents(s, centsPath), Seq(membersPath, arrivalsPath))
+  }
+
+  /** The grown member-path list for a STREAM-maintained index: the
+    * base members plus every arrivals directory under `root` whose
+    * write COMMITTED (`_SUCCESS` present — an in-flight or killed
+    * micro-batch is invisible until foreachBatch replays it into the
+    * same batchId-named directory; see Streams.annUpsertVecs).
+    * Sorted by batch id so the listing is deterministic.
+    */
+  def streamedMemberPaths(membersPath: String, root: String): Seq[String] = {
+    val p = Paths.get(root)
+    val arrivals =
+      if (!Files.isDirectory(p)) Seq.empty[String]
+      else {
+        val ls = Files.list(p)
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("arrivals-b"))
+          .map(_.toString).filter(ready).toSeq.sorted
+        finally ls.close()
+      }
+    membersPath +: arrivals
   }
 
   /** Read a member-path list as one dataset. Each root is read

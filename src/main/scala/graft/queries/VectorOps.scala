@@ -1012,6 +1012,26 @@ object VectorOps {
     val (cents, memberPaths) = AnnIndex.ivfIncremental(s, d)
     ivfPqTop5From(s, d, (cents, memberPaths))
   }
+
+  /** Mean top-5 recall gate (≥0.8 vs exact KNN over the corpus) for
+    * an ARBITRARY IVF artifact — package-private so StreamingSpec can
+    * audit the stream-grown index (Streams.annUpsertVecs +
+    * AnnIndex.streamedMemberPaths) with the identical recall
+    * definition the declared q_ann_upsert audit uses.
+    */
+  private[graft] def ivfRecallOk(s: SparkSession, d: String,
+                                 cents: Array[Array[Double]],
+                                 memberPaths: Seq[String]): Boolean = {
+    val exact = knnTop5(registered(s, d)).select(col("q_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+    val hits = exact.join(
+      ivfTop5From(s, d, (cents, memberPaths))
+        .select(col("q_id"), col("neighbor_id")),
+      Seq("q_id", "neighbor_id"), "left_semi").count()
+    exact.unpersist(blocking = false)
+    hits.toDouble / nExact >= 0.8
+  }
   private def ivfPqTop5From(s: SparkSession, d: String,
                             artifact: (Array[Array[Double]], Seq[String])): DataFrame = {
     val (probesDf, qVecsDf, pruned) = ivfProbeCtxFrom(s, d, artifact)

@@ -398,6 +398,39 @@ object Streams {
       }
   }
 
+  /** Streaming ANN index maintenance: fold a vector stream into
+    * FROZEN IVF artifacts — each micro-batch is assigned to the
+    * frozen centroids (broadcast codebook over the BATCH, never a
+    * corpus re-scan) and committed as its OWN batchId-named arrivals
+    * directory under `root`.
+    *
+    * Delivery contract: EXACTLY-ONCE BY CONSTRUCTION. foreachBatch
+    * replays a failed micro-batch with the SAME batch id, and the
+    * arrivals directory is named by that id, so a replay OVERWRITES
+    * its own directory instead of double-appending — the streaming
+    * analogue of AnnIndex.ivfIncremental's one-shot arrivals commit,
+    * with zero marker bookkeeping. Readers resolve the grown index
+    * via AnnIndex.streamedMemberPaths (base members + every arrivals
+    * directory whose `_SUCCESS` committed), so an in-flight batch is
+    * invisible until its write commits.
+    *
+    * Input `vecs`: (vec_id, v: array<double>); vec_ids must be new to
+    * the index (LWW belongs to the engine tier, not the index — the
+    * batch-path rule). Staleness of the frozen quantizer is the same
+    * audited contract as the batch upsert (recall gate, re-train past
+    * ~20% growth).
+    */
+  def annUpsertVecs(vecs: DataFrame, cents: Array[Array[Double]],
+                    root: String): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        graft.queries.AnnIndex.upsertIvf(
+          batch.sparkSession, batch.toDF(), cents, s"$root/arrivals-b$id")
+        ()
+      }
+      .start()
+
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Int)
 

@@ -177,6 +177,22 @@ class ApiServerSpec extends AnyFunSuite {
         // the declared layout is discoverable on the schema endpoint
         val (c7, b7) = get(p, "/api/tables/zapi")
         assert(c7 == 200 && b7.contains(""""zorderLayout":["x","y"]"""), b7)
+        // optional part_bytes: a new granularity for the SAME columns
+        // must rewrite (the token carries the part size), bare-number
+        // and quoted forms both parse, garbage is a 400 not a silent
+        // default, and non-positive values surface the engine error
+        val (c8, b8) = post(p, "/api/admin/optimize",
+          """{"table": "zapi", "zorder": "x,y", "part_bytes": 32768}""")
+        assert(c8 == 200 && b8.contains(""""outcome":"rewritten""""), b8)
+        val (c9, b9) = post(p, "/api/admin/optimize",
+          """{"table": "zapi", "zorder": "x,y", "part_bytes": "32768"}""")
+        assert(c9 == 200 && b9.contains(""""outcome":"noop""""), b9)
+        val (c10, b10) = post(p, "/api/admin/optimize",
+          """{"table": "zapi", "zorder": "x,y", "part_bytes": "lots"}""")
+        assert(c10 == 400 && b10.contains("part_bytes"), b10)
+        val (c11, b11) = post(p, "/api/admin/optimize",
+          """{"table": "zapi", "zorder": "x,y", "part_bytes": -1}""")
+        assert(c11 == 400 && b11.contains("positive"), b11)
       } finally srv.stop()
     } finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
   }

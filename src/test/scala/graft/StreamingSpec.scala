@@ -478,6 +478,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN upsert: micro-batches fold exactly-once into frozen IVF artifacts") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    import graft.queries.AnnIndex
+    import spark.implicits._
+    // frozen base: the incremental artifact's base build (vec_id % 17
+    // != 0) — the stream delivers the SAME arrival slice the batch
+    // upsert folds, so corpus-coverage invariants carry over exactly
+    val (cents, mp) = AnnIndex.ivfIncremental(spark, sfDir)
+    val baseMembers = mp.head
+    val root = java.nio.file.Files.createTempDirectory("ann-stream").toString
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val src = MemoryStream[(Long, Seq[Double])]
+      val q = Streams.annUpsertVecs(
+        src.toDF().toDF("vec_id", "v"), cents, root)
+      val arrivals = AnnIndex.base(spark, sfDir)
+        .filter(col("vec_id") % AnnIndex.IncMod === 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+      try {
+        chunks.foreach { c => src.addData(c.toSeq: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // one committed arrivals directory per micro-batch; the grown
+      // index covers the corpus exactly once
+      val paths = AnnIndex.streamedMemberPaths(baseMembers, root)
+      assert(paths.size == 1 + chunks.size, paths.toString)
+      val n = AnnIndex.corpusSize(spark, sfDir)
+      val grown = AnnIndex.readMembers(spark, paths)
+      assert(grown.count() == n, "stream-grown members must cover the corpus once")
+      assert(grown.select("vec_id").distinct().count() == n)
+      // replay discipline: re-running a batch overwrites its OWN
+      // directory (foreachBatch retries reuse the batch id) — never a
+      // second copy
+      AnnIndex.upsertIvf(spark, chunks.head.toSeq.toDF("vec_id", "v"),
+        cents, s"$root/arrivals-b0")
+      assert(AnnIndex.readMembers(spark,
+        AnnIndex.streamedMemberPaths(baseMembers, root)).count() == n,
+        "a replayed micro-batch must not double-index")
+      // the stream-grown index is searchable at the audited recall,
+      // by the same definition as the declared q_ann_upsert gate
+      assert(graft.queries.VectorOps.ivfRecallOk(spark, sfDir, cents, paths),
+        "stream-grown IVF recall fell below the 0.8 audit")
+    } finally {
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("cadence gate: direction+margin on rate, trigger-bounded state, parity") {
     def gate(nd: Double, aj: Double, p1b: Long = 100, p1: Long = 50,
              ajB: Long = 100, ajP: Long = 50, trig: Long = 5000,
