@@ -147,13 +147,16 @@ final class ApiServer(engine: Engine, port: Int = 0) {
 
   /** Extract a top-level integer field from a (flat) JSON body — a
     * bare number or a quoted digit string both parse; anything else
-    * yields None (callers that require the field when present check
-    * for the key themselves and reject loudly).
+    * (incl. numeric-PREFIX garbage like `1e6`, `32768.5`, `"32kb"` —
+    * the lookahead requires the value to END at the digits) yields
+    * None, and callers that saw the key present reject loudly rather
+    * than run with a silently truncated number.
     */
   private[api] def jsonLongField(body: String, key: String): Option[Long] = {
     val pat = ("\"" + java.util.regex.Pattern.quote(key) +
-      "\"\\s*:\\s*\"?(-?\\d+)\"?").r
-    pat.findFirstMatchIn(body).flatMap(m => m.group(1).toLongOption)
+      "\"\\s*:\\s*(?:(-?\\d+)(?=\\s*[,}])|\"(-?\\d+)\"(?=\\s*[,}]))").r
+    pat.findFirstMatchIn(body).flatMap(m =>
+      Option(m.group(1)).orElse(Option(m.group(2))).flatMap(_.toLongOption))
   }
 
   // ---- routing -------------------------------------------------------------
@@ -290,13 +293,15 @@ final class ApiServer(engine: Engine, port: Int = 0) {
       // Optional "part_bytes" sets the rewrite granularity (persisted
       // with the layout, honored by deferred drains and later majors).
       case ("POST", "/api/admin/optimize") =>
+        // ONE parse of part_bytes; present-but-malformed is a loud 400
+        val partBytes = jsonLongField(body, "part_bytes")
+        val partBytesMalformed =
+          body.contains("\"part_bytes\"") && partBytes.isEmpty
         (jsonField(body, "table"), jsonField(body, "zorder")) match {
-          case (Some(table), Some(zorder))
-              if !(body.contains("\"part_bytes\"") &&
-                   jsonLongField(body, "part_bytes").isEmpty) =>
+          case (Some(table), Some(zorder)) if !partBytesMalformed =>
             val cols = zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq
             try {
-              val outcome = jsonLongField(body, "part_bytes") match {
+              val outcome = partBytes match {
                 case Some(pb) => engine.optimizeZorder(table, cols, pb)
                 case None     => engine.optimizeZorder(table, cols)
               }

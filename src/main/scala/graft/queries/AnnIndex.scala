@@ -130,6 +130,12 @@ object AnnIndex {
     } finally entries.close()
   }
 
+  /** A committed parquet write (`_SUCCESS` present) — the reuse gate
+    * for every cached artifact, and the replay-skip test for the
+    * streaming upsert (Streams.annUpsertVecs).
+    */
+  def committed(path: String): Boolean = ready(path)
+
   private def ready(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
 
@@ -426,7 +432,10 @@ object AnnIndex {
         val ls = Files.list(p)
         try ls.iterator().asScala
           .filter(_.getFileName.toString.startsWith("arrivals-b"))
-          .map(_.toString).filter(ready).toSeq.sorted
+          .map(_.toString).filter(ready).toSeq
+          // numeric batch-id order (lexicographic puts b10 before b2)
+          .sortBy(f => java.nio.file.Paths.get(f).getFileName.toString
+            .stripPrefix("arrivals-b").toLongOption.getOrElse(Long.MaxValue))
         finally ls.close()
       }
     membersPath +: arrivals

@@ -465,9 +465,7 @@ object VectorOps {
       val nExact = exact.count()
       val rows = Seq("ivf" -> ivfTop5(s, d), "lsh" -> lshTop5(s, d)).map {
         case (name, approx) =>
-          val hits = exact.join(approx.select(col("q_id"), col("neighbor_id")),
-            Seq("q_id", "neighbor_id"), "left_semi").count()
-          (name, if (hits.toDouble / nExact >= 0.8) 1 else 0)
+          (name, if (recallAtLeast08(exact, nExact, approx)) 1 else 0)
       }
       exact.unpersist(blocking = false) // both joins consumed above
       rows.toDF("method", "recall_ok")
@@ -512,11 +510,8 @@ object VectorOps {
       val exact = knnTop5(registered(s, d)).select(col("q_id"), col("neighbor_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nExact = exact.count()
-      def recallOk(approx: DataFrame): Boolean = {
-        val hits = exact.join(approx.select(col("q_id"), col("neighbor_id")),
-          Seq("q_id", "neighbor_id"), "left_semi").count()
-        hits.toDouble / nExact >= 0.8
-      }
+      def recallOk(approx: DataFrame): Boolean =
+        recallAtLeast08(exact, nExact, approx)
       val rows = Seq(
         ("ivf", ivfBatchIndexed, recallOk(ivfTop5From(s, d, (cents, memberPaths)))),
         ("lsh", lshBatchIndexed, recallOk(lshTop5From(s, d, lshIdx))))
@@ -1013,11 +1008,22 @@ object VectorOps {
     ivfPqTop5From(s, d, (cents, memberPaths))
   }
 
-  /** Mean top-5 recall gate (≥0.8 vs exact KNN over the corpus) for
-    * an ARBITRARY IVF artifact — package-private so StreamingSpec can
-    * audit the stream-grown index (Streams.annUpsertVecs +
-    * AnnIndex.streamedMemberPaths) with the identical recall
-    * definition the declared q_ann_upsert audit uses.
+  /** THE recall definition (mean top-5 recall ≥0.8 as a left-semi hit
+    * ratio against a persisted exact-KNN frame) — the ONE place it
+    * lives, shared by q_ann_recall_audit, q_ann_upsert, and the
+    * streaming-index gate, so the three 0.8 audits cannot drift apart.
+    */
+  private def recallAtLeast08(exact: DataFrame, nExact: Long,
+                              approx: DataFrame): Boolean = {
+    val hits = exact.join(approx.select(col("q_id"), col("neighbor_id")),
+      Seq("q_id", "neighbor_id"), "left_semi").count()
+    hits.toDouble / nExact >= 0.8
+  }
+
+  /** Recall gate for an ARBITRARY IVF artifact — package-private so
+    * StreamingSpec can audit the stream-grown index
+    * (Streams.annUpsertVecs + AnnIndex.streamedMemberPaths) with the
+    * identical definition the declared audits use.
     */
   private[graft] def ivfRecallOk(s: SparkSession, d: String,
                                  cents: Array[Array[Double]],
@@ -1025,12 +1031,9 @@ object VectorOps {
     val exact = knnTop5(registered(s, d)).select(col("q_id"), col("neighbor_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
-    val hits = exact.join(
-      ivfTop5From(s, d, (cents, memberPaths))
-        .select(col("q_id"), col("neighbor_id")),
-      Seq("q_id", "neighbor_id"), "left_semi").count()
+    val ok = recallAtLeast08(exact, nExact, ivfTop5From(s, d, (cents, memberPaths)))
     exact.unpersist(blocking = false)
-    hits.toDouble / nExact >= 0.8
+    ok
   }
   private def ivfPqTop5From(s: SparkSession, d: String,
                             artifact: (Array[Array[Double]], Seq[String])): DataFrame = {

@@ -404,15 +404,21 @@ object Streams {
     * corpus re-scan) and committed as its OWN batchId-named arrivals
     * directory under `root`.
     *
-    * Delivery contract: EXACTLY-ONCE BY CONSTRUCTION. foreachBatch
-    * replays a failed micro-batch with the SAME batch id, and the
-    * arrivals directory is named by that id, so a replay OVERWRITES
-    * its own directory instead of double-appending — the streaming
-    * analogue of AnnIndex.ivfIncremental's one-shot arrivals commit,
-    * with zero marker bookkeeping. Readers resolve the grown index
-    * via AnnIndex.streamedMemberPaths (base members + every arrivals
-    * directory whose `_SUCCESS` committed), so an in-flight batch is
-    * invisible until its write commits.
+    * Delivery contract: EXACTLY-ONCE BY CONSTRUCTION — under a
+    * DURABLE checkpoint, which is why `checkpoint` is a required
+    * parameter and not a Spark default: only a persisted offset log
+    * makes a restarted query resume at the SAME batch id (a temp
+    * checkpoint restarts ids at 0 and would overwrite earlier
+    * batches' directories with different data). A replayed id whose
+    * directory already COMMITTED is skipped outright — the batch
+    * data is identical by the replay contract, and never deleting a
+    * committed directory means a reader that captured the path list
+    * moments earlier can never race a replay into a missing or
+    * half-rewritten root. A replayed id whose write never committed
+    * (no `_SUCCESS`) overwrites the partial directory — readers
+    * never saw it. Readers resolve the grown index via
+    * AnnIndex.streamedMemberPaths (base members + every arrivals
+    * directory whose `_SUCCESS` committed).
     *
     * Input `vecs`: (vec_id, v: array<double>); vec_ids must be new to
     * the index (LWW belongs to the engine tier, not the index — the
@@ -421,12 +427,15 @@ object Streams {
     * ~20% growth).
     */
   def annUpsertVecs(vecs: DataFrame, cents: Array[Array[Double]],
-                    root: String): StreamingQuery =
+                    root: String, checkpoint: String): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        graft.queries.AnnIndex.upsertIvf(
-          batch.sparkSession, batch.toDF(), cents, s"$root/arrivals-b$id")
+        val dir = s"$root/arrivals-b$id"
+        if (!graft.queries.AnnIndex.committed(dir))
+          graft.queries.AnnIndex.upsertIvf(
+            batch.sparkSession, batch.toDF(), cents, dir)
         ()
       }
       .start()

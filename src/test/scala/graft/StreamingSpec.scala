@@ -489,18 +489,21 @@ class StreamingSpec extends AnyFunSuite {
     val (cents, mp) = AnnIndex.ivfIncremental(spark, sfDir)
     val baseMembers = mp.head
     val root = java.nio.file.Files.createTempDirectory("ann-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann-stream-ckpt").toString
     try {
       implicit val sqlCtx = spark.sqlContext
       val src = MemoryStream[(Long, Seq[Double])]
       val q = Streams.annUpsertVecs(
-        src.toDF().toDF("vec_id", "v"), cents, root)
-      val arrivals = AnnIndex.base(spark, sfDir)
-        .filter(col("vec_id") % AnnIndex.IncMod === 0)
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
-      try {
-        chunks.foreach { c => src.addData(c.toSeq: _*); q.processAllAvailable() }
-      } finally q.stop()
+        src.toDF().toDF("vec_id", "v"), cents, root, ckpt)
+      val chunks =
+        try {
+          val arrivals = AnnIndex.base(spark, sfDir)
+            .filter(col("vec_id") % AnnIndex.IncMod === 0)
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+          val cs = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+          cs.foreach { c => src.addData(c.toSeq: _*); q.processAllAvailable() }
+          cs
+        } finally q.stop()
       // one committed arrivals directory per micro-batch; the grown
       // index covers the corpus exactly once
       val paths = AnnIndex.streamedMemberPaths(baseMembers, root)
@@ -509,9 +512,12 @@ class StreamingSpec extends AnyFunSuite {
       val grown = AnnIndex.readMembers(spark, paths)
       assert(grown.count() == n, "stream-grown members must cover the corpus once")
       assert(grown.select("vec_id").distinct().count() == n)
-      // replay discipline: re-running a batch overwrites its OWN
-      // directory (foreachBatch retries reuse the batch id) — never a
-      // second copy
+      // replay discipline: the sink SKIPS a committed batch directory
+      // (never deletes what a reader may hold); even the uncommitted-
+      // replay path — a forced rewrite of the same batch — converges
+      // to the same content, never a second copy
+      assert(AnnIndex.committed(s"$root/arrivals-b0"),
+        "sink must have committed batch 0 (the replay guard's test)")
       AnnIndex.upsertIvf(spark, chunks.head.toSeq.toDF("vec_id", "v"),
         cents, s"$root/arrivals-b0")
       assert(AnnIndex.readMembers(spark,
@@ -523,6 +529,7 @@ class StreamingSpec extends AnyFunSuite {
         "stream-grown IVF recall fell below the 0.8 audit")
     } finally {
       graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(root))
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(ckpt))
     }
   }
 
