@@ -463,7 +463,7 @@ final class Engine(
     if (tok.length <= 120) tok
     else {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest((layout.map(_.toLowerCase).mkString(" ") + s" $partBytes")
+        .digest((layout.map(_.toLowerCase).mkString("\u0000") + s"\u0000$partBytes")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       digest.take(16).map(b => f"$b%02x").mkString + s"-pb$partBytes"
     }
