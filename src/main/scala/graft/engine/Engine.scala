@@ -1327,7 +1327,10 @@ final class Engine(
     */
   private def execOptimize(o: Stmt.Optimize): ResultSet =
     try {
-      val outcome = optimizeZorder(o.table, o.zorderCols)
+      val outcome = o.partBytes match {
+        case Some(pb) => optimizeZorder(o.table, o.zorderCols, pb)
+        case None     => optimizeZorder(o.table, o.zorderCols)
+      }
       ResultSet(ok = true, Vector("Result"),
         Vector(Vector(s"OPTIMIZE $outcome: '${o.table}' " +
           s"zorder(${o.zorderCols.mkString(",")})")))

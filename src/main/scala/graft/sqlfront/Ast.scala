@@ -42,8 +42,11 @@ object Stmt {
   case object ShowTables extends Stmt
   final case class Explain(select: Select) extends Stmt
   final case class Describe(table: String) extends Stmt
-  /** OPTIMIZE <table> ZORDER BY (c1, c2[, ...]) — the cold-tier
-    * layout rewrite (engine extension; Engine.optimizeZorder).
+  /** OPTIMIZE <table> ZORDER BY (c1, c2[, ...]) [PARTSIZE <bytes>] —
+    * the cold-tier layout rewrite (engine extension;
+    * Engine.optimizeZorder). PARTSIZE sets the rewrite granularity
+    * (persisted with the layout); omitted = the engine default.
     */
-  final case class Optimize(table: String, zorderCols: Vector[String]) extends Stmt
+  final case class Optimize(table: String, zorderCols: Vector[String],
+                            partBytes: Option[Long] = None) extends Stmt
 }

@@ -167,14 +167,23 @@ object Parser {
 
     private def drop(): Stmt = { next(); expectKw("TABLE"); Stmt.DropTable(ident()) }
 
-    /** OPTIMIZE <table> ZORDER BY (c1, c2[, ...]) */
+    /** OPTIMIZE <table> ZORDER BY (c1, c2[, ...]) [PARTSIZE <bytes>] */
     private def optimize(): Stmt = {
       next(); val table = ident()
       expectKw("ZORDER"); expectKw("BY"); expectPunct("(")
       val cols = ArrayBuffer(ident())
       while (isPunct(",")) { next(); cols += ident() }
       expectPunct(")")
-      Stmt.Optimize(table, cols.toVector)
+      val partBytes =
+        if (isKw("PARTSIZE")) {
+          next()
+          peek match {
+            case Num(s) if s.forall(_.isDigit) && s.toLongOption.isDefined =>
+              next(); Some(s.toLong)
+            case t => fail(s"expected PARTSIZE byte count, got $t")
+          }
+        } else None
+      Stmt.Optimize(table, cols.toVector, partBytes)
     }
 
     private def insert(): Stmt = {

@@ -116,6 +116,17 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
       assert(e.storeOf("zt").layout == Vector("x", "y"))
       assert(e.storeOf("zt").coldDirs.forall(t =>
         java.nio.file.Paths.get(t).getFileName.toString.startsWith("tier-z")))
+      // PARTSIZE reaches the engine: same columns at a new
+      // granularity rewrites, exact repeat no-ops, and bad sizes
+      // surface as SQL errors
+      val rs2 = e.sql("OPTIMIZE zt ZORDER BY (x, y) PARTSIZE 32768")
+      assert(rs2.ok && rs2.rows.head.head.contains("rewritten"), rs2.toString)
+      val rs3 = e.sql("OPTIMIZE zt ZORDER BY (x, y) PARTSIZE 32768")
+      assert(rs3.ok && rs3.rows.head.head.contains("noop"), rs3.toString)
+      val badSize = e.sql("OPTIMIZE zt ZORDER BY (x, y) PARTSIZE 0")
+      assert(!badSize.ok && badSize.error.contains("positive"), badSize.toString)
+      val badTok = e.sql("OPTIMIZE zt ZORDER BY (x, y) PARTSIZE lots")
+      assert(!badTok.ok, badTok.toString)
       // validation errors surface as SQL errors, not exceptions
       val bad = e.sql("OPTIMIZE zt ZORDER BY (x)")
       assert(!bad.ok && bad.error.contains("2 to 4"), bad.toString)
