@@ -127,6 +127,12 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
       assert(!badSize.ok && badSize.error.contains("positive"), badSize.toString)
       val badTok = e.sql("OPTIMIZE zt ZORDER BY (x, y) PARTSIZE lots")
       assert(!badTok.ok, badTok.toString)
+      // keyword is case-insensitive like the rest of the dialect, and
+      // trailing tokens after the clause stay loud parse errors
+      val lower = e.sql("optimize zt zorder by (x, y) partsize 32768")
+      assert(lower.ok && lower.rows.head.head.contains("noop"), lower.toString)
+      val trail = e.sql("OPTIMIZE zt ZORDER BY (x, y) PARTSIZE 32768 extra")
+      assert(!trail.ok && trail.error.contains("trailing"), trail.toString)
       // validation errors surface as SQL errors, not exceptions
       val bad = e.sql("OPTIMIZE zt ZORDER BY (x)")
       assert(!bad.ok && bad.error.contains("2 to 4"), bad.toString)
