@@ -144,6 +144,15 @@ final class Engine(
       * plays the same role for its mixed workload).
       */
     var cachedSnap: Option[(Long, DataFrame)] = None
+    /** snapshot-cache entries retired by a version-bump replace,
+      * still persisted: an immediate unpersist-on-replace can race a
+      * concurrent reader mid-action on that exact plan — under memory
+      * pressure the reader's task loses its cached block irrecoverably
+      * (`Block rdd_N_P does not exist`). Entries drain (unpersist)
+      * only when no scan lease is live, or oldest-first past a depth
+      * cap (drainRetiredSnaps).
+      */
+    var retiredSnaps: Vector[DataFrame] = Vector.empty
     /** statement-result cache for dialect SELECTs, keyed (statement
       * AST, content version): the version in the key makes every
       * write an implicit invalidation — a repeated analytical
@@ -1014,8 +1023,13 @@ final class Engine(
     * both compaction swaps bump on tier-set change), so a version
     * match guarantees the cached plan's hot rows and cold file
     * listing are both current — freshness is exactly the snapshot()
-    * contract. Invalidated entries are unpersisted when replaced, not
-    * eagerly on write (writes must not pay cache bookkeeping).
+    * contract. Invalidated entries are RETIRED when replaced, not
+    * unpersisted in place — a reader may be mid-action on the old
+    * plan (the leased aggregate path, or a sparkSql consumer) and
+    * losing its cached block mid-fetch is an irrecoverable task
+    * failure under load. Retired entries drain when no scan lease is
+    * live (drainRetiredSnaps); writes still pay zero cache
+    * bookkeeping.
     */
   def snapshotCached(table: String): DataFrame = {
     val store = storeOf(table)
@@ -1036,12 +1050,74 @@ final class Engine(
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     store.synchronized {
       if (store.version.get() == v0) {
-        store.cachedSnap.foreach(_._2.unpersist(false))
+        store.cachedSnap.foreach { case (_, old) =>
+          store.retiredSnaps = store.retiredSnaps :+ old
+        }
         store.cachedSnap = Some((v0, cached))
       } else cached.unpersist(false)
     }
+    drainRetiredSnaps(store)
     cached
   }
+
+  /** How many retired snapshot-cache entries may stay persisted while
+    * scan leases are live before the oldest are force-released: bounds
+    * cache memory under a reader that never quiesces (block-manager
+    * eviction makes a pinned-but-cold entry cheap, but unbounded
+    * lineage retention is not). Small because entries only accumulate
+    * while writes keep landing DURING long reads.
+    */
+  private val maxRetiredSnaps = 8
+
+  /** Reader-safe release of retired snapshot-cache entries: unpersist
+    * all of them once no scan lease is live (the aggregate, SELECT
+    * scan, DML-match, and scanIterator paths all hold one across their
+    * actions), else only the overflow past maxRetiredSnaps —
+    * oldest-first, the same cushion discipline as retired tier GC.
+    * A force-released entry a reader still holds recomputes from
+    * lineage on the next access; the one truly racy window (block
+    * removed between locate and fetch) is absorbed by the single
+    * block-loss retry on the engine's own action sites.
+    */
+  private def drainRetiredSnaps(store: HotStore): Unit = {
+    val release = store.synchronized {
+      if (store.retiredSnaps.isEmpty) Vector.empty[DataFrame]
+      else if (store.activeScans.get() == 0) {
+        val r = store.retiredSnaps; store.retiredSnaps = Vector.empty; r
+      } else if (store.retiredSnaps.size > maxRetiredSnaps) {
+        val over = store.retiredSnaps.size - maxRetiredSnaps
+        val r = store.retiredSnaps.take(over)
+        store.retiredSnaps = store.retiredSnaps.drop(over)
+        r
+      } else Vector.empty[DataFrame]
+    }
+    release.foreach(_.unpersist(false))
+  }
+
+  /** True when the failure chain is a lost cached block — the
+    * signature of an unpersist racing an in-flight fetch. The retry
+    * recomputes the partition from lineage (the block is gone by
+    * then, so the second run cannot hit the same window).
+    */
+  private def isBlockLoss(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      val m = c.getMessage
+      if (m != null && m.contains("Block rdd_") &&
+          (m.contains("does not exist") || m.contains("not found")))
+        return true
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Run an action-bearing body once, retrying exactly once on a lost
+    * cached block (see isBlockLoss).
+    */
+  private def retryOnBlockLoss[T](body: => T): T =
+    try body catch { case t: Throwable if isBlockLoss(t) => body }
 
   /** Full Spark SQL over the live snapshots: every table registered
     * as a temp view, then delegated to Catalyst — joins, GROUP BY,
@@ -1140,6 +1216,7 @@ final class Engine(
   private def releaseScanLease(store: HotStore): Unit = {
     store.activeScans.decrementAndGet()
     trimRetired(store)
+    drainRetiredSnaps(store)
   }
 
   /** Wrap a bounded-pull iterator for a lease the CALLER has already
@@ -1374,6 +1451,10 @@ final class Engine(
     store.foreach(st => st.synchronized {
       st.cachedSnap.foreach(_._2.unpersist(false))
       st.cachedSnap = None
+      // reading a table concurrently with its DROP is out-of-contract;
+      // retired entries need no reader-safe deferral here
+      st.retiredSnaps.foreach(_.unpersist(false))
+      st.retiredSnaps = Vector.empty
     })
     // a temp view registered by OUR sparkSql would otherwise keep
     // serving the dropped table's last snapshot; views we did not
@@ -1794,7 +1875,10 @@ final class Engine(
     // here must outlive concurrent compaction churn (the chaos gate
     // drives flush+compact while COUNT(*) runs)
     acquireScanLease(store)
-    try execAggregateLeased(store, a, where)
+    // the body's collect runs against the (possibly cached) snapshot;
+    // a force-released retired entry can still lose a block mid-fetch
+    // in a narrow window — one retry recomputes from lineage
+    try retryOnBlockLoss(execAggregateLeased(store, a, where))
     finally releaseScanLease(store)
   }
 

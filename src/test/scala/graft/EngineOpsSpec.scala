@@ -714,6 +714,51 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- snapshot-cache reader-safe release ----------------------------------
+
+  test("snapshotCached invalidation under a reader loop never loses a block") {
+    val e = new Engine(spark)
+    assert(e.sql("CREATE TABLE sc (id BIGINT NOT NULL, v BIGINT)").ok)
+    e.batchPut("sc", (1L to 5000L).map(i => Array[Any](i, i)))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // readers hammer the leased aggregate path (snapshotCached + a
+    // collect on the cached plan); the writer bumps the content
+    // version between their plan capture and action, so every few
+    // reads the cache entry they hold is retired mid-flight — the
+    // exact window the old unpersist-on-replace raced
+    val readers = (0 until 4).map { _ =>
+      new Thread(() => {
+        try {
+          var i = 0
+          while (!failed.get() && i < 100) {
+            val r = e.sql("SELECT SUM(v) FROM sc WHERE id <= 5000")
+            assert(r.ok && r.rows.head.head == "12502500", r.error)
+            i += 1
+          }
+        } catch { case th: Throwable => errors.add(th); failed.set(true) }
+      })
+    }
+    val writer = new Thread(() => {
+      try {
+        var i = 0
+        while (!failed.get() && i < 400) {
+          assert(e.sql(s"INSERT INTO sc VALUES (${10000L + i}, 1)").ok)
+          i += 1
+        }
+      } catch { case th: Throwable => errors.add(th); failed.set(true) }
+    })
+    (readers :+ writer).foreach(_.start())
+    (readers :+ writer).foreach(_.join())
+    assert(errors.isEmpty, s"concurrent read/write failed: ${Option(errors.peek()).map(_.toString)}")
+    // quiesced: the next leased read's release drains every retired
+    // entry — nothing stays persisted once no scan lease is live
+    assert(e.sql("SELECT COUNT(*) FROM sc WHERE id >= 1").ok)
+    assert(e.storeOf("sc").retiredSnaps.isEmpty,
+      "retired snapshot entries must drain once no scan lease is live")
+    assert(e.sql("DROP TABLE sc").ok)
+  }
+
   // ---- concurrency: mixed workload (mt_benchmark_htap shape) ---------------
 
   test("8-thread concurrent mixed workload keeps the store consistent") {
