@@ -51,6 +51,24 @@ object VectorOps {
     */
   private[graft] val kmeansTrainIters = 3
 
+  /** Hard cap on the sampled codebook size for the `_capped`/`_k`
+    * cluster-family members: k = min(⌈√n⌉, this) — the fixed-k answer
+    * to the vec_id % 53 convention's k ∝ n growth (see the GROWTH
+    * CAVEAT on [[assigned]]). With the cap binding, assignment work is
+    * n·k (linear in the corpus) and the driver-held kernel literal is
+    * corpus-INDEPENDENT: ≤ 32 × 64 doubles forever, at any n.
+    * Declared BEFORE the `all` map (the kmeansTrainIters rule): the
+    * oracle SQL strings interpolate it at object initialization.
+    */
+  private[graft] val cappedCodebookMaxK = 32
+
+  /** Sorted-neighborhood comparison window for [[semanticDedupCapped]]:
+    * each vector compares only against this many predecessors in its
+    * cluster's (cos-to-centroid DESC, vec_id) order. Declared before
+    * `all` (interpolated into oracle SQL at object init).
+    */
+  private[graft] val cappedDedupWindow = 8
+
   /** All XOR masks of Hamming weight ≤ radius over `bits` bits. */
   private[graft] def masksUpTo(bits: Int, radius: Int): Seq[Int] = {
     def combos(start: Int, left: Int): Seq[Int] =
@@ -590,6 +608,48 @@ object VectorOps {
       semanticDedup(s, d, minCosine = 0.35)
     },
 
+    // ---- fixed-k SemDeDup (r16 directive 2) --------------------------------
+    // q_dedup_semantic with the k ∝ n growth removed: the codebook is
+    // a capped deterministic sample (k = min(⌈√n⌉, 32) by md5 order —
+    // a top-k, never a global window) and the within-cluster prune is
+    // sorted-neighborhood (rank by cos-to-centroid, compare to W=8
+    // predecessors via an equi-join on (cid, rank−j)) instead of
+    // all-pairs — n·k + n·W total work, linear at fixed k, with a
+    // corpus-independent driver literal. See semanticDedupCapped.
+    "q_dedup_semantic_capped" -> Q(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         live AS (SELECT vec_id, v FROM e
+                  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+         kk AS (SELECT least(CAST(ceil(sqrt(count(*))) AS BIGINT),
+                  $cappedCodebookMaxK) AS k FROM live),
+         cb AS (SELECT vec_id AS cid, v AS cv FROM live
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT (SELECT k FROM kk)),
+         scored AS (SELECT live.vec_id, cb.cid,
+                      list_cosine_similarity(live.v, cb.cv) AS cos
+                    FROM live CROSS JOIN cb),
+         asg AS (SELECT vec_id, cid, cos FROM
+                   (SELECT vec_id, cid, cos,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, cid) AS rk
+                    FROM scored) WHERE rk = 1),
+         r AS (SELECT vec_id, cid, cos,
+                 row_number() OVER (PARTITION BY cid
+                     ORDER BY cos DESC, vec_id) AS rk
+               FROM asg),
+         dropped AS (SELECT DISTINCT b.vec_id AS did
+                     FROM r a JOIN r b ON a.cid = b.cid
+                          AND b.rk - a.rk BETWEEN 1 AND $cappedDedupWindow
+                     JOIN live x ON x.vec_id = a.vec_id
+                     JOIN live y ON y.vec_id = b.vec_id
+                     WHERE list_cosine_similarity(x.v, y.v) >= 0.35)
+         SELECT r.vec_id, r.cid,
+                CAST(CASE WHEN dropped.did IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+         FROM r LEFT JOIN dropped ON r.vec_id = dropped.did
+         ORDER BY r.vec_id""") { (s, d) =>
+      semanticDedupCapped(s, d, minCosine = 0.35)
+    },
+
     // ---- one Lloyd update: distributed k-means centroid re-estimation ------
     // The TRAINING half of the cluster family (q_dedup_semantic is
     // the apply half): assign every vector to its nearest codebook
@@ -665,6 +725,23 @@ object VectorOps {
     "q_kmeans_train" -> Q(kmeansTrainSql(kmeansTrainIters)) { (s, d) =>
       import s.implicits._
       kmeansTrainLoop(s, d)
+        .toDF("iter", "n_assigned", "n_clusters", "inertia_u",
+          "centroid_sum", "centroid_chk")
+        .select(col("iter").cast("int"), col("n_assigned"), col("n_clusters"),
+          col("inertia_u"), col("centroid_sum"), col("centroid_chk"))
+        .orderBy(col("iter"))
+    },
+
+    // ---- fixed-k Lloyd trainer (r16 directive 2) ---------------------------
+    // q_kmeans_train seeded from the capped sampled codebook instead
+    // of the vec_id % 53 slice: identical loop, identical trajectory
+    // oracle — but k = min(⌈√n⌉, 32), so per-iteration assignment is
+    // n·k (LINEAR in the corpus at the cap) and the driver-held
+    // codebook literal never outgrows 32×64 doubles. This is the
+    // billion-vector shape the % 53 scaladoc promised.
+    "q_kmeans_train_k" -> Q(kmeansTrainSql(kmeansTrainIters, capped = true)) { (s, d) =>
+      import s.implicits._
+      kmeansTrainLoop(s, d, capped = true)
         .toDF("iter", "n_assigned", "n_clusters", "inertia_u",
           "centroid_sum", "centroid_chk")
         .select(col("iter").cast("int"), col("n_assigned"), col("n_clusters"),
@@ -1128,6 +1205,29 @@ object VectorOps {
       call_function("cosine_argmax", col("v"), typedlit(codebook)))
   }
 
+  /** Deterministic capped SAMPLED codebook over a live (vec_id, v,
+    * ...) set: rank every vector by md5(vec_id) — a uniform
+    * hash-order sample — and take the first k = min(⌈√n⌉,
+    * cappedCodebookMaxK), cid-ascending for the kernel's lowest-cid
+    * tie rule. The global "sort" is a top-k (TakeOrderedAndProject —
+    * per-partition heaps + a k-row driver merge, never a
+    * single-partition window), and both the ordering (lowercase-hex
+    * md5 of the decimal id string) and the selection reproduce
+    * bit-identically in DuckDB, so every consumer stays a full
+    * hash-match oracle. One extra scalar job for n.
+    */
+  private[graft] def cappedCodebook(live: DataFrame): Seq[(Long, Seq[Double])] = {
+    val n = live.count()
+    require(n > 0, "an empty live set cannot seed a codebook")
+    val k = math.min(math.ceil(math.sqrt(n.toDouble)).toLong,
+      cappedCodebookMaxK.toLong).toInt
+    live.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("v")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+  }
+
+
   /** The n-iteration Lloyd loop behind q_kmeans_train. Per iteration:
     * ONE corpus scan (fused cosine_argmax assignment + a broadcast
     * cid→centroid join for the assigned cosine) feeding two
@@ -1138,7 +1238,8 @@ object VectorOps {
     * Seed codebook: the quantized vec_id % 53 == 0 slice
     * (cid-ascending, the q_dedup_semantic convention).
     */
-  private def kmeansTrainLoop(s: SparkSession, d: String)
+  private def kmeansTrainLoop(s: SparkSession, d: String,
+                              capped: Boolean = false)
       : Seq[(Int, Long, Long, Long, Long, Long)] = {
     graft.functions.GraftFunctions.register(s)
     val live = quantized(s, d)
@@ -1147,13 +1248,15 @@ object VectorOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       import s.implicits._
-      var codebook: Seq[(Long, Seq[Double])] = live
-        .filter(col("vec_id") % 53 === 0)
-        .select(col("vec_id"), col("v")).collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
+      var codebook: Seq[(Long, Seq[Double])] =
+        if (capped) cappedCodebook(live)
+        else live
+          .filter(col("vec_id") % 53 === 0)
+          .select(col("vec_id"), col("v")).collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
       require(codebook.nonEmpty,
-        s"no live vec_id % 53 == 0 seed centroids in $d")
+        s"no live seed centroids in $d")
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, Long)]
       for (it <- 1 to kmeansTrainIters) {
         val cbDf = codebook.toDF("cid", "cv")
@@ -1211,9 +1314,18 @@ object VectorOps {
     * scalars. Assignment ties: ORDER BY cos DESC, cid — the kernel's
     * lowest-cid rule.
     */
-  private def kmeansTrainSql(iters: Int): String = {
+  private def kmeansTrainSql(iters: Int, capped: Boolean = false): String = {
+    val cb0 =
+      if (capped)
+        s"""kk AS (SELECT least(CAST(ceil(sqrt(count(*))) AS BIGINT),
+                     $cappedCodebookMaxK) AS k FROM live),
+         cb0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM live
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT (SELECT k FROM kk))"""
+      else
+        "cb0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM live WHERE vec_id % 53 = 0)"
     val base =
-      """q0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0,
+      s"""q0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0,
                greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127, 1e-300) AS scale
              FROM embeddings),
          e AS (SELECT vec_id,
@@ -1221,7 +1333,7 @@ object VectorOps {
                FROM q0),
          live AS MATERIALIZED (SELECT vec_id, v FROM e
                   WHERE list_sum(list_transform(v, x -> x * x)) > 0),
-         cb0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM live WHERE vec_id % 53 = 0)"""
+         $cb0"""
     val rounds = (1 to iters).map { i =>
       s"""sc$i AS MATERIALIZED (SELECT live.vec_id, cb.cid,
                 list_cosine_similarity(live.v, cb.cv) AS cos
@@ -1266,6 +1378,61 @@ object VectorOps {
       .filter(col("cos") >= minCosine)
       .select(col("id_b").as("vec_id")).distinct()
     av.select(col("vec_id"), col("cid"))
+      .join(dropped.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cid",
+        "CAST(CASE WHEN dropped IS NULL THEN 1 ELSE 0 END AS INT) AS keep")
+      .orderBy(col("vec_id"))
+  }
+
+  /** The fixed-k SemDeDup (q_dedup_semantic with BOTH scale levers
+    * pulled): a capped sampled codebook ([[cappedCodebook]] — the
+    * kernel literal is corpus-independent) and a sorted-neighborhood
+    * prune instead of the all-pairs-within-cluster self-join. With k
+    * capped, clusters grow as n/k and the exact pairwise prune would
+    * be n²/k; instead members rank within their cluster by cosine-
+    * to-centroid (near-duplicates have near-identical projections, so
+    * they land adjacent) and each compares only to its
+    * [[cappedDedupWindow]] predecessors — n·W candidate pairs, built
+    * as a pure EQUI-join on (cid, rank−j) after a j∈[1,W] explode (no
+    * range-join scan). Assignment stays the fused cosine_argmax
+    * kernel; total work is n·k + n·W, linear at fixed k.
+    *
+    * The per-cid ranking window has only k partitions; at extreme
+    * corpus sizes the per-cluster sort sub-buckets by cos range with
+    * offset stitching — the GlobalRank discipline — without changing
+    * any rank. At every measured scale the k-partition window is the
+    * cheapest correct form.
+    */
+  def semanticDedupCapped(s: SparkSession, d: String, minCosine: Double): DataFrame = {
+    import s.implicits._
+    val live = registered(s, d).filter(expr("dot_product(v, v) > 0"))
+      .selectExpr("vec_id", "v", "sqrt(dot_product(v, v)) AS nv")
+    val codebook = cappedCodebook(live)
+    val cbDf = codebook.toDF("cid", "cv")
+    val w = Window.partitionBy(col("cid")).orderBy(col("cos").desc, col("vec_id"))
+    // persisted: the pair join reads the ranked frame on both sides
+    // and the final output a third time — the assignment kernel must
+    // not re-run per consumer
+    val r = live
+      .withColumn("cid",
+        call_function("cosine_argmax", col("v"), typedlit(codebook)))
+      .join(broadcast(cbDf), Seq("cid"))
+      .selectExpr("cid", "vec_id", "v", "nv", "cosine_sim(v, cv) AS cos")
+      .withColumn("rk", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = r.select(col("cid"), col("rk").as("rka"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nv").as("na"))
+    val pairs = r.select(col("cid"), col("rk"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nv").as("nb"))
+      .withColumn("rka",
+        explode(sequence(col("rk") - lit(cappedDedupWindow), col("rk") - lit(1))))
+      .filter(col("rka") >= 1)
+      .join(a, Seq("cid", "rka"))
+    val dropped = pairs
+      .selectExpr("id_b", "dot_product(va, vb) / (na * nb) AS cos2")
+      .filter(col("cos2") >= minCosine)
+      .select(col("id_b").as("vec_id")).distinct()
+    r.select(col("vec_id"), col("cid"))
       .join(dropped.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
       .selectExpr("vec_id", "cid",
         "CAST(CASE WHEN dropped IS NULL THEN 1 ELSE 0 END AS INT) AS keep")

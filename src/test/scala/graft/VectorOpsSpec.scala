@@ -469,4 +469,27 @@ class VectorOpsSpec extends AnyFunSuite {
       graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
+
+  test("capped codebook size is corpus-independent past the cap") {
+    import spark.implicits._
+    import graft.queries.VectorOps.{cappedCodebook, cappedCodebookMaxK}
+    def corpus(n: Int) =
+      (1 to n).map(i => (i.toLong, Seq.tabulate(8)(j => (i % 97 + j).toDouble)))
+        .toDF("vec_id", "v")
+    // below the cap: k = ceil(sqrt(n))
+    val small = cappedCodebook(corpus(100))
+    assert(small.size == 10, s"ceil(sqrt(100)) = 10, got ${small.size}")
+    // past the cap: k pinned at the cap regardless of n — 20x the
+    // corpus, SAME codebook size (the fixed-k contract the %53
+    // convention lacked)
+    val atCap = cappedCodebook(corpus(2000))
+    val atCap20x = cappedCodebook(corpus(40000))
+    assert(atCap.size == cappedCodebookMaxK && atCap20x.size == cappedCodebookMaxK,
+      s"codebook must pin at the cap: ${atCap.size} vs ${atCap20x.size}")
+    // deterministic: same corpus, same sample, cid-ascending
+    val again = cappedCodebook(corpus(2000))
+    assert(again == atCap, "capped codebook must be deterministic")
+    assert(atCap.map(_._1) == atCap.map(_._1).sorted,
+      "codebook must be cid-ascending (the kernel's lowest-cid tie rule)")
+  }
 }
