@@ -308,8 +308,14 @@ final class Engine(
           .sortWithinPartitions(col(m.pk))   // pk-sorted files → parquet row-group
           .write.mode("overwrite")           //   min/max pruning on pk scans
           // pk bloom filter per tier file — the SSTable bloom (SURVEY C1):
-          // in-range point MISSES skip the row-group decode entirely
+          // in-range point MISSES skip the row-group decode entirely.
+          // NDV-sized: without it parquet allocates its 1 MiB maximum
+          // per file, which dwarfs a small flush tier's data (measured
+          // ~1.05 MiB constant on a 2k-row tier); the exact live-row
+          // count keeps the false-positive rate and drops the constant
           .option(s"parquet.bloom.filter.enabled#${m.pk}", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#${m.pk}",
+            math.max(1, rows.size).toString)
           .parquet(tier)
         store.coldDirs = store.coldDirs :+ tier
         store.coldStats = eagerStats.map(s => (store.coldDirs, s))
@@ -623,25 +629,43 @@ final class Engine(
     ()
   }
 
-  /** The full cold rewrite shared by admin major compaction and
-    * OPTIMIZE: merge every cold tier into ONE bottom tier, laid out
-    * per the store's declared layout (z-order when set, pk-sorted
-    * otherwise). Returns "rewritten" (swapped in), "noop" (nothing to
-    * do — genuinely already laid out, or <2 inputs with no layout
-    * due), or "aborted" (the rewrite RAN but a concurrent tier change
+  /** The cold rewrite shared by admin major compaction and OPTIMIZE,
+    * laid out per the store's declared layout (z-order when set,
+    * pk-sorted otherwise). In FULL mode (admin major, deferred-OPTIMIZE
+    * drain) every cold tier merges into ONE bottom tier. In
+    * INCREMENTAL mode (the direct OPTIMIZE path) tiers already written
+    * under the current layout token are kept in place and only the
+    * rest fold into a new z tier — rewrite bytes ∝ data ingested since
+    * the last OPTIMIZE, with the kept chain bounded by
+    * [[zIncrementalFanout]] (past it, one full binpack). Returns
+    * "rewritten" (swapped in), "noop" (nothing to do — genuinely
+    * already laid out, or <2 foldable inputs with no layout due), or
+    * "aborted" (the rewrite RAN but a concurrent tier change
     * invalidated the swap — retriable, and distinct from noop so a
     * caller never mistakes an abandoned rewrite for a laid-out table).
     *
-    * No-op guard: fewer than two inputs AND nothing to re-lay-out —
-    * a declared layout whose bottom tier was not written under the
-    * CURRENT (columns, part size) pair (any non-z tier, or a z tier
-    * carrying a different layout token) still rewrites (that is how
-    * a deferred OPTIMIZE converges after resume, and how
+    * No-op guard: fewer than two foldable inputs AND nothing to
+    * re-lay-out — a declared layout whose tiers were not written under
+    * the CURRENT (columns, part size) pair (any non-z tier, or a z
+    * tier carrying a different layout token) still rewrites (that is
+    * how a deferred OPTIMIZE converges after resume, and how
     * re-OPTIMIZing with new columns OR a new granularity takes
     * effect), while repeated admin compacts of an already-laid-out
-    * single tier stay free.
+    * single tier — and repeated incremental OPTIMIZEs with nothing
+    * new — stay free.
     */
-  private def rewriteBottom(store: HotStore, dir: String, partBytes: Long): String = {
+  /** z-tier chain length that triggers a full re-fold on the next
+    * incremental OPTIMIZE: below it, OPTIMIZE folds only the tiers not
+    * yet carrying the current layout token (cost ∝ bytes ingested
+    * since the last OPTIMIZE — the Delta/Iceberg file-selection
+    * discipline); at it, everything binpacks back into one tier, so
+    * the chain is bounded and the amortized write cost per ingested
+    * byte stays O(fanout).
+    */
+  private val zIncrementalFanout = 4
+
+  private def rewriteBottom(store: HotStore, dir: String, partBytes: Long,
+                            incremental: Boolean = false): String = {
     val m = store.meta
     // admin rewrite SERIALIZES on the per-store pass guard (waits,
     // unlike the flush-path trigger which skips): two concurrent
@@ -666,26 +690,53 @@ final class Engine(
       // minted output name, so the two can never drift apart
       val zPrefix =
         if (layout.nonEmpty) layoutTierPrefix(layout, partBytes) else ""
-      val needsLayout = layout.nonEmpty && inputs.exists(t =>
-        !java.nio.file.Paths.get(t).getFileName.toString.startsWith(zPrefix))
-      if (inputs.isEmpty || (inputs.size < 2 && !needsLayout)) return "noop"
+      def hasToken(t: String): Boolean =
+        java.nio.file.Paths.get(t).getFileName.toString.startsWith(zPrefix)
+      // incremental mode (OPTIMIZE): tiers already carrying the
+      // current layout token are KEPT in place and only the rest fold
+      // into a new z tier — rewrite bytes ∝ data ingested since the
+      // last OPTIMIZE, not ∝ table. The kept chain is bounded: at
+      // zIncrementalFanout current-token tiers, fall back to the full
+      // binpack. z tiers always form an age-prefix of coldDirs (every
+      // rewrite lands before the tiers flushed after it), so the fold
+      // set is a contiguous suffix and the age-order invariant
+      // survives the patch-in below.
+      val kept =
+        if (incremental && layout.nonEmpty) {
+          val zCurrent = inputs.filter(hasToken)
+          if (zCurrent.size >= zIncrementalFanout) Vector.empty else zCurrent
+        } else Vector.empty[String]
+      val folds = inputs.filterNot(kept.contains)
+      val needsLayout = layout.nonEmpty && folds.exists(t => !hasToken(t))
+      if (folds.isEmpty || (folds.size < 2 && !needsLayout)) return "noop"
       val prefix = if (layout.nonEmpty) zPrefix else "tier-c"
       val target = coldRoot(dir, m.name)
         .resolve(f"$prefix${seqGen.get()}%012d-u${tierUniq.incrementAndGet()}%d").toString
-      writeMerged(m, inputs, target, dropTombstones = true, layout, partBytes)
+      // tombstones are droppable only in a FULL fold: an incremental
+      // fold's kept z tiers may still hold the rows those tombstones
+      // shadow (they drop at the next full binpack)
+      writeMerged(m, folds, target, dropTombstones = kept.isEmpty, layout, partBytes)
       val swapped = store.synchronized {
         if (!inputs.forall(store.coldDirs.contains)) false
         else {
           // tiers flushed during the merge are strictly newer than the
-          // swapped-in bottom tier and stay live after it
+          // swapped-in tier and stay live after it; kept z tiers are
+          // strictly older (their rows were flushed before every
+          // folded row), so the target takes the first folded tier's
+          // age position
           val before = store.coldDirs
-          store.coldDirs = Vector(target) ++ store.coldDirs.filterNot(inputs.contains)
+          store.coldDirs =
+            if (kept.isEmpty) Vector(target) ++ store.coldDirs.filterNot(folds.contains)
+            else {
+              val idx = store.coldDirs.indexOf(folds.head)
+              store.coldDirs.patch(idx, Vector(target), 0).filterNot(folds.contains)
+            }
           // content-preserving swap: carry cached aggregate stats (A5)
           store.coldStats = store.coldStats.collect {
             case (k, s) if k == before => (store.coldDirs, s)
           }
           Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes)
-          retire(store, inputs)
+          retire(store, folds)
           store.version.incrementAndGet()
           true
         }
@@ -699,13 +750,18 @@ final class Engine(
     * (reference analogue: the never-wired columnar-level layout,
     * lsm_levels.hpp:84-99; the query-surface twin with its DuckDB
     * oracle is q_zorder). Declares 2-4 numeric/TIMESTAMP layout
-    * columns, persists them in the manifest, and rewrites ALL cold
-    * tiers into one bottom tier clustered by Morton code
+    * columns, persists them in the manifest, and rewrites the cold
+    * tiers not already laid out under this (columns, part size) pair
+    * into a z tier clustered by Morton code
     * (`repartitionByRange(zcode)` + in-partition zcode sort — one
     * range exchange), so a multi-dimensional predicate box reads a
     * FRACTION of row groups via parquet footer min/max on the layout
     * columns ([[coldRowGroupStats]] measures exactly this; the
-    * ZOrderOptimizeSpec gate asserts it).
+    * ZOrderOptimizeSpec gate asserts it). The rewrite is INCREMENTAL:
+    * a re-OPTIMIZE after ingest folds only the new tiers (cost ∝ new
+    * data), keeping the existing z chain until it reaches
+    * [[zIncrementalFanout]] tiers, when one full binpack re-folds the
+    * table — amortized write cost per ingested byte stays O(fanout).
     *
     * Contracts preserved: the merged snapshot is CONTENT-IDENTICAL
     * (same LWW window dedup as compaction — layout moves rows between
@@ -755,7 +811,7 @@ final class Engine(
         store.maxFlushedSeq, store.layout, store.layoutPartBytes)
     }
     if (compactionPaused.get()) { deferCompaction(m.name, major = true); "deferred" }
-    else rewriteBottom(store, dir, targetPartBytes)
+    else rewriteBottom(store, dir, targetPartBytes, incremental = true)
   }
 
   /** Row-group pruning observability for the layout gate: how many
@@ -852,8 +908,14 @@ final class Engine(
           .sortWithinPartitions(col("__zcode"), col(m.pk))
           .drop("__zcode")
       }
+    // NDV-sized bloom (see the flush-path note): the input footers'
+    // row-count sum is a free upper bound on the merged pk count —
+    // dedup and tombstone drops only shrink it, so the FPP target
+    // holds while a small fold stops paying parquet's 1 MiB default
+    val ndv = math.max(1L, inputs.map(tierRows).sum)
     laid.write.mode("overwrite")
       .option(s"parquet.bloom.filter.enabled#${m.pk}", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#${m.pk}", ndv.toString)
       .parquet(target)
   }
 

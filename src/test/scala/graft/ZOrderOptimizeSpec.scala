@@ -60,9 +60,10 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
       assert(ovB.toDouble / totB >= 0.9,
         s"pk-sorted tiers should NOT prune the 2-D box: $ovB/$totB")
 
-      // small target part size so the 2.4 MB test corpus still yields
-      // a multi-file layout (a real deployment keeps the 64 MB default)
-      val outcome = e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10)
+      // small target part size so the sub-MB test corpus (NDV-sized
+      // blooms keep tiers lean) still yields a multi-file layout (a
+      // real deployment keeps the 64 MB default)
+      val outcome = e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 16L << 10)
       assert(outcome == "rewritten")
 
       // (a) snapshot content-identical
@@ -245,11 +246,88 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental OPTIMIZE folds only new tiers: rewrite cost ∝ ingest, snapshot and pruning intact, fanout binpacks") {
+    withDir { dir =>
+      def treeBytes(path: String): Long =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(path)).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .map(p => java.nio.file.Files.size(p)).sum
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql(ddl).ok)
+      for (chunk <- 0 until 4) {
+        e.batchPut("zt", (1 to 6000).map(j => row((chunk * 6000 + j).toLong)))
+        e.forceFlush("zt")
+      }
+      assert(e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10) == "rewritten")
+      val bigTier = e.storeOf("zt").coldDirs.head
+      assert(e.storeOf("zt").coldDirs == Vector(bigTier))
+
+      // ingest 1/12th more (with one DELETE shadowing a big-tier row:
+      // the incremental fold must carry its tombstone forward, since
+      // the kept z tier still holds the shadowed version)
+      e.batchPut("zt", (24001 to 26000).map(i => row(i.toLong)))
+      assert(e.sql("DELETE FROM zt WHERE id = 5").ok)
+      e.forceFlush("zt")
+      val snapBefore = e.snapshot("zt").orderBy("id").collect().toSeq
+      assert(snapBefore.size == 25999)
+
+      assert(e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10) == "rewritten")
+      val after = e.storeOf("zt").coldDirs
+      // the existing z tier was NOT rewritten — incremental cost is
+      // the dirty tier only, an order of magnitude below the table
+      assert(after.contains(bigTier),
+        "incremental OPTIMIZE must keep the already-laid-out z tier in place")
+      assert(after.size == 2, s"expected [kept z, new z], got $after")
+      val newTier = after.filterNot(_ == bigTier).head
+      // the fold read and wrote ONLY the dirty rows (2000 inserts +
+      // the carried tombstone), at a byte cost ∝ ingest
+      assert(spark.read.parquet(newTier).count() == 2001,
+        "incremental fold must contain exactly the ingested rows + tombstone")
+      assert(treeBytes(newTier) < treeBytes(bigTier) / 4,
+        s"folded tier ${treeBytes(newTier)}B should be a fraction of the kept ${treeBytes(bigTier)}B")
+      // age order: kept z tier first (older), minted tier after it
+      assert(after.head == bigTier, "kept z tier must keep its age position")
+
+      // snapshot identity across the incremental fold (incl. the
+      // tombstone carried forward over the kept tier's row)
+      assert(e.snapshot("zt").orderBy("id").collect().toSeq == snapBefore)
+      assert(e.sql("SELECT COUNT(*) FROM zt WHERE id = 5").rows.head.head == "0")
+      // pruning intact: the box still reads a small fraction
+      val (ov, tot) = e.coldRowGroupStats("zt", box)
+      assert(ov.toDouble / tot <= 0.3,
+        s"box should prune after incremental OPTIMIZE: $ov/$tot row groups")
+      // cold point lookup across the two-tier z chain
+      assert(e.sql("SELECT id FROM zt WHERE id = 24500").rows.size == 1)
+      // nothing new: free
+      assert(e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10) == "noop")
+
+      // fanout bound: the chain grows 2 → 3 → 4, then the next
+      // OPTIMIZE binpacks everything (tombstones drop in a full fold)
+      var next = 26001
+      for (expected <- Seq(3, 4)) {
+        e.batchPut("zt", (next to next + 199).map(i => row(i.toLong)))
+        e.forceFlush("zt")
+        next += 200
+        assert(e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10) == "rewritten")
+        assert(e.storeOf("zt").coldDirs.size == expected,
+          s"chain should grow to $expected, got ${e.storeOf("zt").coldDirs}")
+      }
+      e.batchPut("zt", (next to next + 199).map(i => row(i.toLong)))
+      e.forceFlush("zt")
+      next += 200
+      assert(e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10) == "rewritten")
+      assert(e.storeOf("zt").coldDirs.size == 1,
+        s"at the fanout the chain must binpack to one tier, got ${e.storeOf("zt").coldDirs}")
+      assert(e.sql("SELECT COUNT(*) FROM zt").rows.head.head == (next - 1 - 1).toString)
+    }
+  }
+
   test("the OPTIMIZE part size is persisted and honored by later major rewrites") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir), compactTrigger = 100)
       assert(e.sql(ddl).ok)
-      e.batchPut("zt", (1 to 12000).map(i => row(i.toLong)))
+      e.batchPut("zt", (1 to 24000).map(i => row(i.toLong)))
       e.forceFlush("zt")
       assert(e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10)
         == "rewritten")
@@ -257,19 +335,19 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
         java.nio.file.Files.list(java.nio.file.Paths.get(t)).toArray
           .map(_.toString).count(f => f.contains("part-") && f.endsWith(".parquet"))
       val n1 = partFiles(e.storeOf("zt").coldDirs.head)
-      assert(n1 >= 8, s"32 KiB parts over ~1 MB must yield a multi-file tier, got $n1")
+      assert(n1 >= 8, s"32 KiB parts over the test corpus must yield a multi-file tier, got $n1")
       // restart, ingest, admin major: the rewrite must come out at the
       // REQUESTED granularity (LAYOUTBYTES round-trips the manifest),
       // not collapse to one default-size file
       val e2 = new Engine(spark, Some(dir))
-      e2.batchPut("zt", (12001 to 14000).map(i => row(i.toLong)))
+      e2.batchPut("zt", (24001 to 26000).map(i => row(i.toLong)))
       e2.forceFlush("zt")
       e2.compact("zt")
       val tiers = e2.storeOf("zt").coldDirs
       assert(tiers.size == 1)
       val n2 = partFiles(tiers.head)
       assert(n2 >= 8, s"post-restart major rewrite ignored the persisted part size: $n2 files")
-      assert(e2.sql("SELECT COUNT(*) FROM zt").rows.head.head == "14000")
+      assert(e2.sql("SELECT COUNT(*) FROM zt").rows.head.head == "26000")
     }
   }
 
