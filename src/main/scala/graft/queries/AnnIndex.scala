@@ -414,6 +414,11 @@ object AnnIndex {
           readCents(s, centsPath), arrivalsPath)
       }
     }
+    // mechanized staleness: a grown artifact past the RetrainGrowth
+    // bound re-trains here and leaves arrivals committed-empty (the
+    // fixture split is ~6%, so this is a footer-count no-op on the
+    // declared-query path)
+    retrainIvfIfStale(s, path)
     (readCents(s, centsPath), Seq(membersPath, arrivalsPath))
   }
 
@@ -504,6 +509,108 @@ object AnnIndex {
       }
     }
     s.read.parquet(rowsPath, arrivalsPath)
+  }
+
+  // ---- mechanized re-train (r16 directive 4) -------------------------------
+  // The ~20% staleness bound used to be a documented discipline ("past
+  // ~20% growth, delete the artifact and rebuild"); nothing triggered
+  // it, so a long-running ingest silently degraded until someone read
+  // the audit. It is now a mechanism: indexGrowth measures committed
+  // arrivals volume against the base from parquet footers alone, the
+  // audit row surfaces `stale`, and retrainIvfIfStale re-trains the
+  // coarse quantizer over the FULL grown member set (members carry
+  // their vectors — no corpus re-read) and swaps the artifact.
+
+  /** Committed-arrivals growth fraction past which a grown index is
+    * STALE: the frozen quantizer was trained without the arrivals, so
+    * past this bound recall and list balance are no longer covered by
+    * the build-time contract (the FAISS add-then-retrain discipline).
+    */
+  val RetrainGrowth = 0.2
+
+  /** Footer-only row count of every parquet file under `path`,
+    * recursive (members are cid-partitioned) — no data pages read.
+    */
+  private def footerRows(s: SparkSession, path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val p = Paths.get(path)
+    if (!Files.isDirectory(p)) return 0L
+    val ls = Files.walk(p)
+    try ls.iterator().asScala
+      .filter(f => f.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    finally ls.close()
+  }
+
+  /** The staleness audit: (baseRows, arrivalRows, stale) for a grown
+    * index — stale when committed arrivals exceed [[RetrainGrowth]]
+    * of the base. Footer counts only; safe to call per audit query.
+    */
+  def indexGrowth(s: SparkSession, basePath: String,
+                  arrivalPaths: Seq[String]): (Long, Long, Boolean) = {
+    val b = footerRows(s, basePath)
+    val a = arrivalPaths.map(footerRows(s, _)).sum
+    (b, a, b > 0 && a.toDouble / b > RetrainGrowth)
+  }
+
+  /** Every COMMITTED arrivals directory under an incremental-IVF
+    * artifact root: the batch-upsert `members_arrivals` and any
+    * stream-appended `arrivals-b<id>` directories, name-sorted.
+    */
+  def arrivalDirs(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val ls = Files.list(p)
+    try ls.iterator().asScala.map(_.toString).filter { f =>
+      val n = Paths.get(f).getFileName.toString
+      (n == "members_arrivals" || n.startsWith("arrivals-b")) && ready(f)
+    }.toSeq.sorted
+    finally ls.close()
+  }
+
+  /** Mechanized re-train of a grown incremental IVF artifact under
+    * `root` (child dirs `centroids`, `members`, arrivals per
+    * [[arrivalDirs]]): when the committed arrivals exceed
+    * [[RetrainGrowth]] of the base, re-train the coarse quantizer over
+    * the FULL grown member set (k re-derived from the grown size) and
+    * swap — fresh centroids + members, every arrivals directory left
+    * COMMITTED-EMPTY (just `_SUCCESS`). The empty commit is the
+    * absorbed-marker: ensure-steps and streaming replays see a
+    * committed directory and never re-fold the batch, while
+    * readMembers skips it. Returns true iff a rebuild ran.
+    *
+    * Crash discipline: the staged build is overwrite-idempotent; a
+    * crash between the swap's delete and move leaves `members`
+    * missing, so ready() fails and the next access rebuilds from the
+    * corpus — a partial index is never served. Same single-writer
+    * (per-JVM synchronized) discipline as every artifact build.
+    */
+  def retrainIvfIfStale(s: SparkSession, root: String): Boolean = synchronized {
+    val centsPath = s"$root/centroids"
+    val membersPath = s"$root/members"
+    val arrivals = arrivalDirs(root)
+    val (b, a, stale) = indexGrowth(s, membersPath, arrivals)
+    if (!stale) return false
+    val grown = readMembers(s, membersPath +: arrivals)
+      .select(col("vec_id"), col("v"))
+    val stagedC = s"$root/centroids_retrain"
+    val stagedM = s"$root/members_retrain"
+    buildIvfFrom(s, grown, ivfK(b + a), stagedC, stagedM)
+    graft.engine.Persist.deleteRecursively(Paths.get(centsPath))
+    Files.move(Paths.get(stagedC), Paths.get(centsPath))
+    graft.engine.Persist.deleteRecursively(Paths.get(membersPath))
+    Files.move(Paths.get(stagedM), Paths.get(membersPath))
+    arrivals.foreach { ap =>
+      graft.engine.Persist.deleteRecursively(Paths.get(ap))
+      Files.createDirectories(Paths.get(ap))
+      Files.createFile(Paths.get(ap, "_SUCCESS"))
+    }
+    true
   }
 
   /** Driver-side probe selection: distances from each query vector to

@@ -499,17 +499,20 @@ object VectorOps {
     // and commits cid-partitioned arrival members; LSH hashes it
     // through the fixed seeded planes and commits the batch's bucket
     // rows (each an overwrite-committed arrivals directory — see
-    // AnnIndex.ivfIncremental for the crash discipline). Two emitted
-    // verdicts per index, both hash-matched against literal-1
-    // oracles: batch_indexed (every batch vector is actually
-    // searchable in the grown artifact — an upsert that silently
-    // drops rows FAILs) and recall_ok (mean top-5 recall ≥ 0.8 vs
-    // exact KNN over the FULL grown corpus — the staleness bound of
-    // the frozen quantizer is audited, never assumed).
+    // AnnIndex.ivfIncremental for the crash discipline). Three emitted
+    // verdicts per index, all hash-matched against literal oracles:
+    // batch_indexed (every batch vector is actually searchable in the
+    // grown artifact — an upsert that silently drops rows FAILs),
+    // recall_ok (mean top-5 recall ≥ 0.8 vs exact KNN over the FULL
+    // grown corpus — the staleness bound of the frozen quantizer is
+    // audited, never assumed), and stale (committed arrivals past
+    // AnnIndex.RetrainGrowth of the base — the fixture's ~6% split
+    // must read 0; the IVF path would have ALREADY mechanically
+    // re-trained via retrainIvfIfStale were it past the bound).
     "q_ann_upsert" -> Q(
       """SELECT * FROM (SELECT 'ivf' AS method, CAST(1 AS INT) AS batch_indexed,
-                               CAST(1 AS INT) AS recall_ok
-         UNION ALL SELECT 'lsh', CAST(1 AS INT), CAST(1 AS INT)) ORDER BY method""") { (s, d) =>
+                               CAST(1 AS INT) AS recall_ok, CAST(0 AS INT) AS stale
+         UNION ALL SELECT 'lsh', CAST(1 AS INT), CAST(1 AS INT), CAST(0 AS INT)) ORDER BY method""") { (s, d) =>
       import s.implicits._
       val m = AnnIndex.IncMod
       val live = registered(s, d).filter(expr("dot_product(v, v) > 0"))
@@ -530,9 +533,16 @@ object VectorOps {
       val nExact = exact.count()
       def recallOk(approx: DataFrame): Boolean =
         recallAtLeast08(exact, nExact, approx)
+      val ivfRoot = AnnIndex.ivfIncPath(s, d)
+      val lshRoot = AnnIndex.lshIncPath(s, d)
+      val ivfStale = AnnIndex.indexGrowth(s, s"$ivfRoot/members",
+        AnnIndex.arrivalDirs(ivfRoot))._3
+      val lshStale = AnnIndex.indexGrowth(s, s"$lshRoot/rows",
+        Seq(s"$lshRoot/arrivals"))._3
       val rows = Seq(
-        ("ivf", ivfBatchIndexed, recallOk(ivfTop5From(s, d, (cents, memberPaths)))),
-        ("lsh", lshBatchIndexed, recallOk(lshTop5From(s, d, lshIdx))))
+        ("ivf", ivfBatchIndexed,
+          recallOk(ivfTop5From(s, d, (cents, memberPaths))), ivfStale),
+        ("lsh", lshBatchIndexed, recallOk(lshTop5From(s, d, lshIdx)), lshStale))
       // The PQ upsert member is NOT audited here: PQ's recall
       // contract is structured data (the q_ann_ivfpq treatment), so
       // its grown-index recall is gated on the planted-cluster
@@ -542,10 +552,11 @@ object VectorOps {
       // both recallOk actions are consumed by now — release the
       // exact-KNN cache instead of pinning it for the driver lifetime
       exact.unpersist(blocking = false)
-      rows.map { case (n, b, r) => (n, if (b) 1 else 0, if (r) 1 else 0) }
-        .toDF("method", "batch_indexed", "recall_ok")
+      rows.map { case (n, b, r, st) =>
+          (n, if (b) 1 else 0, if (r) 1 else 0, if (st) 1 else 0) }
+        .toDF("method", "batch_indexed", "recall_ok", "stale")
         .select(col("method"), col("batch_indexed").cast("int"),
-          col("recall_ok").cast("int"))
+          col("recall_ok").cast("int"), col("stale").cast("int"))
         .orderBy(col("method"))
     },
 
@@ -1013,7 +1024,7 @@ object VectorOps {
     * — the full-corpus build and the incrementally-grown index
     * (q_ann_upsert) search identically.
     */
-  private def ivfTop5From(s: SparkSession, d: String,
+  private[graft] def ivfTop5From(s: SparkSession, d: String,
                           artifact: (Array[Array[Double]], Seq[String])): DataFrame = {
     val (probesDf, qVecsDf, pruned) = ivfProbeCtxFrom(s, d, artifact)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))

@@ -184,10 +184,93 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(regrown.count() == n, "re-run after a simulated crash must not double-index")
     assert(regrown.select("vec_id").distinct().count() == n)
     // declared audit: batch searchable + recall >= 0.8 on the grown
-    // corpus for BOTH index families
+    // corpus for BOTH index families, and the ~6% fixture growth is
+    // far below the mechanized re-train bound (stale = 0)
     val rows = SparkEntry.queries("q_ann_upsert")(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
-    assert(rows == Seq(("ivf", 1, 1), ("lsh", 1, 1)), rows.toString)
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(rows == Seq(("ivf", 1, 1, 0), ("lsh", 1, 1, 0)), rows.toString)
+  }
+
+  test("ANN re-train mechanism: growth past 20% rebuilds the quantizer, recall recovers, arrivals absorbed") {
+    import java.nio.file.{Files, Paths}
+    import graft.queries.AnnIndex
+    import spark.implicits._
+    val rng = new scala.util.Random(7L)
+    def vec(center: Double): Seq[Double] =
+      Seq.tabulate(64)(i => center * math.sin(i * 0.37) + rng.nextGaussian() * 0.2)
+    // base corpus = blob A (+ the 10 query ids, placed in blob B so
+    // the drift batch is what they should retrieve); the arrival
+    // batch = blob B, ~49% growth — far past the 20% bound, and a
+    // real distribution drift the frozen quantizer never saw
+    val baseVecs = (10L until 420L).map(id => (id, vec(1.0)))
+    val queryVecs = (0L until 10L).map(id => (id, vec(5.0)))
+    val batchVecs = (420L until 620L).map(id => (id, vec(5.0)))
+    val dir = Files.createTempDirectory("graft-retrain").toString
+    try {
+      (baseVecs ++ queryVecs).map { case (id, v) => (id, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      AnnIndex.pruneArtifacts(dir)
+      val (cents0, _) = AnnIndex.ivf(spark, dir)
+      val root = AnnIndex.ivfPath(spark, dir)
+      // fold the drift batch in against the FROZEN centroids (the
+      // streamed-arrivals shape) — correct, but now 200/430 grown
+      AnnIndex.upsertIvf(spark, batchVecs.toDF("vec_id", "v"),
+        cents0, s"$root/arrivals-b0")
+      val (b0, a0, stale0) =
+        AnnIndex.indexGrowth(spark, s"$root/members", AnnIndex.arrivalDirs(root))
+      assert(stale0 && b0 == 420 && a0 == 200,
+        s"fixture must exceed the growth bound: $a0 arrivals over $b0 base")
+
+      // exact top-5 over the grown corpus, computed from the raw
+      // vectors (driver-sized fixture)
+      val corpus = (baseVecs ++ queryVecs ++ batchVecs).toMap
+      def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val exact = queryVecs.map { case (q, qv) =>
+        q -> corpus.collect { case (id, v) if id != q => (cosine(qv, v), id) }
+          .toSeq.sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSet
+      }.toMap
+      def recallOf(artifact: (Array[Array[Double]], Seq[String])): Double = {
+        val got = graft.queries.VectorOps.ivfTop5From(spark, dir, artifact)
+          .collect().map(r => (r.getLong(0), r.getLong(2)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        exact.map { case (q, es) =>
+          got.getOrElse(q, Set.empty[Long]).intersect(es).size.toDouble / es.size
+        }.sum / exact.size
+      }
+      val pre = recallOf((cents0,
+        AnnIndex.streamedMemberPaths(s"$root/members", root)))
+
+      // the mechanism: stale -> rebuild fires, k re-derived from the
+      // grown corpus, arrivals left committed-empty (absorbed)
+      assert(AnnIndex.retrainIvfIfStale(spark, root),
+        "re-train must fire past the growth bound")
+      val (b1, a1, stale1) =
+        AnnIndex.indexGrowth(spark, s"$root/members", AnnIndex.arrivalDirs(root))
+      assert(b1 == 620 && a1 == 0 && !stale1,
+        s"retrained members must absorb the arrivals: base $b1, arrivals $a1")
+      assert(AnnIndex.committed(s"$root/arrivals-b0"),
+        "absorbed arrivals must stay committed (empty) so replays cannot re-fold")
+      val cents1 = {
+        val (c, _) = AnnIndex.ivf(spark, dir)  // re-reads the swapped artifact
+        c
+      }
+      assert(cents1.length == AnnIndex.ivfK(620),
+        s"k must re-derive from the grown size, got ${cents1.length}")
+      val post = recallOf((cents1,
+        AnnIndex.streamedMemberPaths(s"$root/members", root)))
+      info(f"IVF recall around mechanized re-train: pre $pre%.3f -> post $post%.3f")
+      assert(post >= 0.8, f"post-retrain recall $post%.3f < 0.8")
+      assert(post >= pre - 1e-9, "re-train must never cost recall")
+      // below the bound: the mechanism is a no-op
+      assert(!AnnIndex.retrainIvfIfStale(spark, root))
+    } finally {
+      AnnIndex.pruneArtifacts(dir)
+      graft.engine.Persist.deleteRecursively(Paths.get(dir))
+    }
   }
 
   test("readMembers tolerates a committed-but-empty arrivals root") {
