@@ -135,8 +135,29 @@ object Bench {
     val failed = adjudicated.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = adjudicated.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_reruns":$reruns,"failed":$failed,"sf":"$sfDir"}"""
+    // round-stamp (r16 directive 5): every artifact carries the HEAD
+    // sha it measured and the wall time, so a quoted total always
+    // resolves to exactly one code state — a later driver run writing
+    // the same file can no longer be mistaken for the pinned base
+    val head = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      p.waitFor()
+      if (out.matches("[0-9a-f]{6,40}")) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val at = java.time.Instant.now().toString
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_reruns":$reruns,"failed":$failed,"head":"$head","at":"$at","sf":"$sfDir"}"""
     println(line)
+    // SPARK_GRAFT_PIN=<tag>: additionally write the line to
+    // BENCH_pin_<tag>.json — a file no driver run ever touches, so
+    // SURVEY/BENCH_sf1.md can cite an artifact that cannot drift
+    // (works for subset/scale runs too: the pin is the point)
+    sys.env.get("SPARK_GRAFT_PIN").filter(_.matches("[A-Za-z0-9._-]+")).foreach { tag =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_pin_$tag.json"), line + "\n")
+      catch { case _: Throwable => () }
+    }
     // also persist the full line: the driver keeps only the tail of
     // captured stdout, which truncated BENCH_r11's JSON mid-object —
     // the on-disk copy is the durable machine-readable record and the
