@@ -97,6 +97,7 @@ final class ApiServer(engine: Engine, port: Int = 0) {
         "hotBytes" -> ts.hotBytes.toString,
         "coldTiers" -> ts.coldTiers.toString,
         "coldBytes" -> ts.coldBytes.toString,
+        "unlaidBytes" -> ts.unlaidBytes.toString,
         "maxFlushedSeq" -> ts.maxFlushedSeq.toString))),
       "operations" -> jobj(
         "totalWrites" -> st.totalWrites.toString,
@@ -293,10 +294,15 @@ final class ApiServer(engine: Engine, port: Int = 0) {
       // Optional "part_bytes" sets the rewrite granularity (persisted
       // with the layout, honored by deferred drains and later majors).
       case ("POST", "/api/admin/optimize") =>
-        // ONE parse of part_bytes; present-but-malformed is a loud 400
+        // ONE parse of part_bytes; present-but-malformed is a loud 400.
+        // Presence uses the same anchored KEY-position shape as
+        // jsonLongField ("part_bytes" followed by a colon) — a raw
+        // substring test also fired on the literal appearing as a
+        // VALUE (e.g. {"table":"part_bytes"}), spurious-400ing it
         val partBytes = jsonLongField(body, "part_bytes")
-        val partBytesMalformed =
-          body.contains("\"part_bytes\"") && partBytes.isEmpty
+        val partBytesPresent =
+          "\"part_bytes\"\\s*:".r.findFirstIn(body).isDefined
+        val partBytesMalformed = partBytesPresent && partBytes.isEmpty
         (jsonField(body, "table"), jsonField(body, "zorder")) match {
           case (Some(table), Some(zorder)) if !partBytesMalformed =>
             val cols = zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -73,6 +73,20 @@ object BulkLoader {
     val m = engine.meta(table).getOrElse(
       throw new EngineException(s"Table '$table' does not exist"))
     val srcType = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val anyNtzHop = m.schema.fields.exists(f =>
+      f.dataType == org.apache.spark.sql.types.LongType &&
+        srcType.get(f.name.toLowerCase)
+          .contains(org.apache.spark.sql.types.TimestampNTZType))
+    // the NTZ→TIMESTAMP hop interprets the wall time in the SESSION
+    // zone — only a UTC session round-trips the epoch value. Assert it
+    // loudly instead of silently shifting every loaded timestamp by
+    // the zone offset (the documented convention, now enforced).
+    if (anyNtzHop) {
+      val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+      require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+        s"loading a TIMESTAMP_NTZ source into an epoch column requires a " +
+          s"UTC session (spark.sql.session.timeZone = $tz would shift every value)")
+    }
     val projected = df.select(m.schema.fields.map { f =>
       val c = org.apache.spark.sql.functions.col(f.name)
       val needsHop = f.dataType == org.apache.spark.sql.types.LongType &&

@@ -773,6 +773,19 @@ final class Engine(
     * Declaring the pk among the layout columns keeps partial pk
     * locality at the cost of one dimension of box selectivity.
     *
+    * LAYOUT DRIFT (deliberate design decision, r16 directive 6):
+    * leveled merges between OPTIMIZEs keep writing PK-SORTED upper
+    * tiers — they serve the point-read path, and z-laying every L1
+    * merge would repeatedly re-cluster data that the next merge
+    * re-sorts anyway (write amplification with no stable benefit,
+    * since those tiers re-fold into the z chain regardless). The
+    * drift is therefore BOUNDED AND OBSERVABLE, not hidden: the bytes
+    * sitting above the z chain without the current layout token are
+    * surfaced per table as `unlaidBytes` in [[stats]] and the REST
+    * `/api/status`, and the incremental rewrite below pays exactly
+    * that figure to clear it — the operational loop is "watch
+    * unlaidBytes, OPTIMIZE when the un-z'd fraction hurts box reads".
+    *
     * While the compaction scheduler is paused the layout is recorded
     * and the rewrite DEFERRED (drained z-ordered on resume, like any
     * admin compaction).
@@ -864,7 +877,10 @@ final class Engine(
             if (reads) overlapping += 1
           } finally reader.close()
         }
-      } catch { case _: java.io.FileNotFoundException => () }
+        // IOException, not just FileNotFound: a tier retired mid-scan
+        // can also fail the footer OPEN on a half-deleted part file —
+        // still per-tier, so the remaining tiers keep counting
+      } catch { case _: java.io.IOException => () }
     }
     (overlapping, total)
   }
@@ -1407,11 +1423,25 @@ final class Engine(
       // capture counters under the lock; walk the filesystem AFTER
       // releasing it (a recursive dirBytes over multi-GB tiers inside
       // the lock would stall every write to the table)
-      val (name, hotRows, hotVersions, hotBytes, cold, flushedMax) = st.synchronized {
-        (st.meta.name,
-          st.latest.valuesIterator.count(!_.tombstone),
-          st.log.size, st.approxBytes, st.coldDirs, st.maxFlushedSeq)
-      }
+      val (name, hotRows, hotVersions, hotBytes, cold, flushedMax, layout, layoutPb) =
+        st.synchronized {
+          (st.meta.name,
+            st.latest.valuesIterator.count(!_.tombstone),
+            st.log.size, st.approxBytes, st.coldDirs, st.maxFlushedSeq,
+            st.layout, st.layoutPartBytes)
+        }
+      // z-layout drift: bytes in tiers not carrying the current layout
+      // token (leveled merges write pk-sorted tiers by design — see
+      // optimizeZorder's scaladoc; this is the observable bound, and
+      // the incremental OPTIMIZE's cost to clear it)
+      val unlaid =
+        if (layout.isEmpty) 0L
+        else {
+          val zPrefix = layoutTierPrefix(layout,
+            if (layoutPb > 0) layoutPb else compactPartBytes)
+          cold.filterNot(t => java.nio.file.Paths.get(t)
+            .getFileName.toString.startsWith(zPrefix)).map(dirBytes).sum
+        }
       TableStats(
         name = name,
         hotRows = hotRows,
@@ -1419,6 +1449,7 @@ final class Engine(
         hotBytes = hotBytes,
         coldTiers = cold.size,
         coldBytes = cold.map(dirBytes).sum,
+        unlaidBytes = unlaid,
         maxFlushedSeq = flushedMax)
     }
     EngineStats(

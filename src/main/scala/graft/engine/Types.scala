@@ -104,6 +104,13 @@ final case class TableStats(
     hotBytes: Long,
     coldTiers: Int,
     coldBytes: Long,
+    /** bytes in cold tiers NOT written under the table's current
+      * declared layout token — the z-layout drift bound (0 when no
+      * layout is declared). Leveled merges deliberately write
+      * pk-sorted tiers, so this grows with ingest between OPTIMIZEs;
+      * the incremental OPTIMIZE pays ∝ exactly this figure to clear it.
+      */
+    unlaidBytes: Long,
     maxFlushedSeq: Long)
 
 /** Engine-wide stats for monitoring / the REST status endpoint

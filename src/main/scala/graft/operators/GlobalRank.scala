@@ -63,27 +63,32 @@ object GlobalRank {
 
   /** Persists THIS operator created (never caller-owned ones) — the
     * release obligation the scaladoc used to leave to callers, now
-    * collectable in one call. Identity-keyed set: the same input
-    * ranked twice while still cached is held once.
+    * collectable in one call. WEAKLY keyed: a long-lived driver that
+    * never calls [[releaseCaches]] must not accumulate plan/lineage
+    * objects without bound — once the caller drops its last reference
+    * to a ranked input, the entry is collectable, and the cached
+    * blocks themselves are reclaimed by Spark's ContextCleaner when
+    * the underlying RDD is GC'd (the same weak-reference discipline).
+    * releaseCaches remains the eager path for entries still reachable.
     */
+  private val ownedLock = new Object
   private val ownedPersists =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]()
 
-  /** Unpersist every input [[withRank]] itself cached. Safe to call
-    * while returned rank plans are still unconsumed — they degrade to
-    * recompute, never to failure.
+  /** Unpersist every input [[withRank]] itself cached (and still
+    * reachable). Safe to call while returned rank plans are still
+    * unconsumed — they degrade to recompute, never to failure.
     */
   def releaseCaches(): Unit = {
-    // remove-then-unpersist per entry (no bulk clear): a concurrent
-    // withRank persist landing mid-release stays tracked for the next
-    // release instead of being dropped from the set still-cached
-    val it = ownedPersists.iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      it.remove()
-      p.unpersist(blocking = false)
+    // snapshot-then-unpersist outside the lock (unpersist talks to the
+    // block manager); entries persisted concurrently stay tracked for
+    // the next release instead of being dropped still-cached
+    val snapshot = ownedLock.synchronized {
+      val s = new java.util.ArrayList[DataFrame](ownedPersists.keySet())
+      ownedPersists.clear()
+      s
     }
+    snapshot.forEach(_.unpersist(blocking = false))
   }
 
   def withRank(df: DataFrame, score: Column, tieId: Column,
@@ -92,7 +97,7 @@ object GlobalRank {
       if (df.storageLevel != StorageLevel.NONE) df
       else {
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        ownedPersists.add(p)
+        ownedLock.synchronized { ownedPersists.put(p, java.lang.Boolean.TRUE) }
         p
       }
     val sc = score.cast("double")

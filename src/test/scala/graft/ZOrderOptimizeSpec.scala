@@ -262,6 +262,8 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
       assert(e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10) == "rewritten")
       val bigTier = e.storeOf("zt").coldDirs.head
       assert(e.storeOf("zt").coldDirs == Vector(bigTier))
+      def unlaid(): Long = e.stats.tables.find(_.name == "zt").get.unlaidBytes
+      assert(unlaid() == 0L, "a fully laid-out table reports zero drift")
 
       // ingest 1/12th more (with one DELETE shadowing a big-tier row:
       // the incremental fold must carry its tombstone forward, since
@@ -271,8 +273,13 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
       e.forceFlush("zt")
       val snapBefore = e.snapshot("zt").orderBy("id").collect().toSeq
       assert(snapBefore.size == 25999)
+      // the flushed dirty tier is the observable z-layout drift bound
+      // (stats.unlaidBytes, also on /api/status) — and the incremental
+      // rewrite's exact cost
+      assert(unlaid() > 0L, "ingest above the z chain must surface as drift")
 
       assert(e.optimizeZorder("zt", Seq("x", "y"), targetPartBytes = 32L << 10) == "rewritten")
+      assert(unlaid() == 0L, "incremental OPTIMIZE must clear the drift")
       val after = e.storeOf("zt").coldDirs
       // the existing z tier was NOT rewritten — incremental cost is
       // the dirty tier only, an order of magnitude below the table
