@@ -141,6 +141,38 @@ object AnnIndex {
 
   // ---- LSH ----------------------------------------------------------------
 
+  /** Clone planting for the oracled q_dedup_embed: every
+    * vec_id % CloneMod == 0 row gains one EXACT clone at
+    * vec_id + CloneOffset. Exact duplicates are the one class of
+    * near-dup the sign-LSH pipeline finds with probability 1 (all
+    * sign bits equal ⇒ same bucket in every table), so the found
+    * pair set over the planted corpus is DETERMINISTIC and a DuckDB
+    * exact-pairwise oracle can hash-match it — the q_ann_ivfpq
+    * planted-structure treatment applied to the dedup family.
+    */
+  val CloneMod = 41
+  val CloneOffset = 10000000L
+
+  /** Materialize-once clone-augmented corpus directory (dataset rows
+    * plus the planted exact clones), keyed by the SOURCE dataset's
+    * fingerprint like every artifact — a regenerated dataset mints a
+    * fresh augmented corpus, never serves a stale one.
+    */
+  def plantedDir(s: SparkSession, d: String): String = {
+    val path = s"$artifactRoot/${key(d, s"_planted_M$CloneMod")}"
+    val emb = s"$path/embeddings.parquet"
+    if (!ready(emb)) synchronized {
+      if (!ready(emb)) {
+        val src = t(s, d, "embeddings")
+        src.unionByName(
+            src.filter(col("vec_id") % CloneMod === 0)
+              .withColumn("vec_id", col("vec_id") + CloneOffset))
+          .write.mode(SaveMode.Overwrite).parquet(emb)
+      }
+    }
+    path
+  }
+
   def lshPath(s: SparkSession, d: String): String = {
     val bits = bitsFor(corpusSize(s, d))
     // v2: zero-norm vectors excluded from the index (build change —

@@ -560,15 +560,38 @@ object VectorOps {
         .orderBy(col("method"))
     },
 
-    // ---- embedding-cosine near-duplicate pairs ----------------------------
-    // The synthetic corpus has no true near-dups (global max cosine
-    // ≈0.5), so the declared query reports the strongest pairs above
-    // a demonstrative threshold; the planted-duplicate spec runs the
-    // same pipeline at ≥0.9 with no cap. Candidate volume is ~4T·n
-    // by construction (see embedNearDups) — measured two-point
-    // linearity gate in VectorOpsSpec.
-    "q_dedup_embed" -> Q.noOracle { (s, d) =>
-      embedNearDups(s, d, minCosine = 0.3, topPairs = Some(50))
+    // ---- embedding-cosine near-duplicate pairs (oracled, r16 stretch) -----
+    // The LSH-bucketed near-dup pipeline over the PLANTED corpus
+    // (AnnIndex.plantedDir: the dataset plus one exact clone of every
+    // vec_id % 41 == 0 row, materialized once under the artifact
+    // root). At the 0.9 threshold the organic corpus contributes no
+    // pairs (global max cosine ≈ 0.5) and exact clones are found by
+    // sign-LSH with probability 1 (identical sign bits ⇒ same bucket
+    // in every table), so the found set is deterministic and the
+    // DuckDB exact-pairwise oracle hash-matches it — the pipeline
+    // stays the sub-quadratic bucketed one (candidate volume ~4T·n,
+    // two-point linearity gate in VectorOpsSpec), only the corpus is
+    // structured. A dropped candidate or a broken bucket join
+    // hash-FAILs instead of hiding in a rows-only row. The emitted
+    // keep-set is the PAIR LIST alone: on identical vectors the two
+    // engines legitimately round the cosine differently (1.0 vs
+    // 0.9999999999999998 — sqrt(d)·sqrt(d) vs sqrt(d·d)), and the
+    // kept pairs, not the score decimals, are the dedup contract.
+    "q_dedup_embed" -> Q(
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         aug AS (SELECT vec_id, v FROM e0
+                 UNION ALL
+                 SELECT vec_id + ${AnnIndex.CloneOffset}, v FROM e0
+                 WHERE vec_id % ${AnnIndex.CloneMod} = 0),
+         live AS (SELECT vec_id, v FROM aug
+                  WHERE list_sum(list_transform(v, x -> x * x)) > 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM live a JOIN live b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+         ORDER BY id_a, id_b""") { (s, d) =>
+      embedNearDups(s, AnnIndex.plantedDir(s, d), minCosine = 0.9, topPairs = None)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // ---- SemDeDup: cluster-then-prune semantic dedup ----------------------

@@ -89,8 +89,23 @@ class VectorOpsSpec extends AnyFunSuite {
     val pairVolume = counts.map(c => c * (c - 1) / 2).sum
     assert(maxBucket <= n / 4, s"max bucket $maxBucket vs n=$n")
     assert(pairVolume <= n * n / 20, s"candidate pairs $pairVolume vs n^2=${n * n}")
-    val lsh = SparkEntry.queries("q_dedup_embed")(spark, sfDir)
-    assert(lsh.count() <= 50) // top-pairs contract holds
+    // the oracled planted form: every reported pair is a planted
+    // exact clone (organic max cosine ≈ 0.5 sits far below the 0.9
+    // threshold), and every live planted clone is FOUND (sign-LSH
+    // recall 1 on exact duplicates)
+    val found = SparkEntry.queries("q_dedup_embed")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.nonEmpty)
+    assert(found.forall { case (a, b) =>
+      b == a + graft.queries.AnnIndex.CloneOffset },
+      s"only planted clone pairs may clear 0.9: ${found.take(5).mkString(",")}")
+    val expected = graft.queries.AnnIndex.base(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.expr(
+        s"vec_id % ${graft.queries.AnnIndex.CloneMod} = 0 AND " +
+          "aggregate(v, 0D, (acc, x) -> acc + x * x) > 0"))
+      .count()
+    assert(found.length == expected,
+      s"every live planted clone must be found: ${found.length} vs $expected")
   }
 
   test("LSH candidate volume grows LINEARLY across corpus scales (two-point curve + dead-vector guard)") {
