@@ -391,12 +391,19 @@ object AnnIndex {
   // sound while the folded-in fraction stays small relative to the
   // training corpus (here 1/IncMod ≈ 6%; per-cluster list lengths and
   // bucket occupancies grow by the same ~6%, so probe costs and
-  // collision rates move marginally). Past ~20% growth or under
-  // distribution drift, re-train — delete the artifact dir and the
-  // next access rebuilds (the standard FAISS add-then-retrain
-  // discipline). The upsert itself never degrades CORRECTNESS of the
-  // audit: candidates are re-ranked by exact cosine, so a bad
-  // assignment costs recall, never a wrong distance.
+  // collision rates move marginally). Past ~20% growth the bound is
+  // now MECHANIZED, not just documented: indexGrowth flags `stale`
+  // (surfaced in q_ann_upsert's audit row for both families) and the
+  // IVF path re-trains itself via retrainIvfIfStale — the standard
+  // FAISS add-then-retrain discipline as code. LSH is surfaced-only
+  // by design: its artifact carries ids, never vectors (T tables
+  // would mean T copies of the embedding column), so a re-hash at a
+  // wider bit width is a corpus pass the INDEX cannot run from its
+  // own files — the `stale` flag is the signal, and the rebuild is
+  // one cheap hash pass over the corpus at the next bitsFor width.
+  // The upsert itself never degrades CORRECTNESS of the audit:
+  // candidates are re-ranked by exact cosine, so a bad assignment
+  // costs recall, never a wrong distance.
 
   /** Base/arrival split for the incremental artifact: the frozen index
     * is built over `vec_id % IncMod != 0` (~94% of the corpus); the
