@@ -234,8 +234,10 @@ class VectorOpsSpec extends AnyFunSuite {
         cents0, s"$root/arrivals-b0")
       val (b0, a0, stale0) =
         AnnIndex.indexGrowth(spark, s"$root/members", AnnIndex.arrivalDirs(root))
-      assert(stale0 && b0 == 420 && a0 == 200,
-        s"fixture must exceed the growth bound: $a0 arrivals over $b0 base")
+      // bytes-based audit (stat calls only): the 200-vector arrival
+      // batch over a 420-vector base is far past the 20% bound
+      assert(stale0 && b0 > 0 && a0.toDouble / b0 > 0.2,
+        s"fixture must exceed the growth bound: $a0 arrival bytes over $b0 base bytes")
 
       // exact top-5 over the grown corpus, computed from the raw
       // vectors (driver-sized fixture)
@@ -265,8 +267,11 @@ class VectorOpsSpec extends AnyFunSuite {
         "re-train must fire past the growth bound")
       val (b1, a1, stale1) =
         AnnIndex.indexGrowth(spark, s"$root/members", AnnIndex.arrivalDirs(root))
-      assert(b1 == 620 && a1 == 0 && !stale1,
-        s"retrained members must absorb the arrivals: base $b1, arrivals $a1")
+      assert(b1 > 0 && a1 == 0 && !stale1,
+        s"retrained members must absorb the arrivals: base $b1, arrival bytes $a1")
+      assert(AnnIndex.readMembers(spark,
+        AnnIndex.streamedMemberPaths(s"$root/members", root)).count() == 620,
+        "retrained members must hold every base + arrival vector exactly once")
       assert(AnnIndex.committed(s"$root/arrivals-b0"),
         "absorbed arrivals must stay committed (empty) so replays cannot re-fold")
       val cents1 = {
