@@ -37,10 +37,13 @@ object Shell {
           case "\\spark" :: rest if rest.nonEmpty =>
             val t0 = System.nanoTime()
             try {
-              val df = engine.sparkSql(rest.mkString(" ").stripSuffix(";"))
-              val headers = df.columns.toVector
-              val rows = df.limit(1000).collect().toVector
-                .map(r => headers.indices.toVector.map(i => String.valueOf(r.get(i))))
+              // leaseless action — retry once on a lost cached block
+              val (headers, rows) = engine.withBlockLossRetry {
+                val df = engine.sparkSql(rest.mkString(" ").stripSuffix(";"))
+                val hdrs = df.columns.toVector
+                (hdrs, df.limit(1000).collect().toVector
+                  .map(r => hdrs.indices.toVector.map(i => String.valueOf(r.get(i)))))
+              }
               render(ResultSet(ok = true, headers, rows),
                 (System.nanoTime() - t0) / 1000000L)
             } catch { case e: Exception => println(s"ERROR: ${e.getMessage}") }

@@ -193,21 +193,26 @@ final class ApiServer(engine: Engine, port: Int = 0) {
         withSql(body) { sql =>
           try {
             val t0 = System.nanoTime()
-            val df = engine.sparkSql(sql)
-            val headers = df.columns.toVector
-            val it = df.toLocalIterator()
-            val buf = Vector.newBuilder[Vector[String]]
-            var n = 0
-            while (it.hasNext && n < engine.selectRowCap) {
-              val r = it.next()
-              buf += headers.indices.toVector.map(i => fmtAny(r.get(i)))
-              n += 1
+            // block-loss retry: this action runs outside the engine's
+            // scan leases, so a concurrently retired snapshot-cache
+            // entry can lose a block mid-fetch — the retry re-plans
+            val (headers, rows, truncated) = engine.withBlockLossRetry {
+              val df = engine.sparkSql(sql)
+              val hdrs = df.columns.toVector
+              val it = df.toLocalIterator()
+              val buf = Vector.newBuilder[Vector[String]]
+              var n = 0
+              while (it.hasNext && n < engine.selectRowCap) {
+                val r = it.next()
+                buf += hdrs.indices.toVector.map(i => fmtAny(r.get(i)))
+                n += 1
+              }
+              (hdrs, buf.result(), it.hasNext)
             }
-            val truncated = it.hasNext
             val ms = (System.nanoTime() - t0) / 1e6
             val fields = Seq(
               "headers" -> jarr(headers.map(jstr)),
-              "rows" -> jarr(buf.result().map(r => jarr(r.map(jstr)))),
+              "rows" -> jarr(rows.map(r => jarr(r.map(jstr)))),
               "rowsAffected" -> "0",
               "executionTimeMs" -> String.format(java.util.Locale.ROOT, "%.3f", ms)) ++
               (if (truncated)

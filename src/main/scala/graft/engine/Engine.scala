@@ -1192,10 +1192,17 @@ final class Engine(
   }
 
   /** Run an action-bearing body once, retrying exactly once on a lost
-    * cached block (see isBlockLoss).
+    * cached block (see isBlockLoss). Public as [[withBlockLossRetry]]
+    * for the extension-surface consumers (REST /api/sparksql, the
+    * shell) whose actions run OUTSIDE the engine's scan leases: a
+    * retired snapshot-cache entry can be force-released mid-action
+    * there, and the retry (which re-plans through sparkSql against
+    * the fresh cache) absorbs the one racy window.
     */
   private def retryOnBlockLoss[T](body: => T): T =
     try body catch { case t: Throwable if isBlockLoss(t) => body }
+
+  def withBlockLossRetry[T](body: => T): T = retryOnBlockLoss(body)
 
   /** Full Spark SQL over the live snapshots: every table registered
     * as a temp view, then delegated to Catalyst — joins, GROUP BY,
