@@ -1496,6 +1496,45 @@ final class Engine(
     case Stmt.Explain(sel)   => execExplain(sel)
     case Stmt.Describe(t)    => execDescribe(t)
     case o: Stmt.Optimize    => execOptimize(o)
+    case e: Stmt.Export      => execExport(e)
+    case i: Stmt.Import      => execImport(i)
+  }
+
+  /** EXPORT <table> TO '<path>' — write the merged live snapshot
+    * (hot ∪ cold, LWW, tombstones dropped) as parquet, error-if-exists
+    * (an export must never destroy data it did not write). The in/out
+    * twin of IMPORT: together they round-trip a table through plain
+    * parquet without a line of Scala — the snapshot-to-downstream-job
+    * handoff a 100 TB deployment runs daily. One distributed write
+    * job under a scan lease (the plan's tier listing must survive
+    * concurrent compaction, the scanIterator discipline).
+    */
+  private def execExport(e: Stmt.Export): ResultSet = {
+    val store = storeOf(e.table)
+    acquireScanLease(store)
+    try {
+      snapshot(store.meta.name).write.mode("errorifexists").parquet(e.path)
+      ResultSet(ok = true, Vector("Result"),
+        Vector(Vector(s"EXPORT ok: '${store.meta.name}' -> ${e.path}")))
+    } catch {
+      case ex: Exception if !ex.isInstanceOf[EngineException] =>
+        ResultSet.err(s"EXPORT failed: ${ex.getMessage}")
+    } finally releaseScanLease(store)
+  }
+
+  /** IMPORT <table> FROM '<path>' — bulk-load a parquet directory
+    * with upsert semantics (BulkLoader.loadFrom: columns matched by
+    * name, values coerced per the dialect's INSERT rules, chunked
+    * batchPut writes through the WAL). Returns rows loaded.
+    */
+  private def execImport(i: Stmt.Import): ResultSet = {
+    storeOf(i.table) // loud "does not exist" before any Spark read
+    try ResultSet.affected(
+      BulkLoader.loadFrom(this, i.table, spark.read.parquet(i.path)))
+    catch {
+      case ex: Exception if !ex.isInstanceOf[EngineException] =>
+        ResultSet.err(s"IMPORT failed: ${ex.getMessage}")
+    }
   }
 
   /** OPTIMIZE <table> ZORDER BY (...) through the SQL front — the

@@ -49,4 +49,14 @@ object Stmt {
     */
   final case class Optimize(table: String, zorderCols: Vector[String],
                             partBytes: Option[Long] = None) extends Stmt
+  /** EXPORT <table> TO '<path>' — engine extension: write the merged
+    * live snapshot (hot ∪ cold, LWW, tombstones dropped) as parquet
+    * at `path`, error-if-exists (Engine.execExport).
+    */
+  final case class Export(table: String, path: String) extends Stmt
+  /** IMPORT <table> FROM '<path>' — engine extension: bulk-load a
+    * parquet directory into the table with upsert semantics
+    * (BulkLoader.loadFrom; columns matched by name, values coerced).
+    */
+  final case class Import(table: String, path: String) extends Stmt
 }

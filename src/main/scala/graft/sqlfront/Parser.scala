@@ -117,6 +117,8 @@ object Parser {
           case "EXPLAIN"  => { next(); select() match { case sel: Stmt.Select => Stmt.Explain(sel) } }
           case "DESCRIBE" | "DESC" => { next(); Stmt.Describe(ident()) }
           case "OPTIMIZE" => optimize()
+          case "EXPORT"   => { next(); val t = ident(); expectKw("TO"); Stmt.Export(t, strTok()) }
+          case "IMPORT"   => { next(); val t = ident(); expectKw("FROM"); Stmt.Import(t, strTok()) }
           case other      => fail(s"unsupported statement '$other'")
         }
         case t => fail(s"unexpected token $t")
@@ -203,6 +205,12 @@ object Parser {
       while (isPunct(",")) { next(); vals += literal() }
       expectPunct(")")
       Stmt.Insert(table, cols, vals.toVector)
+    }
+
+    /** A quoted string operand (EXPORT/IMPORT paths). */
+    private def strTok(): String = next() match {
+      case Str(s) => s
+      case t      => fail(s"expected a quoted path string, got $t")
     }
 
     private def literal(): Literal = next() match {

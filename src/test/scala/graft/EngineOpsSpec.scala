@@ -714,6 +714,49 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- EXPORT / IMPORT dialect verbs ----------------------------------------
+
+  test("EXPORT and IMPORT round-trip a table through parquet") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE ex (id BIGINT NOT NULL, v INT, s VARCHAR(10))").ok)
+      e.batchPut("ex", (1 to 100).map(i => Array[Any](i.toLong, Int.box(i), s"s$i")))
+      e.forceFlush("ex")
+      // hot-over-cold shadow + a tombstone must resolve in the export
+      e.batchPut("ex", Seq(Array[Any](7L, Int.box(700), "seven")))
+      assert(e.sql("DELETE FROM ex WHERE id = 9").ok)
+      val outRoot = java.nio.file.Files.createTempDirectory("graft-exp")
+      val out = s"$outRoot/ex"
+      try {
+        val rs = e.sql(s"EXPORT ex TO '$out'")
+        assert(rs.ok, rs.error)
+        val back = spark.read.parquet(out)
+        assert(back.count() == 99)
+        assert(back.filter("id = 7").collect()(0).getInt(1) == 700)
+        assert(back.filter("id = 9").isEmpty)
+        // error-if-exists: a second export to the same path is loud
+        // and must never destroy data it did not write
+        val rs2 = e.sql(s"EXPORT ex TO '$out'")
+        assert(!rs2.ok && rs2.error.contains("EXPORT failed"), rs2.toString)
+        assert(spark.read.parquet(out).count() == 99)
+
+        // IMPORT into a fresh table: full round trip incl. upsert
+        // semantics over a pre-existing row
+        assert(e.sql("CREATE TABLE im (id BIGINT NOT NULL, v INT, s VARCHAR(10))").ok)
+        e.batchPut("im", Seq(Array[Any](7L, Int.box(-1), "old")))
+        val ri = e.sql(s"IMPORT im FROM '$out'")
+        assert(ri.ok && ri.rowsAffected == 99, ri.toString)
+        assert(e.sql("SELECT COUNT(*) FROM im").rows.head.head == "99")
+        assert(e.sql("SELECT v FROM im WHERE id = 7").rows.head.head == "700")
+        // errors surface as SQL errors, not exceptions
+        assert(!e.sql(s"EXPORT nope TO '$out'").ok)
+        assert(!e.sql(s"IMPORT im FROM '$outRoot/nonexistent'").ok)
+        assert(!e.sql("EXPORT ex TO noquotes").ok)
+        assert(e.sql("DROP TABLE im").ok)
+      } finally graft.engine.Persist.deleteRecursively(outRoot)
+    }
+  }
+
   // ---- snapshot-cache reader-safe release ----------------------------------
 
   test("snapshotCached invalidation under a reader loop never loses a block") {
