@@ -118,6 +118,48 @@ final class ApiServer(engine: Engine, port: Int = 0) {
     case other => other.toString
   }
 
+  /** True when `key` appears as a JSON KEY in `body`: a string token
+    * whose preceding non-whitespace character (outside strings) is
+    * '{' or ',' and whose next non-whitespace character is ':'.
+    * Tracks in-string state with escape handling, so the key spelled
+    * INSIDE a string value ({"note":"set \"part_bytes\": later"})
+    * never matches — the failure mode of both the raw substring test
+    * and a bare key-colon regex.
+    */
+  private[api] def jsonHasKey(body: String, key: String): Boolean = {
+    var i = 0
+    var prev = '{' // last non-ws char seen OUTSIDE string tokens
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '"') {
+        val start = i + 1
+        var j = start
+        var esc = false
+        var end = -1
+        while (j < body.length && end < 0) {
+          val cj = body.charAt(j)
+          if (esc) esc = false
+          else if (cj == '\\') esc = true
+          else if (cj == '"') end = j
+          j += 1
+        }
+        if (end < 0) return false // unterminated string: malformed body
+        val tok = body.substring(start, end)
+        var k2 = end + 1
+        while (k2 < body.length && body.charAt(k2).isWhitespace) k2 += 1
+        val isKey = k2 < body.length && body.charAt(k2) == ':' &&
+          (prev == '{' || prev == ',')
+        if (isKey && tok == key) return true
+        prev = '"' // a string token is neither '{' nor ','
+        i = end + 1
+      } else {
+        if (!c.isWhitespace) prev = c
+        i += 1
+      }
+    }
+    false
+  }
+
   /** Extract a top-level string field from a (flat) JSON body. */
   private[api] def jsonField(body: String, key: String): Option[String] = {
     val pat = ("\"" + java.util.regex.Pattern.quote(key) +
@@ -300,14 +342,13 @@ final class ApiServer(engine: Engine, port: Int = 0) {
       // with the layout, honored by deferred drains and later majors).
       case ("POST", "/api/admin/optimize") =>
         // ONE parse of part_bytes; present-but-malformed is a loud 400.
-        // Presence uses the same anchored KEY-position shape as
-        // jsonLongField ("part_bytes" followed by a colon) — a raw
-        // substring test also fired on the literal appearing as a
-        // VALUE (e.g. {"table":"part_bytes"}), spurious-400ing it
+        // Presence via the in-string-aware key scanner (jsonHasKey) —
+        // the raw substring test fired on the literal as a VALUE
+        // ({"table":"part_bytes"}), and a bare key-colon regex still
+        // fired on the shape inside a string value
         val partBytes = jsonLongField(body, "part_bytes")
-        val partBytesPresent =
-          "\"part_bytes\"\\s*:".r.findFirstIn(body).isDefined
-        val partBytesMalformed = partBytesPresent && partBytes.isEmpty
+        val partBytesMalformed =
+          jsonHasKey(body, "part_bytes") && partBytes.isEmpty
         (jsonField(body, "table"), jsonField(body, "zorder")) match {
           case (Some(table), Some(zorder)) if !partBytesMalformed =>
             val cols = zorder.split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -1210,6 +1210,14 @@ final class Engine(
     * (SURVEY §2.6: each gap is native Spark once the snapshot is a
     * DataFrame). HTAP freshness holds — views are rebuilt from the
     * current hot+cold state on every call.
+    *
+    * ACTION CONTRACT: the returned plan reads cached snapshots, and a
+    * concurrent write can retire-and-release the entry mid-action
+    * (the lazy plan holds no scan lease — it cannot, the engine never
+    * sees the action). Run collect/iterate under
+    * [[withBlockLossRetry]] (as /api/sparksql and the shell do): the
+    * retry re-plans against the fresh cache, absorbing the one racy
+    * release window.
     */
   def sparkSql(query: String): DataFrame = {
     tableNames.foreach { t =>
@@ -1437,17 +1445,19 @@ final class Engine(
             st.log.size, st.approxBytes, st.coldDirs, st.maxFlushedSeq,
             st.layout, st.layoutPartBytes)
         }
-      // z-layout drift: bytes in tiers not carrying the current layout
-      // token (leveled merges write pk-sorted tiers by design — see
-      // optimizeZorder's scaladoc; this is the observable bound, and
-      // the incremental OPTIMIZE's cost to clear it)
+      // ONE filesystem walk per tier: coldBytes and the z-layout
+      // drift figure both sum from this map (unlaidBytes = bytes in
+      // tiers not carrying the current layout token — leveled merges
+      // write pk-sorted tiers by design, see optimizeZorder's
+      // scaladoc; the incremental OPTIMIZE's cost to clear it)
+      val tierBytes = cold.map(t => t -> dirBytes(t)).toMap
       val unlaid =
         if (layout.isEmpty) 0L
         else {
           val zPrefix = layoutTierPrefix(layout,
             if (layoutPb > 0) layoutPb else compactPartBytes)
           cold.filterNot(t => java.nio.file.Paths.get(t)
-            .getFileName.toString.startsWith(zPrefix)).map(dirBytes).sum
+            .getFileName.toString.startsWith(zPrefix)).map(tierBytes).sum
         }
       TableStats(
         name = name,
@@ -1455,7 +1465,7 @@ final class Engine(
         hotVersions = hotVersions,
         hotBytes = hotBytes,
         coldTiers = cold.size,
-        coldBytes = cold.map(dirBytes).sum,
+        coldBytes = tierBytes.values.sum,
         unlaidBytes = unlaid,
         maxFlushedSeq = flushedMax)
     }

@@ -63,21 +63,36 @@ object GlobalRank {
 
   /** Persists THIS operator created (never caller-owned ones) — the
     * release obligation the scaladoc used to leave to callers, now
-    * collectable in one call. WEAKLY keyed: a long-lived driver that
-    * never calls [[releaseCaches]] must not accumulate plan/lineage
-    * objects without bound — once the caller drops its last reference
-    * to a ranked input, the entry is collectable, and the cached
-    * blocks themselves are reclaimed by Spark's ContextCleaner when
-    * the underlying RDD is GC'd (the same weak-reference discipline).
-    * releaseCaches remains the eager path for entries still reachable.
+    * collectable in one call. STRONG references on purpose:
+    * `Dataset.persist` registers the plan strongly in the session
+    * CacheManager (Spark's ContextCleaner reclaims RDD/broadcast/
+    * shuffle objects, never SQL cache entries), so a weak registry
+    * would lose the only handle while the cache stayed pinned
+    * forever. Bounded instead: insertion-ordered and capped — past
+    * [[maxOwnedPersists]] the OLDEST owned persist is released on the
+    * spot (its still-unconsumed rank plan degrades to recompute,
+    * never to failure), so a release-less long-lived driver is
+    * bounded in both driver-heap lineage and executor cache.
     */
+  private val maxOwnedPersists = 64
   private val ownedLock = new Object
   private val ownedPersists =
-    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]()
+    new java.util.LinkedHashMap[DataFrame, java.lang.Boolean]()
 
-  /** Unpersist every input [[withRank]] itself cached (and still
-    * reachable). Safe to call while returned rank plans are still
-    * unconsumed — they degrade to recompute, never to failure.
+  private def trackOwned(p: DataFrame): Unit = {
+    val evicted = ownedLock.synchronized {
+      ownedPersists.put(p, java.lang.Boolean.TRUE)
+      if (ownedPersists.size > maxOwnedPersists) {
+        val it = ownedPersists.keySet().iterator()
+        val oldest = it.next(); it.remove(); Some(oldest)
+      } else None
+    }
+    evicted.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Unpersist every input [[withRank]] itself cached. Safe to call
+    * while returned rank plans are still unconsumed — they degrade to
+    * recompute, never to failure.
     */
   def releaseCaches(): Unit = {
     // snapshot-then-unpersist outside the lock (unpersist talks to the
@@ -97,7 +112,7 @@ object GlobalRank {
       if (df.storageLevel != StorageLevel.NONE) df
       else {
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        ownedLock.synchronized { ownedPersists.put(p, java.lang.Boolean.TRUE) }
+        trackOwned(p)
         p
       }
     val sc = score.cast("double")

@@ -254,7 +254,7 @@ object AnnIndex {
     if (!ready(membersPath)) synchronized {
       if (!ready(membersPath)) buildIvf(s, d, centsPath, membersPath)
     }
-    (readCents(s, centsPath), Seq(membersPath))
+    (readCents(s, centsPathOf(path)), Seq(membersPath))
   }
 
   /** Load the driver-held codebook back from its artifact parquet. */
@@ -458,7 +458,7 @@ object AnnIndex {
     // fixture split is ~6%, so this is a footer-count no-op on the
     // declared-query path)
     retrainIvfIfStale(s, path)
-    (readCents(s, centsPath), Seq(membersPath, arrivalsPath))
+    (readCents(s, centsPathOf(path)), membersPath +: arrivalDirs(path))
   }
 
   /** The grown member-path list for a STREAM-maintained index: the
@@ -470,12 +470,17 @@ object AnnIndex {
     */
   def streamedMemberPaths(membersPath: String, root: String): Seq[String] = {
     val p = Paths.get(root)
+    // arrivals a retrain already folded into `membersPath` are skipped
+    // via its _ABSORBED marker — even when a crash left their data
+    // files in place (see retrainIvfIfStale's crash discipline)
+    val absorbed = absorbedSet(membersPath)
     val arrivals =
       if (!Files.isDirectory(p)) Seq.empty[String]
       else {
         val ls = Files.list(p)
         try ls.iterator().asScala
           .filter(_.getFileName.toString.startsWith("arrivals-b"))
+          .filterNot(f => absorbed.contains(f.getFileName.toString))
           .map(_.toString).filter(ready).toSeq
           // numeric batch-id order (lexicographic puts b10 before b2)
           .sortBy(f => java.nio.file.Paths.get(f).getFileName.toString
@@ -598,19 +603,47 @@ object AnnIndex {
     (b, a, b > 0 && a.toDouble / b > RetrainGrowth)
   }
 
-  /** Every COMMITTED arrivals directory under an incremental-IVF
-    * artifact root: the batch-upsert `members_arrivals` and any
-    * stream-appended `arrivals-b<id>` directories, name-sorted.
+  /** Arrival directory basenames the CURRENT members generation has
+    * absorbed — the `_ABSORBED` marker is written inside the staged
+    * members dir and travels atomically with the members swap, so a
+    * crash that leaves absorbed arrivals' data files on disk can
+    * never double-index them: every reader skips the named dirs.
+    */
+  private def absorbedSet(membersPath: String): Set[String] = {
+    val p = Paths.get(membersPath, "_ABSORBED")
+    if (!Files.exists(p)) Set.empty
+    else Files.readAllLines(p).asScala.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  /** Every COMMITTED, NOT-ABSORBED arrivals directory under an
+    * incremental-IVF artifact root: the batch-upsert
+    * `members_arrivals` and any stream-appended `arrivals-b<id>`
+    * directories, name-sorted, minus the ones the current members
+    * generation already folded in (see [[absorbedSet]]).
     */
   def arrivalDirs(root: String): Seq[String] = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) return Seq.empty
+    val absorbed = absorbedSet(s"$root/members")
     val ls = Files.list(p)
     try ls.iterator().asScala.map(_.toString).filter { f =>
       val n = Paths.get(f).getFileName.toString
-      (n == "members_arrivals" || n.startsWith("arrivals-b")) && ready(f)
+      (n == "members_arrivals" || n.startsWith("arrivals-b")) &&
+        !absorbed.contains(n) && ready(f)
     }.toSeq.sorted
     finally ls.close()
+  }
+
+  /** The artifact's codebook location: a retrained generation carries
+    * its centroids INSIDE the members dir (`_CENTROIDS` — underscore-
+    * prefixed, so Spark's file listing and readMembers ignore it),
+    * which is what lets the (centroids, members) pair swap in ONE
+    * directory move; a never-retrained artifact keeps the sibling
+    * `centroids` dir the build wrote.
+    */
+  def centsPathOf(root: String): String = {
+    val inMembers = s"$root/members/_CENTROIDS"
+    if (Files.isDirectory(Paths.get(inMembers))) inMembers else s"$root/centroids"
   }
 
   /** Mechanized re-train of a grown incremental IVF artifact under
@@ -624,14 +657,22 @@ object AnnIndex {
     * committed directory and never re-fold the batch, while
     * readMembers skips it. Returns true iff a rebuild ran.
     *
-    * Crash discipline: the staged build is overwrite-idempotent; a
-    * crash between the swap's delete and move leaves `members`
-    * missing, so ready() fails and the next access rebuilds from the
-    * corpus — a partial index is never served. Same single-writer
-    * (per-JVM synchronized) discipline as every artifact build.
+    * Crash discipline — ONE commit point: the staged members dir
+    * carries the new centroids (`_CENTROIDS`) and the absorbed-
+    * arrivals marker (`_ABSORBED`) INSIDE it, so the single
+    * `members` directory move publishes the (centroids, members,
+    * absorbed-set) triple together. A crash before the move leaves
+    * the old generation fully intact (the staged build is overwrite-
+    * idempotent and re-runs); a crash in the delete-to-move window
+    * leaves `members` missing, so ready() fails and the next access
+    * rebuilds from the corpus; a crash AFTER the move but before the
+    * arrivals cleanup is already consistent — readers skip absorbed
+    * arrivals via the marker, and the cleanup below is pure disk
+    * reclaim. Mismatched centroids/members or a double-indexed batch
+    * can never be served. Same single-writer (per-JVM synchronized)
+    * discipline as every artifact build.
     */
   def retrainIvfIfStale(s: SparkSession, root: String): Boolean = synchronized {
-    val centsPath = s"$root/centroids"
     val membersPath = s"$root/members"
     val arrivals = arrivalDirs(root)
     val (_, _, stale) = indexGrowth(s, membersPath, arrivals)
@@ -644,12 +685,24 @@ object AnnIndex {
     val k = ivfK(grown.count())
     val stagedC = s"$root/centroids_retrain"
     val stagedM = s"$root/members_retrain"
+    graft.engine.Persist.deleteRecursively(Paths.get(stagedC))
+    graft.engine.Persist.deleteRecursively(Paths.get(stagedM))
     try buildIvfFrom(s, grown, k, stagedC, stagedM)
     finally { grown.unpersist(blocking = false); () }
-    graft.engine.Persist.deleteRecursively(Paths.get(centsPath))
-    Files.move(Paths.get(stagedC), Paths.get(centsPath))
+    // assemble the generation INSIDE the staged members dir, then
+    // publish it with the one move
+    Files.move(Paths.get(stagedC), Paths.get(stagedM, "_CENTROIDS"))
+    Files.write(Paths.get(stagedM, "_ABSORBED"),
+      arrivals.map(a => Paths.get(a).getFileName.toString).sorted
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     graft.engine.Persist.deleteRecursively(Paths.get(membersPath))
     Files.move(Paths.get(stagedM), Paths.get(membersPath))
+    // disk reclaim past the commit point: drop the legacy centroids
+    // dir and the absorbed arrivals' data, leaving each arrivals dir
+    // committed-EMPTY so ensure-steps and streaming replays still see
+    // an already-present batch
+    graft.engine.Persist.deleteRecursively(Paths.get(s"$root/centroids"))
     arrivals.foreach { ap =>
       graft.engine.Persist.deleteRecursively(Paths.get(ap))
       Files.createDirectories(Paths.get(ap))

@@ -69,6 +69,44 @@ object VectorOps {
     */
   private[graft] val cappedDedupWindow = 8
 
+  /** Per-call corpus-sized persists (semanticDedup's assigned frame,
+    * the capped variant's ranked frame), registered so a long-lived
+    * driver embedding these pipelines can release them in one call —
+    * the TextOps.releaseCaches discipline; Bench/Verify cover the
+    * harness path with clearCache between queries. Bounded and
+    * STRONGLY held (Dataset caches live in the session CacheManager,
+    * which ContextCleaner never reclaims): past the cap the OLDEST
+    * releases on the spot — its lazy consumers degrade to recompute,
+    * never to failure.
+    */
+  private val maxOwnedPersists = 16
+  private val ownedLock = new Object
+  private val ownedPersists =
+    new java.util.LinkedHashMap[DataFrame, java.lang.Boolean]()
+
+  private def registerPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evicted = ownedLock.synchronized {
+      ownedPersists.put(p, java.lang.Boolean.TRUE)
+      if (ownedPersists.size > maxOwnedPersists) {
+        val it = ownedPersists.keySet().iterator()
+        val oldest = it.next(); it.remove(); Some(oldest)
+      } else None
+    }
+    evicted.foreach(_.unpersist(blocking = false))
+    p
+  }
+
+  /** Unpersist every frame this object's pipelines cached. */
+  def releaseCaches(): Unit = {
+    val snapshot = ownedLock.synchronized {
+      val s = new java.util.ArrayList[DataFrame](ownedPersists.keySet())
+      ownedPersists.clear()
+      s
+    }
+    snapshot.forEach(_.unpersist(blocking = false))
+  }
+
   /** All XOR masks of Hamming weight ≤ radius over `bits` bits. */
   private[graft] def masksUpTo(bits: Int, radius: Int): Seq[Int] = {
     def combos(start: Int, left: Int): Seq[Int] =
@@ -1401,8 +1439,7 @@ object VectorOps {
     // persisted: the prune self-join reads av on BOTH sides and the
     // final output a third time — without the cache boundary each
     // consumer would re-run the n·k assignment kernel
-    val av = assigned(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val av = registerPersist(assigned(s, d))
     val dropped = av.select(col("cid"), col("vec_id").as("id_a"),
         col("v").as("va"), col("nv").as("na"))
       .join(av.select(col("cid"), col("vec_id").as("id_b"),
@@ -1447,13 +1484,12 @@ object VectorOps {
     // persisted: the pair join reads the ranked frame on both sides
     // and the final output a third time — the assignment kernel must
     // not re-run per consumer
-    val r = live
+    val r = registerPersist(live
       .withColumn("cid",
         call_function("cosine_argmax", col("v"), typedlit(codebook)))
       .join(broadcast(cbDf), Seq("cid"))
       .selectExpr("cid", "vec_id", "v", "nv", "cosine_sim(v, cv) AS cos")
-      .withColumn("rk", row_number().over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("rk", row_number().over(w)))
     val a = r.select(col("cid"), col("rk").as("rka"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nv").as("na"))
     val pairs = r.select(col("cid"), col("rk"), col("vec_id").as("id_b"),

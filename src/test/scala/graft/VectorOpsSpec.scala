@@ -287,6 +287,17 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(post >= pre - 1e-9, "re-train must never cost recall")
       // below the bound: the mechanism is a no-op
       assert(!AnnIndex.retrainIvfIfStale(spark, root))
+      // crash window: a kill AFTER the members swap but BEFORE the
+      // arrivals cleanup leaves the absorbed batch's data files on
+      // disk — the _ABSORBED marker (which traveled atomically with
+      // the members move) must keep every reader from double-indexing
+      AnnIndex.upsertIvf(spark, batchVecs.toDF("vec_id", "v"),
+        cents1, s"$root/arrivals-b0")  // re-materialize the absorbed data
+      assert(AnnIndex.readMembers(spark,
+        AnnIndex.streamedMemberPaths(s"$root/members", root)).count() == 620,
+        "absorbed arrivals left data-carrying by a crash must be skipped")
+      assert(!AnnIndex.retrainIvfIfStale(spark, root),
+        "absorbed arrivals must not count toward growth again")
     } finally {
       AnnIndex.pruneArtifacts(dir)
       graft.engine.Persist.deleteRecursively(Paths.get(dir))

@@ -35,4 +35,21 @@ class JsonFieldSpec extends AnyFunSuite {
     // mixed quote forms don't cross-match
     assert(f("""{"part_bytes": "32768}""").isEmpty, "unterminated quote")
   }
+
+  test("jsonHasKey matches key position only, never inside string values") {
+    def h(body: String): Boolean = srv.jsonHasKey(body, "part_bytes")
+    assert(h("""{"part_bytes": 1}"""))
+    assert(h("""{"a":1,"part_bytes":"x"}"""))
+    assert(h("""{ "part_bytes" : null }"""))
+    // the literal as a VALUE is not presence
+    assert(!h("""{"table":"part_bytes"}"""))
+    // the key-colon SHAPE inside a string value is not presence — the
+    // bare key-colon regex false-positived on exactly this
+    assert(!h("""{"table":"t","note":"set \"part_bytes\": later"}"""))
+    assert(!h("""{"x":"\"part_bytes\":1"}"""))
+    assert(!h("""{"other": 5}"""))
+    assert(!h("""{"part_bytes_extra": 5}"""))
+    // malformed (unterminated string) reads as absent, not a crash
+    assert(!h("""{"part_bytes"""))
+  }
 }
