@@ -144,7 +144,19 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim
       p.waitFor()
-      if (out.matches("[0-9a-f]{6,40}")) out else "unknown"
+      // "-dirty" when the tree differs from HEAD (r16 ADVICE): a pin
+      // taken over uncommitted source can no longer masquerade as a
+      // measurement of the stamped commit
+      val dirty = try {
+        val st = new ProcessBuilder("git", "status", "--porcelain").start()
+        val stOut = new String(st.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        st.waitFor()
+        stOut.linesIterator.exists(l =>
+          l.nonEmpty && !l.drop(3).startsWith("BENCH_") && !l.drop(3).startsWith("HTAP_"))
+      } catch { case _: Throwable => false }
+      if (out.matches("[0-9a-f]{6,40}")) out + (if (dirty) "-dirty" else "")
+      else "unknown"
     } catch { case _: Throwable => "unknown" }
     val at = java.time.Instant.now().toString
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_reruns":$reruns,"failed":$failed,"head":"$head","at":"$at","sf":"$sfDir"}"""

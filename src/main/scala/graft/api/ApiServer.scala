@@ -118,17 +118,22 @@ final class ApiServer(engine: Engine, port: Int = 0) {
     case other => other.toString
   }
 
-  /** True when `key` appears as a JSON KEY in `body`: a string token
-    * whose preceding non-whitespace character (outside strings) is
-    * '{' or ',' and whose next non-whitespace character is ':'.
-    * Tracks in-string state with escape handling, so the key spelled
-    * INSIDE a string value ({"note":"set \"part_bytes\": later"})
-    * never matches — the failure mode of both the raw substring test
-    * and a bare key-colon regex.
+  /** Index just past the ':' of TOP-LEVEL key `key` in `body`, or -1
+    * when absent: a string token at brace/bracket DEPTH 1 whose
+    * preceding non-whitespace character (outside strings) is '{' or
+    * ',' and whose next non-whitespace character is ':'. Tracks
+    * in-string state with escape handling, so the key spelled INSIDE
+    * a string value ({"note":"set \"part_bytes\": later"}) never
+    * matches — the failure mode of both the raw substring test and a
+    * bare key-colon regex — and tracks nesting depth, so a key inside
+    * a NESTED object ({"opts":{"part_bytes":1}}) is not top-level
+    * presence and can never feed a nested value to a caller that
+    * applies it as if top-level.
     */
-  private[api] def jsonHasKey(body: String, key: String): Boolean = {
+  private def depth1ValueStart(body: String, key: String): Int = {
     var i = 0
-    var prev = '{' // last non-ws char seen OUTSIDE string tokens
+    var depth = 0     // brace/bracket depth OUTSIDE string tokens
+    var prev = ' '    // last non-ws char seen OUTSIDE string tokens
     while (i < body.length) {
       val c = body.charAt(i)
       if (c == '"') {
@@ -143,22 +148,32 @@ final class ApiServer(engine: Engine, port: Int = 0) {
           else if (cj == '"') end = j
           j += 1
         }
-        if (end < 0) return false // unterminated string: malformed body
+        if (end < 0) return -1 // unterminated string: malformed body
         val tok = body.substring(start, end)
         var k2 = end + 1
         while (k2 < body.length && body.charAt(k2).isWhitespace) k2 += 1
         val isKey = k2 < body.length && body.charAt(k2) == ':' &&
           (prev == '{' || prev == ',')
-        if (isKey && tok == key) return true
+        if (isKey && depth == 1 && tok == key) return k2 + 1
         prev = '"' // a string token is neither '{' nor ','
         i = end + 1
       } else {
-        if (!c.isWhitespace) prev = c
+        if (!c.isWhitespace) {
+          if (c == '{' || c == '[') depth += 1
+          else if (c == '}' || c == ']') depth -= 1
+          prev = c
+        }
         i += 1
       }
     }
-    false
+    -1
   }
+
+  /** True when `key` appears as a TOP-LEVEL JSON key in `body` (see
+    * [[depth1ValueStart]] for the scanner's contract).
+    */
+  private[api] def jsonHasKey(body: String, key: String): Boolean =
+    depth1ValueStart(body, key) >= 0
 
   /** Extract a top-level string field from a (flat) JSON body. */
   private[api] def jsonField(body: String, key: String): Option[String] = {
@@ -196,10 +211,30 @@ final class ApiServer(engine: Engine, port: Int = 0) {
     * than run with a silently truncated number.
     */
   private[api] def jsonLongField(body: String, key: String): Option[Long] = {
-    val pat = ("\"" + java.util.regex.Pattern.quote(key) +
-      "\"\\s*:\\s*(?:(-?\\d+)(?=\\s*[,}])|\"(-?\\d+)\"(?=\\s*[,}]))").r
-    pat.findFirstMatchIn(body).flatMap(m =>
-      Option(m.group(1)).orElse(Option(m.group(2))).flatMap(_.toLongOption))
+    val at = depth1ValueStart(body, key) // top-level keys only
+    if (at < 0) return None
+    var i = at
+    while (i < body.length && body.charAt(i).isWhitespace) i += 1
+    if (i >= body.length) return None
+    val quoted = body.charAt(i) == '"'
+    if (quoted) i += 1
+    val start = i
+    if (i < body.length && body.charAt(i) == '-') i += 1
+    while (i < body.length && body.charAt(i).isDigit) i += 1
+    val digits = body.substring(start, i)
+    if (!digits.matches("-?\\d+")) return None
+    if (quoted) {
+      if (i >= body.length || body.charAt(i) != '"') return None // "32kb"
+      i += 1
+    }
+    var j = i
+    while (j < body.length && body.charAt(j).isWhitespace) j += 1
+    // the value must END at the digits: numeric-PREFIX garbage (1e6,
+    // 32768.5) silently truncating to a tiny part size is the failure
+    // the anchored parse exists to prevent
+    if (j >= body.length || (body.charAt(j) != ',' && body.charAt(j) != '}'))
+      return None
+    digits.toLongOption
   }
 
   // ---- routing -------------------------------------------------------------

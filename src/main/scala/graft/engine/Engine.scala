@@ -1220,12 +1220,31 @@ final class Engine(
     * release window.
     */
   def sparkSql(query: String): DataFrame = {
-    tableNames.foreach { t =>
+    // register only the tables the query REFERENCES (word-boundary
+    // match): a 50-table engine serving a 1-table statement must pay
+    // one snapshot build, not fifty version checks + possible
+    // rebuilds per call. The matcher can only over-match (a table
+    // name inside a string literal) — an extra registration costs one
+    // cached-snapshot touch, never correctness. Zero matches (e.g. a
+    // quoted/qualified spelling the heuristic misses) falls back to
+    // registering everything, so behavior degrades to the old cost,
+    // never to TABLE_OR_VIEW_NOT_FOUND.
+    val names = tableNames
+    val referenced = names.filter(referencedIn(query, _))
+    (if (referenced.nonEmpty) referenced else names).foreach { t =>
       snapshotCached(t).createOrReplaceTempView(t)
       registeredViews.add(t)
     }
     spark.sql(query)
   }
+
+  /** Word-boundary test for table `t` appearing in SQL text — the one
+    * referenced-table heuristic sparkSql and explainSpark share.
+    */
+  private def referencedIn(query: String, t: String): Boolean =
+    java.util.regex.Pattern
+      .compile(s"(?i)\\b${java.util.regex.Pattern.quote(t)}\\b")
+      .matcher(query).find()
 
   /** EXPLAIN for the Spark SQL extension surface (the HTAP EXPLAIN in
     * execExplain covers only the reference dialect): reports which
@@ -1243,10 +1262,7 @@ final class Engine(
     */
   def explainSpark(query: String): String = {
     val df = sparkSql(query)
-    val referenced = tableNames.filter(t =>
-      java.util.regex.Pattern
-        .compile(s"(?i)\\b${java.util.regex.Pattern.quote(t)}\\b")
-        .matcher(query).find())
+    val referenced = tableNames.filter(referencedIn(query, _))
     val lines = Vector.newBuilder[String]
     lines += "Snapshot Sources:"
     referenced.foreach { t =>
@@ -1409,11 +1425,17 @@ final class Engine(
           val tiers = store.synchronized(store.coldDirs)
           misses.flatMap(pk => ColdPointReader.lookup(spark, m, tiers, pk)
             .filterNot(_.tombstone).map(rv => pk -> rv.values)).toMap
-        } else snapshot(m.name)
-          .filter(col(m.pk).isin(misses: _*))
-          .collect()
-          .map(r => r.get(m.pkIndex) -> m.cols.indices.map(i => r.get(i)).toArray)
-          .toMap
+        } else retryOnBlockLoss {
+          // cached snapshot (steady-state batch reads must not re-plan
+          // the merge per call); the action holds no scan lease, so a
+          // concurrent retire can release a block mid-collect — the
+          // retry re-plans against the fresh cache
+          snapshotCached(m.name)
+            .filter(col(m.pk).isin(misses: _*))
+            .collect()
+            .map(r => r.get(m.pkIndex) -> m.cols.indices.map(i => r.get(i)).toArray)
+            .toMap
+        }
       hotLive ++ coldHits
     }
   }
@@ -1523,7 +1545,26 @@ final class Engine(
     val store = storeOf(e.table)
     acquireScanLease(store)
     try {
-      snapshot(store.meta.name).write.mode("errorifexists").parquet(e.path)
+      // never-clobber, crash-atomic: the never-destroy-foreign-data
+      // contract is checked up front, the write lands in a staging
+      // sibling, and the target appears via ONE rename — a killed or
+      // failed export leaves no partial target directory that would
+      // (a) permanently block retries with "path already exists" and
+      // (b) hand a downstream job incomplete data. The stale staging
+      // dir of a previous kill is OURS (suffix-named) and is reclaimed
+      // before the write.
+      val target = java.nio.file.Paths.get(e.path)
+      if (java.nio.file.Files.exists(target))
+        throw new java.io.IOException(s"path already exists: ${e.path}")
+      val staging = java.nio.file.Paths.get(e.path + ".__export_staging__")
+      Persist.deleteRecursively(staging)
+      try {
+        snapshot(store.meta.name).write.mode("errorifexists")
+          .parquet(staging.toString)
+        java.nio.file.Files.move(staging, target)
+      } catch {
+        case ex: Throwable => Persist.deleteRecursively(staging); throw ex
+      }
       ResultSet(ok = true, Vector("Result"),
         Vector(Vector(s"EXPORT ok: '${store.meta.name}' -> ${e.path}")))
     } catch {

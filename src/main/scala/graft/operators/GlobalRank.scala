@@ -78,16 +78,28 @@ object GlobalRank {
   private val ownedLock = new Object
   private val ownedPersists =
     new java.util.LinkedHashMap[DataFrame, java.lang.Boolean]()
+  // retire-don't-unpersist (the engine's drainRetiredSnaps discipline
+  // in miniature): an evicted frame is RETIRED for one full eviction
+  // cycle before its blocks release, so a concurrent consumer
+  // mid-action on it cannot hit "Block rdd_N does not exist" at the
+  // instant of eviction — it has until the NEXT cap overflow (another
+  // maxOwnedPersists registrations) to finish, after which the lazy
+  // plan degrades to recompute, never to failure.
+  private val retiredPersists = new java.util.ArrayList[DataFrame]()
 
   private def trackOwned(p: DataFrame): Unit = {
-    val evicted = ownedLock.synchronized {
+    val toRelease = ownedLock.synchronized {
       ownedPersists.put(p, java.lang.Boolean.TRUE)
       if (ownedPersists.size > maxOwnedPersists) {
         val it = ownedPersists.keySet().iterator()
-        val oldest = it.next(); it.remove(); Some(oldest)
-      } else None
+        val oldest = it.next(); it.remove()
+        val drained = new java.util.ArrayList[DataFrame](retiredPersists)
+        retiredPersists.clear()
+        retiredPersists.add(oldest)
+        drained
+      } else new java.util.ArrayList[DataFrame]()
     }
-    evicted.foreach(_.unpersist(blocking = false))
+    toRelease.forEach(_.unpersist(blocking = false))
   }
 
   /** Unpersist every input [[withRank]] itself cached. Safe to call
@@ -100,7 +112,9 @@ object GlobalRank {
     // the next release instead of being dropped still-cached
     val snapshot = ownedLock.synchronized {
       val s = new java.util.ArrayList[DataFrame](ownedPersists.keySet())
+      s.addAll(retiredPersists)
       ownedPersists.clear()
+      retiredPersists.clear()
       s
     }
     snapshot.forEach(_.unpersist(blocking = false))

@@ -393,14 +393,15 @@ object AnnIndex {
   // bucket occupancies grow by the same ~6%, so probe costs and
   // collision rates move marginally). Past ~20% growth the bound is
   // now MECHANIZED, not just documented: indexGrowth flags `stale`
-  // (surfaced in q_ann_upsert's audit row for both families) and the
+  // (surfaced in q_ann_upsert's audit row for both families), the
   // IVF path re-trains itself via retrainIvfIfStale — the standard
-  // FAISS add-then-retrain discipline as code. LSH is surfaced-only
-  // by design: its artifact carries ids, never vectors (T tables
-  // would mean T copies of the embedding column), so a re-hash at a
-  // wider bit width is a corpus pass the INDEX cannot run from its
-  // own files — the `stale` flag is the signal, and the rebuild is
-  // one cheap hash pass over the corpus at the next bitsFor width.
+  // FAISS add-then-retrain discipline as code — and the LSH path
+  // re-hashes via retrainLshIfStale (r17): its artifact carries ids,
+  // never vectors (T tables would mean T copies of the embedding
+  // column), so its re-train is a maintenance verb that re-reads the
+  // CORPUS — one cheap hash pass at the grown bitsFor width, under
+  // the same crash-atomic staged-dir commit, with the swapped width
+  // recorded in the artifact (rows/_BITS) for probe consumers.
   // The upsert itself never degrades CORRECTNESS of the audit:
   // candidates are re-ranked by exact cosine, so a bad assignment
   // costs recall, never a wrong distance.
@@ -533,9 +534,20 @@ object AnnIndex {
 
   /** Build-or-read the incremental LSH artifact (same split and
     * arrivals-directory commit discipline as [[ivfIncremental]]);
-    * rows only, like the full LSH index.
+    * rows only, like the full LSH index. Returns just the index frame
+    * — [[lshIncrementalWithBits]] adds the artifact's ACTUAL bit
+    * width, which consumers probing a possibly-retrained index need.
     */
-  def lshIncremental(s: SparkSession, d: String): DataFrame = {
+  def lshIncremental(s: SparkSession, d: String): DataFrame =
+    lshIncrementalWithBits(s, d)._1
+
+  /** [[lshIncremental]] plus the artifact's committed bit width: a
+    * mechanized re-train re-derives B from the GROWN corpus and
+    * records it in the swapped generation (`rows/_BITS`), so probe
+    * masks must come from here, not from re-deriving bitsFor over the
+    * dataset — the two diverge exactly when a re-train has fired.
+    */
+  def lshIncrementalWithBits(s: SparkSession, d: String): (DataFrame, Int) = {
     val path = lshIncPath(s, d)
     val rowsPath = s"$path/rows"
     val arrivalsPath = s"$path/arrivals"
@@ -552,7 +564,13 @@ object AnnIndex {
           .write.mode(SaveMode.Overwrite).parquet(arrivalsPath)
       }
     }
-    s.read.parquet(rowsPath, arrivalsPath)
+    // mechanized staleness (the IVF discipline, closed for LSH this
+    // round): a grown artifact past RetrainGrowth re-hashes the corpus
+    // at the grown bit width and swaps. The fixture split is ~6%, so
+    // on the declared path this is a stat-call no-op.
+    retrainLshIfStale(s, path, t(s, d, "embeddings"), corpusSize(s, d))
+    (readMembers(s, rowsPath +: lshArrivalDirs(path)),
+      lshBitsOf(path, bits))
   }
 
   // ---- mechanized re-train (r16 directive 4) -------------------------------
@@ -692,8 +710,13 @@ object AnnIndex {
     // assemble the generation INSIDE the staged members dir, then
     // publish it with the one move
     Files.move(Paths.get(stagedC), Paths.get(stagedM, "_CENTROIDS"))
+    // the new marker carries the UNION with the outgoing generation's
+    // absorbed set: a crash may have left an EARLIER-absorbed dir
+    // data-carrying, and dropping its record here would double-index
+    // it after THIS swap
     Files.write(Paths.get(stagedM, "_ABSORBED"),
-      arrivals.map(a => Paths.get(a).getFileName.toString).sorted
+      (absorbedSet(membersPath) ++
+          arrivals.map(a => Paths.get(a).getFileName.toString)).toSeq.sorted
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     graft.engine.Persist.deleteRecursively(Paths.get(membersPath))
@@ -703,6 +726,118 @@ object AnnIndex {
     // committed-EMPTY so ensure-steps and streaming replays still see
     // an already-present batch
     graft.engine.Persist.deleteRecursively(Paths.get(s"$root/centroids"))
+    arrivals.foreach { ap =>
+      graft.engine.Persist.deleteRecursively(Paths.get(ap))
+      Files.createDirectories(Paths.get(ap))
+      Files.createFile(Paths.get(ap, "_SUCCESS"))
+    }
+    true
+  }
+
+  // ---- LSH mechanized re-train (r17 directive 1) ---------------------------
+  // The r16 asymmetry: only IVF self-retrained. The LSH artifact
+  // stores (vec_id, tbl, bucket) ids, never vectors (T tables would
+  // mean T copies of a 100 TB embedding column), so unlike IVF it
+  // CANNOT re-plane from its own files — the re-train is a maintenance
+  // verb that re-hashes the CORPUS (one cheap projection pass — the
+  // same cost class as the original build) at the grown corpus's
+  // bitsFor width, under the same crash-atomic staged-dir commit as
+  // retrainIvfIfStale. The swapped generation records its bit width
+  // (`_BITS`) inside the rows dir, so probe-mask consumers follow the
+  // artifact, not a re-derivation that no longer matches.
+
+  /** Fold an arriving (vec_id, v) batch into a frozen LSH artifact:
+    * hash through the FIXED seeded planes at the artifact's bit width
+    * and overwrite-commit the batch's bucket rows — plane determinism
+    * guarantees the rows equal what a full rebuild at that width
+    * would emit. Idempotent, like [[upsertIvf]].
+    */
+  def upsertLsh(s: SparkSession, batch: DataFrame, bits: Int,
+                arrivalsPath: String): Unit =
+    lshRowsOf(s, batch.select(col("vec_id"), col("v").as("embedding")), bits)
+      .write.mode(SaveMode.Overwrite).parquet(arrivalsPath)
+
+  /** Every COMMITTED, NOT-ABSORBED arrivals directory under an
+    * incremental-LSH artifact root — the batch-split `arrivals` and
+    * any `arrivals-b<id>` appends, minus what the current rows
+    * generation already re-hashed (rows/_ABSORBED).
+    */
+  def lshArrivalDirs(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val absorbed = absorbedSet(s"$root/rows")
+    val ls = Files.list(p)
+    try ls.iterator().asScala.map(_.toString).filter { f =>
+      val n = Paths.get(f).getFileName.toString
+      (n == "arrivals" || n.startsWith("arrivals-b")) &&
+        !absorbed.contains(n) && ready(f)
+    }.toSeq.sorted
+    finally ls.close()
+  }
+
+  /** The artifact's committed sign-bit width: a retrained generation
+    * records the width it re-hashed at (`rows/_BITS`, swapped
+    * atomically with the rows); a never-retrained artifact has no
+    * marker and keeps the build-time default.
+    */
+  def lshBitsOf(root: String, default: Int): Int = {
+    val p = Paths.get(root, "rows", "_BITS")
+    if (!Files.exists(p)) default
+    else Files.readAllLines(p).asScala.headOption
+      .flatMap(_.trim.toIntOption).getOrElse(default)
+  }
+
+  /** Mechanized re-train of a grown incremental LSH artifact under
+    * `root` (child dirs `rows`, arrivals per [[lshArrivalDirs]]):
+    * when committed arrivals exceed [[RetrainGrowth]] of the base BY
+    * BYTES, re-hash `corpus` (raw embeddings schema: vec_id,
+    * embedding) at the width bitsFor(`grownCount`) derives — the
+    * whole point of the rebuild: bucket occupancy over the grown
+    * corpus returns to the ~linear candidate-volume regime — and swap.
+    *
+    * Crash discipline — ONE commit point, the retrainIvfIfStale
+    * shape: the staged rows dir carries `_BITS` and `_ABSORBED`
+    * inside it, so the single `rows` move publishes (rows, width,
+    * absorbed-set) together; every arrivals dir is then left
+    * COMMITTED-EMPTY so ensure-steps and replays see an
+    * already-present batch while readers skip it. A coverage guard
+    * runs BEFORE the swap: the staged rebuild must index at least as
+    * many distinct ids as the generation it replaces (a corpus
+    * argument that misses stream-appended vectors must fail loudly,
+    * never silently drop them from the index). Returns true iff a
+    * rebuild ran.
+    */
+  def retrainLshIfStale(s: SparkSession, root: String, corpus: => DataFrame,
+                        grownCount: => Long): Boolean = synchronized {
+    val rowsPath = s"$root/rows"
+    val arrivals = lshArrivalDirs(root)
+    val (_, _, stale) = indexGrowth(s, rowsPath, arrivals)
+    if (!stale) return false
+    val bits = bitsFor(grownCount)
+    val preIds = readMembers(s, rowsPath +: arrivals)
+      .select(col("vec_id")).distinct().count()
+    val stagedR = s"$root/rows_retrain"
+    graft.engine.Persist.deleteRecursively(Paths.get(stagedR))
+    lshRowsOf(s, corpus, bits).write.mode(SaveMode.Overwrite).parquet(stagedR)
+    val postIds = s.read.parquet(stagedR)
+      .select(col("vec_id")).distinct().count()
+    require(postIds >= preIds,
+      s"LSH re-train corpus covers $postIds ids but the index holds " +
+        s"$preIds — refusing a rebuild that would drop indexed vectors")
+    Files.write(Paths.get(stagedR, "_BITS"),
+      s"$bits\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // union with the outgoing generation's absorbed set — same
+    // double-index guard as retrainIvfIfStale (a crash may have left
+    // an earlier-absorbed dir data-carrying)
+    Files.write(Paths.get(stagedR, "_ABSORBED"),
+      (absorbedSet(rowsPath) ++
+          arrivals.map(a => Paths.get(a).getFileName.toString)).toSeq.sorted
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.engine.Persist.deleteRecursively(Paths.get(rowsPath))
+    Files.move(Paths.get(stagedR), Paths.get(rowsPath))
+    // disk reclaim past the commit point (pure cleanup, crash-safe:
+    // readers already skip absorbed arrivals via the marker)
     arrivals.foreach { ap =>
       graft.engine.Persist.deleteRecursively(Paths.get(ap))
       Files.createDirectories(Paths.get(ap))

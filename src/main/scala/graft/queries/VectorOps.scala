@@ -83,17 +83,27 @@ object VectorOps {
   private val ownedLock = new Object
   private val ownedPersists =
     new java.util.LinkedHashMap[DataFrame, java.lang.Boolean]()
+  // retire-don't-unpersist (the engine's drainRetiredSnaps discipline
+  // in miniature): an evicted frame is RETIRED for one full eviction
+  // cycle before its blocks release — a concurrent consumer
+  // mid-action on it has until the NEXT cap overflow to finish, so
+  // eviction can't hand it "Block rdd_N does not exist" on the spot.
+  private val retiredPersists = new java.util.ArrayList[DataFrame]()
 
   private def registerPersist(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val evicted = ownedLock.synchronized {
+    val toRelease = ownedLock.synchronized {
       ownedPersists.put(p, java.lang.Boolean.TRUE)
       if (ownedPersists.size > maxOwnedPersists) {
         val it = ownedPersists.keySet().iterator()
-        val oldest = it.next(); it.remove(); Some(oldest)
-      } else None
+        val oldest = it.next(); it.remove()
+        val drained = new java.util.ArrayList[DataFrame](retiredPersists)
+        retiredPersists.clear()
+        retiredPersists.add(oldest)
+        drained
+      } else new java.util.ArrayList[DataFrame]()
     }
-    evicted.foreach(_.unpersist(blocking = false))
+    toRelease.forEach(_.unpersist(blocking = false))
     p
   }
 
@@ -101,7 +111,9 @@ object VectorOps {
   def releaseCaches(): Unit = {
     val snapshot = ownedLock.synchronized {
       val s = new java.util.ArrayList[DataFrame](ownedPersists.keySet())
+      s.addAll(retiredPersists)
       ownedPersists.clear()
+      retiredPersists.clear()
       s
     }
     snapshot.forEach(_.unpersist(blocking = false))
@@ -545,8 +557,10 @@ object VectorOps {
     // grown corpus — the staleness bound of the frozen quantizer is
     // audited, never assumed), and stale (committed arrivals past
     // AnnIndex.RetrainGrowth of the base — the fixture's ~6% split
-    // must read 0; the IVF path would have ALREADY mechanically
-    // re-trained via retrainIvfIfStale were it past the bound).
+    // must read 0; BOTH families would have ALREADY mechanically
+    // re-trained (retrainIvfIfStale from member-carried vectors,
+    // retrainLshIfStale by re-hashing the corpus) were it past the
+    // bound, so a persistent 1 here means the mechanism is broken).
     "q_ann_upsert" -> Q(
       """SELECT * FROM (SELECT 'ivf' AS method, CAST(1 AS INT) AS batch_indexed,
                                CAST(1 AS INT) AS recall_ok, CAST(0 AS INT) AS stale
@@ -561,7 +575,7 @@ object VectorOps {
       val ivfBatchIndexed =
         AnnIndex.readMembers(s, memberPaths).filter(col("vec_id") % m === 0)
           .select(col("vec_id")).distinct().count() == batchAll
-      val lshIdx = AnnIndex.lshIncremental(s, d)
+      val (lshIdx, lshBits) = AnnIndex.lshIncrementalWithBits(s, d)
       val lshBatchIndexed =
         lshIdx.filter(col("vec_id") % m === 0)
           .select(col("vec_id")).distinct().count() == batchLive
@@ -576,11 +590,12 @@ object VectorOps {
       val ivfStale = AnnIndex.indexGrowth(s, s"$ivfRoot/members",
         AnnIndex.arrivalDirs(ivfRoot))._3
       val lshStale = AnnIndex.indexGrowth(s, s"$lshRoot/rows",
-        Seq(s"$lshRoot/arrivals"))._3
+        AnnIndex.lshArrivalDirs(lshRoot))._3
       val rows = Seq(
         ("ivf", ivfBatchIndexed,
           recallOk(ivfTop5From(s, d, (cents, memberPaths))), ivfStale),
-        ("lsh", lshBatchIndexed, recallOk(lshTop5From(s, d, lshIdx)), lshStale))
+        ("lsh", lshBatchIndexed,
+          recallOk(lshTop5From(s, d, lshIdx, Some(lshBits))), lshStale))
       // The PQ upsert member is NOT audited here: PQ's recall
       // contract is structured data (the q_ann_ivfpq treatment), so
       // its grown-index recall is gated on the planted-cluster
@@ -1047,10 +1062,15 @@ object VectorOps {
     lshTop5From(s, d, AnnIndex.lshIndex(s, d))
 
   /** Bucket-probe + exact re-rank over ANY LSH index frame — shared
-    * by the full build and the incrementally-grown index.
+    * by the full build and the incrementally-grown index. `bitsOpt`
+    * overrides the probe-mask width for artifacts whose committed
+    * width diverges from the dataset derivation (a mechanized LSH
+    * re-train re-derives B from the GROWN corpus — probing a 10-bit
+    * index with 8-bit masks flips bits that don't exist).
     */
-  private def lshTop5From(s: SparkSession, d: String, idx: DataFrame): DataFrame = {
-    val bits = bitsFor(corpusSize(s, d))
+  private[graft] def lshTop5From(s: SparkSession, d: String, idx: DataFrame,
+                                 bitsOpt: Option[Int] = None): DataFrame = {
+    val bits = bitsOpt.getOrElse(bitsFor(corpusSize(s, d)))
     val probeMasks: Seq[Int] = masksUpTo(bits, probeRadius(bits))
     val queries = idx.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))

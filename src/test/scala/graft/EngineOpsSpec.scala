@@ -504,6 +504,45 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sparkSql registers only the views a statement references") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      val names = (0 until 50).map(i => s"svr17_t$i")
+      names.foreach { n =>
+        assert(e.sql(s"CREATE TABLE $n (id BIGINT NOT NULL, v INT)").ok)
+        e.batchPut(n, Seq(Array[Any](1L, Int.box(1))))
+      }
+      try {
+        // a 1-table statement on a 50-table engine must register (and
+        // therefore snapshot-build) exactly the referenced table —
+        // temp-view existence is the faithful proxy: sparkSql builds a
+        // snapshot iff it registers the view
+        assert(e.sparkSql(s"SELECT count(*) AS n FROM svr17_t3")
+          .collect()(0).getLong(0) == 1L)
+        assert(spark.catalog.tableExists("svr17_t3"))
+        assert(!spark.catalog.tableExists("svr17_t4"),
+          "sparkSql built a snapshot for a table the query never references")
+        // multi-table statements register each referenced table
+        assert(e.sparkSql(
+          "SELECT count(*) AS n FROM svr17_t5 JOIN svr17_t6 ON svr17_t5.id = svr17_t6.id")
+          .collect()(0).getLong(0) == 1L)
+        assert(spark.catalog.tableExists("svr17_t5") &&
+          spark.catalog.tableExists("svr17_t6"))
+        assert(!spark.catalog.tableExists("svr17_t7"))
+        // zero matches (no table name in the text) falls back to
+        // registering everything — never TABLE_OR_VIEW_NOT_FOUND for
+        // a spelling the word-boundary heuristic misses
+        assert(e.sparkSql("SELECT 1 AS one").collect()(0).getInt(0) == 1)
+        assert(names.forall(spark.catalog.tableExists),
+          "zero-match fallback must register every table")
+        // freshness is untouched: a write is visible to the next call
+        e.batchPut("svr17_t3", Seq(Array[Any](2L, Int.box(2))))
+        assert(e.sparkSql("SELECT count(*) AS n FROM svr17_t3")
+          .collect()(0).getLong(0) == 2L)
+      } finally names.foreach(n => e.sql(s"DROP TABLE $n"))
+    }
+  }
+
   // ---- C13: delta-log corruption recovery ----------------------------------
 
   test("explainSpark reports per-table tier feed plus the Catalyst physical plan") {
@@ -753,6 +792,96 @@ class EngineOpsSpec extends AnyFunSuite {
         assert(!e.sql(s"IMPORT im FROM '$outRoot/nonexistent'").ok)
         assert(!e.sql("EXPORT ex TO noquotes").ok)
         assert(e.sql("DROP TABLE im").ok)
+      } finally graft.engine.Persist.deleteRecursively(outRoot)
+    }
+  }
+
+  test("EXPORT is crash-atomic: stale staging is reclaimed, never served or blocking") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE exa (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("exa", (1 to 50).map(i => Array[Any](i.toLong, Int.box(i))))
+      val outRoot = java.nio.file.Files.createTempDirectory("graft-exa")
+      val out = s"$outRoot/exa"
+      try {
+        // simulate a KILLED previous export: its staging dir is left
+        // with partial junk, the target never appeared. The retry must
+        // reclaim the staging, succeed, and serve only committed data
+        // — the pre-staging design left a partial TARGET that blocked
+        // every retry ("path already exists") while containing
+        // incomplete rows a downstream job could read.
+        val staging = java.nio.file.Paths.get(s"$out.__export_staging__")
+        java.nio.file.Files.createDirectories(staging)
+        java.nio.file.Files.write(staging.resolve("part-junk.parquet"),
+          Array[Byte](1, 2, 3))
+        assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+        val rs = e.sql(s"EXPORT exa TO '$out'")
+        assert(rs.ok, rs.error)
+        assert(spark.read.parquet(out).count() == 50)
+        assert(!java.nio.file.Files.exists(staging),
+          "a committed export must leave no staging residue")
+        // never-clobber still holds, and a FAILED export leaves no
+        // staging behind to confuse the next attempt
+        val rs2 = e.sql(s"EXPORT exa TO '$out'")
+        assert(!rs2.ok && rs2.error.contains("EXPORT failed"), rs2.toString)
+        assert(!java.nio.file.Files.exists(staging))
+        assert(spark.read.parquet(out).count() == 50,
+          "a failed export must not disturb the existing target")
+      } finally graft.engine.Persist.deleteRecursively(outRoot)
+    }
+  }
+
+  test("EXPORT under load: ingest and compaction proceed, deferred tiers drain after") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 99)
+      assert(e.sql("CREATE TABLE exl (id BIGINT NOT NULL, v INT, s VARCHAR(20))").ok)
+      // enough rows that the export write job runs long enough to
+      // overlap real churn (the merge-path snapshot: hot + 2 tiers)
+      e.batchPut("exl", (1 to 300000).map(i =>
+        Array[Any](i.toLong, Int.box(i), s"payload-$i")))
+      e.forceFlush("exl")
+      e.batchPut("exl", (300001 to 600000).map(i =>
+        Array[Any](i.toLong, Int.box(i), s"payload-$i")))
+      e.forceFlush("exl")
+      val store = e.storeOf("exl")
+      val outRoot = java.nio.file.Files.createTempDirectory("graft-exl")
+      val out = s"$outRoot/exl"
+      try {
+        @volatile var exported: graft.engine.ResultSet = null
+        val t = new Thread(() => { exported = e.sql(s"EXPORT exl TO '$out'") })
+        t.start()
+        // concurrent writer + compactor while the export's scan lease
+        // is live: every cycle retires a generation the lease pins
+        var cycles = 0
+        while (t.isAlive && cycles < 12) {
+          e.batchPut("exl", Seq(Array[Any]((900000 + cycles).toLong,
+            Int.box(cycles), s"during-$cycles")))
+          e.forceFlush("exl")
+          e.compact("exl")
+          cycles += 1
+        }
+        t.join(120000)
+        assert(!t.isAlive, "export did not finish")
+        assert(exported.ok, exported.error)
+        info(s"churn cycles overlapping the export: $cycles")
+        // ingest continued: every concurrent write is queryable
+        assert(e.sql("SELECT COUNT(*) FROM exl").rows.head.head
+          == (600000 + cycles).toString)
+        // the export is a consistent snapshot: no duplicates, no
+        // partial rows — between the pre-churn and post-churn counts
+        val back = spark.read.parquet(out)
+        val n = back.count()
+        assert(n >= 600000 && n <= 600000 + cycles, s"exported $n rows")
+        assert(back.select("id").distinct().count() == n,
+          "exported snapshot must not duplicate rows")
+        // the lease released with the export: one more churn cycle
+        // must drain the deferred generations it pinned
+        e.batchPut("exl", Seq(Array[Any](950000L, Int.box(0), "after")))
+        e.forceFlush("exl")
+        e.compact("exl")
+        assert(store.synchronized(store.retiredGens.size) <= 2, // tierRetainGens
+          s"deferred queue did not drain after the export: " +
+            s"${store.synchronized(store.retiredGens.size)}")
       } finally graft.engine.Persist.deleteRecursively(outRoot)
     }
   }

@@ -298,6 +298,138 @@ class VectorOpsSpec extends AnyFunSuite {
         "absorbed arrivals left data-carrying by a crash must be skipped")
       assert(!AnnIndex.retrainIvfIfStale(spark, root),
         "absorbed arrivals must not count toward growth again")
+      // a SECOND re-train (fresh growth) must carry the absorbed set
+      // FORWARD: the crash-left data in arrivals-b0 stays skipped even
+      // after the marker is rewritten by the new generation
+      val batch2 = (620L until 920L).map(id => (id, vec(-2.0)))
+      AnnIndex.upsertIvf(spark, batch2.toDF("vec_id", "v"),
+        cents1, s"$root/arrivals-b1")
+      assert(AnnIndex.retrainIvfIfStale(spark, root),
+        "fresh growth past the bound must fire again")
+      assert(AnnIndex.readMembers(spark,
+        AnnIndex.streamedMemberPaths(s"$root/members", root)).count() == 920,
+        "the second generation must union the absorbed set — " +
+          "crash-left arrivals-b0 data must stay skipped")
+    } finally {
+      AnnIndex.pruneArtifacts(dir)
+      graft.engine.Persist.deleteRecursively(Paths.get(dir))
+    }
+  }
+
+  test("LSH re-train mechanism: growth past 20% re-hashes the corpus, stale clears, arrivals absorbed") {
+    import java.nio.file.{Files, Paths}
+    import graft.queries.AnnIndex
+    import spark.implicits._
+    val rng = new scala.util.Random(11L)
+    def vec(center: Double): Seq[Double] =
+      Seq.tabulate(64)(i => center * math.sin(i * 0.37) + rng.nextGaussian() * 0.2)
+    // base corpus = blob A (+ the 10 query ids in blob B); the first
+    // arrival batch = blob B, ~50% growth — past the 20% bound
+    val baseVecs = (10L until 420L).map(id => (id, vec(1.0)))
+    val queryVecs = (0L until 10L).map(id => (id, vec(5.0)))
+    val batchVecs = (420L until 620L).map(id => (id, vec(5.0)))
+    val dir = Files.createTempDirectory("graft-lsh-retrain").toString
+    try {
+      (baseVecs ++ queryVecs).map { case (id, v) => (id, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      AnnIndex.pruneArtifacts(dir)
+      val (_, bits0) = AnnIndex.lshIncrementalWithBits(spark, dir)
+      val root = AnnIndex.lshIncPath(spark, dir)
+      // fold the drift batch in against the FIXED seeded planes (the
+      // streamed-arrivals shape) — correct, but now far past 20% grown
+      AnnIndex.upsertLsh(spark, batchVecs.toDF("vec_id", "v"), bits0,
+        s"$root/arrivals-b0")
+      val (b0, a0, stale0) =
+        AnnIndex.indexGrowth(spark, s"$root/rows", AnnIndex.lshArrivalDirs(root))
+      assert(stale0 && b0 > 0 && a0.toDouble / b0 > 0.2,
+        s"fixture must exceed the growth bound: $a0 arrival bytes over $b0 base bytes")
+
+      // the verb: the LSH artifact stores ids only, so the rebuild
+      // re-hashes the supplied CORPUS at the grown width and swaps
+      val grownCorpus = (baseVecs ++ queryVecs ++ batchVecs)
+        .toDF("vec_id", "embedding")
+      assert(AnnIndex.retrainLshIfStale(spark, root, grownCorpus, 620L),
+        "re-train must fire past the growth bound")
+      val (b1, a1, stale1) =
+        AnnIndex.indexGrowth(spark, s"$root/rows", AnnIndex.lshArrivalDirs(root))
+      assert(b1 > 0 && a1 == 0 && !stale1,
+        s"retrained rows must absorb the arrivals: base $b1, arrival bytes $a1")
+      assert(AnnIndex.lshBitsOf(root, -1) == AnnIndex.bitsFor(620L),
+        "the swapped generation must record its re-derived bit width")
+      val grownIdx = AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+      assert(grownIdx.select("vec_id").distinct().count() == 620,
+        "retrained rows must hold every base + arrival vector")
+      assert(grownIdx.count() == 620L * AnnIndex.Tables,
+        "exactly one bucket row per (vector, table)")
+      assert(AnnIndex.committed(s"$root/arrivals-b0") &&
+        AnnIndex.committed(s"$root/arrivals"),
+        "absorbed arrivals must stay committed (empty) so replays cannot re-fold")
+
+      // recall over the retrained artifact: the queries' true top-5
+      // are now in the drift batch the frozen generation never saw.
+      // The probe pipeline resolves candidate vectors from the CORPUS
+      // TABLE (the index stores ids only), so the grown corpus is
+      // written back first — the real-world shape: arrivals exist in
+      // the index because the corpus grew.
+      (baseVecs ++ queryVecs ++ batchVecs).map { case (id, v) => (id, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val corpus = (baseVecs ++ queryVecs ++ batchVecs).toMap
+      def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val exact = queryVecs.map { case (q, qv) =>
+        q -> corpus.collect { case (id, v) if id != q => (cosine(qv, v), id) }
+          .toSeq.sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSet
+      }.toMap
+      val got = graft.queries.VectorOps
+        .lshTop5From(spark, dir, grownIdx, Some(AnnIndex.lshBitsOf(root, bits0)))
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recall = exact.map { case (q, es) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(es).size.toDouble / es.size
+      }.sum / exact.size
+      info(f"LSH recall after mechanized re-train: $recall%.3f")
+      assert(recall >= 0.8, f"post-retrain recall $recall%.3f < 0.8")
+
+      // crash window: a kill AFTER the rows swap but BEFORE the
+      // arrivals cleanup leaves absorbed data files on disk — the
+      // _ABSORBED marker (swapped atomically with the rows) must keep
+      // every reader from double-indexing
+      AnnIndex.upsertLsh(spark, batchVecs.toDF("vec_id", "v"),
+        AnnIndex.lshBitsOf(root, bits0), s"$root/arrivals-b0")
+      assert(AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+        .count() == 620L * AnnIndex.Tables,
+        "absorbed arrivals left data-carrying by a crash must be skipped")
+      assert(!AnnIndex.retrainLshIfStale(spark, root, grownCorpus, 620L),
+        "absorbed arrivals must not count toward growth again")
+
+      // coverage guard: grow again, then hand the verb a corpus that
+      // MISSES the indexed batch — it must refuse before the swap
+      // rather than silently drop indexed vectors
+      val batch2 = (620L until 820L).map(id => (id, vec(-3.0)))
+      AnnIndex.upsertLsh(spark, batch2.toDF("vec_id", "v"),
+        AnnIndex.lshBitsOf(root, bits0), s"$root/arrivals-b1")
+      val shortCorpus = (baseVecs ++ queryVecs).toDF("vec_id", "embedding")
+      intercept[IllegalArgumentException] {
+        AnnIndex.retrainLshIfStale(spark, root, shortCorpus, 420L)
+      }
+      // the refused rebuild must leave the old generation fully intact
+      assert(AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+        .select("vec_id").distinct().count() == 820,
+        "a refused re-train must leave the grown index readable")
+      // and the verb still succeeds with the TRUE grown corpus
+      val fullCorpus = (baseVecs ++ queryVecs ++ batchVecs ++ batch2)
+        .toDF("vec_id", "embedding")
+      assert(AnnIndex.retrainLshIfStale(spark, root, fullCorpus, 820L))
+      assert(AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+        .select("vec_id").distinct().count() == 820)
     } finally {
       AnnIndex.pruneArtifacts(dir)
       graft.engine.Persist.deleteRecursively(Paths.get(dir))
