@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.queries.AnnIndex.{base, bitsFor, corpusSize}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,30 @@ object VectorOps {
     * `all` (interpolated into oracle SQL at object init).
     */
   private[graft] val cappedDedupWindow = 8
+
+  /** Sampled recall audit's corpus-sample geometry (declared before
+    * `all`: the oracle SQL interpolates them at object init). The
+    * sample is [[sampleStripes]] deterministic id stripes of
+    * [[sampleStripeWidth]] ids each — stride = max(1, n/stripes),
+    * width = min(stride, stripeWidth), membership
+    * `vec_id % stride < width` — so the sample holds ~2048 vectors at
+    * ANY corpus size: the audit's exact-KNN base stops growing with
+    * the corpus. Integer-only derivation from n = count(*), so the
+    * DuckDB oracle mirrors the exact same membership. At deployment
+    * the stripes would be spelled as explicit vec_id range predicates
+    * for parquet row-group pruning (the mod spelling and the range
+    * union pick identical ids on dense id spaces); here the mod form
+    * keeps one expression on both engines.
+    */
+  private[graft] val sampleStripes = 16L
+  private[graft] val sampleStripeWidth = 128L
+
+  /** The sample-membership predicate for a corpus of n rows. */
+  private def samplePred(n: Long): Column = {
+    val stride = math.max(1L, n / sampleStripes)
+    val width = math.min(stride, sampleStripeWidth)
+    (col("vec_id") % stride) < width
+  }
 
   /** Per-call corpus-sized persists (semanticDedup's assigned frame,
     * the capped variant's ranked frame), registered so a long-lived
@@ -154,13 +178,19 @@ object VectorOps {
     * identical filter.
     */
   private def knnTop5(corpus: DataFrame,
-                      band: Option[(Double, Double)] = None): DataFrame = {
+                      band: Option[(Double, Double)] = None,
+                      candFilter: Option[Column] = None): DataFrame = {
     val live = corpus.filter(expr("dot_product(v, v) > 0"))
       .selectExpr("vec_id", "v", "sqrt(dot_product(v, v)) AS nv")
     val qs = live.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    val scored = live.crossJoin(broadcast(qs))
+    // candFilter restricts the CANDIDATE side only (queries stay
+    // fixed): the sampled recall audit's ground truth is exact top-5
+    // WITHIN the sample, so the per-row score fan-out and the window
+    // exchange shrink from n·q rows to sample·q
+    val cand = candFilter.foldLeft(live)(_.filter(_))
+    val scored = cand.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id", "dot_product(v, qv) / (nv * nq) AS cosine")
     // the band filter (hard-negative mining) runs BEFORE the window,
@@ -541,6 +571,45 @@ object VectorOps {
         .orderBy(col("method"))
     },
 
+    // ---- SAMPLED recall audit (the at-scale audit shape, r17) --------------
+    // q_ann_recall_audit's exact-KNN base is deliberately linear in
+    // the corpus — the honest gate, but at 100 TB a recall audit
+    // cannot afford a full exact pass per check. This variant
+    // estimates the same quantity from a FIXED-SIZE deterministic
+    // corpus sample (samplePred: ~2048 ids at any corpus size):
+    // ground truth = exact top-5 WITHIN the sample, and each index
+    // answers restricted to the same sample, so recall measures
+    // whether the index's probes cover the sample's near field — an
+    // unbiased view of candidate-generation coverage whose cost stops
+    // growing with the corpus (the n·q score fan-out and its window
+    // exchange become sample·q). With 10 queries × 5 slots = 50
+    // Bernoulli trials, Hoeffding gives ±~0.19 at 95% — the audit is
+    // a tripwire with a confidence band, not a decimal; the full
+    // audit remains the precise (and expensive) instrument. Emitted
+    // verdicts hash-match literal oracles like the full audit, so a
+    // coverage regression FAILs the driver gate.
+    "q_ann_recall_sampled" -> Q(
+      """SELECT * FROM (SELECT 'ivf' AS method, CAST(1 AS INT) AS recall_ok
+         UNION ALL SELECT 'lsh', CAST(1 AS INT)) ORDER BY method""") { (s, d) =>
+      import s.implicits._
+      val pred = samplePred(corpusSize(s, d))
+      val exact = knnTop5(registered(s, d), candFilter = Some(pred))
+        .select(col("q_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nExact = exact.count()
+      val rows = Seq(
+        "ivf" -> ivfTop5From(s, d, AnnIndex.ivf(s, d), candFilter = Some(pred)),
+        "lsh" -> lshTop5From(s, d, AnnIndex.lshIndex(s, d),
+          candFilter = Some(pred))
+      ).map { case (name, approx) =>
+        (name, if (recallAtLeast08(exact, nExact, approx)) 1 else 0)
+      }
+      exact.unpersist(blocking = false)
+      rows.toDF("method", "recall_ok")
+        .select(col("method"), col("recall_ok").cast("int"))
+        .orderBy(col("method"))
+    },
+
     // ---- incremental index maintenance (self-gating, driver-checked) -------
     // The frozen-artifact upsert discipline (AnnIndex.ivfIncremental /
     // lshIncremental): the index is built over ~94% of the corpus,
@@ -670,6 +739,13 @@ object VectorOps {
     // routing level goes in front — same plan, two tiers. Ties (equal
     // cosine) resolve to the lowest cid in both engines; zero-norm
     // vectors are excluded on both sides (cosine undefined).
+    //
+    // PARITY FORM — at scale, default to q_dedup_semantic_capped:
+    // this member keeps SemDeDup's own k ∝ n convention (and with it
+    // a corpus-sized driver codebook and n·k ∝ n² assignment flops);
+    // the capped twin holds the identical drop semantics with a
+    // fixed-size codebook and a sorted-neighborhood prune — linear
+    // end to end, 10×-carrier-gated (see semanticDedupCapped).
     "q_dedup_semantic" -> Q(
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          live AS (SELECT vec_id, v FROM e
@@ -809,6 +885,12 @@ object VectorOps {
     // integer sum (the micro-nat discipline). Empty clusters drop out
     // (k may shrink — n_clusters records it); assignment ties resolve
     // to the lowest cid on both engines.
+    //
+    // PARITY FORM — at scale, default to q_kmeans_train_k: this
+    // member keeps the family's vec_id % 53 seed convention (k ∝ n →
+    // n·k ∝ n² assignment flops; measured 15.7× across the 30×
+    // carrier); the fixed-k twin runs the identical loop and oracle
+    // at k = min(⌈√n⌉, 32) — 1.4× across 10× data.
     "q_kmeans_train" -> Q(kmeansTrainSql(kmeansTrainIters)) { (s, d) =>
       import s.implicits._
       kmeansTrainLoop(s, d)
@@ -1069,7 +1151,8 @@ object VectorOps {
     * index with 8-bit masks flips bits that don't exist).
     */
   private[graft] def lshTop5From(s: SparkSession, d: String, idx: DataFrame,
-                                 bitsOpt: Option[Int] = None): DataFrame = {
+                                 bitsOpt: Option[Int] = None,
+                                 candFilter: Option[Column] = None): DataFrame = {
     val bits = bitsOpt.getOrElse(bitsFor(corpusSize(s, d)))
     val probeMasks: Seq[Int] = masksUpTo(bits, probeRadius(bits))
     val queries = idx.filter(col("vec_id") < 10)
@@ -1077,7 +1160,10 @@ object VectorOps {
       .withColumn("mk", typedlit(probeMasks))
       .selectExpr("q_id", "tbl",
         "explode(transform(mk, m -> CAST(bucket ^ m AS INT))) AS bucket")
-    val cand = idx.join(broadcast(queries), Seq("tbl", "bucket"))
+    // candFilter (sampled recall audit) restricts candidates BEFORE
+    // the bucket join — the index scan carries only sample rows
+    val cand = candFilter.foldLeft(idx)(_.filter(_))
+      .join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .dropDuplicates("q_id", "vec_id")
@@ -1106,8 +1192,12 @@ object VectorOps {
     * (q_ann_upsert) search identically.
     */
   private[graft] def ivfTop5From(s: SparkSession, d: String,
-                          artifact: (Array[Array[Double]], Seq[String])): DataFrame = {
-    val (probesDf, qVecsDf, pruned) = ivfProbeCtxFrom(s, d, artifact)
+                          artifact: (Array[Array[Double]], Seq[String]),
+                          candFilter: Option[Column] = None): DataFrame = {
+    val (probesDf, qVecsDf, pruned0) = ivfProbeCtxFrom(s, d, artifact)
+    // candFilter (sampled recall audit) composes with the cid
+    // partition pruning — the member read shrinks on both axes
+    val pruned = candFilter.foldLeft(pruned0)(_.filter(_))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     pruned
       .join(broadcast(probesDf), Seq("cid"))

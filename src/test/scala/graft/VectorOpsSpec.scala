@@ -45,6 +45,20 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(mean >= 0.8, f"mean recall $mean%.3f < 0.8 (per-query: $recalls)")
   }
 
+  test("sampled recall audit agrees with the full audit and is verdict-stable") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    def verdicts(q: String): Seq[(String, Int)] =
+      SparkEntry.queries(q)(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq
+    val full = verdicts("q_ann_recall_audit")
+    val sampled = verdicts("q_ann_recall_sampled")
+    // the sampled estimator (fixed ~2048-id sample, exact-within-
+    // sample ground truth) must reach the same pass/fail verdict as
+    // the full linear audit — the "within noise" contract
+    assert(sampled == full, s"sampled $sampled != full $full")
+    assert(sampled == Seq(("ivf", 1), ("lsh", 1)), sampled.toString)
+  }
+
   test("int8-quantized search keeps recall and cosine accuracy vs exact") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
     import org.apache.spark.sql.functions.col
