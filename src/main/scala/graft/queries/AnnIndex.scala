@@ -173,6 +173,48 @@ object AnnIndex {
     path
   }
 
+  /** Planted-structure corpus for the ORACLED index-path queries
+    * (q_ann_lsh / q_ann_ivf / q_ann_ivfpq — r17): the dataset plus
+    * [[QueryClones]] EXACT clones of every query row (vec_id < 10) at
+    * ids QueryCloneOffset + q·QueryClones + j. Exact clones make each
+    * index path PROVABLY exact-equal to brute force on this corpus:
+    *  - exact KNN: a clone's cosine is the engine's rounding of 1.0,
+    *    strictly above any organic pair (global max ≈ 0.5), and all 5
+    *    clones score IDENTICALLY (same bytes, same arithmetic), so
+    *    top-5 = the clones in vec_id order — deterministic;
+    *  - LSH: identical vectors share every sign bit ⇒ same bucket in
+    *    every table ⇒ candidates with probability 1;
+    *  - IVF: an identical vector has the same nearest centroid as the
+    *    query, and the query always probes its own nearest cell;
+    *  - IVF-PQ: a clone's PQ code equals the query's own code, the
+    *    per-subspace ADC minimum, so clones lead the shortlist.
+    * So a DuckDB exact-pairwise oracle hash-matches each path's
+    * (q_id, rank, neighbor_id) output end-to-end — index build,
+    * probe, prune, and re-rank all sit inside the oracled plan. The
+    * q_dedup_embed planted-clone treatment applied to the index
+    * queries.
+    */
+  val QueryCloneOffset = 20000000L
+  val QueryClones = 5
+
+  def plantedKnnDir(s: SparkSession, d: String): String = {
+    val path = s"$artifactRoot/${key(d, s"_plantedknn_Q$QueryClones")}"
+    val emb = s"$path/embeddings.parquet"
+    if (!ready(emb)) synchronized {
+      if (!ready(emb)) {
+        val src = t(s, d, "embeddings")
+        val clones = src.filter(col("vec_id") < 10)
+          .withColumn("j", explode(typedlit((0 until QueryClones).toList)))
+          .withColumn("vec_id",
+            lit(QueryCloneOffset) + col("vec_id") * QueryClones + col("j"))
+          .drop("j")
+        src.unionByName(clones)
+          .write.mode(SaveMode.Overwrite).parquet(emb)
+      }
+    }
+    path
+  }
+
   def lshPath(s: SparkSession, d: String): String = {
     val bits = bitsFor(corpusSize(s, d))
     // v2: zero-norm vectors excluded from the index (build change —

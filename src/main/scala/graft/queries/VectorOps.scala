@@ -93,6 +93,33 @@ object VectorOps {
     (col("vec_id") % stride) < width
   }
 
+  /** The ONE DuckDB oracle for the planted-clone index queries
+    * (q_ann_lsh / q_ann_ivf / q_ann_ivfpq): exact top-5 over the
+    * clone-augmented corpus (AnnIndex.plantedKnnDir — the SQL mirrors
+    * its construction), emitting (q_id, rank, neighbor_id) WITHOUT
+    * the cosine column: on identical vectors the engines round it
+    * differently (1.0 vs 0.9999999999999998), and the retrieved ids,
+    * not the score decimals, are the index contract. All three index
+    * paths share this oracle because on this corpus each provably
+    * equals brute force (scaladoc at plantedKnnDir).
+    */
+  private def plantedKnnOracle: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       clones AS (SELECT ${AnnIndex.QueryCloneOffset} + e0.vec_id * ${AnnIndex.QueryClones} + j.j AS vec_id, v
+                  FROM e0 CROSS JOIN (SELECT unnest(range(${AnnIndex.QueryClones})) AS j) j
+                  WHERE e0.vec_id < 10),
+       e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM clones),
+       live AS (SELECT vec_id, v FROM e
+                WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM live WHERE vec_id < 10),
+       ranked AS (SELECT q.q_id, live.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.q_id
+                  ORDER BY list_cosine_similarity(live.v, q.qv) DESC,
+                           live.vec_id) AS rank
+              FROM live CROSS JOIN q WHERE live.vec_id <> q.q_id)
+     SELECT q_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+     ORDER BY q_id, rank"""
+
   /** Per-call corpus-sized persists (semanticDedup's assigned frame,
     * the capped variant's ranked frame), registered so a long-lived
     * driver embedding these pipelines can release them in one call —
@@ -514,7 +541,7 @@ object VectorOps {
       knnTop5(quantized(s, d).selectExpr("vec_id", "CAST(qv AS array<double>) AS v"))
     },
 
-    // ---- multi-table LSH ANN ----------------------------------------------
+    // ---- multi-table LSH ANN (oracled via planted clones, r17) -------------
     // Candidates: corpus ids sharing a (tbl, bucket) with any of the
     // query's multi-probe buckets (exact bucket + all Hamming ≤ r
     // neighbors, r scaling with the bit width). The candidate id set
@@ -524,26 +551,55 @@ object VectorOps {
     // one row per (vector, table); probe count is sum_{i<=r} C(B,i)
     // per table — key rows only, still broadcast-sized at radius 3
     // on 24 bits (~2.3k masks).
-    "q_ann_lsh" -> Q.noOracle { (s, d) => lshTop5(s, d) },
+    //
+    // Runs over the clone-augmented corpus (AnnIndex.plantedKnnDir),
+    // where sign-LSH retrieves each query's 5 exact clones with
+    // probability 1 — so the whole path (index build, probe, bucket
+    // join, re-rank) hash-matches the shared exact-KNN oracle instead
+    // of a rows-only check. ORGANIC-corpus recall stays gated by the
+    // oracled q_ann_recall_audit/q_ann_recall_sampled/q_ann_upsert
+    // verdicts and the VectorOpsSpec fixtures.
+    "q_ann_lsh" -> Q(plantedKnnOracle) { (s, d) =>
+      lshTop5(s, AnnIndex.plantedKnnDir(s, d))
+        .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"))
+        .orderBy(col("q_id"), col("rank"))
+    },
 
-    // ---- IVF ANN ----------------------------------------------------------
+    // ---- IVF ANN (oracled via planted clones, r17) --------------------------
     // Query half of the inverted-file index: the driver-held codebook
     // picks each query's ivfProbes nearest clusters (the client half
     // of every IVF system — K×64 distance computations, not a job),
     // the cid-partitioned member files are read with partition
     // pruning (only probed clusters touch disk), and exact cosine
     // re-ranks the candidates. Training ran once, inside the
-    // AnnIndex artifact build.
-    "q_ann_ivf" -> Q.noOracle { (s, d) => ivfTop5(s, d) },
+    // AnnIndex artifact build. Same planted-clone oracle treatment as
+    // q_ann_lsh: a clone shares the query's nearest centroid and a
+    // query always probes its own nearest cell, so retrieval is
+    // provably exact on this corpus.
+    "q_ann_ivf" -> Q(plantedKnnOracle) { (s, d) =>
+      ivfTop5(s, AnnIndex.plantedKnnDir(s, d))
+        .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"))
+        .orderBy(col("q_id"), col("rank"))
+    },
 
     // ---- IVF-PQ: pruned probe + ADC shortlist + exact re-rank --------------
     // See ivfPqTop5 — the billion-scale composition (inverted-file
     // pruning bounds the candidate read, PQ codes bound its bytes,
     // ADC bounds its arithmetic, exact cosine re-ranks only a
-    // 50-per-query shortlist). Rows-only like the other
-    // engine-specific index paths; recall gated on the
-    // planted-cluster fixture where the PQ contract holds.
-    "q_ann_ivfpq" -> Q.noOracle { (s, d) => ivfPqTop5(s, d) },
+    // 50-per-query shortlist). Same planted-clone oracle treatment:
+    // a clone's PQ code equals the query's own code — the per-
+    // subspace ADC minimum — so clones lead the shortlist and the
+    // exact re-rank provably returns them; PQ's recall contract on
+    // STRUCTURED organic data stays gated on the planted-cluster
+    // fixture in VectorOpsSpec.
+    "q_ann_ivfpq" -> Q(plantedKnnOracle) { (s, d) =>
+      ivfPqTop5(s, AnnIndex.plantedKnnDir(s, d))
+        .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"))
+        .orderBy(col("q_id"), col("rank"))
+    },
 
     // ---- ANN recall audit (self-gating, driver-checked) --------------------
     // The rows-only ANN paths' recall gates, moved INTO the declared
@@ -1140,7 +1196,7 @@ object VectorOps {
     * from the query side's multi-probe buckets, exact-cosine re-rank,
     * top-5 per query. Shared with the recall audit.
     */
-  private def lshTop5(s: SparkSession, d: String): DataFrame =
+  private[graft] def lshTop5(s: SparkSession, d: String): DataFrame =
     lshTop5From(s, d, AnnIndex.lshIndex(s, d))
 
   /** Bucket-probe + exact re-rank over ANY LSH index frame — shared
@@ -1184,7 +1240,7 @@ object VectorOps {
     * probing, cid-partition-pruned member read, exact-cosine re-rank.
     * Shared with the recall audit.
     */
-  private def ivfTop5(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfTop5(s: SparkSession, d: String): DataFrame =
     ivfTop5From(s, d, AnnIndex.ivf(s, d))
 
   /** The same probe-prune-rerank pipeline over ANY IVF artifact pair
@@ -1225,14 +1281,20 @@ object VectorOps {
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val (cents, memberPaths) = artifact
-    val qRows = registered(s, d).filter(col("vec_id") < 10).collect()
+    // zero-norm rows are excluded from BOTH sides (the knnTop5
+    // discipline): their cosine is 0/0 = NaN and Spark sorts NaN
+    // greatest, so one dead member row would rank #1 for every query
+    val qRows = registered(s, d)
+      .filter(col("vec_id") < 10 && expr("dot_product(v, v) > 0")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val probes = AnnIndex.probeClusters(qRows.toSeq, cents, ivfProbes(cents.length))
     val probedCids = probes.map(_._2).distinct
     val probesDf = probes.toDF("q_id", "cid")
     val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
+    graft.functions.GraftFunctions.register(s)
     val pruned = AnnIndex.readMembers(s, memberPaths)
       .filter(col("cid").isin(probedCids: _*))   // partition pruning
+      .filter(expr("dot_product(v, v) > 0"))
     (probesDf, qVecsDf, pruned)
   }
 
@@ -1251,7 +1313,7 @@ object VectorOps {
     * Recall is gated on the planted-cluster fixture (VectorOpsSpec) —
     * PQ's contract is structured data, same as q_pq_encode.
     */
-  private def ivfPqTop5(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfPqTop5(s: SparkSession, d: String): DataFrame =
     ivfPqTop5From(s, d, AnnIndex.ivf(s, d))
 
   /** The same ADC-shortlist-then-rerank pipeline over ANY IVF
