@@ -152,8 +152,11 @@ object Bench {
         val stOut = new String(st.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         st.waitFor()
-        stOut.linesIterator.exists(l =>
-          l.nonEmpty && !l.drop(3).startsWith("BENCH_") && !l.drop(3).startsWith("HTAP_"))
+        stOut.linesIterator.exists { l =>
+          val f = l.drop(3)
+          l.nonEmpty && !f.startsWith("BENCH_") && !f.startsWith("HTAP_") &&
+            !f.startsWith("OPTIMIZE_") && !f.startsWith("STREAM_")
+        }
       } catch { case _: Throwable => false }
       if (out.matches("[0-9a-f]{6,40}")) out + (if (dirty) "-dirty" else "")
       else "unknown"

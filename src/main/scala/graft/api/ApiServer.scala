@@ -175,32 +175,49 @@ final class ApiServer(engine: Engine, port: Int = 0) {
   private[api] def jsonHasKey(body: String, key: String): Boolean =
     depth1ValueStart(body, key) >= 0
 
-  /** Extract a top-level string field from a (flat) JSON body. */
+  /** Extract a TOP-LEVEL string field from a JSON body — located by
+    * the depth-1 scanner, so a same-named key inside a nested object
+    * or spelled inside a string value never matches (the jsonHasKey
+    * contract, applied to the value extractors too).
+    */
   private[api] def jsonField(body: String, key: String): Option[String] = {
-    val pat = ("\"" + java.util.regex.Pattern.quote(key) +
-      "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-    pat.findFirstMatchIn(body).map { m =>
-      val raw = m.group(1)
-      val sb = new StringBuilder
-      var i = 0
-      while (i < raw.length) {
-        raw(i) match {
-          case '\\' if i + 1 < raw.length =>
-            raw(i + 1) match {
-              case 'n' => sb += '\n'; i += 2
-              case 'r' => sb += '\r'; i += 2
-              case 't' => sb += '\t'; i += 2
-              case 'u' if i + 6 <= raw.length &&
-                  raw.substring(i + 2, i + 6).forall(c =>
-                    Character.digit(c, 16) >= 0) =>
-                sb += Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar; i += 6
-              case c   => sb += c; i += 2
-            }
-          case c => sb += c; i += 1
-        }
-      }
-      sb.toString
+    val at = depth1ValueStart(body, key)
+    if (at < 0) return None
+    var i = at
+    while (i < body.length && body.charAt(i).isWhitespace) i += 1
+    if (i >= body.length || body.charAt(i) != '"') return None
+    i += 1
+    val start = i
+    var esc = false
+    var end = -1
+    while (i < body.length && end < 0) {
+      val c = body.charAt(i)
+      if (esc) esc = false
+      else if (c == '\\') esc = true
+      else if (c == '"') end = i
+      i += 1
     }
+    if (end < 0) return None // unterminated string: malformed body
+    val raw = body.substring(start, end)
+    val sb = new StringBuilder
+    var j = 0
+    while (j < raw.length) {
+      raw(j) match {
+        case '\\' if j + 1 < raw.length =>
+          raw(j + 1) match {
+            case 'n' => sb += '\n'; j += 2
+            case 'r' => sb += '\r'; j += 2
+            case 't' => sb += '\t'; j += 2
+            case 'u' if j + 6 <= raw.length &&
+                raw.substring(j + 2, j + 6).forall(c =>
+                  Character.digit(c, 16) >= 0) =>
+              sb += Integer.parseInt(raw.substring(j + 2, j + 6), 16).toChar; j += 6
+            case c   => sb += c; j += 2
+          }
+        case c => sb += c; j += 1
+      }
+    }
+    Some(sb.toString)
   }
 
   /** Extract a top-level integer field from a (flat) JSON body — a

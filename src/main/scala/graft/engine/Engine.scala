@@ -1242,8 +1242,11 @@ final class Engine(
     * referenced-table heuristic sparkSql and explainSpark share.
     */
   private def referencedIn(query: String, t: String): Boolean =
+    // (?U): the dialect's lexer accepts any Character.isLetter
+    // identifier, and a non-Unicode \b never matches a name ending in
+    // a non-ASCII letter — which would skip its registration entirely
     java.util.regex.Pattern
-      .compile(s"(?i)\\b${java.util.regex.Pattern.quote(t)}\\b")
+      .compile(s"(?iU)\\b${java.util.regex.Pattern.quote(t)}\\b")
       .matcher(query).find()
 
   /** EXPLAIN for the Spark SQL extension surface (the HTAP EXPLAIN in
@@ -1541,10 +1544,21 @@ final class Engine(
     * job under a scan lease (the plan's tier listing must survive
     * concurrent compaction, the scanIterator discipline).
     */
+  /** One monitor per export target path: concurrent EXPORTs to the
+    * same target must serialize, or the loser's staging reclaim can
+    * destroy the winner's in-flight write (and the winner's rename
+    * could then publish the loser's PARTIAL staging dir as the
+    * target). Different targets still export fully concurrently.
+    */
+  private val exportLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def execExport(e: Stmt.Export): ResultSet = {
     val store = storeOf(e.table)
+    val canonical = java.nio.file.Paths.get(e.path)
+      .toAbsolutePath.normalize.toString
     acquireScanLease(store)
-    try {
+    try exportLocks.computeIfAbsent(canonical, _ => new Object).synchronized {
       // never-clobber, crash-atomic: the never-destroy-foreign-data
       // contract is checked up front, the write lands in a staging
       // sibling, and the target appears via ONE rename — a killed or
@@ -1552,7 +1566,8 @@ final class Engine(
       // (a) permanently block retries with "path already exists" and
       // (b) hand a downstream job incomplete data. The stale staging
       // dir of a previous kill is OURS (suffix-named) and is reclaimed
-      // before the write.
+      // before the write; the per-path lock above makes the reclaim
+      // safe against a concurrent export of the same target.
       val target = java.nio.file.Paths.get(e.path)
       if (java.nio.file.Files.exists(target))
         throw new java.io.IOException(s"path already exists: ${e.path}")

@@ -63,62 +63,19 @@ object GlobalRank {
 
   /** Persists THIS operator created (never caller-owned ones) — the
     * release obligation the scaladoc used to leave to callers, now
-    * collectable in one call. STRONG references on purpose:
-    * `Dataset.persist` registers the plan strongly in the session
-    * CacheManager (Spark's ContextCleaner reclaims RDD/broadcast/
-    * shuffle objects, never SQL cache entries), so a weak registry
-    * would lose the only handle while the cache stayed pinned
-    * forever. Bounded instead: insertion-ordered and capped — past
-    * [[maxOwnedPersists]] the OLDEST owned persist is released on the
-    * spot (its still-unconsumed rank plan degrades to recompute,
-    * never to failure), so a release-less long-lived driver is
-    * bounded in both driver-heap lineage and executor cache.
+    * collectable in one call. Bounding, strong references, and the
+    * retire-don't-unpersist eviction grace all live in the shared
+    * [[PersistRegistry]].
     */
-  private val maxOwnedPersists = 64
-  private val ownedLock = new Object
-  private val ownedPersists =
-    new java.util.LinkedHashMap[DataFrame, java.lang.Boolean]()
-  // retire-don't-unpersist (the engine's drainRetiredSnaps discipline
-  // in miniature): an evicted frame is RETIRED for one full eviction
-  // cycle before its blocks release, so a concurrent consumer
-  // mid-action on it cannot hit "Block rdd_N does not exist" at the
-  // instant of eviction — it has until the NEXT cap overflow (another
-  // maxOwnedPersists registrations) to finish, after which the lazy
-  // plan degrades to recompute, never to failure.
-  private val retiredPersists = new java.util.ArrayList[DataFrame]()
+  private val ownedPersists = new PersistRegistry(64)
 
-  private def trackOwned(p: DataFrame): Unit = {
-    val toRelease = ownedLock.synchronized {
-      ownedPersists.put(p, java.lang.Boolean.TRUE)
-      if (ownedPersists.size > maxOwnedPersists) {
-        val it = ownedPersists.keySet().iterator()
-        val oldest = it.next(); it.remove()
-        val drained = new java.util.ArrayList[DataFrame](retiredPersists)
-        retiredPersists.clear()
-        retiredPersists.add(oldest)
-        drained
-      } else new java.util.ArrayList[DataFrame]()
-    }
-    toRelease.forEach(_.unpersist(blocking = false))
-  }
+  private def trackOwned(p: DataFrame): Unit = ownedPersists.track(p)
 
   /** Unpersist every input [[withRank]] itself cached. Safe to call
     * while returned rank plans are still unconsumed — they degrade to
     * recompute, never to failure.
     */
-  def releaseCaches(): Unit = {
-    // snapshot-then-unpersist outside the lock (unpersist talks to the
-    // block manager); entries persisted concurrently stay tracked for
-    // the next release instead of being dropped still-cached
-    val snapshot = ownedLock.synchronized {
-      val s = new java.util.ArrayList[DataFrame](ownedPersists.keySet())
-      s.addAll(retiredPersists)
-      ownedPersists.clear()
-      retiredPersists.clear()
-      s
-    }
-    snapshot.forEach(_.unpersist(blocking = false))
-  }
+  def releaseCaches(): Unit = ownedPersists.releaseAll()
 
   def withRank(df: DataFrame, score: Column, tieId: Column,
                rankName: String, buckets: Int = 64): DataFrame = {

@@ -293,6 +293,7 @@ object AnnIndex {
     val path = ivfPath(s, d)
     val membersPath = s"$path/members"
     val centsPath = s"$path/centroids"
+    recoverSwap(membersPath, s"$path/members_retrain")
     if (!ready(membersPath)) synchronized {
       if (!ready(membersPath)) buildIvf(s, d, centsPath, membersPath)
     }
@@ -484,6 +485,7 @@ object AnnIndex {
     val membersPath = s"$path/members"
     val arrivalsPath = s"$path/members_arrivals"
     val centsPath = s"$path/centroids"
+    recoverSwap(membersPath, s"$path/members_retrain")
     if (!ready(membersPath)) synchronized {
       if (!ready(membersPath)) {
         buildIvfFrom(s, base(s, d).filter(col("vec_id") % IncMod =!= 0),
@@ -594,6 +596,7 @@ object AnnIndex {
     val rowsPath = s"$path/rows"
     val arrivalsPath = s"$path/arrivals"
     val bits = bitsFor(corpusSize(s, d))
+    recoverSwap(rowsPath, s"$path/rows_retrain")
     if (!ready(rowsPath)) synchronized {
       if (!ready(rowsPath)) {
         lshRowsOf(s, t(s, d, "embeddings").filter(col("vec_id") % IncMod =!= 0), bits)
@@ -663,6 +666,43 @@ object AnnIndex {
     (b, a, b > 0 && a.toDouble / b > RetrainGrowth)
   }
 
+  /** Publish a fully-assembled staged generation over `live` with a
+    * crash-recoverable two-step: stamp `_COMMIT` inside the staged dir
+    * (the assembly-complete marker — everything the generation needs,
+    * including `_CENTROIDS`/`_BITS`/`_ABSORBED`, must already be
+    * inside), then delete-live + move. A kill in the delete-to-move
+    * window used to orphan the index until a base-slice rebuild that
+    * SILENTLY LOST absorbed arrivals (their dirs were already
+    * committed-empty); now [[recoverSwap]] sees the stamped staged dir
+    * and finishes the move instead — no data-carrying state is ever
+    * unreachable from disk.
+    */
+  private def publishStaged(live: String, staged: String): Unit = {
+    Files.createFile(Paths.get(staged, "_COMMIT"))
+    graft.engine.Persist.deleteRecursively(Paths.get(live))
+    Files.move(Paths.get(staged), Paths.get(live))
+    Files.deleteIfExists(Paths.get(live, "_COMMIT"))
+  }
+
+  /** Recover an interrupted staged swap (idempotent, two stat calls
+    * in the common case): a `_COMMIT`-stamped staged dir finishes its
+    * move — the live dir, whole or half-deleted, is the casualty of
+    * the crashed swap and the staged generation supersedes it; an
+    * UNstamped staged dir is a dead partial build (the live
+    * generation was never touched — live deletion happens only after
+    * the stamp) and is discarded. Runs at every artifact access and
+    * retrain entry.
+    */
+  private def recoverSwap(live: String, staged: String): Unit = synchronized {
+    val sp = Paths.get(staged)
+    if (!Files.isDirectory(sp)) return
+    if (Files.exists(sp.resolve("_COMMIT"))) {
+      graft.engine.Persist.deleteRecursively(Paths.get(live))
+      Files.move(sp, Paths.get(live))
+      Files.deleteIfExists(Paths.get(live, "_COMMIT"))
+    } else graft.engine.Persist.deleteRecursively(sp)
+  }
+
   /** Arrival directory basenames the CURRENT members generation has
     * absorbed — the `_ABSORBED` marker is written inside the staged
     * members dir and travels atomically with the members swap, so a
@@ -721,19 +761,23 @@ object AnnIndex {
     * carries the new centroids (`_CENTROIDS`) and the absorbed-
     * arrivals marker (`_ABSORBED`) INSIDE it, so the single
     * `members` directory move publishes the (centroids, members,
-    * absorbed-set) triple together. A crash before the move leaves
-    * the old generation fully intact (the staged build is overwrite-
-    * idempotent and re-runs); a crash in the delete-to-move window
-    * leaves `members` missing, so ready() fails and the next access
-    * rebuilds from the corpus; a crash AFTER the move but before the
-    * arrivals cleanup is already consistent — readers skip absorbed
-    * arrivals via the marker, and the cleanup below is pure disk
-    * reclaim. Mismatched centroids/members or a double-indexed batch
-    * can never be served. Same single-writer (per-JVM synchronized)
-    * discipline as every artifact build.
+    * absorbed-set) triple together. A crash before the `_COMMIT`
+    * stamp leaves the old generation fully intact (the unstamped
+    * staged dir is discarded by [[recoverSwap]] and the build
+    * re-runs); a crash in the delete-to-move window is FINISHED by
+    * recoverSwap at the next access — the stamped staged dir
+    * supersedes the half-deleted live one, so absorbed arrivals
+    * (already committed-empty from an earlier generation) can never
+    * be silently lost to a base-slice rebuild; a crash AFTER the move
+    * but before the arrivals cleanup is already consistent — readers
+    * skip absorbed arrivals via the marker, and the cleanup below is
+    * pure disk reclaim. Mismatched centroids/members or a
+    * double-indexed batch can never be served. Same single-writer
+    * (per-JVM synchronized) discipline as every artifact build.
     */
   def retrainIvfIfStale(s: SparkSession, root: String): Boolean = synchronized {
     val membersPath = s"$root/members"
+    recoverSwap(membersPath, s"$root/members_retrain")
     val arrivals = arrivalDirs(root)
     val (_, _, stale) = indexGrowth(s, membersPath, arrivals)
     if (!stale) return false
@@ -761,8 +805,7 @@ object AnnIndex {
           arrivals.map(a => Paths.get(a).getFileName.toString)).toSeq.sorted
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    graft.engine.Persist.deleteRecursively(Paths.get(membersPath))
-    Files.move(Paths.get(stagedM), Paths.get(membersPath))
+    publishStaged(membersPath, stagedM)
     // disk reclaim past the commit point: drop the legacy centroids
     // dir and the absorbed arrivals' data, leaving each arrivals dir
     // committed-EMPTY so ensure-steps and streaming replays still see
@@ -852,20 +895,25 @@ object AnnIndex {
   def retrainLshIfStale(s: SparkSession, root: String, corpus: => DataFrame,
                         grownCount: => Long): Boolean = synchronized {
     val rowsPath = s"$root/rows"
+    val stagedR = s"$root/rows_retrain"
+    recoverSwap(rowsPath, stagedR)
     val arrivals = lshArrivalDirs(root)
     val (_, _, stale) = indexGrowth(s, rowsPath, arrivals)
     if (!stale) return false
     val bits = bitsFor(grownCount)
-    val preIds = readMembers(s, rowsPath +: arrivals)
-      .select(col("vec_id")).distinct().count()
-    val stagedR = s"$root/rows_retrain"
     graft.engine.Persist.deleteRecursively(Paths.get(stagedR))
     lshRowsOf(s, corpus, bits).write.mode(SaveMode.Overwrite).parquet(stagedR)
-    val postIds = s.read.parquet(stagedR)
-      .select(col("vec_id")).distinct().count()
-    require(postIds >= preIds,
-      s"LSH re-train corpus covers $postIds ids but the index holds " +
-        s"$preIds — refusing a rebuild that would drop indexed vectors")
+    // CONTAINMENT guard, not a count compare: a corpus that lost
+    // indexed ids but gained at least as many new ones must still
+    // refuse — the contract is "never drop an indexed vector", and
+    // only a missing-ids anti-join tests that
+    val missing = readMembers(s, rowsPath +: arrivals)
+      .select(col("vec_id")).distinct()
+      .join(s.read.parquet(stagedR).select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti").count()
+    require(missing == 0,
+      s"LSH re-train corpus is missing $missing indexed vector ids — " +
+        "refusing a rebuild that would drop indexed vectors")
     Files.write(Paths.get(stagedR, "_BITS"),
       s"$bits\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // union with the outgoing generation's absorbed set — same
@@ -876,8 +924,7 @@ object AnnIndex {
           arrivals.map(a => Paths.get(a).getFileName.toString)).toSeq.sorted
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    graft.engine.Persist.deleteRecursively(Paths.get(rowsPath))
-    Files.move(Paths.get(stagedR), Paths.get(rowsPath))
+    publishStaged(rowsPath, stagedR)
     // disk reclaim past the commit point (pure cleanup, crash-safe:
     // readers already skip absorbed arrivals via the marker)
     arrivals.foreach { ap =>

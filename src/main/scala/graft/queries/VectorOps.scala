@@ -124,51 +124,17 @@ object VectorOps {
     * the capped variant's ranked frame), registered so a long-lived
     * driver embedding these pipelines can release them in one call —
     * the TextOps.releaseCaches discipline; Bench/Verify cover the
-    * harness path with clearCache between queries. Bounded and
-    * STRONGLY held (Dataset caches live in the session CacheManager,
-    * which ContextCleaner never reclaims): past the cap the OLDEST
-    * releases on the spot — its lazy consumers degrade to recompute,
-    * never to failure.
+    * harness path with clearCache between queries. Bounding, strong
+    * references, and the retire-don't-unpersist eviction grace all
+    * live in the shared [[graft.operators.PersistRegistry]].
     */
-  private val maxOwnedPersists = 16
-  private val ownedLock = new Object
-  private val ownedPersists =
-    new java.util.LinkedHashMap[DataFrame, java.lang.Boolean]()
-  // retire-don't-unpersist (the engine's drainRetiredSnaps discipline
-  // in miniature): an evicted frame is RETIRED for one full eviction
-  // cycle before its blocks release — a concurrent consumer
-  // mid-action on it has until the NEXT cap overflow to finish, so
-  // eviction can't hand it "Block rdd_N does not exist" on the spot.
-  private val retiredPersists = new java.util.ArrayList[DataFrame]()
+  private val ownedPersists = new graft.operators.PersistRegistry(16)
 
-  private def registerPersist(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toRelease = ownedLock.synchronized {
-      ownedPersists.put(p, java.lang.Boolean.TRUE)
-      if (ownedPersists.size > maxOwnedPersists) {
-        val it = ownedPersists.keySet().iterator()
-        val oldest = it.next(); it.remove()
-        val drained = new java.util.ArrayList[DataFrame](retiredPersists)
-        retiredPersists.clear()
-        retiredPersists.add(oldest)
-        drained
-      } else new java.util.ArrayList[DataFrame]()
-    }
-    toRelease.forEach(_.unpersist(blocking = false))
-    p
-  }
+  private def registerPersist(df: DataFrame): DataFrame =
+    ownedPersists.register(df)
 
   /** Unpersist every frame this object's pipelines cached. */
-  def releaseCaches(): Unit = {
-    val snapshot = ownedLock.synchronized {
-      val s = new java.util.ArrayList[DataFrame](ownedPersists.keySet())
-      s.addAll(retiredPersists)
-      ownedPersists.clear()
-      retiredPersists.clear()
-      s
-    }
-    snapshot.forEach(_.unpersist(blocking = false))
-  }
+  def releaseCaches(): Unit = ownedPersists.releaseAll()
 
   /** All XOR masks of Hamming weight ≤ radius over `bits` bits. */
   private[graft] def masksUpTo(bits: Int, radius: Int): Seq[Int] = {
@@ -1291,7 +1257,6 @@ object VectorOps {
     val probedCids = probes.map(_._2).distinct
     val probesDf = probes.toDF("q_id", "cid")
     val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
-    graft.functions.GraftFunctions.register(s)
     val pruned = AnnIndex.readMembers(s, memberPaths)
       .filter(col("cid").isin(probedCids: _*))   // partition pruning
       .filter(expr("dot_product(v, v) > 0"))

@@ -352,6 +352,25 @@ class VectorOpsSpec extends AnyFunSuite {
         AnnIndex.streamedMemberPaths(s"$root/members", root)).count() == 920,
         "the second generation must union the absorbed set — " +
           "crash-left arrivals-b0 data must stay skipped")
+      // crash-atomic swap recovery: emulate a kill in the
+      // delete-to-move window (live gone, staged stamped _COMMIT) —
+      // the next access must FINISH the swap, never rebuild from the
+      // base slice and silently lose the absorbed arrivals
+      val memP = Paths.get(s"$root/members")
+      val stgP = Paths.get(s"$root/members_retrain")
+      Files.move(memP, stgP)
+      Files.createFile(stgP.resolve("_COMMIT"))
+      val (centsR, pathsR) = AnnIndex.ivf(spark, dir)
+      assert(AnnIndex.readMembers(spark, pathsR).count() == 920,
+        "recovery must finish the stamped swap")
+      assert(centsR.nonEmpty, "the recovered generation must carry its centroids")
+      // an UNSTAMPED partial staging is a dead build: discarded, live intact
+      Files.createDirectories(stgP)
+      Files.write(stgP.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+      assert(!AnnIndex.retrainIvfIfStale(spark, root))
+      assert(!Files.exists(stgP), "unstamped staging must be discarded")
+      assert(AnnIndex.readMembers(spark,
+        AnnIndex.streamedMemberPaths(s"$root/members", root)).count() == 920)
     } finally {
       AnnIndex.pruneArtifacts(dir)
       graft.engine.Persist.deleteRecursively(Paths.get(dir))
@@ -469,6 +488,32 @@ class VectorOpsSpec extends AnyFunSuite {
       val fullCorpus = (baseVecs ++ queryVecs ++ batchVecs ++ batch2)
         .toDF("vec_id", "embedding")
       assert(AnnIndex.retrainLshIfStale(spark, root, fullCorpus, 820L))
+      assert(AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+        .select("vec_id").distinct().count() == 820)
+      // crash-atomic swap recovery (the LSH side of the IVF member's
+      // gate): a stamped staged dir finishes its move at the next
+      // access (every access and retrain entry runs recoverSwap), an
+      // unstamped one is discarded with the live generation intact.
+      // Exercised through retrainLshIfStale on THIS root — the
+      // mid-test dataset rewrite moved the fingerprint-derived path,
+      // so dataset-keyed accessors resolve a different artifact.
+      val rowsP = Paths.get(s"$root/rows")
+      val stgP = Paths.get(s"$root/rows_retrain")
+      Files.move(rowsP, stgP)
+      Files.createFile(stgP.resolve("_COMMIT"))
+      assert(!AnnIndex.retrainLshIfStale(spark, root, fullCorpus, 820L),
+        "recovery runs at entry; the recovered generation is not stale")
+      assert(AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+        .select("vec_id").distinct().count() == 820,
+        "recovery must finish the stamped swap, not lose absorbed arrivals")
+      assert(AnnIndex.lshBitsOf(root, -1) == AnnIndex.bitsFor(820L),
+        "the recovered generation must keep its recorded bit width")
+      Files.createDirectories(stgP)
+      Files.write(stgP.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+      assert(!AnnIndex.retrainLshIfStale(spark, root, fullCorpus, 820L))
+      assert(!Files.exists(stgP), "unstamped staging must be discarded")
       assert(AnnIndex.readMembers(spark,
         s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
         .select("vec_id").distinct().count() == 820)
