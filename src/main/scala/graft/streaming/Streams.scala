@@ -440,6 +440,38 @@ object Streams {
       }
       .start()
 
+  /** LSH sibling of [[annUpsertVecs]] (r17 — the streaming half of the
+    * index-maintenance symmetry): each micro-batch hashes through the
+    * FIXED seeded planes at the artifact's committed bit width into
+    * its own batchId-named arrivals directory, under the identical
+    * exactly-once replay contract (durable checkpoint; a committed
+    * directory is skipped outright, an uncommitted one is
+    * overwritten). Plane determinism guarantees the arrival rows
+    * equal what a full rebuild at that width would emit. Readers
+    * resolve the grown index via `rows` + AnnIndex.lshArrivalDirs;
+    * growth past AnnIndex.RetrainGrowth flags `stale`, cleared by the
+    * retrainLshIfStale maintenance verb with the grown corpus (the
+    * LSH artifact stores ids, never vectors — the verb re-hashes).
+    *
+    * `bits` should come from AnnIndex.lshBitsOf(root, default): after
+    * a mechanized re-train the artifact's width diverges from the
+    * dataset derivation, and a batch hashed at the stale width would
+    * land in buckets no probe visits.
+    */
+  def annUpsertLshVecs(vecs: DataFrame, bits: Int, root: String,
+                       checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val dir = s"$root/arrivals-b$id"
+        if (!graft.queries.AnnIndex.committed(dir))
+          graft.queries.AnnIndex.upsertLsh(
+            batch.sparkSession, batch.toDF(), bits, dir)
+        ()
+      }
+      .start()
+
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Int)
 

@@ -533,6 +533,103 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN upsert: micro-batches fold exactly-once into frozen LSH artifacts, verb clears growth") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    import graft.queries.AnnIndex
+    import spark.implicits._
+    val bits = AnnIndex.bitsFor(AnnIndex.corpusSize(spark, sfDir))
+    val root = java.nio.file.Files.createTempDirectory("lsh-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh-stream-ckpt").toString
+    try {
+      // frozen base rows: the %17 != 0 slice hashed at the corpus
+      // width — the same base/arrival split the batch fixture uses
+      val base = AnnIndex.base(spark, sfDir)
+      AnnIndex.upsertLsh(spark,
+        base.filter(col("vec_id") % AnnIndex.IncMod =!= 0), bits, s"$root/rows")
+      implicit val sqlCtx = spark.sqlContext
+      val src = MemoryStream[(Long, Seq[Double])]
+      val q = Streams.annUpsertLshVecs(
+        src.toDF().toDF("vec_id", "v"), bits, root, ckpt)
+      val chunks =
+        try {
+          val arrivals = base.filter(col("vec_id") % AnnIndex.IncMod === 0)
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+          val cs = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+          cs.foreach { c => src.addData(c.toSeq: _*); q.processAllAvailable() }
+          cs
+        } finally q.stop()
+      // one committed arrivals directory per micro-batch; the grown
+      // index holds one (vector, table) row per LIVE corpus vector
+      val paths = s"$root/rows" +: AnnIndex.lshArrivalDirs(root)
+      assert(paths.size == 1 + chunks.size, paths.toString)
+      graft.functions.GraftFunctions.register(spark)
+      val live = base.filter(expr("dot_product(v, v) > 0")).count()
+      val grown = AnnIndex.readMembers(spark, paths)
+      assert(grown.select("vec_id").distinct().count() == live)
+      assert(grown.count() == live * AnnIndex.Tables,
+        "stream-grown LSH rows must cover the live corpus exactly once per table")
+      // the stream-grown index searches at the audited recall vs the
+      // declared brute-force baseline (organic corpus) — computed
+      // BEFORE the replay below rewrites arrivals-b0's part files
+      // (the lazy frame holds the plan-time file listing)
+      val brute = SparkEntry.queries("q_ann_brute")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val lsh = graft.queries.VectorOps
+        .lshTop5From(spark, sfDir, grown, Some(bits)).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recall = brute.map { case (qid, bs) =>
+        lsh.getOrElse(qid, Set.empty[Long]).intersect(bs).size.toDouble / bs.size
+      }.sum / brute.size
+      assert(recall >= 0.8, f"stream-grown LSH recall $recall%.3f < 0.8")
+      // replay discipline: re-folding a committed batch converges to
+      // the same content (overwrite-idempotent), never a second copy
+      AnnIndex.upsertLsh(spark, chunks.head.toSeq.toDF("vec_id", "v"),
+        bits, s"$root/arrivals-b0")
+      assert(AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+        .count() == live * AnnIndex.Tables,
+        "a replayed micro-batch must not double-index")
+      // NOTE: no !stale assertion here — the growth audit is BY BYTES
+      // and deliberately overstates small arrivals (per-file parquet
+      // overhead dominates a 500-vector fixture split across three
+      // micro-batch directories; the documented err-early direction).
+      // The bound's firing threshold is gated at data-bearing sizes by
+      // the VectorOpsSpec retrain members; here the subject is the
+      // stale→verb→cleared transition below.
+      // stream a DRIFT batch past the 20% bound: growth flags stale,
+      // and the maintenance verb (corpus re-hash) clears it — the
+      // full streaming half of the r17 re-train discipline
+      val rng = new scala.util.Random(13L)
+      val drift = (0 until 400).map(i =>
+        (1000000L + i, Seq.tabulate(64)(j => rng.nextGaussian())))
+      val src2 = MemoryStream[(Long, Seq[Double])]
+      val q2 = Streams.annUpsertLshVecs(
+        src2.toDF().toDF("vec_id", "v"), bits, root,
+        java.nio.file.Files.createTempDirectory("lsh-stream-ckpt2").toString)
+      try { src2.addData(drift: _*); q2.processAllAvailable() } finally q2.stop()
+      val (_, _, stale1) =
+        AnnIndex.indexGrowth(spark, s"$root/rows", AnnIndex.lshArrivalDirs(root))
+      assert(stale1, "a 20%+ streamed growth must flag stale")
+      val grownCorpus = base.unionByName(drift.toDF("vec_id", "v"))
+        .withColumnRenamed("v", "embedding")
+      assert(AnnIndex.retrainLshIfStale(spark, root, grownCorpus,
+        live + drift.size), "the verb must fire on a stale stream-grown root")
+      val (_, _, stale2) =
+        AnnIndex.indexGrowth(spark, s"$root/rows", AnnIndex.lshArrivalDirs(root))
+      assert(!stale2, "the verb must clear staleness")
+      assert(AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+        .select("vec_id").distinct().count() == live + drift.size,
+        "the retrained generation must hold base + streamed vectors once")
+    } finally {
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(root))
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    }
+  }
+
   test("cadence gate: trigger-bounded state and parity only — rate ratios are report-only") {
     def gate(nd: Double, aj: Double, p1b: Long = 100, p1: Long = 50,
              ajB: Long = 100, ajP: Long = 50, trig: Long = 5000,
