@@ -2,8 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Row, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -438,6 +438,56 @@ object StreamBench {
         allEmitted && verdicts.forall(_._3))
     }
 
+    // ---- phase 8: streaming ANN index upsert (IVF + LSH sinks) ------------
+    // Each micro-batch folds into a frozen artifact exactly once
+    // (batchId-named arrivals dirs, the annUpsertVecs/annUpsertLshVecs
+    // replay contract). Gate per family: every streamed vector is
+    // searchable in the grown index exactly once. Staleness/re-train
+    // is the spec-gated maintenance path; this phase measures the
+    // ingest-side fold rate.
+    val (auRows, auIvfSecs, auIvfOk, auLshSecs, auLshOk) = {
+      import graft.queries.AnnIndex
+      val (cents, mp) = AnnIndex.ivfIncremental(spark, sfDir)
+      val bits = AnnIndex.bitsFor(AnnIndex.corpusSize(spark, sfDir))
+      val arrivals = AnnIndex.base(spark, sfDir)
+        .filter(col("vec_id") % AnnIndex.IncMod === 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val liveArr = arrivals.count { case (_, v) => v.exists(_ != 0.0) }
+      def runSink(start: (DataFrame, String, String) => org.apache.spark.sql.streaming.StreamingQuery)
+          : (Double, String) = {
+        val root = java.nio.file.Files.createTempDirectory("sb-ann").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("sb-ann-ckpt").toString
+        val src = MemoryStream[(Long, Seq[Double])]
+        val q = start(src.toDF().toDF("vec_id", "v"), root, ckpt)
+        val t0 = System.nanoTime()
+        try arrivals.grouped((arrivals.length + 3) / 4).foreach { c =>
+          src.addData(c.toSeq: _*); q.processAllAvailable()
+        } finally q.stop()
+        graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(ckpt))
+        ((System.nanoTime() - t0) / 1e9, root)
+      }
+      val (ivfSecs, rootI) = runSink((df, root, ckpt) =>
+        Streams.annUpsertVecs(df, cents, root, ckpt))
+      val ivfOk = AnnIndex.readMembers(spark,
+          AnnIndex.streamedMemberPaths(mp.head, rootI))
+        .filter(col("vec_id") % AnnIndex.IncMod === 0)
+        .select("vec_id").distinct().count() == arrivals.length
+      val (lshSecs, rootL) = runSink { (df, root, ckpt) =>
+        // frozen base rows built before the timed feed starts
+        AnnIndex.upsertLsh(spark,
+          AnnIndex.base(spark, sfDir)
+            .filter(col("vec_id") % AnnIndex.IncMod =!= 0), bits, s"$root/rows")
+        Streams.annUpsertLshVecs(df, bits, root, ckpt)
+      }
+      val lshOk = AnnIndex.readMembers(spark,
+          s"$rootL/rows" +: AnnIndex.lshArrivalDirs(rootL))
+        .filter(col("vec_id") % AnnIndex.IncMod === 0)
+        .select("vec_id").distinct().count() == liveArr
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(rootI))
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(rootL))
+      (arrivals.length, ivfSecs, ivfOk, lshSecs, lshOk)
+    }
+
     // cadence verdicts: at a 10× trigger the per-row rate must grow
     // (the small-trigger figure is batch-floor-bound, not operator-
     // bound) while state peaks stay bounded by rate×(watermark + ONE
@@ -463,7 +513,7 @@ object StreamBench {
       peak1b, peak1, ajPeakB, ajPeak, bigTrigger, ajParityOkB)
 
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"near_dedup_trigger10":{"rows":${docs1.size},"secs":$secs1b%.2f,"rows_per_sec":$ndRateB%.0f,"kept":$kept1b,"state_peak_rows":$peak1b},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"sem_dedup":{"secs":$sdSecs%.2f,"kept":$sdKept,"state_peak_cluster_rows":$sdPeak,"parity_ok":$sdParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_ratio_nd":$ndRatio%.2f,"cadence_ratio_aj":$ajRatio%.2f,"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"near_dedup_trigger10":{"rows":${docs1.size},"secs":$secs1b%.2f,"rows_per_sec":$ndRateB%.0f,"kept":$kept1b,"state_peak_rows":$peak1b},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"sem_dedup":{"secs":$sdSecs%.2f,"kept":$sdKept,"state_peak_cluster_rows":$sdPeak,"parity_ok":$sdParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_ratio_nd":$ndRatio%.2f,"cadence_ratio_aj":$ajRatio%.2f,"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk},"ann_upsert_ivf":{"rows":$auRows,"secs":$auIvfSecs%.2f,"rows_per_sec":${auRows / auIvfSecs}%.0f,"indexed_ok":$auIvfOk},"ann_upsert_lsh":{"rows":$auRows,"secs":$auLshSecs%.2f,"rows_per_sec":${auRows / auLshSecs}%.0f,"indexed_ok":$auLshOk}}""")
     spark.stop()
   }
 }
