@@ -453,6 +453,7 @@ object StreamBench {
         .filter(col("vec_id") % AnnIndex.IncMod === 0)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       val liveArr = arrivals.count { case (_, v) => v.exists(_ != 0.0) }
+      require(arrivals.nonEmpty, s"no arrival-slice vectors under $sfDir")
       def runSink(start: (DataFrame, String, String) => org.apache.spark.sql.streaming.StreamingQuery)
           : (Double, String) = {
         val root = java.nio.file.Files.createTempDirectory("sb-ann").toString
@@ -460,32 +461,43 @@ object StreamBench {
         val src = MemoryStream[(Long, Seq[Double])]
         val q = start(src.toDF().toDF("vec_id", "v"), root, ckpt)
         val t0 = System.nanoTime()
-        try arrivals.grouped((arrivals.length + 3) / 4).foreach { c =>
-          src.addData(c.toSeq: _*); q.processAllAvailable()
-        } finally q.stop()
-        graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(ckpt))
-        ((System.nanoTime() - t0) / 1e9, root)
+        // secs BEFORE stop, like every other phase — query shutdown
+        // and checkpoint cleanup are not fold throughput
+        val secs = try {
+          arrivals.grouped((arrivals.length + 3) / 4).foreach { c =>
+            src.addData(c.toSeq: _*); q.processAllAvailable()
+          }
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          q.stop()
+          graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(ckpt))
+        }
+        (secs, root)
       }
       val (ivfSecs, rootI) = runSink((df, root, ckpt) =>
         Streams.annUpsertVecs(df, cents, root, ckpt))
-      val ivfOk = AnnIndex.readMembers(spark,
-          AnnIndex.streamedMemberPaths(mp.head, rootI))
-        .filter(col("vec_id") % AnnIndex.IncMod === 0)
-        .select("vec_id").distinct().count() == arrivals.length
-      val (lshSecs, rootL) = runSink { (df, root, ckpt) =>
-        // frozen base rows built before the timed feed starts
-        AnnIndex.upsertLsh(spark,
-          AnnIndex.base(spark, sfDir)
-            .filter(col("vec_id") % AnnIndex.IncMod =!= 0), bits, s"$root/rows")
-        Streams.annUpsertLshVecs(df, bits, root, ckpt)
-      }
-      val lshOk = AnnIndex.readMembers(spark,
-          s"$rootL/rows" +: AnnIndex.lshArrivalDirs(rootL))
-        .filter(col("vec_id") % AnnIndex.IncMod === 0)
-        .select("vec_id").distinct().count() == liveArr
-      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(rootI))
-      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(rootL))
-      (arrivals.length, ivfSecs, ivfOk, lshSecs, lshOk)
+      try {
+        val ivfOk = AnnIndex.readMembers(spark,
+            AnnIndex.streamedMemberPaths(mp.head, rootI))
+          .filter(col("vec_id") % AnnIndex.IncMod === 0)
+          .select("vec_id").distinct().count() == arrivals.length
+        val (lshSecs, rootL) = runSink { (df, root, ckpt) =>
+          // frozen base rows built before the timed feed starts
+          AnnIndex.upsertLsh(spark,
+            AnnIndex.base(spark, sfDir)
+              .filter(col("vec_id") % AnnIndex.IncMod =!= 0), bits, s"$root/rows")
+          Streams.annUpsertLshVecs(df, bits, root, ckpt)
+        }
+        try {
+          val lshOk = AnnIndex.readMembers(spark,
+              s"$rootL/rows" +: AnnIndex.lshArrivalDirs(rootL))
+            .filter(col("vec_id") % AnnIndex.IncMod === 0)
+            .select("vec_id").distinct().count() == liveArr
+          (arrivals.length, ivfSecs, ivfOk, lshSecs, lshOk)
+        } finally graft.engine.Persist.deleteRecursively(
+          java.nio.file.Paths.get(rootL))
+      } finally graft.engine.Persist.deleteRecursively(
+        java.nio.file.Paths.get(rootI))
     }
 
     // cadence verdicts: at a 10× trigger the per-row rate must grow

@@ -1544,21 +1544,24 @@ final class Engine(
     * job under a scan lease (the plan's tier listing must survive
     * concurrent compaction, the scanIterator discipline).
     */
-  /** One monitor per export target path: concurrent EXPORTs to the
-    * same target must serialize, or the loser's staging reclaim can
-    * destroy the winner's in-flight write (and the winner's rename
-    * could then publish the loser's PARTIAL staging dir as the
-    * target). Different targets still export fully concurrently.
+  /** Striped monitors for export target paths: concurrent EXPORTs to
+    * the same target must serialize, or the loser's staging reclaim
+    * can destroy the winner's in-flight write (and the winner's
+    * rename could then publish the loser's PARTIAL staging dir as the
+    * target). Striping (fixed 64) instead of a per-path map: a
+    * long-lived engine exporting to timestamped paths daily must not
+    * grow an unbounded key registry (the PersistRegistry lesson) —
+    * same-path calls always collide on their stripe; the rare
+    * cross-path false share only serializes two unrelated exports.
     */
-  private val exportLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val exportLocks = Array.fill(64)(new Object)
 
   private def execExport(e: Stmt.Export): ResultSet = {
     val store = storeOf(e.table)
     val canonical = java.nio.file.Paths.get(e.path)
       .toAbsolutePath.normalize.toString
     acquireScanLease(store)
-    try exportLocks.computeIfAbsent(canonical, _ => new Object).synchronized {
+    try exportLocks(math.floorMod(canonical.hashCode, 64)).synchronized {
       // never-clobber, crash-atomic: the never-destroy-foreign-data
       // contract is checked up front, the write lands in a staging
       // sibling, and the target appears via ONE rename — a killed or

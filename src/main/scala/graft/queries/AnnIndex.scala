@@ -524,12 +524,19 @@ object AnnIndex {
       else {
         val ls = Files.list(p)
         try ls.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("arrivals-b"))
+          // both namespaces: legacy "arrivals-b<id>" and the
+          // checkpoint-tokened "arrivals-c<tok>-b<id>" (Streams)
+          .filter(_.getFileName.toString.startsWith("arrivals-"))
           .filterNot(f => absorbed.contains(f.getFileName.toString))
           .map(_.toString).filter(ready).toSeq
-          // numeric batch-id order (lexicographic puts b10 before b2)
-          .sortBy(f => java.nio.file.Paths.get(f).getFileName.toString
-            .stripPrefix("arrivals-b").toLongOption.getOrElse(Long.MaxValue))
+          // deterministic order: token prefix, then NUMERIC batch id
+          // (lexicographic puts b10 before b2)
+          .sortBy { f =>
+            val n = java.nio.file.Paths.get(f).getFileName.toString
+            val at = n.lastIndexOf("-b")
+            (n.take(math.max(at, 0)),
+              n.drop(at + 2).toLongOption.getOrElse(Long.MaxValue))
+          }
         finally ls.close()
       }
     membersPath +: arrivals
@@ -728,7 +735,7 @@ object AnnIndex {
     val ls = Files.list(p)
     try ls.iterator().asScala.map(_.toString).filter { f =>
       val n = Paths.get(f).getFileName.toString
-      (n == "members_arrivals" || n.startsWith("arrivals-b")) &&
+      (n == "members_arrivals" || n.startsWith("arrivals-")) &&
         !absorbed.contains(n) && ready(f)
     }.toSeq.sorted
     finally ls.close()
@@ -854,7 +861,7 @@ object AnnIndex {
     val ls = Files.list(p)
     try ls.iterator().asScala.map(_.toString).filter { f =>
       val n = Paths.get(f).getFileName.toString
-      (n == "arrivals" || n.startsWith("arrivals-b")) &&
+      (n == "arrivals" || n.startsWith("arrivals-")) &&
         !absorbed.contains(n) && ready(f)
     }.toSeq.sorted
     finally ls.close()

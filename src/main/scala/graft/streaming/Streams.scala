@@ -407,9 +407,12 @@ object Streams {
     * Delivery contract: EXACTLY-ONCE BY CONSTRUCTION — under a
     * DURABLE checkpoint, which is why `checkpoint` is a required
     * parameter and not a Spark default: only a persisted offset log
-    * makes a restarted query resume at the SAME batch id (a temp
-    * checkpoint restarts ids at 0 and would overwrite earlier
-    * batches' directories with different data). A replayed id whose
+    * makes a restarted query resume at the SAME batch id. Directory
+    * names carry a checkpoint-derived token (see [[ckptToken]]), so a
+    * NEW query later started on the same root — whose batch ids
+    * restart at 0 — lands in its own namespace instead of colliding
+    * with (and being silently skipped against) an earlier query's
+    * committed directories. A replayed id whose
     * directory already COMMITTED is skipped outright — the batch
     * data is identical by the replay contract, and never deleting a
     * committed directory means a reader that captured the path list
@@ -426,19 +429,38 @@ object Streams {
     * audited contract as the batch upsert (recall gate, re-train past
     * ~20% growth).
     */
+  /** Stable per-QUERY token for arrivals-directory names, derived
+    * from the checkpoint path: a RESTART of the same query reuses its
+    * checkpoint, so replayed batch ids map to the same directory and
+    * the committed-skip gives exactly-once; a NEW query on the same
+    * index root necessarily has a new checkpoint, so its batch ids —
+    * which restart at 0 — can never collide with an earlier query's
+    * committed directories. Without the token, a second ingest stream
+    * started later on the same root silently DROPPED every batch
+    * whose id matched an old committed dir: acked by the stream,
+    * never searchable.
+    */
+  private def ckptToken(checkpoint: String): String = {
+    val h = java.nio.file.Paths.get(checkpoint)
+      .toAbsolutePath.normalize.toString.hashCode
+    f"${h & 0xffffffffL}%08x"
+  }
+
   def annUpsertVecs(vecs: DataFrame, cents: Array[Array[Double]],
-                    root: String, checkpoint: String): StreamingQuery =
+                    root: String, checkpoint: String): StreamingQuery = {
+    val tok = ckptToken(checkpoint)
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val dir = s"$root/arrivals-b$id"
+        val dir = s"$root/arrivals-c$tok-b$id"
         if (!graft.queries.AnnIndex.committed(dir))
           graft.queries.AnnIndex.upsertIvf(
             batch.sparkSession, batch.toDF(), cents, dir)
         ()
       }
       .start()
+  }
 
   /** LSH sibling of [[annUpsertVecs]] (r17 — the streaming half of the
     * index-maintenance symmetry): each micro-batch hashes through the
@@ -459,18 +481,20 @@ object Streams {
     * land in buckets no probe visits.
     */
   def annUpsertLshVecs(vecs: DataFrame, bits: Int, root: String,
-                       checkpoint: String): StreamingQuery =
+                       checkpoint: String): StreamingQuery = {
+    val tok = ckptToken(checkpoint)
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val dir = s"$root/arrivals-b$id"
+        val dir = s"$root/arrivals-c$tok-b$id"
         if (!graft.queries.AnnIndex.committed(dir))
           graft.queries.AnnIndex.upsertLsh(
             batch.sparkSession, batch.toDF(), bits, dir)
         ()
       }
       .start()
+  }
 
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Int)

@@ -515,11 +515,13 @@ class StreamingSpec extends AnyFunSuite {
       // replay discipline: the sink SKIPS a committed batch directory
       // (never deletes what a reader may hold); even the uncommitted-
       // replay path — a forced rewrite of the same batch — converges
-      // to the same content, never a second copy
-      assert(AnnIndex.committed(s"$root/arrivals-b0"),
+      // to the same content, never a second copy. The batch-0 dir is
+      // checkpoint-token-namespaced, so it's resolved from the listing.
+      val b0 = paths(1)
+      assert(AnnIndex.committed(b0),
         "sink must have committed batch 0 (the replay guard's test)")
       AnnIndex.upsertIvf(spark, chunks.head.toSeq.toDF("vec_id", "v"),
-        cents, s"$root/arrivals-b0")
+        cents, b0)
       assert(AnnIndex.readMembers(spark,
         AnnIndex.streamedMemberPaths(baseMembers, root)).count() == n,
         "a replayed micro-batch must not double-index")
@@ -586,8 +588,9 @@ class StreamingSpec extends AnyFunSuite {
       assert(recall >= 0.8, f"stream-grown LSH recall $recall%.3f < 0.8")
       // replay discipline: re-folding a committed batch converges to
       // the same content (overwrite-idempotent), never a second copy
+      // (the batch-0 dir is checkpoint-token-namespaced — from listing)
       AnnIndex.upsertLsh(spark, chunks.head.toSeq.toDF("vec_id", "v"),
-        bits, s"$root/arrivals-b0")
+        bits, AnnIndex.lshArrivalDirs(root).head)
       assert(AnnIndex.readMembers(spark,
         s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
         .count() == live * AnnIndex.Tables,
@@ -610,6 +613,16 @@ class StreamingSpec extends AnyFunSuite {
         src2.toDF().toDF("vec_id", "v"), bits, root,
         java.nio.file.Files.createTempDirectory("lsh-stream-ckpt2").toString)
       try { src2.addData(drift: _*); q2.processAllAvailable() } finally q2.stop()
+      // the second query's batch ids restart at 0 — WITHOUT the
+      // checkpoint-token namespace its only batch collided with the
+      // first stream's committed arrivals-b0 and was silently dropped
+      // (this assertion is what caught it): the drift must actually
+      // be searchable before any staleness claim means anything
+      assert(AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+        .filter(col("vec_id") >= 1000000L)
+        .select("vec_id").distinct().count() == drift.size,
+        "a NEW stream on the same root must index its batches, not skip them")
       val (_, _, stale1) =
         AnnIndex.indexGrowth(spark, s"$root/rows", AnnIndex.lshArrivalDirs(root))
       assert(stale1, "a 20%+ streamed growth must flag stale")
