@@ -152,10 +152,16 @@ object Bench {
         val stOut = new String(st.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         st.waitFor()
+        // dirty = the CODE differs from HEAD: only src/ and build
+        // files can change what a measurement means. A prefix
+        // blacklist of artifact files kept growing stale (r17 ADVICE:
+        // LEAKCHECK/VERDICT/CORRECTNESS churn during normal round
+        // workflow stamped honest pins -dirty), so test the small
+        // positive set instead of chasing the open-ended negative one.
         stOut.linesIterator.exists { l =>
           val f = l.drop(3)
-          l.nonEmpty && !f.startsWith("BENCH_") && !f.startsWith("HTAP_") &&
-            !f.startsWith("OPTIMIZE_") && !f.startsWith("STREAM_")
+          l.nonEmpty && (f.startsWith("src/") || f.startsWith("build.sbt") ||
+            f.startsWith("project/"))
         }
       } catch { case _: Throwable => false }
       if (out.matches("[0-9a-f]{6,40}")) out + (if (dirty) "-dirty" else "")

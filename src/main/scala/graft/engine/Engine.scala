@@ -1231,11 +1231,35 @@ final class Engine(
     // never to TABLE_OR_VIEW_NOT_FOUND.
     val names = tableNames
     val referenced = names.filter(referencedIn(query, _))
-    (if (referenced.nonEmpty) referenced else names).foreach { t =>
+    def register(ts: Vector[String]): Unit = ts.foreach { t =>
       snapshotCached(t).createOrReplaceTempView(t)
       registeredViews.add(t)
     }
-    spark.sql(query)
+    val selective = referenced.nonEmpty && referenced.size < names.size
+    register(if (selective) referenced else names)
+    // stale-view guard (r17 ADVICE): a statement can reference one
+    // table literally and another NON-literally (IDENTIFIER('or' ||
+    // 'ders')) — the literal match then skips the zero-match fallback
+    // while the non-literal name would resolve against whatever temp
+    // view an EARLIER call left behind: a silently stale snapshot.
+    // Drop this engine's views for tables NOT refreshed this call, so
+    // a heuristic miss fails analysis loudly — and then retries ONCE
+    // with every table's fresh snapshot registered. The worst a miss
+    // costs is the old register-everything price, never a stale read.
+    if (selective) {
+      registeredViews.forEach { v =>
+        if (!referenced.contains(v) && names.contains(v)) {
+          spark.catalog.dropTempView(v)
+          registeredViews.remove(v)
+        }
+      }
+      try spark.sql(query)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          register(names.filterNot(referenced.contains))
+          spark.sql(query)
+      }
+    } else spark.sql(query)
   }
 
   /** Word-boundary test for table `t` appearing in SQL text — the one

@@ -722,6 +722,20 @@ object AnnIndex {
     else Files.readAllLines(p).asScala.map(_.trim).filter(_.nonEmpty).toSet
   }
 
+  /** The outgoing generation's absorbed entries a NEW swap must still
+    * carry: only dirs that remain DATA-CARRYING on disk — i.e. a
+    * crash interrupted the previous generation's post-swap reclaim
+    * before emptying them, so dropping their record would
+    * double-index them after this swap. Entries whose dirs were
+    * reclaimed to committed-empty (readMembers skips data-less roots
+    * regardless of the marker) or deleted out-of-band carry no
+    * double-index risk and are pruned, which is what keeps the marker
+    * bounded by ONE generation's arrivals across an index's lifetime
+    * instead of growing with every re-train (r17 verdict nit 3).
+    */
+  private def carriedAbsorbed(liveDir: String, root: String): Set[String] =
+    absorbedSet(liveDir).filter(n => dataBytes(s"$root/$n") > 0)
+
   /** Every COMMITTED, NOT-ABSORBED arrivals directory under an
     * incremental-IVF artifact root: the batch-upsert
     * `members_arrivals` and any stream-appended `arrivals-b<id>`
@@ -803,22 +817,28 @@ object AnnIndex {
     // assemble the generation INSIDE the staged members dir, then
     // publish it with the one move
     Files.move(Paths.get(stagedC), Paths.get(stagedM, "_CENTROIDS"))
-    // the new marker carries the UNION with the outgoing generation's
-    // absorbed set: a crash may have left an EARLIER-absorbed dir
-    // data-carrying, and dropping its record here would double-index
-    // it after THIS swap
+    // the new marker carries the outgoing generation's absorbed
+    // entries that could still double-index — i.e. dirs a crash left
+    // DATA-CARRYING (see carriedAbsorbed) — plus this swap's arrivals.
+    // Entries for reclaimed (empty) or deleted dirs are pruned, and
+    // the reclaim below re-empties the carried dirs too, so the
+    // marker stays bounded by one generation's arrivals instead of
+    // growing with the index's lifetime (r17 verdict nit 3).
+    val carried = carriedAbsorbed(membersPath, root)
     Files.write(Paths.get(stagedM, "_ABSORBED"),
-      (absorbedSet(membersPath) ++
+      (carried ++
           arrivals.map(a => Paths.get(a).getFileName.toString)).toSeq.sorted
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     publishStaged(membersPath, stagedM)
     // disk reclaim past the commit point: drop the legacy centroids
-    // dir and the absorbed arrivals' data, leaving each arrivals dir
-    // committed-EMPTY so ensure-steps and streaming replays still see
-    // an already-present batch
+    // dir and the absorbed arrivals' data — including crash-left data
+    // in CARRIED dirs (duplicates of rows an earlier generation
+    // already folded into members) — leaving each dir committed-EMPTY
+    // so ensure-steps and streaming replays still see an
+    // already-present batch, and the NEXT swap prunes its record
     graft.engine.Persist.deleteRecursively(Paths.get(s"$root/centroids"))
-    arrivals.foreach { ap =>
+    (carried.map(n => s"$root/$n") ++ arrivals).foreach { ap =>
       graft.engine.Persist.deleteRecursively(Paths.get(ap))
       Files.createDirectories(Paths.get(ap))
       Files.createFile(Paths.get(ap, "_SUCCESS"))
@@ -923,18 +943,20 @@ object AnnIndex {
         "refusing a rebuild that would drop indexed vectors")
     Files.write(Paths.get(stagedR, "_BITS"),
       s"$bits\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // union with the outgoing generation's absorbed set — same
-    // double-index guard as retrainIvfIfStale (a crash may have left
-    // an earlier-absorbed dir data-carrying)
+    // carry only still-data-carrying absorbed entries (crash
+    // leftovers) plus this swap's arrivals — the retrainIvfIfStale
+    // bounded-marker discipline (see carriedAbsorbed)
+    val carried = carriedAbsorbed(rowsPath, root)
     Files.write(Paths.get(stagedR, "_ABSORBED"),
-      (absorbedSet(rowsPath) ++
+      (carried ++
           arrivals.map(a => Paths.get(a).getFileName.toString)).toSeq.sorted
         .mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     publishStaged(rowsPath, stagedR)
     // disk reclaim past the commit point (pure cleanup, crash-safe:
-    // readers already skip absorbed arrivals via the marker)
-    arrivals.foreach { ap =>
+    // readers already skip absorbed arrivals via the marker); carried
+    // crash-left dirs re-empty here so the NEXT swap prunes them
+    (carried.map(n => s"$root/$n") ++ arrivals).foreach { ap =>
       graft.engine.Persist.deleteRecursively(Paths.get(ap))
       Files.createDirectories(Paths.get(ap))
       Files.createFile(Paths.get(ap, "_SUCCESS"))

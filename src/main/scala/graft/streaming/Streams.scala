@@ -441,10 +441,32 @@ object Streams {
     * never searchable.
     */
   private def ckptToken(checkpoint: String): String = {
-    val h = java.nio.file.Paths.get(checkpoint)
-      .toAbsolutePath.normalize.toString.hashCode
-    f"${h & 0xffffffffL}%08x"
+    // md5-derived, 64 bits (r17 ADVICE): the previous 32-bit
+    // String.hashCode made two distinct checkpoints colliding a
+    // birthday-bounded-but-real event across many streams, and a
+    // collision silently re-introduces the dropped-batch bug this
+    // token exists to prevent (the second stream's batches look
+    // `committed` and are skipped). 16 hex chars of the repo's
+    // standard md5 pushes the birthday bound past any plausible
+    // stream count while keeping directory names short.
+    val norm = java.nio.file.Paths.get(checkpoint)
+      .toAbsolutePath.normalize.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
   }
+
+  /** The committed-skip test for one streamed micro-batch: the
+    * tokened directory, OR the legacy pre-token `arrivals-b<id>` name
+    * (r17 ADVICE upgrade-path gap) — a query restarted from a
+    * PRE-token checkpoint replays its in-flight batch under the new
+    * tokened name, and a directory already committed under the legacy
+    * name would otherwise be indexed twice (readers union both
+    * namespaces).
+    */
+  private def batchCommitted(root: String, tok: String, id: Long): Boolean =
+    graft.queries.AnnIndex.committed(s"$root/arrivals-c$tok-b$id") ||
+      graft.queries.AnnIndex.committed(s"$root/arrivals-b$id")
 
   def annUpsertVecs(vecs: DataFrame, cents: Array[Array[Double]],
                     root: String, checkpoint: String): StreamingQuery = {
@@ -453,10 +475,9 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val dir = s"$root/arrivals-c$tok-b$id"
-        if (!graft.queries.AnnIndex.committed(dir))
+        if (!batchCommitted(root, tok, id))
           graft.queries.AnnIndex.upsertIvf(
-            batch.sparkSession, batch.toDF(), cents, dir)
+            batch.sparkSession, batch.toDF(), cents, s"$root/arrivals-c$tok-b$id")
         ()
       }
       .start()
@@ -487,10 +508,9 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val dir = s"$root/arrivals-c$tok-b$id"
-        if (!graft.queries.AnnIndex.committed(dir))
+        if (!batchCommitted(root, tok, id))
           graft.queries.AnnIndex.upsertLsh(
-            batch.sparkSession, batch.toDF(), bits, dir)
+            batch.sparkSession, batch.toDF(), bits, s"$root/arrivals-c$tok-b$id")
         ()
       }
       .start()

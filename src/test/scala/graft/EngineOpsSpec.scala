@@ -543,6 +543,32 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sparkSql: a non-literal table reference never reads a stale view (r18)") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE nlit_a (id BIGINT NOT NULL, v INT)").ok)
+      assert(e.sql("CREATE TABLE nlit_b (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("nlit_a", Seq(Array[Any](1L, Int.box(1))))
+      e.batchPut("nlit_b", Seq(Array[Any](1L, Int.box(10))))
+      try {
+        // register nlit_b's temp view via a literal reference
+        assert(e.sparkSql("SELECT count(*) AS n FROM nlit_b")
+          .collect()(0).getLong(0) == 1L)
+        // write to b, then reference b only NON-literally while a is
+        // literal: the word-boundary heuristic registers a, skips the
+        // zero-match fallback, and pre-r18 the IDENTIFIER spelling
+        // resolved against the STALE nlit_b view registered above —
+        // now the unrefreshed view is dropped and the analysis retry
+        // registers a fresh snapshot
+        e.batchPut("nlit_b", Seq(Array[Any](2L, Int.box(20))))
+        val n = e.sparkSql(
+          "SELECT count(*) AS n FROM nlit_a JOIN IDENTIFIER('nlit' || '_b') ON true")
+          .collect()(0).getLong(0)
+        assert(n == 2L, "a non-literal table reference must read a FRESH snapshot")
+      } finally { e.sql("DROP TABLE nlit_a"); e.sql("DROP TABLE nlit_b") }
+    }
+  }
+
   // ---- C13: delta-log corruption recovery ----------------------------------
 
   test("explainSpark reports per-table tier feed plus the Catalyst physical plan") {

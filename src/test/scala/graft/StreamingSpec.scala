@@ -643,6 +643,89 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ann streaming: hashCode-colliding checkpoint paths keep distinct namespaces (md5 token)") {
+    import graft.queries.AnnIndex
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("tok-stream").toString
+    val parent = java.nio.file.Files.createTempDirectory("tok-ckpt")
+    // "Aa"/"BB" collide under String.hashCode, and prefixing both with
+    // the same parent preserves it (hash(s++t) = 31^|t|·hash(s) +
+    // hash(t)) — exactly the collision class the r17 32-bit token was
+    // vulnerable to
+    val ckptA = parent.resolve("ck-Aa").toString
+    val ckptB = parent.resolve("ck-BB").toString
+    assert(ckptA.hashCode == ckptB.hashCode && ckptA != ckptB,
+      "fixture premise: distinct paths colliding under 32-bit hashCode")
+    try {
+      val rng = new scala.util.Random(3L)
+      def vecs(ids: Range): Seq[(Long, Seq[Double])] =
+        ids.map(i => (i.toLong, Seq.fill(64)(rng.nextGaussian())))
+      val bits = 8
+      AnnIndex.upsertLsh(spark, vecs(0 until 20).toDF("vec_id", "v"),
+        bits, s"$root/rows")
+      def stream(ckpt: String, ids: Range): Unit = {
+        val src = MemoryStream[(Long, Seq[Double])]
+        val q = Streams.annUpsertLshVecs(
+          src.toDF().toDF("vec_id", "v"), bits, root, ckpt)
+        try { src.addData(vecs(ids): _*); q.processAllAvailable() }
+        finally q.stop()
+      }
+      stream(ckptA, 100 until 110)
+      stream(ckptB, 200 until 210)
+      // both queries' batch ids start at 0 — under a colliding token
+      // the second stream's only batch looks `committed` and is
+      // silently skipped: acked by the stream, never searchable
+      val ids = AnnIndex.readMembers(spark,
+          s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert((100L until 110L).forall(ids) && (200L until 210L).forall(ids),
+        s"both colliding-checkpoint streams must stay searchable; got $ids")
+    } finally {
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(root))
+      graft.engine.Persist.deleteRecursively(parent)
+    }
+  }
+
+  test("ann streaming: a batch committed under the legacy (pre-token) name is not re-indexed") {
+    import graft.queries.AnnIndex
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("legacy-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("legacy-ckpt").toString
+    try {
+      val rng = new scala.util.Random(5L)
+      def vecs(ids: Range): Seq[(Long, Seq[Double])] =
+        ids.map(i => (i.toLong, Seq.fill(64)(rng.nextGaussian())))
+      val bits = 8
+      AnnIndex.upsertLsh(spark, vecs(0 until 20).toDF("vec_id", "v"),
+        bits, s"$root/rows")
+      // the upgrade-path replay (r17 ADVICE): a pre-token query
+      // committed this batch as legacy arrivals-b0 (sink committed,
+      // Spark's commit-log write crashed); the restarted query —
+      // running post-upgrade, with the tokened namespace — replays
+      // batch id 0 with the SAME data and must SKIP it, not index it
+      // twice (readers union both namespaces)
+      val batch = vecs(100 until 110)
+      AnnIndex.upsertLsh(spark, batch.toDF("vec_id", "v"),
+        bits, s"$root/arrivals-b0")
+      val src = MemoryStream[(Long, Seq[Double])]
+      val q = Streams.annUpsertLshVecs(
+        src.toDF().toDF("vec_id", "v"), bits, root, ckpt)
+      try { src.addData(batch: _*); q.processAllAvailable() }
+      finally q.stop()
+      val grown = AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+      assert(grown.filter(col("vec_id") >= 100L).count() ==
+        10L * AnnIndex.Tables,
+        "a legacy-committed batch replayed under the tokened namespace " +
+          "must not double-index")
+    } finally {
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(root))
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    }
+  }
+
   test("cadence gate: trigger-bounded state and parity only — rate ratios are report-only") {
     def gate(nd: Double, aj: Double, p1b: Long = 100, p1: Long = 50,
              ajB: Long = 100, ajP: Long = 50, trig: Long = 5000,

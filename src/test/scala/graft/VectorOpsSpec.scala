@@ -371,6 +371,27 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(!Files.exists(stgP), "unstamped staging must be discarded")
       assert(AnnIndex.readMembers(spark,
         AnnIndex.streamedMemberPaths(s"$root/members", root)).count() == 920)
+      // marker boundedness (r18, r17 verdict nit 3): the generation-2
+      // marker still names BOTH absorbed dirs (b0 carried as a crash
+      // leftover, b1 absorbed by that swap) — but a CLEAN third
+      // generation must prune entries whose dirs were reclaimed to
+      // committed-empty and name ONLY its own arrivals, so the record
+      // stays one-generation-sized across an index's lifetime
+      import scala.jdk.CollectionConverters._
+      def marker(): Set[String] =
+        Files.readAllLines(Paths.get(s"$root/members/_ABSORBED"))
+          .asScala.map(_.trim).filter(_.nonEmpty).toSet
+      assert(marker() == Set("arrivals-b0", "arrivals-b1"), marker().toString)
+      val batch3 = (920L until 1220L).map(id => (id, vec(3.0)))
+      AnnIndex.upsertIvf(spark, batch3.toDF("vec_id", "v"),
+        AnnIndex.ivf(spark, dir)._1, s"$root/arrivals-b2")
+      assert(AnnIndex.retrainIvfIfStale(spark, root),
+        "generation 3 must fire on fresh growth")
+      assert(marker() == Set("arrivals-b2"),
+        s"reclaimed absorbed entries must be pruned at the next swap: ${marker()}")
+      assert(AnnIndex.readMembers(spark,
+        AnnIndex.streamedMemberPaths(s"$root/members", root)).count() == 1220,
+        "the third generation must hold every vector exactly once")
     } finally {
       AnnIndex.pruneArtifacts(dir)
       graft.engine.Persist.deleteRecursively(Paths.get(dir))
