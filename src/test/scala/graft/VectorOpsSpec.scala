@@ -87,6 +87,39 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(sampled == Seq(("ivf", 1), ("lsh", 1)), sampled.toString)
   }
 
+  test("sampled-audit membership is hash-uniform, never id-stripe-aligned (r18)") {
+    import spark.implicits._
+    import graft.queries.VectorOps
+    // 64k-id corpus: stride 4096, width 128 → expected sample ≈ 2048
+    // (deterministic — md5 is fixed; binomial sd ≈ 45)
+    val n = 65536L
+    val picked = spark.range(n).toDF("vec_id")
+      .filter(VectorOps.samplePred(n)).count()
+    assert(picked > 1800 && picked < 2300,
+      s"expected ~2048 sampled ids out of $n, got $picked")
+    // a content-correlated CONTIGUOUS id block (the planted-clone
+    // shape: clones live at a fixed offset block): the pre-r18
+    // id-stripe form selected stride-aligned runs — such a block was
+    // covered by one contiguous run or missed entirely, skewing
+    // measured recall whenever ids correlate with content. The md5
+    // form draws ≈ block/32, spread across the block.
+    val inBlock = spark.range(20000000L, 20002048L).toDF("vec_id")
+      .filter(VectorOps.samplePred(n))
+      .collect().map(_.getLong(0)).sorted
+    assert(inBlock.length > 20 && inBlock.length < 120,
+      s"expected ~64 of a 2048-id block, got ${inBlock.length}")
+    val gaps = inBlock.sliding(2).count {
+      case Array(a, b) => b - a > 1
+      case _ => false
+    }
+    assert(gaps > inBlock.length / 2,
+      "hash membership must not select an id-contiguous run")
+    // the size route: below sampleRouteMin the declared query runs
+    // the FULL exact base — the sample floor only engages where it
+    // is cheaper than exactness
+    assert(VectorOps.sampleRouteMin == 8192L)
+  }
+
   test("int8-quantized search keeps recall and cosine accuracy vs exact") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
     import org.apache.spark.sql.functions.col
