@@ -438,14 +438,16 @@ object StreamBench {
         allEmitted && verdicts.forall(_._3))
     }
 
-    // ---- phase 8: streaming ANN index upsert (IVF + LSH sinks) ------------
+    // ---- phase 8: streaming ANN index upsert (IVF + LSH + PQ sinks) --------
     // Each micro-batch folds into a frozen artifact exactly once
-    // (batchId-named arrivals dirs, the annUpsertVecs/annUpsertLshVecs
-    // replay contract). Gate per family: every streamed vector is
-    // searchable in the grown index exactly once. Staleness/re-train
-    // is the spec-gated maintenance path; this phase measures the
-    // ingest-side fold rate.
-    val (auRows, auIvfSecs, auIvfOk, auLshSecs, auLshOk) = {
+    // (batchId-named arrivals dirs, the annUpsertVecs/annUpsertLshVecs/
+    // annUpsertPqVecs replay contract). Gate per family: every
+    // streamed vector is searchable in the grown index exactly once —
+    // for PQ, additionally WITH its stored code (a sink that dropped
+    // the pc column would silently fall back to in-plan encoding).
+    // Staleness/re-train is the spec-gated maintenance path; this
+    // phase measures the ingest-side fold rate.
+    val (auRows, auIvfSecs, auIvfOk, auLshSecs, auLshOk, auPqSecs, auPqOk) = {
       import graft.queries.AnnIndex
       val (cents, mp) = AnnIndex.ivfIncremental(spark, sfDir)
       val bits = AnnIndex.bitsFor(AnnIndex.corpusSize(spark, sfDir))
@@ -493,7 +495,18 @@ object StreamBench {
               s"$rootL/rows" +: AnnIndex.lshArrivalDirs(rootL))
             .filter(col("vec_id") % AnnIndex.IncMod === 0)
             .select("vec_id").distinct().count() == liveArr
-          (arrivals.length, ivfSecs, ivfOk, lshSecs, lshOk)
+          val (pqSecs, rootP) = runSink((df, root, ckpt) =>
+            Streams.annUpsertPqVecs(df, AnnIndex.ivfIncPath(spark, sfDir),
+              graft.queries.VectorOps.pqCodebook(spark, sfDir), root, ckpt))
+          try {
+            val pqOk = AnnIndex.readMembers(spark,
+                AnnIndex.streamedMemberPaths(mp.head, rootP))
+              .filter(col("vec_id") % AnnIndex.IncMod === 0)
+              .filter(col("pc").isNotNull)
+              .select("vec_id").distinct().count() == arrivals.length
+            (arrivals.length, ivfSecs, ivfOk, lshSecs, lshOk, pqSecs, pqOk)
+          } finally graft.engine.Persist.deleteRecursively(
+            java.nio.file.Paths.get(rootP))
         } finally graft.engine.Persist.deleteRecursively(
           java.nio.file.Paths.get(rootL))
       } finally graft.engine.Persist.deleteRecursively(
@@ -525,7 +538,7 @@ object StreamBench {
       peak1b, peak1, ajPeakB, ajPeak, bigTrigger, ajParityOkB)
 
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"near_dedup_trigger10":{"rows":${docs1.size},"secs":$secs1b%.2f,"rows_per_sec":$ndRateB%.0f,"kept":$kept1b,"state_peak_rows":$peak1b},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"sem_dedup":{"secs":$sdSecs%.2f,"kept":$sdKept,"state_peak_cluster_rows":$sdPeak,"parity_ok":$sdParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_ratio_nd":$ndRatio%.2f,"cadence_ratio_aj":$ajRatio%.2f,"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk},"ann_upsert_ivf":{"rows":$auRows,"secs":$auIvfSecs%.2f,"rows_per_sec":${auRows / auIvfSecs}%.0f,"indexed_ok":$auIvfOk},"ann_upsert_lsh":{"rows":$auRows,"secs":$auLshSecs%.2f,"rows_per_sec":${auRows / auLshSecs}%.0f,"indexed_ok":$auLshOk}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"near_dedup_trigger10":{"rows":${docs1.size},"secs":$secs1b%.2f,"rows_per_sec":$ndRateB%.0f,"kept":$kept1b,"state_peak_rows":$peak1b},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"sem_dedup":{"secs":$sdSecs%.2f,"kept":$sdKept,"state_peak_cluster_rows":$sdPeak,"parity_ok":$sdParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_ratio_nd":$ndRatio%.2f,"cadence_ratio_aj":$ajRatio%.2f,"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk},"ann_upsert_ivf":{"rows":$auRows,"secs":$auIvfSecs%.2f,"rows_per_sec":${auRows / auIvfSecs}%.0f,"indexed_ok":$auIvfOk},"ann_upsert_lsh":{"rows":$auRows,"secs":$auLshSecs%.2f,"rows_per_sec":${auRows / auLshSecs}%.0f,"indexed_ok":$auLshOk},"ann_upsert_pq":{"rows":$auRows,"secs":$auPqSecs%.2f,"rows_per_sec":${auRows / auPqSecs}%.0f,"indexed_ok":$auPqOk}}""")
     spark.stop()
   }
 }

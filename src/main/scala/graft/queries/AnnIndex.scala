@@ -567,7 +567,12 @@ object AnnIndex {
       } finally ls.close()
     }
     require(withData.nonEmpty, s"no index data under any of: ${paths.mkString(", ")}")
-    withData.map(s.read.parquet(_)).reduce(_.unionByName(_))
+    // allowMissingColumns: PQ arrivals carry a stored `pc` codes
+    // column the base members lack (upsertIvfPq) — base rows read
+    // back with pc = null and search falls back to in-plan encoding
+    // for them (ivfPqTop5From's coalesce)
+    withData.map(s.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Fold an arriving (vec_id, v) batch into frozen IVF artifacts:
@@ -582,6 +587,41 @@ object AnnIndex {
                 cents: Array[Array[Double]], arrivalsPath: String): Unit =
     assignMembers(s, batch, cents)
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(arrivalsPath)
+
+  /** The IVF-PQ sibling of [[upsertIvf]] (r18 — the last
+    * index-maintenance asymmetry): fold an arriving (vec_id, v) batch
+    * into a frozen IVF-PQ artifact by assigning it to the frozen
+    * centroids AND storing each row's PQ code, encoded with the
+    * COMMITTED codebook `cb` by the exact q_pq_encode kernel
+    * expression the search path derives in-plan
+    * (pq_encode(int8_round(v, int8_scale(v)), cb, 4)) — determinism
+    * makes the stored code bit-equal to what an in-plan encode of the
+    * same row would produce, which is what lets streamed (stored-
+    * code) and batch (derived-code) members search identically.
+    * cid-partitioned overwrite commit: same idempotent replay
+    * contract as upsertIvf. At 100 TB the stored 4-byte-per-vector
+    * codes ARE the index — arrivals pre-encoded at ingest mean the
+    * ADC scan never re-derives codes for the streamed fraction.
+    */
+  def upsertIvfPq(s: SparkSession, batch: DataFrame,
+                  cents: Array[Array[Double]], cb: Seq[(Long, Seq[Int])],
+                  arrivalsPath: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    assignMembers(s, batch, cents)
+      .withColumn("pc", call_function("pq_encode",
+        expr("int8_round(v, int8_scale(v))"), typedlit(cb), lit(4)))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(arrivalsPath)
+  }
+
+  /** The artifact's COMMITTED coarse codebook, re-read from disk
+    * (members/_CENTROIDS after a mechanized re-train, else the
+    * build-time sibling dir) — what a long-running consumer must
+    * encode arrivals against: a frozen in-memory copy diverges from
+    * the artifact exactly when a re-train has swapped generations.
+    * K×64 doubles — a model-sized read, cheap per micro-batch.
+    */
+  def committedCents(s: SparkSession, root: String): Array[Array[Double]] =
+    readCents(s, centsPathOf(root))
 
   /** Build-or-read the incremental LSH artifact (same split and
     * arrivals-directory commit discipline as [[ivfIncremental]]);

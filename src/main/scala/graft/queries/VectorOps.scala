@@ -1083,7 +1083,7 @@ object VectorOps {
     * (the assigned()/IVF-probe pattern); a trained per-subspace
     * codebook is the same literal with the same plan.
     */
-  private def pqCodebook(s: SparkSession, d: String): Seq[(Long, Seq[Int])] = {
+  private[graft] def pqCodebook(s: SparkSession, d: String): Seq[(Long, Seq[Int])] = {
     val cb = quantized(s, d)
       .filter(col("vec_id") % 31 === 0 && col("vec_id") < 31 * 16)
       .selectExpr("CAST(vec_id DIV 31 AS BIGINT) AS cid", "qv")
@@ -1350,18 +1350,24 @@ object VectorOps {
     exact.unpersist(blocking = false)
     ok
   }
-  private def ivfPqTop5From(s: SparkSession, d: String,
+  private[graft] def ivfPqTop5From(s: SparkSession, d: String,
                             artifact: (Array[Array[Double]], Seq[String])): DataFrame = {
     val (probesDf, qVecsDf, pruned) = ivfProbeCtxFrom(s, d, artifact)
     val cb = pqCodebook(s, d)
     val dtab = adcDistTable(
       qVecsDf.selectExpr("q_id", "int8_round(qv, int8_scale(qv)) AS qqv"), cb)
     // encode ONCE per candidate vector (codes are q_id-independent),
-    // then fan out per probing query
+    // then fan out per probing query. STORED codes win (r18): a
+    // streamed arrival carries the code upsertIvfPq encoded at ingest
+    // with the committed codebook — the same deterministic kernel
+    // expression, so coalesce never mixes coding generations — and
+    // rows without one (base members, batch arrivals) derive in-plan.
+    val encoded = call_function("pq_encode",
+      expr("int8_round(v, int8_scale(v))"), typedlit(cb), lit(4))
     val short = pruned
       .select(col("cid"), col("vec_id"),
-        call_function("pq_encode",
-          expr("int8_round(v, int8_scale(v))"), typedlit(cb), lit(4)).as("pc"))
+        (if (pruned.columns.contains("pc")) coalesce(col("pc"), encoded)
+         else encoded).as("pc"))
       .select(col("cid"), col("vec_id"), posexplode(col("pc")).as(Seq("m", "pcs")))
       .select(col("cid"), col("vec_id"), col("m"), col("pcs.code").as("code"))
       .join(broadcast(probesDf), Seq("cid"))

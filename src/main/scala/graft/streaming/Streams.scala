@@ -516,6 +516,49 @@ object Streams {
       .start()
   }
 
+  /** IVF-PQ sibling of [[annUpsertVecs]] (r18 — closes the last
+    * index-maintenance asymmetry: IVF and LSH streamed, PQ did not,
+    * so a PQ index under continuous ingest silently served a
+    * shrinking fraction of its corpus): each micro-batch is assigned
+    * to the artifact's COMMITTED centroids and committed WITH its
+    * stored PQ codes (AnnIndex.upsertIvfPq — encoded against the
+    * frozen codebook `cb` by the same deterministic kernel the search
+    * path derives in-plan) into a checkpoint-token-namespaced
+    * arrivals directory, under the identical exactly-once replay
+    * contract as the other two sinks.
+    *
+    * Re-train riding: the coarse centroids are RE-READ from the
+    * artifact per micro-batch (AnnIndex.committedCents — a K×64
+    * model-sized read), so a batch arriving after retrainIvfIfStale
+    * swapped generations is assigned under the NEW quantizer — the
+    * re-encode-on-codebook-change contract without a sink restart.
+    * (A frozen cents parameter — the annUpsertVecs shape — would
+    * assign post-re-train arrivals to centroids no probe consults.)
+    * The PQ codebook `cb` stays a parameter: its slice is frozen by
+    * contract (pqCodebook's scaladoc — arrivals never retrain it),
+    * and a re-trained generation drops stored codes anyway (members
+    * carry vec_id, v), falling back to in-plan encoding.
+    */
+  def annUpsertPqVecs(vecs: DataFrame, artifactRoot: String,
+                      cb: Seq[(Long, Seq[Int])], root: String,
+                      checkpoint: String): StreamingQuery = {
+    val tok = ckptToken(checkpoint)
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        if (!batchCommitted(root, tok, id)) {
+          val cents = graft.queries.AnnIndex
+            .committedCents(batch.sparkSession, artifactRoot)
+          graft.queries.AnnIndex.upsertIvfPq(
+            batch.sparkSession, batch.toDF(), cents, cb,
+            s"$root/arrivals-c$tok-b$id")
+        }
+        ()
+      }
+      .start()
+  }
+
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Int)
 

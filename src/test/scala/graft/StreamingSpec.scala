@@ -535,6 +535,113 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN upsert: PQ micro-batches store committed-codebook codes, search-parity with in-plan encode") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    import graft.queries.{AnnIndex, VectorOps}
+    import spark.implicits._
+    val (cents, mp) = AnnIndex.ivfIncremental(spark, sfDir)
+    val artifactRoot = AnnIndex.ivfIncPath(spark, sfDir)
+    val cb = VectorOps.pqCodebook(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("pq-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pq-stream-ckpt").toString
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val src = MemoryStream[(Long, Seq[Double])]
+      val q = Streams.annUpsertPqVecs(
+        src.toDF().toDF("vec_id", "v"), artifactRoot, cb, root, ckpt)
+      val arrivals = AnnIndex.base(spark, sfDir)
+        .filter(col("vec_id") % AnnIndex.IncMod === 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      try {
+        arrivals.grouped((arrivals.length + 2) / 3).foreach { c =>
+          src.addData(c.toSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // exactly-once coverage, and every streamed row carries its
+      // STORED code (base members read back with pc = null)
+      val paths = AnnIndex.streamedMemberPaths(mp.head, root)
+      val grown = AnnIndex.readMembers(spark, paths)
+      assert(grown.count() == AnnIndex.corpusSize(spark, sfDir),
+        "stream-grown PQ members must cover the corpus once")
+      assert(grown.filter(col("vec_id") % AnnIndex.IncMod === 0)
+        .filter(col("pc").isNull).count() == 0,
+        "every streamed arrival must carry its stored PQ code")
+      // search parity: the streamed index (STORED codes) must return
+      // exactly what the batch-upsert index (in-plan derived codes)
+      // returns over the identical logical corpus — a stored code
+      // that drifted from the kernel's in-plan encoding changes ADC
+      // distances and breaks this equality
+      def top(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val streamed = top(VectorOps.ivfPqTop5From(spark, sfDir, (cents, paths)))
+      val batch = top(VectorOps.ivfPqUpsertTop5(spark, sfDir))
+      assert(streamed == batch,
+        s"stored-code search must equal in-plan-code search:\n$streamed\nvs\n$batch")
+    } finally {
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(root))
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    }
+  }
+
+  test("streaming ANN upsert: a post-re-train PQ batch lands in the new generation's coding") {
+    import graft.queries.AnnIndex
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val rng = new scala.util.Random(11L)
+    def vec(center: Double): Seq[Double] =
+      Seq.tabulate(64)(i => center * math.sin(i * 0.37) + rng.nextGaussian() * 0.2)
+    val dir = Files.createTempDirectory("pq-retrain").toString
+    val ckpt1 = Files.createTempDirectory("pq-retrain-ck1").toString
+    val ckpt2 = Files.createTempDirectory("pq-retrain-ck2").toString
+    try {
+      // dataset: 420 base vectors (ids 0..419 — includes the %31
+      // codebook slice the PQ table derives from)
+      (0L until 420L).map(id => (id, vec(1.0), 0))
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      AnnIndex.pruneArtifacts(dir)
+      val (cents0, _) = AnnIndex.ivf(spark, dir)
+      val root = AnnIndex.ivfPath(spark, dir)
+      val cb = graft.queries.VectorOps.pqCodebook(spark, dir)
+      implicit val sqlCtx = spark.sqlContext
+      def streamIn(batch: Seq[(Long, Seq[Double])], ckpt: String): Unit = {
+        val src = MemoryStream[(Long, Seq[Double])]
+        val q = Streams.annUpsertPqVecs(
+          src.toDF().toDF("vec_id", "v"), root, cb, root, ckpt)
+        try { src.addData(batch: _*); q.processAllAvailable() } finally q.stop()
+      }
+      // stream a ~50% drift batch → stale → the verb re-trains and
+      // swaps a NEW quantizer (k re-derived from the grown size)
+      streamIn((420L until 620L).map(id => (id, vec(5.0))), ckpt1)
+      assert(AnnIndex.retrainIvfIfStale(spark, root),
+        "the drift batch must push growth past the re-train bound")
+      val cents1 = AnnIndex.committedCents(spark, root)
+      assert(cents1.length == AnnIndex.ivfK(620),
+        "the new generation must carry the re-derived quantizer")
+      // a batch streamed AFTER the swap must be assigned under the
+      // NEW centroids — the sink re-reads committed centroids per
+      // micro-batch, so no restart is needed
+      val post = (620L until 660L).map(id => (id, vec(-2.0)))
+      streamIn(post, ckpt2)
+      val postDir = AnnIndex.streamedMemberPaths(s"$root/members", root)
+        .filter(_.contains("arrivals-c")).last
+      val gotCids = spark.read.parquet(postDir)
+        .select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      val wantCids = AnnIndex.probeClusters(
+        post.map { case (id, v) => (id, v.toArray) }, cents1, 1)
+        .map { case (id, cid) => (id, cid) }.toMap
+      assert(gotCids == wantCids,
+        "a post-re-train streamed batch must be coded under the NEW quantizer")
+    } finally {
+      AnnIndex.pruneArtifacts(dir)
+      graft.engine.Persist.deleteRecursively(Paths.get(dir))
+      graft.engine.Persist.deleteRecursively(Paths.get(ckpt1))
+      graft.engine.Persist.deleteRecursively(Paths.get(ckpt2))
+    }
+  }
+
   test("streaming ANN upsert: micro-batches fold exactly-once into frozen LSH artifacts, verb clears growth") {
     val sfDir = "/root/testdata/sf0.01"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
