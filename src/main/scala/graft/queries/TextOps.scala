@@ -280,21 +280,17 @@ object TextOps {
       .withColumn("nxt", lead(col("tok"), 1).over(wd))
   }
 
-  /** Apply one merge (a,b) -> "a b" to a (doc_id, toks) frame with the
-    * GREEDY left-to-right non-overlap rule, entirely in windows over
-    * the by-doc partition — no joins, no interpreted per-token fold:
-    * hit positions group into runs via a running non-hit count, a run
-    * takes its even offsets (floor(L/2) for the w1=w2 runs — the
-    * q_bpe_merge_step rule), taken positions emit the merged token
-    * (space-joined, distinguishable since corpus tokens never contain
-    * spaces) and their consumed successors drop.
-    */
-  private def bpeApply(cur: DataFrame, a: String, b: String): DataFrame =
-    bpeApplySet(cur, Seq((a, b)))
-
-  /** Apply a BATCH of token-disjoint merges in ONE window pass — the
+  /** Apply a BATCH of token-disjoint merges in ONE window pass with
+    * the GREEDY left-to-right non-overlap rule, entirely in windows
+    * over the by-doc partition — no joins, no interpreted per-token
+    * fold: hit positions group into runs via a running non-hit count,
+    * a run takes its even offsets (floor(L/2) for the w1=w2 runs —
+    * the q_bpe_merge_step rule), taken positions emit the merged
+    * token (space-joined, distinguishable since corpus tokens never
+    * contain spaces) and their consumed successors drop. The
     * m=1 case is exactly the single-pair rule. Disjointness (no token
-    * appears in two pairs, guaranteed by [[bpeSelectTopm]]) is what
+    * appears in two pairs, guaranteed by [[bpeSelectTopm]] and
+    * [[bpeSelectSeqBatch]]) is what
     * makes one pass sound: consecutive hit positions would need the
     * shared middle token to be w2 of one pair and w1 of another, so
     * under disjointness a run of hits always belongs to ONE pair with
@@ -386,13 +382,75 @@ object TextOps {
         FROM toks0 t0 LEFT JOIN toks$n tn USING (doc_id)
         ORDER BY t0.doc_id"""
 
-  /** Run the n-round BPE trainer once: per round pick the most
-    * frequent adjacent pair (one driver scalar, like
-    * q_bpe_merge_step's best), apply it greedily, re-materialize via
-    * eager localCheckpoint. Returns the merge table AND the final
-    * token frame with every learned merge applied — the one loop
-    * feeding both q_bpe_train (the table) and q_bpe_apply (the
-    * corpus), so the two cannot drift. A corpus that runs out of
+  /** SEQUENCE-EXACT batch acceptance (r18, the round-floor cut): from
+    * the ranked candidate window of one pre-round pair aggregate,
+    * accept the longest PREFIX of candidates that provably equals
+    * what `limit` sequential top-1 rounds would pick, so a whole
+    * batch of merges pays ONE aggregate + ONE windowed apply instead
+    * of one each. Candidate k (after the always-correct first) is
+    * accepted iff
+    *  (a) PREFIX: every higher-ranked candidate was accepted — a
+    *      blocked-but-unaccepted pair may still win a later
+    *      sequential sub-round (its count need not drop), so any
+    *      rejection ends the batch;
+    *  (b) DISJOINT: it shares no token with the accepted set — then
+    *      its adjacency count is INVARIANT under their application
+    *      (a disjoint merge never creates or destroys this pair's
+    *      adjacencies), so the emitted count equals the sequential
+    *      round's count bit-for-bit;
+    *  (c) NEW-PAIR BOUND: its count strictly exceeds every count a
+    *      pair CREATED by the accepted merges could reach. Merging
+    *      (a,b) creates only (x,"a b") pairs — each from an existing
+    *      (x,a) adjacency, so ≤ maxIn(a) = max_x count(x,a) — and
+    *      ("a b",y) pairs, each from (b,y), so ≤ maxOut(b); both
+    *      bounds come from the SAME aggregate the candidates did.
+    *      Strictness also covers ties (a tied new pair could win the
+    *      lexicographic tie-break).
+    * Old pairs never gain count under any merge (a merge only
+    * consumes tokens), so nothing below the prefix can rise past it.
+    * Result: the accepted batch IS the next |batch| merges of the
+    * sequential trajectory — same pairs, same counts, same order —
+    * which is what keeps bpeTrainSql/bpeApplySql (the m=1 sequential
+    * oracles) exact over the batched loop.
+    */
+  private[graft] def bpeSelectSeqBatch(
+      cands: Seq[(String, String, Long)],
+      maxIn: Map[String, Long], maxOut: Map[String, Long],
+      limit: Int): Seq[(String, String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var used = Set.empty[String]
+    var bound = 0L
+    var i = 0
+    var stop = false
+    while (i < cands.size && out.size < limit && !stop) {
+      val (a, b, c) = cands(i)
+      if (out.isEmpty || (!used(a) && !used(b) && c > bound)) {
+        out += ((a, b, c))
+        used = used + a + b
+        bound = math.max(bound,
+          math.max(maxIn.getOrElse(a, 0L), maxOut.getOrElse(b, 0L)))
+      } else stop = true
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Run the n-merge BPE trainer once — the SAME m=1 sequential
+    * trajectory as ever (bpeTrainSql stays its exact oracle), but
+    * computed in batched rounds (r18): per round ONE vocabulary-sized
+    * pair aggregate yields the ranked candidate window plus the
+    * new-pair bounds, [[bpeSelectSeqBatch]] accepts the provably-
+    * sequential prefix, and one windowed pass applies the whole batch
+    * (token-disjointness is exactly [[bpeApplySet]]'s precondition).
+    * On corpora whose top pairs are token-disjoint with headroom over
+    * the bound — the common case; the organic documents corpus
+    * batches all 6 merges in one round — the 6-round × 2-corpus-pass
+    * loop collapses to 1 aggregate + 1 apply. Worst case (every
+    * adjacent candidate conflicts) degrades to the old one-merge
+    * rounds, never to a different sequence. Returns the merge table
+    * AND the final token frame with every learned merge applied — the
+    * one loop feeding both q_bpe_train (the table) and q_bpe_apply
+    * (the corpus), so the two cannot drift. A corpus that runs out of
     * pairs early stops cleanly (the oracle chain's empty best_r
     * rounds are no-ops).
     */
@@ -400,20 +458,34 @@ object TextOps {
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var cur = toksFrame(s, d).select(col("doc_id"), col("toks"))
     val table = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
     var exhausted = false
-    while (r <= bpeTrainRounds && !exhausted) {
-      val best = bpeAdj(cur).filter(col("nxt").isNotNull)
+    while (table.size < bpeTrainRounds && !exhausted) {
+      val counts = bpeAdj(cur).filter(col("nxt").isNotNull)
         .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
         .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).collect()
-      if (best.isEmpty) exhausted = true // no pairs left: a tiny corpus
-      else {                             // fully merged before round n
-        val (a, b) = (best.head.getString(0), best.head.getString(1))
-        table += ((r, a, b, best.head.getLong(2)))
-        cur = bpeApply(cur, a, b).localCheckpoint(true)
-      }
-      r += 1
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cands = counts
+          .orderBy(col("c").desc, col("w1"), col("w2")).limit(bpeTopmCand)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        if (cands.isEmpty) exhausted = true // no pairs left: a tiny corpus
+        else {                              // fully merged before merge n
+          // new-pair bounds for the candidate tokens only — two
+          // token-set-filtered reductions over the CACHED vocabulary
+          // aggregate, never a second corpus pass
+          val ts = cands.flatMap(p => Seq(p._1, p._2)).distinct
+          val maxIn = counts.filter(col("w2").isin(ts: _*))
+            .groupBy(col("w2")).agg(max(col("c")).as("m")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val maxOut = counts.filter(col("w1").isin(ts: _*))
+            .groupBy(col("w1")).agg(max(col("c")).as("m")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val batch = bpeSelectSeqBatch(cands, maxIn, maxOut,
+            bpeTrainRounds - table.size)
+          batch.foreach { case (a, b, c) => table += ((table.size + 1, a, b, c)) }
+          cur = bpeApplySet(cur, batch.map(p => (p._1, p._2))).localCheckpoint(true)
+        }
+      } finally { counts.unpersist(blocking = false); () }
     }
     (table.toSeq, cur)
   }
@@ -2866,15 +2938,17 @@ object TextOps {
     // even offsets taken, consumed successors dropped), so the whole
     // n-round trajectory hash-matches.
     //
-    // 100 TB shape: every round is one corpus pass — a by-doc window
+    // 100 TB shape: every ROUND is one corpus pass — a by-doc window
     // chain for the rebuild (no joins; the merged sequences
     // re-materialize via eager localCheckpoint, the honest shape for
-    // ANY iterative trainer — q_kmeans_update would iterate the same
-    // way) plus a vocabulary-sized partial pair aggregate reduced to
-    // one driver scalar. Real training batches the top-m pairs per
-    // round; that is the same plan with LIMIT m and a driver loop
-    // over non-interacting pairs, so the round count here is the
-    // conservative m=1 form.
+    // ANY iterative trainer) plus a vocabulary-sized partial pair
+    // aggregate reduced to a driver-sized candidate window. Since
+    // r18 the loop batches every merge it can PROVE sequential
+    // (bpeSelectSeqBatch: disjoint ranked prefix under the new-pair
+    // bound), so n merges cost as few corpus passes as the corpus's
+    // conflict structure allows — the organic documents corpus takes
+    // all 6 in one round — while the emitted trajectory and its
+    // oracle remain the exact m=1 sequence at any batching.
     "q_bpe_train" -> Q(bpeTrainSql(bpeTrainRounds)) { (s, d) =>
       import s.implicits._
       bpeTrainLoop(s, d)._1.toDF("round", "w1", "w2", "cnt").orderBy(col("round"))

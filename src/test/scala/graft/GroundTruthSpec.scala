@@ -556,6 +556,41 @@ class GroundTruthSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence-exact BPE batching: prefix, disjointness, and new-pair bound all gate") {
+    import graft.queries.TextOps
+    def sel(cands: Seq[(String, String, Long)],
+            maxIn: Map[String, Long] = Map.empty,
+            maxOut: Map[String, Long] = Map.empty,
+            limit: Int = 6) =
+      TextOps.bpeSelectSeqBatch(cands, maxIn, maxOut, limit)
+    // disjoint candidates with headroom over the bound: all batch
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)),
+      maxIn = Map("a" -> 5L, "c" -> 5L), maxOut = Map("b" -> 5L, "d" -> 5L))
+      .map(p => (p._1, p._2)) == Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    // PREFIX rule: a conflicting candidate ends the batch — later
+    // disjoint candidates must NOT leapfrog it (the blocked pair may
+    // still win the next sequential round)
+    assert(sel(Seq(("a", "b", 10L), ("b", "c", 9L), ("d", "e", 8L)))
+      .map(p => (p._1, p._2)) == Seq(("a", "b")))
+    // NEW-PAIR BOUND: a merge of (a,b) can create pairs up to
+    // max(maxIn(a), maxOut(b)) — a disjoint candidate at or below
+    // that count cannot be proven sequential and ends the batch
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 9L)),
+      maxIn = Map("a" -> 9L)).map(p => (p._1, p._2)) == Seq(("a", "b")))
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 9L)),
+      maxOut = Map("b" -> 9L)).map(p => (p._1, p._2)) == Seq(("a", "b")))
+    // strictly above the bound: batches
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 9L)),
+      maxIn = Map("a" -> 8L), maxOut = Map("b" -> 8L))
+      .map(p => (p._1, p._2)) == Seq(("a", "b"), ("c", "d")))
+    // the limit caps the batch (the remaining-merges budget)
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)),
+      limit = 2).size == 2)
+    // a repeated-token pair consumes its one token for disjointness
+    assert(sel(Seq(("z", "z", 10L), ("z", "q", 9L)))
+      .map(p => (p._1, p._2)) == Seq(("z", "z")))
+  }
+
   test("top-m BPE: batched round diverges from m x top-1 (blocking conflict rule)") {
     import spark.implicits._
     // fixture engineered so the trajectories MUST diverge: (a,b) and
