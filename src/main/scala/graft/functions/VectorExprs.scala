@@ -420,6 +420,8 @@ object GraftFunctions {
       "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "nfkc_normalize", exprs => NfkcNormalize(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mask_pii", exprs => MaskPii(exprs(0)), "built-in")
   }
 }
 
@@ -479,5 +481,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfkc_normalize"),
       new ExpressionInfo(classOf[NfkcNormalize].getName, "nfkc_normalize"),
       (exprs: Seq[Expression]) => NfkcNormalize(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("mask_pii"),
+      new ExpressionInfo(classOf[MaskPii].getName, "mask_pii"),
+      (exprs: Seq[Expression]) => MaskPii(exprs(0))))
   }
 }

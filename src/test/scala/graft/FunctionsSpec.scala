@@ -230,6 +230,40 @@ class FunctionsSpec extends AnyFunSuite {
   // (15%) of the exact distinct count. A broken sketch registration
   // (or a silently-changed default rsd) fails here on data of any
   // size, not just the verify-gate SF.
+  test("mask_pii is byte-exact to the two-pass regex composition (adversarial + random)") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(s: String): String =
+      s.replaceAll("[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>")
+        .replaceAll("[0-9]+", "<NUM>")
+    def kernel(s: String): String =
+      graft.functions.TextKernels.maskPii(UTF8String.fromString(s)).toString
+    val adversarial = Seq(
+      "", "@", "@@", "a@", "@a", "a@b", "a@b@c", "ab@@c", "x@ y",
+      "1@2", "12x@y34", "1 2@x", "...@x", "_@.", "a.b_c@d.e.f",
+      "no masks here", "123", "a1b2c3", "tail digits 42", "42 leading",
+      "email end x@y", "x@y.z 99 a@b", "<EMAIL> 7 <NUM>",
+      "dots..everywhere..@..too..", "ünïcödé 42 ü@x mixé",   // multi-byte bytes pass through
+      "é@é", "áb@c", "𝟙23@x",                 // non-ASCII digits/letters are NOT class members
+      "a@b.c.d.e.f.g.h 00123 _x_@9")
+    adversarial.foreach { s =>
+      assert(kernel(s) == reference(s),
+        s"mask_pii diverged on ${s.map(c => f"$c%c(${c.toInt}%04x)").mkString}")
+    }
+    // randomized differential: strings over the interacting alphabet
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab19._@ @é"
+    (0 until 2000).foreach { _ =>
+      val s = Seq.fill(rng.nextInt(24))(alphabet(rng.nextInt(alphabet.length))).mkString
+      assert(kernel(s) == reference(s), s"mask_pii diverged on '$s'")
+    }
+    // the registered SQL function runs the same kernel (codegen path)
+    import spark.implicits._
+    val got = Seq("a@b 12", "x 7 y@z.w").toDF("s")
+      .selectExpr("mask_pii(s) AS m").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("<EMAIL> <NUM>", "x <NUM> <EMAIL>"), got.toString)
+  }
+
   test("approx_count_distinct stays inside the 3-sigma HLL band at every SF") {
     import org.apache.spark.sql.functions.{abs => _, _}
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
