@@ -1064,9 +1064,24 @@ object TextOps {
       .filter(col("df") > maxDf).select(col("sh"))
     val inv = inv0.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val co = inv.as("a").join(inv.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // co-counts via ONE by-shingle exchange (r18): group the inverted
+    // index by shingle and emit each posting list's ordered pairs
+    // in-row, then count. The former a⋈b self-join shuffled + sorted
+    // the inverted index TWICE (exchange reuse does not fire across
+    // the aliases once the anti-join sits under both sides); pair
+    // volume is identical — Σ C(df,2) with df ≤ maxDf by the
+    // stop-shingle cutoff, so ≤ C(maxDf,2) structs per group, and the
+    // sorted list makes doc_a < doc_b by construction (inv rows are
+    // distinct, so lists carry no repeats).
+    val co = inv.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+             transform(slice(ds, i + 2, size(ds)), b ->
+               struct(a AS doc_a, b AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     co.join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
