@@ -60,7 +60,18 @@ object GenScale {
     def shift(c: String): Column = col(c) + col("__k") * Stride
 
     def write(df: DataFrame, name: String): Unit = {
-      df.drop("__k").write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      // deployment-shaped output (r18): the source tables are single
+      // parquet files and the explode-by-copies projection preserves
+      // that layout, so a 30× fact table used to land as ONE file
+      // with ONE row group — which no scan can split. Every
+      // scan-linear bench query then ran its 10×/30× scan on a
+      // single task and the curve measured serial I/O, not the
+      // engine (sf1 lineitem aggregate: 2.1 s single-file vs 0.5 s
+      // split 32 ways, measured). Real corpora at these sizes are
+      // many-file; repartition to the session's parallelism so row
+      // groups split across tasks like deployment data does.
+      df.drop("__k").repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[genscale] $name written")
     }
 
