@@ -169,7 +169,8 @@ object Bench {
     } catch { case _: Throwable => "unknown" }
     val at = java.time.Instant.now().toString
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_reruns":$reruns,"failed":$failed,"head":"$head","at":"$at","sf":"$sfDir"}"""
-    println(line)
+    val lineBudget = 1700 // see the compact-trailer note below
+    if (line.length > lineBudget) println(line)
     // SPARK_GRAFT_PIN=<tag>: additionally write the line to
     // BENCH_pin_<tag>.json — a file no driver run ever touches, so
     // SURVEY/BENCH_sf1.md can cite an artifact that cannot drift
@@ -189,5 +190,30 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_local.json"), line + "\n")
       catch { case _: Throwable => () }
     spark.stop()
+    // The driver records only the LAST ~2000 bytes of stdout, and the
+    // full-suite line is ~3.6 KB — BENCH_r18.json captured it cut
+    // mid-map, json-unparseable (r18 What's-wrong #2). The durable
+    // full record is the first println + BENCH_local.json/pins; the
+    // FINAL stdout line is a compact summary guaranteed to fit the
+    // tail window (budget leaves room for sbt's "[success] ..."
+    // trailer): total/head/failed always, then the slowest queries
+    // while they fit, with the omission counted — so the driver's
+    // parse is never null and still sees every headline row.
+    val budget = lineBudget
+    if (line.length > budget) {
+      val slowest = adjudicated.filter(_._2 >= 0).sortBy(-_._2)
+      val fixedTail = f""","queries_omitted":000,"failed":$failed,"head":"$head","at":"$at","sf":"$sfDir"}"""
+      val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
+      val room = budget - prefix.length - fixedTail.length
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      slowest.foreach { case (k, v, _) =>
+        val e = "\"" + k + f"""":$v%.3f"""
+        if (used + e.length + 1 <= room) { entries += e; used += e.length + 1 }
+      }
+      val omitted = slowest.size - entries.size
+      println(prefix + entries.mkString(",") +
+        f"""},"queries_omitted":$omitted,"failed":$failed,"head":"$head","at":"$at","sf":"$sfDir"}""")
+    } else println(line)
   }
 }

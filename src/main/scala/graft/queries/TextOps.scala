@@ -1065,22 +1065,47 @@ object TextOps {
     val inv = inv0.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // co-counts via ONE by-shingle exchange (r18): group the inverted
-    // index by shingle and emit each posting list's ordered pairs
-    // in-row, then count. The former a⋈b self-join shuffled + sorted
-    // the inverted index TWICE (exchange reuse does not fire across
-    // the aliases once the anti-join sits under both sides); pair
-    // volume is identical — Σ C(df,2) with df ≤ maxDf by the
-    // stop-shingle cutoff, so ≤ C(maxDf,2) structs per group, and the
-    // sorted list makes doc_a < doc_b by construction (inv rows are
-    // distinct, so lists carry no repeats).
-    val co = inv.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-             transform(slice(ds, i + 2, size(ds)), b ->
-               struct(a AS doc_a, b AS doc_b))))""")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    // index by shingle and emit each posting list's ordered pairs,
+    // then count. The former a⋈b self-join shuffled + sorted the
+    // inverted index TWICE (exchange reuse does not fire across the
+    // aliases once the anti-join sits under both sides); pair volume
+    // is identical — Σ C(df,2) with df ≤ maxDf by the stop-shingle
+    // cutoff — and the sorted list makes doc_a < doc_b by
+    // construction (inv rows are distinct, so lists carry no
+    // repeats). Three co-count plans under the r19 A/B adjudication
+    // switch (judge directive 1; BENCH_sf1.md records the verdict):
+    //   join   — the r17 self-join (two exchanges of inv);
+    //   inrow  — the r18 flatten(transform) form: ALL C(df,2) pair
+    //            structs of a posting list materialize in ONE row
+    //            (O(maxDf²) per row — the r18 ADVICE OOM risk at
+    //            nDocs≈10M where maxDf=nDocs/1000 → ~50M structs);
+    //   anchor — one posexplode per anchor element, then one explode
+    //            of its successor slice: same single exchange and
+    //            identical pair volume, but no row ever holds more
+    //            than O(maxDf) values — the scale-safe default.
+    val variant = sys.env.getOrElse("SPARK_GRAFT_NGRAM_VARIANT", "anchor")
+    val co = (variant match {
+      case "join" =>
+        inv.as("a").join(inv.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      case "inrow" =>
+        inv.groupBy(col("sh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ds, (a, i) ->
+                 transform(slice(ds, i + 2, size(ds)), b ->
+                   struct(a AS doc_a, b AS doc_b))))""")).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
+      case _ =>
+        inv.groupBy(col("sh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .selectExpr("ds", "posexplode(ds) AS (i, doc_a)")
+          .selectExpr("doc_a",
+            "explode(slice(ds, i + 2, size(ds))) AS doc_b")
+    })
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     co.join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))

@@ -456,26 +456,89 @@ object Streams {
       .take(8).map(b => f"$b%02x").mkString
   }
 
-  /** The committed-skip test for one streamed micro-batch: the
-    * tokened directory, OR the legacy pre-token `arrivals-b<id>` name
-    * (r17 ADVICE upgrade-path gap) — a query restarted from a
-    * PRE-token checkpoint replays its in-flight batch under the new
-    * tokened name, and a directory already committed under the legacy
-    * name would otherwise be indexed twice (readers union both
-    * namespaces).
+  /** The r17-era 32-bit token of this checkpoint — the name a batch
+    * committed under BEFORE the md5 token (r18) replaced it. A query
+    * restarted from an r17 checkpoint replays its in-flight batch
+    * under the md5 token, so the committed-skip must also consult
+    * this namespace (r18 ADVICE) or the batch indexes twice.
     */
-  private def batchCommitted(root: String, tok: String, id: Long): Boolean =
+  private def ckptTokenR17(checkpoint: String): String = {
+    val h = java.nio.file.Paths.get(checkpoint)
+      .toAbsolutePath.normalize.toString.hashCode
+    f"${h & 0xffffffffL}%08x"
+  }
+
+  /** Era verdict for a checkpoint, decided ONCE at first sink start
+    * and persisted as a marker file inside the checkpoint directory
+    * (atomic tmp+move): "legacy" iff the checkpoint already carried
+    * an offsets log before any marker existed — i.e. the query ran
+    * under pre-r18 code — else "tokened". The committed-skip consults
+    * the legacy namespaces (pre-token `arrivals-b<id>`, r17 8-hex
+    * token) ONLY under a legacy verdict: a BRAND-NEW stream attached
+    * to a root carrying another stream's legacy directories would
+    * otherwise silently skip its own batches 0..k (r18 ADVICE — the
+    * acked-but-never-searchable data-loss class the token exists to
+    * prevent). Recording the verdict rather than re-deriving it keeps
+    * it stable across restarts: by the time a tokened query restarts
+    * it HAS an offsets log, which would otherwise flip it legacy.
+    */
+  private[graft] def ckptEraLegacy(checkpoint: String): Boolean = {
+    val ckpt = java.nio.file.Paths.get(checkpoint).toAbsolutePath.normalize
+    val marker = ckpt.resolve("graft-token-era")
+    if (java.nio.file.Files.isRegularFile(marker))
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim == "legacy"
+    else {
+      val legacy = java.nio.file.Files.isDirectory(ckpt.resolve("offsets"))
+      java.nio.file.Files.createDirectories(ckpt)
+      val tmp = ckpt.resolve("graft-token-era.tmp")
+      java.nio.file.Files.write(tmp,
+        (if (legacy) "legacy" else "tokened")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost a concurrent-start race: the winner's verdict holds
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.deleteIfExists(tmp); ()
+      }
+      legacy
+    }
+  }
+
+  /** The committed-skip test for one streamed micro-batch: the
+    * tokened directory always; under a legacy era verdict (see
+    * [[ckptEraLegacy]]) also the pre-token `arrivals-b<id>` name
+    * (r17 ADVICE upgrade-path gap) and the r17 8-hex-token name
+    * (r18 ADVICE) — a query restarted from a pre-md5-token
+    * checkpoint replays its in-flight batch under the new tokened
+    * name, and a directory already committed under either older
+    * name would otherwise be indexed twice (readers union all
+    * arrivals namespaces).
+    */
+  private def batchCommitted(root: String, tok: String,
+                             legacyTok: Option[String], id: Long): Boolean =
     graft.queries.AnnIndex.committed(s"$root/arrivals-c$tok-b$id") ||
-      graft.queries.AnnIndex.committed(s"$root/arrivals-b$id")
+      legacyTok.exists(lt =>
+        graft.queries.AnnIndex.committed(s"$root/arrivals-c$lt-b$id") ||
+          graft.queries.AnnIndex.committed(s"$root/arrivals-b$id"))
+
+  /** legacyTok parameter for [[batchCommitted]]: the r17 token when
+    * this checkpoint's era verdict is legacy, else None (legacy
+    * namespaces not consulted).
+    */
+  private def legacyTokOf(checkpoint: String): Option[String] =
+    if (ckptEraLegacy(checkpoint)) Some(ckptTokenR17(checkpoint)) else None
 
   def annUpsertVecs(vecs: DataFrame, cents: Array[Array[Double]],
                     root: String, checkpoint: String): StreamingQuery = {
     val tok = ckptToken(checkpoint)
+    val legacyTok = legacyTokOf(checkpoint)
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (!batchCommitted(root, tok, id))
+        if (!batchCommitted(root, tok, legacyTok, id))
           graft.queries.AnnIndex.upsertIvf(
             batch.sparkSession, batch.toDF(), cents, s"$root/arrivals-c$tok-b$id")
         ()
@@ -504,11 +567,12 @@ object Streams {
   def annUpsertLshVecs(vecs: DataFrame, bits: Int, root: String,
                        checkpoint: String): StreamingQuery = {
     val tok = ckptToken(checkpoint)
+    val legacyTok = legacyTokOf(checkpoint)
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (!batchCommitted(root, tok, id))
+        if (!batchCommitted(root, tok, legacyTok, id))
           graft.queries.AnnIndex.upsertLsh(
             batch.sparkSession, batch.toDF(), bits, s"$root/arrivals-c$tok-b$id")
         ()
@@ -543,11 +607,12 @@ object Streams {
                       cb: Seq[(Long, Seq[Int])], root: String,
                       checkpoint: String): StreamingQuery = {
     val tok = ckptToken(checkpoint)
+    val legacyTok = legacyTokOf(checkpoint)
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (!batchCommitted(root, tok, id)) {
+        if (!batchCommitted(root, tok, legacyTok, id)) {
           val cents = graft.queries.AnnIndex
             .committedCents(batch.sparkSession, artifactRoot)
           graft.queries.AnnIndex.upsertIvfPq(

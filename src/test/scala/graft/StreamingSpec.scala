@@ -812,7 +812,12 @@ class StreamingSpec extends AnyFunSuite {
       // Spark's commit-log write crashed); the restarted query —
       // running post-upgrade, with the tokened namespace — replays
       // batch id 0 with the SAME data and must SKIP it, not index it
-      // twice (readers union both namespaces)
+      // twice (readers union both namespaces). Since r19 the legacy
+      // namespace is consulted only under a legacy ERA verdict, so
+      // the fixture plants the pre-existing offsets log that marks
+      // this checkpoint as predating tokens.
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(ckpt, "offsets"))
       val batch = vecs(100 until 110)
       AnnIndex.upsertLsh(spark, batch.toDF("vec_id", "v"),
         bits, s"$root/arrivals-b0")
@@ -827,6 +832,92 @@ class StreamingSpec extends AnyFunSuite {
         10L * AnnIndex.Tables,
         "a legacy-committed batch replayed under the tokened namespace " +
           "must not double-index")
+    } finally {
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(root))
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    }
+  }
+
+  test("ann streaming: a batch committed under the r17 8-hex token is not re-indexed") {
+    import graft.queries.AnnIndex
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("r17tok-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("r17tok-ckpt").toString
+    try {
+      val rng = new scala.util.Random(7L)
+      def vecs(ids: Range): Seq[(Long, Seq[Double])] =
+        ids.map(i => (i.toLong, Seq.fill(64)(rng.nextGaussian())))
+      val bits = 8
+      AnnIndex.upsertLsh(spark, vecs(0 until 20).toDF("vec_id", "v"),
+        bits, s"$root/rows")
+      // the r18 ADVICE upgrade gap: an R17-era query (32-bit hashCode
+      // token) committed its in-flight batch, Spark's commit-log
+      // write crashed, and the restart runs md5-token code — the
+      // replay must find the r17-tokened directory committed and
+      // skip, exactly as the pre-token case does. Era verdict:
+      // pre-existing offsets log, no marker.
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(ckpt, "offsets"))
+      val h = java.nio.file.Paths.get(ckpt)
+        .toAbsolutePath.normalize.toString.hashCode
+      val tok17 = f"${h & 0xffffffffL}%08x"
+      val batch = vecs(300 until 310)
+      AnnIndex.upsertLsh(spark, batch.toDF("vec_id", "v"),
+        bits, s"$root/arrivals-c$tok17-b0")
+      val src = MemoryStream[(Long, Seq[Double])]
+      val q = Streams.annUpsertLshVecs(
+        src.toDF().toDF("vec_id", "v"), bits, root, ckpt)
+      try { src.addData(batch: _*); q.processAllAvailable() }
+      finally q.stop()
+      val grown = AnnIndex.readMembers(spark,
+        s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+      assert(grown.filter(col("vec_id") >= 300L).count() ==
+        10L * AnnIndex.Tables,
+        "an r17-token-committed batch replayed under the md5 namespace " +
+          "must not double-index")
+    } finally {
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(root))
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    }
+  }
+
+  test("ann streaming: a FRESH stream on a root carrying foreign legacy dirs indexes its batches") {
+    import graft.queries.AnnIndex
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("fresh-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fresh-ckpt").toString
+    try {
+      val rng = new scala.util.Random(9L)
+      def vecs(ids: Range): Seq[(Long, Seq[Double])] =
+        ids.map(i => (i.toLong, Seq.fill(64)(rng.nextGaussian())))
+      val bits = 8
+      AnnIndex.upsertLsh(spark, vecs(0 until 20).toDF("vec_id", "v"),
+        bits, s"$root/rows")
+      // the r18 ADVICE data-loss class: the root carries a DIFFERENT
+      // (older) stream's pre-token arrivals-b0; a brand-new stream —
+      // fresh checkpoint, no offsets log, different data — starts its
+      // batch ids at 0. Unconditional legacy matching would skip its
+      // batch 0 (acked, never searchable); the era verdict must keep
+      // the legacy namespace out of a tokened-era stream's
+      // committed-skip.
+      AnnIndex.upsertLsh(spark, vecs(400 until 410).toDF("vec_id", "v"),
+        bits, s"$root/arrivals-b0")
+      val mine = vecs(500 until 510)
+      val src = MemoryStream[(Long, Seq[Double])]
+      val q = Streams.annUpsertLshVecs(
+        src.toDF().toDF("vec_id", "v"), bits, root, ckpt)
+      try { src.addData(mine: _*); q.processAllAvailable() }
+      finally q.stop()
+      val ids = AnnIndex.readMembers(spark,
+          s"$root/rows" +: AnnIndex.lshArrivalDirs(root))
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert((500L until 510L).forall(ids),
+        s"a fresh stream's batch 0 must index despite a foreign legacy " +
+          s"arrivals-b0 on the root; got $ids")
+      assert((400L until 410L).forall(ids),
+        "the foreign legacy directory must stay searchable")
     } finally {
       graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(root))
       graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(ckpt))
