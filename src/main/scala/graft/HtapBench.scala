@@ -105,6 +105,53 @@ object HtapBench {
             e.sql(s"SELECT * FROM mt_bench_table WHERE id = $midId").ok
         }
       }, {
+        // mixed_rw DECOMPOSITION (r19, r18 verdict item 7): mixed_rw
+        // reads >100× under the reference's single-node figure — an
+        // architecture floor (a Spark job per analytical op), but
+        // which half pays it was unexamined. Four solo phases under
+        // the SAME post-flush state name the floor:
+        //   mixed_w_only          — the write half alone: batch-lock +
+        //                           one delta-log fsync per 100-row put;
+        //   mixed_point_only      — the point half alone (cold reader +
+        //                           hot map, no competing writes);
+        //   mixed_count_stable    — COUNT(*) with NO writes: version
+        //                           stable, so the result cache serves
+        //                           after one stats-path hit;
+        //   mixed_count_under_writes — COUNT(*) while one writer bumps
+        //                           the version every put: every count
+        //                           re-enters the stats fast path (the
+        //                           cache-invalidation cost, isolated).
+        // mixed_rw's composite rate then decomposes as the roles'
+        // harmonic composition; the floor is whichever solo rate the
+        // artifact shows lowest (HTAP_r19 records all four).
+        val nextId = new AtomicLong(rows.toLong + 500000L)
+        phase("mixed_w_only", threads, secs) { () =>
+          val base = nextId.getAndAdd(100L)
+          e.batchPut("mt_bench_table", (0 until 100).map(k =>
+            Array[Any](base + k, s"x_${base + k}", 1.0, "active"))).nonEmpty
+        }
+      }, {
+        phase("mixed_point_only", threads, secs)(() =>
+          e.sql(s"SELECT * FROM mt_bench_table WHERE id = $midId").ok)
+      }, {
+        phase("mixed_count_stable", olapThreads, secs)(() =>
+          e.sql("SELECT COUNT(*) FROM mt_bench_table").ok)
+      }, {
+        val nextId = new AtomicLong(rows.toLong + 700000L)
+        val stop = new AtomicBoolean(false)
+        val writer = new Thread(() => {
+          while (!stop.get()) {
+            val base = nextId.getAndAdd(100L)
+            e.batchPut("mt_bench_table", (0 until 100).map(k =>
+              Array[Any](base + k, s"y_${base + k}", 1.0, "active")))
+          }
+        })
+        writer.start()
+        val p = phase("mixed_count_under_writes", olapThreads, secs)(() =>
+          e.sql("SELECT COUNT(*) FROM mt_bench_table").ok)
+        stop.set(true); writer.join()
+        p
+      }, {
         // write availability DURING a major compaction — the merge job
         // runs outside the store lock, so batch writes must sustain
         // throughput for the merge's whole duration (pre-r8 they

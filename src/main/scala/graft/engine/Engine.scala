@@ -1557,6 +1557,114 @@ final class Engine(
     case o: Stmt.Optimize    => execOptimize(o)
     case e: Stmt.Export      => execExport(e)
     case i: Stmt.Import      => execImport(i)
+    case se: Stmt.Search     => execSearch(se)
+  }
+
+  /** The live merged view WITH `__seq` — SEARCH's incremental-fold
+    * discipline needs write recency (rows newer than an artifact's
+    * build hash in-plan, see [[AnnSearch]]). LWW dedup and tombstone
+    * drop are identical to [[snapshot]]; the one extra column is the
+    * high-water mark the delta splits on.
+    */
+  private def snapshotWithSeq(store: HotStore): DataFrame = {
+    val m = store.meta
+    val keep = m.cols.map(c => col(c.name)) :+ col("__seq")
+    val hotEmpty = store.synchronized(store.latest.isEmpty)
+    if (hotEmpty && store.coldDirs.size == 1)
+      return spark.read.parquet(store.coldDirs.head)
+        .filter(!col("__tombstone")).select(keep: _*)
+    val hotRows = store.synchronized {
+      store.latest.values.map(rv =>
+        Row.fromSeq(rv.values.toIndexedSeq :+ rv.seq :+ rv.tombstone)).toVector
+    }
+    val hotV = spark.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), versionedSchema(m))
+    val all =
+      if (store.coldDirs.isEmpty) hotV
+      else hotV.unionByName(
+        store.coldDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_)))
+    val w = Window.partitionBy(col(m.pk)).orderBy(col("__seq").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__tombstone"))
+      .select(keep: _*)
+  }
+
+  /** SEARCH <table> NEAREST (...) TOP k [USING exact|lsh|ivf]
+    * [VECTOR <col>] — cosine top-k over a VARCHAR vector column
+    * (comma-separated floats), routed through engine-owned ANN
+    * artifacts (see [[AnnSearch]] for the build/delta/staleness
+    * contract). USING omitted = size-routed: exact below
+    * AnnSearch.ExactMax live vectors, LSH above (index routes need a
+    * durable data root — an in-memory engine auto-routes to exact).
+    * Results: (pk, cosine) ordered by cosine desc then pk, k rows,
+    * query-vector rows included (the query is a literal, not a corpus
+    * member). The index routes require 64-dim vectors — the seeded
+    * plane family and codebook kernels are fixed at the index tier's
+    * dimension; exact accepts any dimension.
+    */
+  private def execSearch(se: Stmt.Search): ResultSet = {
+    val store = storeOf(se.table)
+    val m = store.meta
+    try {
+      val vcolName = se.vecCol.getOrElse("v")
+      val vcol = m.cols.find(_.name.equalsIgnoreCase(vcolName)).getOrElse(
+        throw new EngineException(
+          s"SEARCH: vector column '$vcolName' does not exist on '${m.name}'"))
+      if (vcol.tpe != ColType.Str)
+        throw new EngineException(
+          s"SEARCH: vector column '${vcol.name}' must be VARCHAR of " +
+            s"comma-separated floats, got ${vcol.tpe.sqlName}")
+      val pkCol = m.cols.find(_.name == m.pk).get
+      if (pkCol.tpe != ColType.I64 && pkCol.tpe != ColType.I32)
+        throw new EngineException(
+          "SEARCH requires an integer primary key (the index tier's vec_id domain)")
+      se.method.foreach { mm =>
+        if (!AnnSearch.Methods.contains(mm))
+          throw new EngineException(
+            s"SEARCH USING '$mm' is not supported (expected one of: " +
+              AnnSearch.Methods.toSeq.sorted.mkString(", ") + ")")
+      }
+      val q = se.vec.toArray
+      acquireScanLease(store)
+      try {
+        val v0 = store.version.get()
+        // parse failures are EXCLUDED, not errors: a malformed or
+        // wrong-dimension vector row can never be a neighbor (the
+        // zero-norm exclusion every index build applies, extended to
+        // the VARCHAR encoding's failure modes)
+        val corpus = snapshotWithSeq(store)
+          .select(col(m.pk).cast("long").as("vec_id"),
+            expr(s"transform(split(`${vcol.name}`, ','), " +
+              "x -> CAST(x AS DOUBLE))").as("v"),
+            col("__seq"))
+          .filter(size(col("v")) === q.length &&
+            !exists(col("v"), _.isNull))
+          .filter(expr(
+            "aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x) > 0"))
+        val n = corpus.count()
+        val method = se.method.getOrElse(
+          if (n < AnnSearch.ExactMax || dataDir.isEmpty) "exact" else "lsh")
+        if (method != "exact" && q.length != 64)
+          throw new EngineException(
+            s"SEARCH USING $method requires 64-dim vectors " +
+              s"(got ${q.length}); USING exact accepts any dimension")
+        val root = if (method == "exact") "" else dataDir match {
+          case Some(dd) => java.nio.file.Paths
+            .get(dd, "annidx", m.name, s"${vcol.name}_$method").toString
+          case None => throw new EngineException(
+            s"SEARCH USING $method requires a durable data directory " +
+              "(the artifact home); an in-memory engine searches exactly")
+        }
+        val hits = AnnSearch.search(spark, method, corpus, root, q,
+          se.topK, v0, n)
+        ResultSet(ok = true, Vector(m.pk, "cosine"),
+          hits.toVector.map { case (id, cos) =>
+            Vector(id.toString, fmtDouble(cos)) })
+      } finally releaseScanLease(store)
+    } catch {
+      case e: EngineException => ResultSet.err(e.getMessage)
+      case e: Exception => ResultSet.err(s"SEARCH failed: ${e.getMessage}")
+    }
   }
 
   /** EXPORT <table> TO '<path>' — write the merged live snapshot

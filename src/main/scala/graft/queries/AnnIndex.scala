@@ -257,7 +257,7 @@ object AnnIndex {
     * At 100 TB a few million dead rows would otherwise be the
     * hottest bucket in the index.
     */
-  private def lshRowsOf(s: SparkSession, source: DataFrame, bits: Int): DataFrame = {
+  private[graft] def lshRowsOf(s: SparkSession, source: DataFrame, bits: Int): DataFrame = {
     import s.implicits._
     val planeRows = planes(bits).zipWithIndex.flatMap { case (p, tb) =>
       p.zipWithIndex.map { case (c, pos) => (pos, tb / bits, tb % bits, c) }
@@ -316,7 +316,7 @@ object AnnIndex {
   /** IVF build over an arbitrary (vec_id, v) source — the full-corpus
     * build and the incremental base build share this one path.
     */
-  private def buildIvfFrom(s: SparkSession, source: DataFrame, k: Int,
+  private[graft] def buildIvfFrom(s: SparkSession, source: DataFrame, k: Int,
                            centsPath: String, membersPath: String): Unit = {
     import s.implicits._
     val cents = trainCentroidsFrom(s, source, k)
@@ -334,7 +334,7 @@ object AnnIndex {
     * (vec_id, v) source — the kernel shared by the full build and the
     * incremental upsert append.
     */
-  private def assignMembers(s: SparkSession, source: DataFrame,
+  private[graft] def assignMembers(s: SparkSession, source: DataFrame,
                             cents: Array[Array[Double]]): DataFrame =
     assign(s, compsOf(source), cents)
       .groupBy(col("vec_id"))

@@ -700,11 +700,21 @@ object VectorOps {
         lshIdx.filter(col("vec_id") % m === 0)
           .select(col("vec_id")).distinct().count() == batchLive
 
-      val exact = knnTop5(registered(s, d)).select(col("q_id"), col("neighbor_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nExact = exact.count()
-      def recallOk(approx: DataFrame): Boolean =
-        recallAtLeast08(exact, nExact, approx)
+      // SIZE-ROUTED recall base (r19, r18 verdict item 2): this
+      // audit half previously paid an exact-KNN pass over the FULL
+      // grown corpus every run — the suite's most expensive row
+      // (4.08 s at sf0.1, 14.5 s at 30×) and corpus-linear forever.
+      // Above sampleRouteMin the exact base AND both index answers
+      // restrict to the md5 sample exactly as q_ann_recall_sampled
+      // does (same predicate, same crossover constant, same
+      // coverage-audit semantics with the Hoeffding band documented
+      // there); below it the full base stays both cheaper and
+      // precise. batch_indexed and stale remain EXACT on both routes
+      // — they count and measure the real artifacts, never a sample.
+      val nCorpus = corpusSize(s, d)
+      val pred = if (nCorpus < sampleRouteMin) None else Some(samplePred(nCorpus))
+      val (ivfRecall, lshRecall) =
+        upsertRecallOk(s, d, (cents, memberPaths), lshIdx, lshBits, pred)
       val ivfRoot = AnnIndex.ivfIncPath(s, d)
       val lshRoot = AnnIndex.lshIncPath(s, d)
       val ivfStale = AnnIndex.indexGrowth(s, s"$ivfRoot/members",
@@ -712,19 +722,14 @@ object VectorOps {
       val lshStale = AnnIndex.indexGrowth(s, s"$lshRoot/rows",
         AnnIndex.lshArrivalDirs(lshRoot))._3
       val rows = Seq(
-        ("ivf", ivfBatchIndexed,
-          recallOk(ivfTop5From(s, d, (cents, memberPaths))), ivfStale),
-        ("lsh", lshBatchIndexed,
-          recallOk(lshTop5From(s, d, lshIdx, Some(lshBits))), lshStale))
+        ("ivf", ivfBatchIndexed, ivfRecall, ivfStale),
+        ("lsh", lshBatchIndexed, lshRecall, lshStale))
       // The PQ upsert member is NOT audited here: PQ's recall
       // contract is structured data (the q_ann_ivfpq treatment), so
       // its grown-index recall is gated on the planted-cluster
       // fixture in VectorOpsSpec via ivfPqUpsertTop5 — on THIS
       // random corpus the ADC shortlist legitimately misses exact
       // top-5 neighbors and a 0.8 gate would be noise, not signal.
-      // both recallOk actions are consumed by now — release the
-      // exact-KNN cache instead of pinning it for the driver lifetime
-      exact.unpersist(blocking = false)
       rows.map { case (n, b, r, st) =>
           (n, if (b) 1 else 0, if (r) 1 else 0, if (st) 1 else 0) }
         .toDF("method", "batch_indexed", "recall_ok", "stale")
@@ -1333,6 +1338,31 @@ object VectorOps {
     val hits = exact.join(approx.select(col("q_id"), col("neighbor_id")),
       Seq("q_id", "neighbor_id"), "left_semi").count()
     hits.toDouble / nExact >= 0.8
+  }
+
+  /** The recall half of the grown-index audit (q_ann_upsert): one
+    * exact-KNN base (optionally sample-restricted — the r19 size
+    * route) shared by both index families' verdicts. Package-private
+    * so VectorOpsSpec can pin sampled-vs-full verdict agreement on a
+    * corpus where the sample is a genuine subset.
+    */
+  private[graft] def upsertRecallOk(s: SparkSession, d: String,
+      ivfArtifact: (Array[Array[Double]], Seq[String]),
+      lshIdx: DataFrame, lshBits: Int,
+      pred: Option[Column]): (Boolean, Boolean) = {
+    val exact = knnTop5(registered(s, d), candFilter = pred)
+      .select(col("q_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+    val out = (
+      recallAtLeast08(exact, nExact,
+        ivfTop5From(s, d, ivfArtifact, candFilter = pred)),
+      recallAtLeast08(exact, nExact,
+        lshTop5From(s, d, lshIdx, Some(lshBits), candFilter = pred)))
+    // both verdict actions are consumed — release the exact-KNN cache
+    // instead of pinning it for the driver lifetime
+    exact.unpersist(blocking = false)
+    out
   }
 
   /** Recall gate for an ARBITRARY IVF artifact — package-private so

@@ -59,4 +59,15 @@ object Stmt {
     * (BulkLoader.loadFrom; columns matched by name, values coerced).
     */
   final case class Import(table: String, path: String) extends Stmt
+  /** SEARCH <table> NEAREST (v1, v2, ...) TOP k [USING exact|lsh|ivf]
+    * [VECTOR <col>] — engine extension (r19): cosine top-k similarity
+    * search over a table's vector column (VARCHAR of comma-separated
+    * floats), routed through engine-owned ANN artifacts with the
+    * incremental-fold + staleness discipline of the index tier
+    * (Engine.execSearch / AnnSearch). USING omitted = size-routed:
+    * exact below AnnSearch.ExactMax rows, LSH above.
+    */
+  final case class Search(table: String, vec: Vector[Double], topK: Int,
+                          method: Option[String] = None,
+                          vecCol: Option[String] = None) extends Stmt
 }

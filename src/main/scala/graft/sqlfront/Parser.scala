@@ -119,6 +119,7 @@ object Parser {
           case "OPTIMIZE" => optimize()
           case "EXPORT"   => { next(); val t = ident(); expectKw("TO"); Stmt.Export(t, strTok()) }
           case "IMPORT"   => { next(); val t = ident(); expectKw("FROM"); Stmt.Import(t, strTok()) }
+          case "SEARCH"   => search()
           case other      => fail(s"unsupported statement '$other'")
         }
         case t => fail(s"unexpected token $t")
@@ -186,6 +187,35 @@ object Parser {
           }
         } else None
       Stmt.Optimize(table, cols.toVector, partBytes)
+    }
+
+    /** SEARCH <table> NEAREST (v1, v2[, ...]) TOP <k>
+      * [USING exact|lsh|ivf] [VECTOR <col>] — the similarity-search
+      * verb (r19). The vector is a parenthesized list of numeric
+      * literals; TOP takes a positive integer; USING names the index
+      * route (validated at execute time so the error carries the
+      * supported set); VECTOR overrides the default vector column
+      * name ("v").
+      */
+    private def search(): Stmt = {
+      next(); val table = ident()
+      expectKw("NEAREST"); expectPunct("(")
+      def num(): Double = next() match {
+        case Num(s) => s.toDouble
+        case t      => fail(s"expected a numeric vector component, got $t")
+      }
+      val vec = ArrayBuffer(num())
+      while (isPunct(",")) { next(); vec += num() }
+      expectPunct(")")
+      expectKw("TOP")
+      val k = peek match {
+        case Num(s) if s.forall(_.isDigit) && s.toIntOption.exists(_ > 0) =>
+          next(); s.toInt
+        case t => fail(s"expected a positive TOP k, got $t")
+      }
+      val method = if (isKw("USING")) { next(); Some(kw().toLowerCase) } else None
+      val vecCol = if (isKw("VECTOR")) { next(); Some(ident()) } else None
+      Stmt.Search(table, vec.toVector, k, method, vecCol)
     }
 
     private def insert(): Stmt = {

@@ -995,4 +995,111 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(e.sql("SELECT COUNT(*) FROM mt WHERE id <= 200").rows.head.head == "200")
     assert(e.sql("SELECT SUM(v) FROM mt WHERE id <= 200").rows.head.head == "20100")
   }
+
+  // ---- SEARCH: similarity search on the engine surface (r19) --------------
+
+  /** A double as a dialect-lexable numeric literal (the SEARCH vector
+    * syntax has no E-notation; BigDecimal's plain string is the exact
+    * decimal expansion, so CAST back recovers the identical double).
+    */
+  private def plain(x: Double): String =
+    new java.math.BigDecimal(x).toPlainString
+
+  test("SEARCH verb: every route matches the declared ANN paths on the planted fixture") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir)))
+    import org.apache.spark.sql.functions._
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE vecs (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR)").ok)
+      // the SAME clone-augmented corpus the oracled q_ann_* paths
+      // search, loaded through the engine's own bulk path with
+      // vectors as the dialect's VARCHAR encoding
+      val planted = graft.queries.AnnIndex.plantedKnnDir(spark, sfDir)
+      val src = spark.read.parquet(s"$planted/embeddings.parquet")
+        .select(col("vec_id").as("id"),
+          concat_ws(",", expr(
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS STRING))")).as("v"))
+      BulkLoader.loadFrom(e, "vecs", src)
+      // comparator: the declared planted-fixture path (q_ann_lsh —
+      // provably exact-equal to brute force on this corpus, shared
+      // plantedKnnOracle), rank-ordered per query
+      val declared = SparkEntry.queries("q_ann_lsh")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      val qVecs = spark.read.parquet(s"$planted/embeddings.parquet")
+        .filter(col("vec_id") < 10)
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Double](1).toArray)).toMap
+      def searchIds(q: Array[Double], method: String): Seq[Long] = {
+        val lit = q.map(plain).mkString(", ")
+        val rs = e.sql(s"SEARCH vecs NEAREST ($lit) TOP 6 USING $method")
+        assert(rs.ok, rs.error)
+        assert(rs.headers == Vector("id", "cosine"), rs.headers.toString)
+        rs.rows.map(_.head.toLong)
+      }
+      // the query vector IS corpus row q (cosine 1, lowest id among
+      // the score-1 clone ties) — TOP 6 = self + the declared path's
+      // 5 planted-clone neighbors, in rank order
+      for (qid <- Seq(0L, 3L, 7L); method <- Seq("exact", "lsh", "ivf")) {
+        val got = searchIds(qVecs(qid), method)
+        assert(got == qid +: declared(qid),
+          s"$method for q=$qid: got $got, declared ${declared(qid)}")
+      }
+    }
+  }
+
+  test("SEARCH verb: post-build writes are searchable, deletes never return, growth rebuilds") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE sv (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR)").ok)
+      val rng = new scala.util.Random(11L)
+      def randVec(): Array[Double] = Array.fill(64)(rng.nextGaussian())
+      def vstr(v: Array[Double]): String = v.map(plain).mkString(",")
+      e.batchPut("sv", (0L until 100L).map(i => Array[Any](i, vstr(randVec()))))
+      val target = randVec()
+      val lit = target.map(plain).mkString(", ")
+      // first search builds the artifact (n < ExactMax, but USING
+      // forces the index route — the auto route would go exact here)
+      assert(e.sql(s"SEARCH sv NEAREST ($lit) TOP 3 USING lsh").ok)
+      val metaFile = java.nio.file.Paths.get(dir, "annidx", "sv", "v_lsh", "_META")
+      assert(java.nio.file.Files.isRegularFile(metaFile), "artifact meta must exist")
+      val meta0 = new String(java.nio.file.Files.readAllBytes(metaFile))
+      // INSERT after the build: the delta fold must surface it with
+      // NO rebuild (an exact clone of the query hits its buckets with
+      // probability 1 — the planted-clone argument)
+      assert(e.sql(s"INSERT INTO sv VALUES (500, '${vstr(target)}')").ok)
+      val r1 = e.sql(s"SEARCH sv NEAREST ($lit) TOP 3 USING lsh")
+      assert(r1.ok && r1.rows.head.head == "500",
+        s"inserted clone must be the nearest: ${r1.rows}")
+      assert(new String(java.nio.file.Files.readAllBytes(metaFile)) == meta0,
+        "a within-bound insert must not rebuild the artifact")
+      // UPDATE re-vectors a row: new __seq puts it in the delta, so
+      // it is findable at its NEW position immediately
+      assert(e.sql(s"UPDATE sv SET v = '${vstr(target)}' WHERE id = 7").ok)
+      val r2 = e.sql(s"SEARCH sv NEAREST ($lit) TOP 3 USING lsh")
+      assert(r2.ok && r2.rows.map(_.head).take(2) == Vector("7", "500"),
+        s"updated row must surface at its new position: ${r2.rows}")
+      // DELETE: stale index entries die in the live-corpus re-rank
+      assert(e.sql("DELETE FROM sv WHERE id = 500").ok)
+      val r3 = e.sql(s"SEARCH sv NEAREST ($lit) TOP 3 USING lsh")
+      assert(r3.ok && !r3.rows.exists(_.head == "500"),
+        s"a deleted row must never be returned: ${r3.rows}")
+      // growth past the re-train bound (50 new rows > 20% of 101)
+      // rebuilds into a fresh generation
+      e.batchPut("sv", (600L until 650L).map(i => Array[Any](i, vstr(randVec()))))
+      val r4 = e.sql(s"SEARCH sv NEAREST ($lit) TOP 3 USING lsh")
+      assert(r4.ok && r4.rows.head.head == "7", r4.rows.toString)
+      assert(new String(java.nio.file.Files.readAllBytes(metaFile)) != meta0,
+        "growth past the re-train bound must rebuild the artifact")
+      // loud errors, never exceptions, through the SQL surface
+      assert(!e.sql(s"SEARCH sv NEAREST ($lit) TOP 3 USING ivfpq").ok)
+      assert(!e.sql("SEARCH sv NEAREST (1.0, 2.0) TOP 3 USING lsh").ok,
+        "index routes require the 64-dim kernel family")
+      assert(!e.sql("SEARCH nope NEAREST (1.0) TOP 1").ok)
+      assert(!e.sql(s"SEARCH sv NEAREST ($lit) TOP 3 VECTOR missing").ok)
+    }
+  }
 }

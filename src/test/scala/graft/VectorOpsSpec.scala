@@ -281,6 +281,51 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(rows == Seq(("ivf", 1, 1, 0), ("lsh", 1, 1, 0)), rows.toString)
   }
 
+  test("upsert recall audit: sampled base agrees with the full base on the grown index (r19 size route)") {
+    // the r19 size route lets q_ann_upsert's recall half restrict its
+    // exact-KNN base to the md5 sample above sampleRouteMin; this pin
+    // runs BOTH routes over the same grown artifacts on a corpus
+    // where samplePred is a genuine ~1/5 subset (10k > the 2048
+    // sample floor; the shipped sf0.1 testdata is only 2000 rows,
+    // where the predicate degenerates to select-all) and requires
+    // verdict agreement — the within-noise contract the sampled
+    // recall audit already carries for the non-grown index.
+    // Clustered unit vectors (40 centers + noise, the testdata
+    // embeddings shape) give the near-field structure that makes a
+    // recall verdict signal rather than coin-flip.
+    import graft.queries.{AnnIndex, VectorOps}
+    import spark.implicits._
+    val rng = new scala.util.Random(13L)
+    val centers = Array.fill(40)(Array.fill(64)(rng.nextGaussian()))
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n0 = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n0).toSeq
+    }
+    val rows = (0L until 10000L).map { i =>
+      val c = centers((i % 40).toInt)
+      (i, unit(c.zipWithIndex.map { case (x, j) =>
+        x + rng.nextGaussian() * 0.15 + j * 0.0 }))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sizeroute").toString
+    try {
+      rows.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val n = AnnIndex.corpusSize(spark, dir)
+      assert(n > VectorOps.sampleStripes * VectorOps.sampleStripeWidth,
+        s"fixture premise: corpus ($n) must outgrow the sample floor")
+      val ivfArt = AnnIndex.ivfIncremental(spark, dir)
+      val (lshIdx, lshBits) = AnnIndex.lshIncrementalWithBits(spark, dir)
+      val full = VectorOps.upsertRecallOk(spark, dir, ivfArt, lshIdx, lshBits, None)
+      val sampled = VectorOps.upsertRecallOk(spark, dir, ivfArt, lshIdx, lshBits,
+        Some(VectorOps.samplePred(n)))
+      assert(sampled == full, s"sampled $sampled != full $full")
+      assert(full == ((true, true)), full.toString)
+    } finally {
+      AnnIndex.pruneArtifacts(dir)
+      graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("ANN re-train mechanism: growth past 20% rebuilds the quantizer, recall recovers, arrivals absorbed") {
     import java.nio.file.{Files, Paths}
     import graft.queries.AnnIndex
