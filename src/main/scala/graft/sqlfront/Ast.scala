@@ -48,7 +48,8 @@ object Stmt {
     * (persisted with the layout); omitted = the engine default.
     */
   final case class Optimize(table: String, zorderCols: Vector[String],
-                            partBytes: Option[Long] = None) extends Stmt
+                            partBytes: Option[Long] = None,
+                            autoBytes: Option[Long] = None) extends Stmt
   /** EXPORT <table> TO '<path>' — engine extension: write the merged
     * live snapshot (hot ∪ cold, LWW, tombstones dropped) as parquet
     * at `path`, error-if-exists (Engine.execExport).

@@ -170,23 +170,27 @@ object Parser {
 
     private def drop(): Stmt = { next(); expectKw("TABLE"); Stmt.DropTable(ident()) }
 
-    /** OPTIMIZE <table> ZORDER BY (c1, c2[, ...]) [PARTSIZE <bytes>] */
+    /** OPTIMIZE <table> ZORDER BY (c1, c2[, ...]) [PARTSIZE <bytes>]
+      * [AUTO <bytes>] — AUTO (r19) opts into the self-scheduling
+      * incremental fold: once post-flush layout drift crosses the
+      * threshold, the engine folds without an admin call.
+      */
     private def optimize(): Stmt = {
       next(); val table = ident()
       expectKw("ZORDER"); expectKw("BY"); expectPunct("(")
       val cols = ArrayBuffer(ident())
       while (isPunct(",")) { next(); cols += ident() }
       expectPunct(")")
+      def byteCount(clause: String): Long = peek match {
+        case Num(s) if s.forall(_.isDigit) && s.toLongOption.isDefined =>
+          next(); s.toLong
+        case t => fail(s"expected $clause byte count, got $t")
+      }
       val partBytes =
-        if (isKw("PARTSIZE")) {
-          next()
-          peek match {
-            case Num(s) if s.forall(_.isDigit) && s.toLongOption.isDefined =>
-              next(); Some(s.toLong)
-            case t => fail(s"expected PARTSIZE byte count, got $t")
-          }
-        } else None
-      Stmt.Optimize(table, cols.toVector, partBytes)
+        if (isKw("PARTSIZE")) { next(); Some(byteCount("PARTSIZE")) } else None
+      val autoBytes =
+        if (isKw("AUTO")) { next(); Some(byteCount("AUTO")) } else None
+      Stmt.Optimize(table, cols.toVector, partBytes, autoBytes)
     }
 
     /** SEARCH <table> NEAREST (v1, v2[, ...]) TOP <k>

@@ -62,6 +62,23 @@ class ApiServerSpec extends AnyFunSuite {
       // DML through the API
       val (c5, b5) = post(p, "/api/query", """{"sql": "INSERT INTO api_t VALUES (3, 'c', 30.0)"}""")
       assert(c5 == 200 && b5.contains(""""rowsAffected":1"""))
+      // SEARCH through the API (r19): the similarity-search verb is a
+      // first-class statement — an in-memory engine auto-routes exact
+      val (c6, b6) = post(p, "/api/query",
+        """{"sql": "CREATE TABLE api_v (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR)"}""")
+      assert(c6 == 200, b6)
+      post(p, "/api/query", """{"sql": "INSERT INTO api_v VALUES (1, '1.0,0.0')"}""")
+      post(p, "/api/query", """{"sql": "INSERT INTO api_v VALUES (2, '0.0,1.0')"}""")
+      post(p, "/api/query", """{"sql": "INSERT INTO api_v VALUES (3, '0.9,0.1')"}""")
+      val (c7, b7) = post(p, "/api/query",
+        """{"sql": "SEARCH api_v NEAREST (1.0, 0.0) TOP 2"}""")
+      assert(c7 == 200 && b7.contains(""""success":true"""), b7)
+      // nearest = the identical vector (id 1), then the 0.9/0.1 row,
+      // never the orthogonal id 2
+      assert(b7.contains("cosine"), b7)
+      assert(b7.indexOf("[\"1\"") >= 0 && b7.indexOf("[\"3\"") >= 0 &&
+        b7.indexOf("[\"1\"") < b7.indexOf("[\"3\""), b7)
+      assert(!b7.contains("[\"2\""), b7)
     }
   }
 

@@ -384,4 +384,52 @@ class ZOrderOptimizeSpec extends AnyFunSuite {
       assert(e.storeOf("zt").coldDirs == beforeDirs)
     }
   }
+
+  test("LAYOUTAUTO: drift past the opt-in threshold folds without an admin call, honoring pause/resume") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql(ddl).ok)
+      for (chunk <- 0 until 2) {
+        e.batchPut("zt", (1 to 6000).map(j => row((chunk * 6000 + j).toLong)))
+        e.forceFlush("zt")
+      }
+      // declare the layout WITH the auto threshold through the SQL
+      // front — one statement opts the table into self-maintenance
+      assert(e.sql("OPTIMIZE zt ZORDER BY (x, y) PARTSIZE 32768 AUTO 16384").ok)
+      def unlaid(): Long = e.stats.tables.find(_.name == "zt").get.unlaidBytes
+      assert(unlaid() == 0L)
+      // ingest past the threshold: the post-flush trigger folds
+      // inline — drift returns to zero with NO admin call
+      e.batchPut("zt", (12001 to 14000).map(i => row(i.toLong)))
+      e.forceFlush("zt")
+      assert(unlaid() == 0L, "auto fold must clear drift without an admin call")
+      assert(e.sql("SELECT COUNT(*) FROM zt").rows.head.head == "14000")
+      // under pause the trigger RECORDS through the deferred queue
+      // (the scheduler contract); resume drains it z-ordered
+      e.pauseCompaction()
+      e.batchPut("zt", (14001 to 16000).map(i => row(i.toLong)))
+      e.forceFlush("zt")
+      assert(unlaid() > 0L, "paused: drift stays observable, fold deferred")
+      assert(e.pendingCompactions >= 1, "paused: the fold is recorded, not run")
+      e.resumeCompaction()
+      assert(unlaid() == 0L, "resume must drain the deferred fold z-ordered")
+      assert(e.sql("SELECT COUNT(*) FROM zt").rows.head.head == "16000")
+      e.pauseCompaction() // quiesce so restart below sees a stable dir
+      e.resumeCompaction()
+      // the threshold persists with the layout (manifest LAYOUTAUTO):
+      // a restarted engine keeps self-folding
+      val e2 = new Engine(spark, Some(dir), compactTrigger = 100)
+      e2.batchPut("zt", (16001 to 18000).map(i => row(i.toLong)))
+      e2.forceFlush("zt")
+      assert(e2.stats.tables.find(_.name == "zt").get.unlaidBytes == 0L,
+        "LAYOUTAUTO must survive restart (manifest line)")
+      assert(e2.sql("SELECT COUNT(*) FROM zt").rows.head.head == "18000")
+      // below-threshold ingest does NOT fold (the opt-in is a bound,
+      // not fold-per-flush): a tiny flush leaves its drift in place
+      e2.batchPut("zt", Seq(row(18001L)))
+      e2.forceFlush("zt")
+      assert(e2.stats.tables.find(_.name == "zt").get.unlaidBytes > 0L,
+        "a sub-threshold flush must not trigger the fold")
+    }
+  }
 }
