@@ -280,7 +280,7 @@ object AnnIndex {
 
   def ivfPath(s: SparkSession, d: String): String = {
     val k = ivfK(corpusSize(s, d))
-    s"$artifactRoot/${key(d, s"_ivf_K${k}_I$IvfIters")}"
+    s"$artifactRoot/${key(d, s"_ivf2_K${k}_I$IvfIters")}"
   }
 
   /** Build-or-read the IVF artifact; returns the driver-held codebook
@@ -326,8 +326,15 @@ object AnnIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centsPath)
     val members = assignMembers(s, source, cents)
     // the inverted file: vectors grouped by their cluster, one
-    // directory per cid — probing P clusters is partition pruning
-    members.write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(membersPath)
+    // directory per cid — probing P clusters is partition pruning.
+    // repartition BY cid first (r19): partitionBy alone writes one
+    // file per (task × cid) — measured 16k files on the 30× artifact
+    // (K=245 × 32 shuffle partitions × members+arrivals), and every
+    // grown-index read paid the listing + open fan-in. One exchange
+    // at build time buys one file per cluster — the small-files
+    // discipline any 100 TB inverted file lives or dies by.
+    members.repartition(col("cid"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(membersPath)
   }
 
   /** (cid, vec_id, v) nearest-frozen-centroid member rows for a
@@ -461,7 +468,7 @@ object AnnIndex {
     // (the version tag keeps pre-change appended-members artifacts,
     // which would double-count the batch under this reader, from
     // being served)
-    s"$artifactRoot/${key(d, s"_ivfinc2_K${k}_I${IvfIters}_M$IncMod")}"
+    s"$artifactRoot/${key(d, s"_ivfinc3_K${k}_I${IvfIters}_M$IncMod")}"
   }
 
   def lshIncPath(s: SparkSession, d: String): String = {
@@ -586,6 +593,8 @@ object AnnIndex {
   def upsertIvf(s: SparkSession, batch: DataFrame,
                 cents: Array[Array[Double]], arrivalsPath: String): Unit =
     assignMembers(s, batch, cents)
+      // one file per cid (see buildIvfFrom's small-files note)
+      .repartition(col("cid"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(arrivalsPath)
 
   /** The IVF-PQ sibling of [[upsertIvf]] (r18 — the last
@@ -610,6 +619,8 @@ object AnnIndex {
     assignMembers(s, batch, cents)
       .withColumn("pc", call_function("pq_encode",
         expr("int8_round(v, int8_scale(v))"), typedlit(cb), lit(4)))
+      // one file per cid (see buildIvfFrom's small-files note)
+      .repartition(col("cid"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(arrivalsPath)
   }
 
