@@ -124,6 +124,10 @@ object HtapBench {
         // mixed_rw's composite rate then decomposes as the roles'
         // harmonic composition; the floor is whichever solo rate the
         // artifact shows lowest (HTAP_r19 records all four).
+        // each decomposition phase starts from a FLUSHED store: the
+        // preceding phases' hot accumulation would otherwise leak into
+        // (and at high write rates, cap-cliff) the one being isolated
+        e.forceFlush("mt_bench_table")
         val nextId = new AtomicLong(rows.toLong + 500000L)
         phase("mixed_w_only", threads, secs) { () =>
           val base = nextId.getAndAdd(100L)
@@ -131,19 +135,37 @@ object HtapBench {
             Array[Any](base + k, s"x_${base + k}", 1.0, "active"))).nonEmpty
         }
       }, {
+        e.forceFlush("mt_bench_table")
         phase("mixed_point_only", threads, secs)(() =>
           e.sql(s"SELECT * FROM mt_bench_table WHERE id = $midId").ok)
       }, {
+        e.forceFlush("mt_bench_table")
         phase("mixed_count_stable", olapThreads, secs)(() =>
           e.sql("SELECT COUNT(*) FROM mt_bench_table").ok)
       }, {
-        val nextId = new AtomicLong(rows.toLong + 700000L)
+        e.forceFlush("mt_bench_table")
+        // fresh ids ABOVE every cold tier's pk range — the append-only
+        // ingest shape (time-ordered pks): shadow resolution then
+        // prunes on footer min/max alone, no file opens. (Ids inside
+        // an existing tier's range model the upsert-into-history case
+        // instead, whose per-fold batched file pass is the measured
+        // cost of mixed_rw's write role.)
+        val nextId = new AtomicLong(rows.toLong + 5000000L)
         val stop = new AtomicBoolean(false)
+        // the writer is RATE-LIMITED to ~100 batches/s (10k rows/s —
+        // a defined, hefty ingest) and stops at the PHASE deadline:
+        // unthrottled it writes at disk speed, so the measured count
+        // rate tracked the session's fsync latency instead of the
+        // engine's invalidation cost, and a count in flight at the
+        // cutoff chased a backlog the writer kept extending under it
+        // (observed: minutes-long phase overrun at fast-fsync rates).
+        val writerDeadline = System.nanoTime() + secs * 1000000000L
         val writer = new Thread(() => {
-          while (!stop.get()) {
+          while (!stop.get() && System.nanoTime() < writerDeadline) {
             val base = nextId.getAndAdd(100L)
             e.batchPut("mt_bench_table", (0 until 100).map(k =>
               Array[Any](base + k, s"y_${base + k}", 1.0, "active")))
+            Thread.sleep(10)
           }
         })
         writer.start()
@@ -161,9 +183,15 @@ object HtapBench {
         def tiers(): Int =
           e.stats.tables.find(_.name == "mt_bench_table").map(_.coldTiers).getOrElse(0)
         e.forceFlush("mt_bench_table")
-        // carve tiers UP TO (not into) the L0 trigger: one more flush
-        // would fire the leveled merge synchronously and leave the
-        // measured e.compact() a single-tier no-op
+        // carve tiers UNDER PAUSE (r19): with the decomposition
+        // phases' flush boundaries the tier count can sit exactly at
+        // the L0 trigger here, and an unpaused carve loop oscillates —
+        // flush fires the leveled merge, tiers collapse, the loop
+        // re-carves forever. Paused, flush triggers defer and the
+        // carved tiers stay put; the measured admin compact below runs
+        // regardless of the scheduler flag, and resume() afterwards
+        // drains the (now trivial) deferred passes.
+        e.pauseCompaction()
         while (tiers() < math.min(3, e.compactTrigger - 1)) {
           val base = nextId.getAndAdd(10000L)
           e.batchPut("mt_bench_table", (0 until 10000).map(k =>
@@ -178,9 +206,33 @@ object HtapBench {
             Array[Any](base + k, s"d_${base + k}", 1.0, "active"))).nonEmpty
         }
         compactor.join()
+        e.resumeCompaction()
         p
       })
     results
+  }
+
+  /** Median fsync latency of the host, measured at run time — the
+    * write phases are one-fsync-per-batch by design, so their ops/s
+    * ceiling is 1/fsync. Stamped into the artifact because the
+    * shared host's storage latency swings >10× between sessions
+    * (observed 0.5 → 5.5 ms p50 inside one day): without the stamp a
+    * cross-session write-phase comparison silently measures the disk,
+    * not the engine.
+    */
+  private def fsyncP50Ms(): Double = {
+    val p = java.nio.file.Files.createTempFile("graft-fsync", ".probe")
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(8192)
+      val ts = (1 to 21).map { _ =>
+        buf.rewind(); ch.write(buf)
+        val t0 = System.nanoTime(); ch.force(false)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      ts(ts.size / 2)
+    } finally { ch.close(); java.nio.file.Files.deleteIfExists(p); () }
   }
 
   def main(args: Array[String]): Unit = {
@@ -196,11 +248,12 @@ object HtapBench {
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Files.createTempDirectory("graft-htap").toString
     try {
+      val fsync = fsyncP50Ms()
       val phases = run(spark, dir, rows, secs, cpus)
       val pj = phases.map(p =>
         f""""${p.name}":{"threads":${p.threads},"ops":${p.ops},"ops_per_sec":${p.opsPerSec}%.1f}""")
         .mkString("{", ",", "}")
-      println(s"""{"metric":"htap_mixed","rows":$rows,"secs":$secs,"threads":$cpus,"phases":$pj}""")
+      println(f"""{"metric":"htap_mixed","rows":$rows,"secs":$secs,"threads":$cpus,"fsync_p50_ms":$fsync%.2f,"phases":$pj}""")
     } finally {
       graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
       spark.stop()

@@ -300,6 +300,92 @@ object ColdPointReader {
     None
   }
 
+  /** Batched latest-cold-version resolution for MANY pks (r19 — the
+    * incremental aggregate fold resolves its whole write delta here):
+    * ONE reader open per candidate tier file instead of one per
+    * (pk × file). Under a write burst whose ids overlap existing tier
+    * ranges, the per-pk path paid a fresh ParquetReader open (footer
+    * parse + row-group elimination) per miss — reader-open-bound at
+    * hundreds of µs per pk; the batched pass amortizes the open across
+    * the delta with one IN predicate. Verdicts (positive AND negative)
+    * land in the same per-file row cache the single-pk path uses, so
+    * the two paths stay coherent. Age-order contract identical to
+    * [[lookup]]: newest tier containing a pk wins.
+    */
+  def lookupMany(spark: SparkSession, m: TableMeta, coldDirs: Seq[String],
+                 pks: Seq[Any]): Map[Any, RowVersion] = {
+    if (pks.isEmpty) return Map.empty
+    val conf = confOf(spark)
+    val resolved = scala.collection.mutable.HashMap.empty[Any, RowVersion]
+    var remaining: Set[Any] = pks.toSet
+    val it = coldDirs.reverseIterator
+    while (it.hasNext && remaining.nonEmpty) {
+      val dir = it.next()
+      val tierBest = scala.collection.mutable.HashMap.empty[Any, RowVersion]
+      def offer(pk: Any, rv: RowVersion): Unit =
+        if (tierBest.get(pk).forall(_.seq < rv.seq)) tierBest(pk) = rv
+      tierFiles(conf, m, dir).foreach { fm =>
+        val cands = remaining.filter(pk => mayContain(fm, m, pk))
+        if (cands.nonEmpty) {
+          val uncached = cands.filter { pk =>
+            val hit = rowCache.synchronized(rowCache.get((fm.path.toString, pk)))
+            if (hit != null) { hit.foreach(offer(pk, _)); false } else true
+          }
+          if (uncached.nonEmpty) {
+            val found = bulkFileLookup(conf, m, fm, uncached)
+            uncached.foreach { pk =>
+              val v = found.get(pk)
+              rowCache.synchronized(rowCache.put((fm.path.toString, pk), v))
+              v.foreach(offer(pk, _))
+            }
+          }
+        }
+      }
+      resolved ++= tierBest
+      remaining = remaining -- tierBest.keys
+    }
+    resolved.toMap
+  }
+
+  /** One file, many pks, ONE reader pass (IN predicate). Per-pk
+    * max-seq kept like the single-pk path.
+    */
+  private def bulkFileLookup(conf: org.apache.hadoop.conf.Configuration,
+                             m: TableMeta, fm: FileMeta,
+                             pks: Iterable[Any]): Map[Any, RowVersion] = {
+    dataFilesOpened.incrementAndGet()
+    val out = scala.collection.mutable.HashMap.empty[Any, RowVersion]
+    val reader = ParquetReader.builder(new GroupReadSupport(), fm.path)
+      .withConf(conf).withFilter(FilterCompat.get(pkInPredicate(m, pks))).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val rv = toRowVersion(g, m)
+        val pk = rv.values(m.pkIndex)
+        if (out.get(pk).forall(_.seq < rv.seq)) out(pk) = rv
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.toMap
+  }
+
+  private def pkInPredicate(m: TableMeta, pks: Iterable[Any]): FilterPredicate = {
+    import scala.jdk.CollectionConverters._
+    val name = m.cols(m.pkIndex).name
+    m.cols(m.pkIndex).tpe match {
+      case ColType.I64 | ColType.Ts =>
+        FilterApi.in(FilterApi.longColumn(name),
+          pks.map(pk => java.lang.Long.valueOf(pk.asInstanceOf[Long])).toSet.asJava)
+      case ColType.I32 =>
+        FilterApi.in(FilterApi.intColumn(name),
+          pks.map(pk => java.lang.Integer.valueOf(pk.asInstanceOf[Int])).toSet.asJava)
+      case ColType.Str =>
+        FilterApi.in(FilterApi.binaryColumn(name),
+          pks.map(pk => Binary.fromString(pk.asInstanceOf[String])).toSet.asJava)
+      case t => throw new IllegalArgumentException(s"unsupported pk type $t")
+    }
+  }
+
   /** One immutable file's verdict for `pk`, LRU-cached (negative
     * results included — a definitive "not in this file" is as
     * cacheable as a hit).

@@ -138,16 +138,13 @@ final class Engine(
       * lazily, or seeded free when the tier set was empty).
       */
     var coldStats: Option[(Vector[String], TableAggStats)] = None
-    /** newest-cold-version cache for hot-over-cold shadow resolution
-      * in the stats aggregate path, keyed (epoch, pk): the epoch bumps
-      * (and the map clears) whenever the tier set changes, so an
-      * in-flight resolution against a stale tier set can never be
-      * read back under the new one.
-      */
-    val shadowCache =
-      new java.util.concurrent.ConcurrentHashMap[(Long, Any), Option[RowVersion]]()
     var shadowTiers: Vector[String] = Vector.empty
     var shadowEpoch: Long = 0L
+    /** incremental no-WHERE aggregate fold (r19) — see [[AggFold]];
+      * guarded by aggFoldLock, reset whenever the shadow epoch moves.
+      */
+    var aggFold: AggFold = null
+    val aggFoldLock = new Object
     /** cached merged-snapshot DataFrame keyed by `version` — the
       * driver-local accelerator for repeated analytical statements
       * over an unchanged table (the reference's in-RAM columnar store
@@ -345,6 +342,16 @@ final class Engine(
     // compactAfter=false is the mid-DML flush (see applyDml): a
     // statement's own flushes must only ADD tiers, never retire the
     // ones its read iterator is still scanning.
+    if (didFlush) {
+      // release the aggregate fold NOW rather than at the next
+      // statement's epoch check: its per-pk map is hot-store-sized,
+      // and retaining it across a flush pressures GC on the write
+      // path with state that can never be read again (the epoch moved
+      // with the tier set). Taken OUTSIDE the store lock —
+      // statsAggregate locks aggFoldLock first, store second, so
+      // nesting the other way here would deadlock.
+      store.aggFoldLock.synchronized { store.aggFold = null }
+    }
     if (didFlush && compactAfter) {
       maybeCompactLeveled(store)
       autoFoldIfDrifted(store)
@@ -2066,11 +2073,14 @@ final class Engine(
     * driver fold (normally unreachable: hotLimit flushes far below)
     */
   private val statsAggHotCap = 1 << 20
+  /** max unfolded log entries one statement will fold — see the
+    * write-burst guard in statsAggregate
+    */
+  private val aggFoldPendingCap = 1 << 16
 
   /** shadow-cache entries are bounded: past this the per-query
     * resolutions still run (bloom-gated) but are not retained
     */
-  private val shadowCacheMax = 1 << 20
 
   private def numericType(t: ColType): Boolean = t match {
     case ColType.I64 | ColType.I32 | ColType.F64 | ColType.F32 | ColType.Ts => true
@@ -2154,9 +2164,52 @@ final class Engine(
     TableAggStats(r.getLong(0), m.cols.indices.toVector.map(byIdx.get))
   }
 
+  /** Incremental fold state for the no-WHERE stats aggregates (r19 —
+    * the HTAP_r19 decomposition named COUNT-under-writes as the
+    * mixed-workload floor: every version bump invalidates the result
+    * cache, and each statement re-folded the ENTIRE hot store — O(hot)
+    * per query, quadratic across a write-heavy phase). The fold now
+    * lives with the store: per-pk folded contributions plus running
+    * aggregates, advanced by exactly the log suffix appended since the
+    * last statement — O(writes since last read), the incremental
+    * view-maintenance discipline every HTAP engine converges on.
+    * Valid for ONE shadow epoch (tier set): flush/compaction reset it,
+    * because cold stats AND shadow resolutions both key on the tier
+    * set. MIN/MAX stay monotone under inserts; an update/delete that
+    * retracts a column's current hot extremum marks it dirty and the
+    * next MIN/MAX recomputes those two numbers from the folded per-pk
+    * state (consistent with the fold point, still no Spark job).
+    * COUNT/SUM/AVG never dirty. Running float sums retract with
+    * subtraction, the standard running-aggregate trade (the one-shot
+    * fold already accumulated in arbitrary map order).
+    */
+  private[engine] final class AggFold(m: TableMeta, val epoch: Long) {
+    val numIdx: Array[Int] =
+      m.cols.indices.filter(i => numericType(m.cols(i).tpe)).toArray
+    private val numPos: Map[Int, Int] = numIdx.zipWithIndex.toMap
+    def posOf(colIdx: Int): Int = numPos(colIdx)
+    /** store.log entries already folded */
+    var logIdx = 0
+    /** pk -> (hot-live, has-value per numeric col, value per numeric col) */
+    val byPk = new java.util.HashMap[Any, (Boolean, Array[Boolean], Array[Double])]()
+    var hotLive = 0L
+    var shadowLive = 0L
+    val sumDelta = new Array[Double](numIdx.length)
+    val nnDelta = new Array[Long](numIdx.length)
+    val shadowNN = new Array[Long](numIdx.length)
+    val minHit = new Array[Boolean](numIdx.length)
+    val maxHit = new Array[Boolean](numIdx.length)
+    val hotMin = new Array[Double](numIdx.length)
+    val hotMax = new Array[Double](numIdx.length)
+    val hotNN = new Array[Long](numIdx.length)
+    val mmDirty = new Array[Boolean](numIdx.length)
+  }
+
   /** The no-job aggregate answer, or None when only the Spark path is
     * exact (see section comment). The returned value is in the same
-    * double domain the Spark path collects.
+    * double domain the Spark path collects. Since r19 the hot side is
+    * the INCREMENTAL [[AggFold]] — a statement pays only the writes
+    * that landed since the previous one.
     */
   private def statsAggregate(store: HotStore, a: SelectItem.Agg): Option[Double] = {
     val m = store.meta
@@ -2167,16 +2220,15 @@ final class Engine(
     // non-numeric column: the Spark path aggregates a null literal —
     // a constant 0 regardless of data (reference "skip" semantics)
     if (a.fn != "COUNT" && !numericType(m.cols(colIdx.get).tpe)) return Some(0.0)
-    val (hotVersions, tiers, epoch) = store.synchronized {
+    val (hotCount, tiers, epoch) = store.synchronized {
       if (store.shadowTiers != store.coldDirs) {
-        store.shadowCache.clear()
         store.shadowTiers = store.coldDirs
         store.shadowEpoch += 1
       }
-      (store.latest.values.toVector, store.coldDirs, store.shadowEpoch)
+      (store.latest.size, store.coldDirs, store.shadowEpoch)
     }
-    if (hotVersions.size > statsAggHotCap) return None
-    if (hotVersions.nonEmpty && tiers.nonEmpty && !ColdPointReader.supportedPk(m))
+    if (hotCount > statsAggHotCap) return None
+    if (hotCount > 0 && tiers.nonEmpty && !ColdPointReader.supportedPk(m))
       return None
     val cold: TableAggStats =
       if (tiers.isEmpty) TableAggStats(0L, m.cols.map(_ => None))
@@ -2189,80 +2241,167 @@ final class Engine(
           }
           s
       }
-    def shadowOf(pk: Any): Option[RowVersion] =
-      if (tiers.isEmpty) None
-      else if (store.shadowCache.size() > shadowCacheMax)
-        ColdPointReader.lookup(spark, m, tiers, pk)
-      else store.shadowCache.computeIfAbsent((epoch, pk),
-        _ => ColdPointReader.lookup(spark, m, tiers, pk))
-    val ci = colIdx.getOrElse(-1)
-    val coldCol = colIdx.flatMap(cold.cols)
-    var hotLive = 0L; var shadowLive = 0L
-    var sumDelta = 0.0; var nnDelta = 0L
-    var hotMin = Double.NaN; var hotMax = Double.NaN; var hotNN = 0L
-    var shadowNN = 0L; var minHit = false; var maxHit = false
-    hotVersions.foreach { hv =>
-      shadowOf(hv.values(m.pkIndex)) match {
-        case Some(sv) if !sv.tombstone =>
-          shadowLive += 1
-          if (ci >= 0) {
-            val v = sv.values(ci)
+    store.aggFoldLock.synchronized {
+      if (store.aggFold == null || store.aggFold.epoch != epoch)
+        store.aggFold = new AggFold(m, epoch)
+      // capture the unfolded log suffix under the store lock (the
+      // buffer may reallocate under a concurrent append); a log
+      // shorter than the fold's watermark means the hot store was
+      // cleared without an epoch move — cannot happen today (every
+      // flush mints a tier), guarded anyway
+      val delta: Vector[RowVersion] = store.synchronized {
+        if (store.log.size < store.aggFold.logIdx)
+          store.aggFold = new AggFold(m, epoch)
+        val f0 = store.aggFold
+        // write-burst guard: folding is O(pending), and a pending
+        // backlog beyond this cap (sustained firehose faster than the
+        // fold's shadow resolution) makes the Spark snapshot path the
+        // better instrument for THIS statement — bail WITHOUT
+        // advancing the watermark, so a later calmer statement folds
+        // the backlog incrementally. The same burst-pressure reasoning
+        // as statsAggHotCap, one level down.
+        if (store.log.size - f0.logIdx > aggFoldPendingCap) return None
+        val d = store.log.slice(f0.logIdx, store.log.size).toVector
+        f0.logIdx = store.log.size
+        d
+      }
+      val f = store.aggFold
+      // batched shadow resolution (r19): every pk NEW to the fold gets
+      // its cold shadow resolved in ONE lookupMany pass — one reader
+      // open per candidate tier file for the whole delta, instead of
+      // one per pk (a write burst whose ids overlap tier ranges was
+      // reader-open-bound, hundreds of µs per pk). The per-file row
+      // cache inside ColdPointReader keeps repeated folds cheap; the
+      // fold itself consults each pk exactly once per epoch (byPk).
+      val newPks = {
+        val seen = new java.util.LinkedHashSet[Any]()
+        delta.foreach { rv =>
+          val pk = rv.values(m.pkIndex)
+          if (!f.byPk.containsKey(pk)) seen.add(pk)
+        }
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq
+      }
+      val shadows: Map[Any, RowVersion] =
+        if (tiers.isEmpty || newPks.isEmpty) Map.empty
+        else ColdPointReader.lookupMany(spark, m, tiers, newPks)
+      delta.foreach { rv =>
+        val pk = rv.values(m.pkIndex)
+        val prev = f.byPk.get(pk)
+        if (prev == null) {
+          // first hot appearance of this pk this epoch: retract its
+          // batched-resolved cold shadow
+          shadows.get(pk) match {
+            case Some(sv) if !sv.tombstone =>
+              f.shadowLive += 1
+              var k = 0
+              while (k < f.numIdx.length) {
+                val v = sv.values(f.numIdx(k))
+                if (v != null) {
+                  val d = numVal(v)
+                  f.sumDelta(k) -= d; f.nnDelta(k) -= 1; f.shadowNN(k) += 1
+                  cold.cols(f.numIdx(k)).foreach { cs =>
+                    if (d == cs.min) f.minHit(k) = true
+                    if (d == cs.max) f.maxHit(k) = true
+                  }
+                }
+                k += 1
+              }
+            case _ => ()
+          }
+        } else if (prev._1) {
+          // retract the superseded live contribution
+          f.hotLive -= 1
+          var k = 0
+          while (k < f.numIdx.length) {
+            if (prev._2(k)) {
+              val d = prev._3(k)
+              f.sumDelta(k) -= d; f.nnDelta(k) -= 1; f.hotNN(k) -= 1
+              if (!f.mmDirty(k) && f.hotNN(k) > 0 &&
+                  (d == f.hotMin(k) || d == f.hotMax(k))) f.mmDirty(k) = true
+            }
+            k += 1
+          }
+        }
+        val has = new Array[Boolean](f.numIdx.length)
+        val vals = new Array[Double](f.numIdx.length)
+        if (!rv.tombstone) {
+          f.hotLive += 1
+          var k = 0
+          while (k < f.numIdx.length) {
+            val v = rv.values(f.numIdx(k))
             if (v != null) {
               val d = numVal(v)
-              sumDelta -= d; nnDelta -= 1; shadowNN += 1
-              coldCol.foreach { cs =>
-                if (d == cs.min) minHit = true
-                if (d == cs.max) maxHit = true
+              has(k) = true; vals(k) = d
+              f.sumDelta(k) += d; f.nnDelta(k) += 1
+              if (f.hotNN(k) == 0L || d < f.hotMin(k)) f.hotMin(k) = d
+              if (f.hotNN(k) == 0L || d > f.hotMax(k)) f.hotMax(k) = d
+              f.hotNN(k) += 1
+            }
+            k += 1
+          }
+        }
+        f.byPk.put(pk, (!rv.tombstone, has, vals))
+      }
+      // the pre-r19 one-shot fold read hot rows and the tier listing in
+      // ONE critical section; the incremental fold reads the log in a
+      // second one, so a flush can interleave (hot drained into a NEW
+      // tier while `cold` still describes the old set — an undercount
+      // window). Detect and bail to the Spark path: the fold state
+      // itself is safe, the next statement's epoch check resets it.
+      if (store.synchronized(store.coldDirs) != tiers) return None
+      val liveRows = cold.liveRows + f.hotLive - f.shadowLive
+      a.fn match {
+        case "COUNT" => Some(liveRows.toDouble)
+        case fn =>
+          val ci = colIdx.get
+          val k = f.posOf(ci)
+          if (f.mmDirty(k) && (fn == "MIN" || fn == "MAX")) {
+            // refresh the two dirty extremes from the FOLDED per-pk
+            // state (consistent with the fold point, no store lock,
+            // no Spark job); hotNN is maintained and stays
+            var mn = 0.0; var mx = 0.0; var seen = false
+            val it = f.byPk.values().iterator()
+            while (it.hasNext) {
+              val (live, has, vals) = it.next()
+              if (live && has(k)) {
+                val d = vals(k)
+                if (!seen || d < mn) mn = d
+                if (!seen || d > mx) mx = d
+                seen = true
               }
             }
+            if (seen) { f.hotMin(k) = mn; f.hotMax(k) = mx }
+            f.mmDirty(k) = false
           }
-        case _ => ()
+          val cs = cold.cols(ci).getOrElse(ColAggStats(0.0, Double.NaN, Double.NaN, 0L))
+          val totalNN = cs.nonNull + f.nnDelta(k)
+          if (totalNN <= 0L) Some(0.0) // empty / all-null ⇒ reference 0
+          else {
+            val coldRemaining = cs.nonNull - f.shadowNN(k)
+            fn match {
+              case "SUM" => Some(cs.sum + f.sumDelta(k))
+              case "AVG" => Some((cs.sum + f.sumDelta(k)) / liveRows)
+              case "MIN" =>
+                // a shadowed row carrying the cold minimum means the
+                // remaining cold rows' minimum is unknown — Spark path
+                if (coldRemaining > 0 && f.minHit(k)) None
+                else {
+                  val cands = (if (coldRemaining > 0) List(cs.min) else Nil) ++
+                    (if (f.hotNN(k) > 0) List(f.hotMin(k)) else Nil)
+                  if (cands.isEmpty) Some(0.0) else Some(cands.min)
+                }
+              case "MAX" =>
+                if (coldRemaining > 0 && f.maxHit(k)) None
+                else {
+                  val cands = (if (coldRemaining > 0) List(cs.max) else Nil) ++
+                    (if (f.hotNN(k) > 0) List(f.hotMax(k)) else Nil)
+                  if (cands.isEmpty) Some(0.0) else Some(cands.max)
+                }
+              case _ => None
+            }
+          }
       }
-      if (!hv.tombstone) {
-        hotLive += 1
-        if (ci >= 0) {
-          val v = hv.values(ci)
-          if (v != null) {
-            val d = numVal(v)
-            sumDelta += d; nnDelta += 1
-            if (hotNN == 0L || d < hotMin) hotMin = d
-            if (hotNN == 0L || d > hotMax) hotMax = d
-            hotNN += 1
-          }
-        }
-      }
-    }
-    val liveRows = cold.liveRows + hotLive - shadowLive
-    a.fn match {
-      case "COUNT" => Some(liveRows.toDouble)
-      case fn =>
-        val cs = coldCol.getOrElse(ColAggStats(0.0, Double.NaN, Double.NaN, 0L))
-        val totalNN = cs.nonNull + nnDelta
-        if (totalNN <= 0L) Some(0.0) // empty / all-null ⇒ reference 0
-        else {
-          val coldRemaining = cs.nonNull - shadowNN
-          fn match {
-            case "SUM" => Some(cs.sum + sumDelta)
-            case "AVG" => Some((cs.sum + sumDelta) / liveRows)
-            case "MIN" =>
-              // a shadowed row carrying the cold minimum means the
-              // remaining cold rows' minimum is unknown — Spark path
-              if (coldRemaining > 0 && minHit) None
-              else {
-                val cands = (if (coldRemaining > 0) List(cs.min) else Nil) ++
-                  (if (hotNN > 0) List(hotMin) else Nil)
-                if (cands.isEmpty) Some(0.0) else Some(cands.min)
-              }
-            case "MAX" =>
-              if (coldRemaining > 0 && maxHit) None
-              else {
-                val cands = (if (coldRemaining > 0) List(cs.max) else Nil) ++
-                  (if (hotNN > 0) List(hotMax) else Nil)
-                if (cands.isEmpty) Some(0.0) else Some(cands.max)
-              }
-            case _ => None
-          }
-        }
     }
   }
 

@@ -179,4 +179,80 @@ class ColdPointReaderSpec extends AnyFunSuite {
         "warm-key repeat must hit the row cache, not the file")
     }
   }
+
+  test("lookupMany: one file open per candidate file, LWW across tiers, range pruning for fresh ids") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql("CREATE TABLE lm (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("lm", (1L to 60L).map(i => Array[Any](i, Int.box(1))))
+      e.forceFlush("lm")
+      // younger tier shadows a slice and adds new keys
+      e.batchPut("lm", (50L to 80L).map(i => Array[Any](i, Int.box(2))))
+      e.forceFlush("lm")
+      val m = e.storeOf("lm").meta
+      val tiers = e.storeOf("lm").coldDirs
+      ColdPointReader.invalidateCache()
+      ColdPointReader.lookup(spark, m, tiers, 1L) // warm tier metadata
+      val opened = ColdPointReader.dataFilesOpened.get()
+      // 30 pks spanning: old-only (1..10), shadowed (50..60),
+      // young-only (70..75), absent-in-range (93..95: covered by no
+      // footer range... 93>80 so above range), plus far-future ids
+      val pks: Seq[Any] =
+        ((1L to 10L) ++ (50L to 60L) ++ (70L to 75L) ++ (93L to 95L) ++
+          Seq(1000000L, 2000000L)).map(x => x: Any)
+      val got = ColdPointReader.lookupMany(spark, m, tiers, pks)
+      assert((1L to 10L).forall(i => got(i).values(1) == 1))
+      assert((50L to 60L).forall(i => got(i).values(1) == 2),
+        "younger tier must win LWW in the batched path")
+      assert((70L to 75L).forall(i => got(i).values(1) == 2))
+      assert(!(93L to 95L).exists(got.contains) && !got.contains(1000000L),
+        "absent keys resolve to nothing")
+      // one reader open per candidate file, NOT per pk: two tiers of
+      // one file each = at most 2 opens for the whole 30-pk batch;
+      // the far-future ids prune on footer min/max with NO open
+      val usedOpens = ColdPointReader.dataFilesOpened.get() - opened
+      assert(usedOpens <= 2, s"expected <=2 file opens for the batch, got $usedOpens")
+      // verdicts landed in the shared row cache: singles now free
+      val opened2 = ColdPointReader.dataFilesOpened.get()
+      assert(ColdPointReader.lookup(spark, m, tiers, 55L).get.values(1) == 2)
+      assert(ColdPointReader.dataFilesOpened.get() == opened2,
+        "batched verdicts must serve subsequent single lookups")
+    }
+  }
+
+  test("incremental stats fold: counts stay exact across upserts, deletes, shadows, and flush epochs") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), compactTrigger = 100)
+      assert(e.sql("CREATE TABLE fo (id BIGINT NOT NULL, v INT)").ok)
+      e.batchPut("fo", (1L to 100L).map(i => Array[Any](i, Int.box(10))))
+      e.forceFlush("fo")
+      def count(): String = e.sql("SELECT COUNT(*) FROM fo").rows.head.head
+      def sum(): String = e.sql("SELECT SUM(v) FROM fo").rows.head.head
+      assert(count() == "100" && sum() == "1000")
+      // interleave writes and aggregates — each statement folds only
+      // the delta, and every answer must stay exact
+      e.batchPut("fo", (101L to 150L).map(i => Array[Any](i, Int.box(1))))
+      assert(count() == "150" && sum() == "1050")
+      e.batchPut("fo", Seq(Array[Any](7L, Int.box(0))))   // shadow a cold row
+      assert(count() == "150" && sum() == "1040")
+      assert(e.sql("DELETE FROM fo WHERE id = 120").ok)    // hot tombstone
+      assert(count() == "149" && sum() == "1039")
+      assert(e.sql("UPDATE fo SET v = 5 WHERE id = 101").ok) // hot re-write
+      assert(count() == "149" && sum() == "1043")
+      assert(e.sql("DELETE FROM fo WHERE id = 8").ok)      // tombstone a cold row
+      assert(count() == "148" && sum() == "1033")
+      // MIN/MAX with a retracted extremum (dirty-path recompute)
+      e.batchPut("fo", Seq(Array[Any](200L, Int.box(999))))
+      assert(e.sql("SELECT MAX(v) FROM fo").rows.head.head == "999")
+      assert(e.sql("UPDATE fo SET v = 3 WHERE id = 200").ok)
+      assert(e.sql("SELECT MAX(v) FROM fo").rows.head.head == "10",
+        "retracting the hot maximum must recompute, not serve stale")
+      // epoch boundary: flush, then keep folding in the new epoch
+      // (148 live survivors + id 200 = 149)
+      e.forceFlush("fo")
+      assert(count() == "149")
+      e.batchPut("fo", Seq(Array[Any](300L, Int.box(7))))
+      assert(count() == "150")
+    }
+  }
 }
