@@ -22,7 +22,8 @@ class HtapBenchSpec extends AnyFunSuite {
       val phases = HtapBench.run(spark, dir, rows = 2000, secs = 1, threads = 4)
       assert(phases.map(_.name) ==
         Seq("point_hot", "point_cold", "agg_sum", "filtered_sum", "mixed_rw",
-          "writes_during_compaction"))
+          "mixed_w_only", "mixed_point_only", "mixed_count_stable",
+          "mixed_count_under_writes", "writes_during_compaction"))
       // writes_during_compaction lasts only as long as the tiny merge
       // at this scale — it may legitimately complete 0 batch puts
       phases.filterNot(_.name == "writes_during_compaction")
