@@ -12,6 +12,16 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true
+// The driver parses the LAST lines of captured stdout as JSON
+// (BENCH_r{N}.json). sbt's default LoggedOutput prefixes every forked
+// line with "[info] " and appends a "[success] Total time..." trailer,
+// which left the artifact `parsed: null` two rounds running (r19
+// What's-wrong #1). StdoutOutput passes the app's stdout through raw,
+// and showSuccess drops the trailer — the final stdout line is the
+// bench's own compact JSON, unwrapped.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -177,10 +177,12 @@ object Bench {
     // inputs moved even if the code did not.
     val sffp = try {
       val root = java.nio.file.Paths.get(sfDir)
-      val files = java.nio.file.Files.walk(root).toArray
+      val walk = java.nio.file.Files.walk(root)
+      val files = try walk.toArray
         .map(_.asInstanceOf[java.nio.file.Path])
         .filter(java.nio.file.Files.isRegularFile(_))
         .sortBy(_.toString)
+      finally walk.close() // walk() contract: the stream holds dir handles
       val h = files.map(f => s"${root.relativize(f)}:${java.nio.file.Files.size(f)}:" +
         s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}").mkString("|").hashCode
       f"${h & 0xffffffffL}%08x"

@@ -50,15 +50,24 @@ object AnnSearch {
     */
   val ExactMax = 4096L
 
-  val Methods: Set[String] = Set("exact", "lsh", "ivf")
+  val Methods: Set[String] = Set("exact", "lsh", "ivf", "ivfpq")
+
+  /** PQ subspace count for the ivfpq route — the q_ann_ivfpq
+    * contract (4 contiguous slices, integer ADC). The route requires
+    * the table's vector dimension to divide evenly into it.
+    */
+  val PqSubspaces = 4
 
   /** The committed state of one artifact: the engine-table content
     * version and row count it was built at, the `__seq` high-water
     * mark separating base from delta, the sign-bit width (lsh) or
-    * codebook size (ivf), and the live generation directory name.
+    * codebook size (ivf/ivfpq), the vector DIMENSION the kernels were
+    * seeded/trained at (r20 — index routes follow the table's own
+    * dimension; a query of a different dimension can never probe this
+    * generation), and the live generation directory name.
     */
   final case class Meta(builtVersion: Long, builtN: Long, builtMaxSeq: Long,
-                        param: Int, gen: String)
+                        param: Int, dim: Int, gen: String)
 
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -76,7 +85,9 @@ object AnnSearch {
       sq <- kv.get("seq").flatMap(_.toLongOption)
       pr <- kv.get("param").flatMap(_.toIntOption)
       g <- kv.get("gen")
-    } yield Meta(v, n, sq, pr, g)
+      // pre-r20 metas carry no dim — they were all built at 64
+      dm = kv.get("dim").flatMap(_.toIntOption).getOrElse(64)
+    } yield Meta(v, n, sq, pr, dm, g)
   }
 
   private def writeMeta(root: String, m: Meta): Unit = {
@@ -84,7 +95,7 @@ object AnnSearch {
     val tmp = Paths.get(root, "_META.tmp")
     Files.write(tmp,
       (s"v=${m.builtVersion} n=${m.builtN} seq=${m.builtMaxSeq} " +
-        s"param=${m.param} gen=${m.gen}").getBytes(Utf8))
+        s"param=${m.param} dim=${m.dim} gen=${m.gen}").getBytes(Utf8))
     Files.move(tmp, metaPath(root), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
@@ -101,7 +112,15 @@ object AnnSearch {
       try {
         import scala.jdk.CollectionConverters._
         ls.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("gen-")).toSeq.sorted
+          .filter(_.startsWith("gen-")).toSeq
+          // NUMERIC version order (r19 ADVICE): lexicographic puts
+          // gen-v9 after gen-v12, which would delete the true
+          // immediate predecessor (possibly mid-scan by a concurrent
+          // SEARCH) while retaining an ancient generation forever.
+          // Names are gen-v<version>[d<dim>]; sort by the numeric
+          // version, then name for a stable tie-break across dims.
+          .sortBy(g => (g.stripPrefix("gen-v").takeWhile(_.isDigit)
+            .toLongOption.getOrElse(-1L), g))
       } finally ls.close()
     }
     gens.filterNot(_ == live).dropRight(1)
@@ -139,23 +158,25 @@ object AnnSearch {
     case "exact" => rerank(s, corpus.select(col("vec_id"), col("v")), q, topK)
     case "lsh"   => viaLsh(s, corpus, root, q, topK, version, n)
     case "ivf"   => viaIvf(s, corpus, root, q, topK, version, n)
+    case "ivfpq" => viaIvfPq(s, corpus, root, q, topK, version, n)
     case other =>
       throw new EngineException(
         s"SEARCH USING '$other' is not supported (expected one of: " +
           Methods.toSeq.sorted.mkString(", ") + ")")
   }
 
-  /** Build-or-reuse decision shared by both index routes: reuse the
-    * committed artifact when the table is unchanged, or changed but
-    * the post-build delta stays inside the re-train bound; rebuild
-    * otherwise. Returns the meta to probe under (fresh or reused).
+  /** Build-or-reuse decision shared by the index routes: reuse the
+    * committed artifact when it was built at the query's dimension
+    * AND the table is unchanged, or changed but the post-build delta
+    * stays inside the re-train bound; rebuild otherwise. Returns the
+    * meta to probe under (fresh or reused).
     */
   private def ensure(s: SparkSession, corpus: DataFrame, root: String,
-                     version: Long, n: Long,
+                     version: Long, n: Long, dim: Int,
                      build: (DataFrame, String, Long, Long) => Meta): Meta =
     lockOf(root).synchronized {
       val reuse = readMeta(root).filter { m =>
-        AnnIndex.committed(s"$root/${m.gen}") && {
+        m.dim == dim && AnnIndex.committed(s"$root/${m.gen}") && {
           m.builtVersion == version || {
             val deltaN =
               corpus.filter(col("__seq") > m.builtMaxSeq).count()
@@ -165,7 +186,9 @@ object AnnSearch {
         }
       }
       reuse.getOrElse {
-        val gen = s"gen-v$version"
+        // a dim change reuses the same version's gen name — suffix it
+        // so two dims of the same content version never collide
+        val gen = s"gen-v${version}d$dim"
         val maxSeq = {
           val r = corpus.agg(max(col("__seq"))).collect()(0)
           if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -180,17 +203,19 @@ object AnnSearch {
   private def viaLsh(s: SparkSession, corpus: DataFrame, root: String,
                      q: Array[Double], topK: Int, version: Long,
                      n: Long): Seq[(Long, Double)] = {
-    val m = ensure(s, corpus, root, version, n, (c, genDir, maxSeq, nn) => {
+    val dim = q.length
+    val m = ensure(s, corpus, root, version, n, dim, (c, genDir, maxSeq, nn) => {
       val bits = AnnIndex.bitsFor(nn)
       // lshRowsOf + Overwrite + _SUCCESS — the exact build kernel the
-      // index tier uses (upsertLsh), into a fresh generation dir
-      AnnIndex.upsertLsh(s, c.select(col("vec_id"), col("v")), bits, genDir)
-      Meta(version, nn, maxSeq, bits, Paths.get(genDir).getFileName.toString)
+      // index tier uses (upsertLsh), into a fresh generation dir;
+      // planes seeded at the TABLE'S dimension (r20 — no 64-dim gate)
+      AnnIndex.upsertLsh(s, c.select(col("vec_id"), col("v")), bits, genDir, dim)
+      Meta(version, nn, maxSeq, bits, dim, Paths.get(genDir).getFileName.toString)
     })
     val bits = m.param
     // driver-side probe: the query's sign bucket per table, ringed by
     // the probe masks — the client half of every LSH system
-    val pl = AnnIndex.planes(bits)
+    val pl = AnnIndex.planes(bits, dim)
     val masks = VectorOps.masksUpTo(bits, VectorOps.probeRadius(bits))
     val probes = (0 until AnnIndex.Tables).flatMap { t =>
       var bucket = 0
@@ -213,7 +238,7 @@ object AnnSearch {
     // moment they commit, no rebuild
     val delta = corpus.filter(col("__seq") > m.builtMaxSeq)
       .select(col("vec_id"), col("v").as("embedding"))
-    val cand = base.unionByName(AnnIndex.lshRowsOf(s, delta, bits))
+    val cand = base.unionByName(AnnIndex.lshRowsOf(s, delta, bits, dim))
       .join(broadcast(probesDf), Seq("tbl", "bucket"))
       .select(col("vec_id")).dropDuplicates("vec_id")
     // inner join with the LIVE corpus: stale index entries of DELETEd
@@ -225,14 +250,17 @@ object AnnSearch {
   private def viaIvf(s: SparkSession, corpus: DataFrame, root: String,
                      q: Array[Double], topK: Int, version: Long,
                      n: Long): Seq[(Long, Double)] = {
-    val m = ensure(s, corpus, root, version, n, (c, genDir, maxSeq, nn) => {
+    val dim = q.length
+    val m = ensure(s, corpus, root, version, n, dim, (c, genDir, maxSeq, nn) => {
       val k = AnnIndex.ivfK(nn)
+      // the codebook trains at whatever dimension the corpus carries
+      // (seeds define it; readCents infers it back) — no 64-dim gate
       AnnIndex.buildIvfFrom(s, c.select(col("vec_id"), col("v")), k,
         s"$genDir/centroids", s"$genDir/members")
       // the members write carries its own _SUCCESS; stamp the gen dir
       // so AnnIndex.committed treats the PAIR as one commit point
       Files.write(Paths.get(genDir, "_SUCCESS"), Array.emptyByteArray)
-      Meta(version, nn, maxSeq, k, Paths.get(genDir).getFileName.toString)
+      Meta(version, nn, maxSeq, k, dim, Paths.get(genDir).getFileName.toString)
     })
     val genDir = s"$root/${m.gen}"
     val cents = AnnIndex.committedCents(s, genDir)
@@ -252,6 +280,111 @@ object AnnSearch {
       .select(col("vec_id"))
     val cand = base.unionByName(delta).dropDuplicates("vec_id")
     rerank(s, corpus.join(cand, Seq("vec_id")).select(col("vec_id"), col("v")),
+      q, topK)
+  }
+
+  /** int8 quantization of a driver-held vector — the Int8Scale /
+    * Int8Round kernel discipline (max|x|/127 floored at 1e-300;
+    * round half away from zero), applied to the query so its ADC
+    * distances compare against codes the kernels stored.
+    */
+  private def int8Of(v: Array[Double]): Array[Int] = {
+    val scale = math.max(v.map(math.abs).max / 127.0, 1e-300)
+    v.map { x =>
+      val r = x / scale
+      (if (r >= 0) math.floor(r + 0.5) else math.ceil(r - 0.5)).toInt
+    }
+  }
+
+  /** The IVF-PQ route (r20 — SEARCH's fourth method, reusing the
+    * q_ann_ivfpq composition): coarse-quantizer probing prunes the
+    * member read to the probed cid partitions, integer ADC over the
+    * STORED PQ codes shortlists candidates, and only the shortlist
+    * pays the exact-cosine re-rank. The generation carries its own
+    * PQ codebook (`pqcb` — the 16 lowest live vectors, int8-quantized
+    * at build, cid-ascending: the pqCodebook discipline made
+    * corpus-relative), so delta rows encode in-plan against the SAME
+    * committed literal the build stored — upsertIvfPq's determinism
+    * contract, which is what lets stored and derived codes search
+    * identically. Requires dim % PqSubspaces == 0 (the pq_encode
+    * slice contract).
+    */
+  private def viaIvfPq(s: SparkSession, corpus: DataFrame, root: String,
+                       q: Array[Double], topK: Int, version: Long,
+                       n: Long): Seq[(Long, Double)] = {
+    val dim = q.length
+    if (dim % PqSubspaces != 0)
+      throw new EngineException(
+        s"SEARCH USING ivfpq requires the vector dimension to divide into " +
+          s"$PqSubspaces PQ subspaces (got $dim); use exact, lsh, or ivf")
+    graft.functions.GraftFunctions.register(s)
+    val m = ensure(s, corpus, root, version, n, dim, (c, genDir, maxSeq, nn) => {
+      import s.implicits._
+      val k = AnnIndex.ivfK(nn)
+      // codebook: the 16 lowest live vec_ids, int8-quantized, re-keyed
+      // 0..k-1 ascending (pq_encode requires strictly ascending cids)
+      val cb = c.select(col("vec_id"), col("v")).orderBy(col("vec_id")).limit(16)
+        .selectExpr("int8_round(v, int8_scale(v)) AS qv").collect()
+        .map(_.getSeq[Int](0)).zipWithIndex
+        .map { case (v0, i) => (i.toLong, v0) }.toSeq
+      cb.toDF("cid", "qv").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$genDir/pqcb")
+      AnnIndex.buildIvfPqFrom(s, c.select(col("vec_id"), col("v")), k, cb,
+        s"$genDir/centroids", s"$genDir/members")
+      Files.write(Paths.get(genDir, "_SUCCESS"), Array.emptyByteArray)
+      Meta(version, nn, maxSeq, k, dim, Paths.get(genDir).getFileName.toString)
+    })
+    val genDir = s"$root/${m.gen}"
+    val cents = AnnIndex.committedCents(s, genDir)
+    val cb: Seq[(Long, Seq[Int])] = s.read.parquet(s"$genDir/pqcb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq.sortBy(_._1)
+    val probed = AnnIndex
+      .probeClusters(Seq((0L, q)), cents, VectorOps.ivfProbes(cents.length))
+      .map(_._2).distinct
+    // driver-side ADC tables: the query's exact int64 squared-L2 to
+    // every codebook entry per subspace — PqSubspaces×k longs, a
+    // literal in the plan (the adcDistTable discipline, one query)
+    val qq = int8Of(q)
+    val sub = dim / PqSubspaces
+    val dtab: Seq[Seq[Long]] = (0 until PqSubspaces).map { mm =>
+      cb.map { case (_, cv) =>
+        var acc = 0L
+        var j = 0
+        while (j < sub) {
+          val dlt = (qq(mm * sub + j) - cv(mm * sub + j)).toLong
+          acc += dlt * dlt
+          j += 1
+        }
+        acc
+      }
+    }
+    val base = s.read.parquet(s"$genDir/members")
+      .filter(col("cid").isin(probed: _*))
+      .select(col("vec_id"), col("pc"))
+    // delta rows assign to the FROZEN centroids and encode against
+    // the COMMITTED codebook in-plan — searchable at commit, and
+    // bit-equal to what a rebuild would store (upsertIvfPq kernel)
+    val delta = AnnIndex.assignMembers(s,
+        corpus.filter(col("__seq") > m.builtMaxSeq)
+          .select(col("vec_id"), col("v")), cents)
+      .filter(col("cid").isin(probed: _*))
+      .withColumn("pc", call_function("pq_encode",
+        expr("int8_round(v, int8_scale(v))"), typedlit(cb), lit(PqSubspaces)))
+      .select(col("vec_id"), col("pc"))
+    // ADC shortlist: 4 integer table lookups per candidate (the
+    // element_at chain is 1-based), then only max(50, topK) ids pay
+    // the exact re-rank against the LIVE corpus
+    val short = base.unionByName(delta).dropDuplicates("vec_id")
+      .withColumn("dt", typedlit(dtab))
+      .selectExpr("vec_id",
+        """aggregate(transform(pc, (x, i) ->
+             element_at(element_at(dt, i + 1), CAST(x.code AS INT) + 1)),
+           0L, (a, b) -> a + b) AS adist""")
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(math.max(50, topK))
+      .select(col("vec_id"))
+    rerank(s, corpus.join(short, Seq("vec_id")).select(col("vec_id"), col("v")),
       q, topK)
   }
 }

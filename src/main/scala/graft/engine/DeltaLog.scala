@@ -27,33 +27,82 @@ final class DeltaLog(path: Path, meta: TableMeta) {
     */
   @volatile var lastRecovery: Option[DeltaLog.Recovery] = None
 
-  def append(rv: RowVersion): Unit = this.synchronized {
-    writeRecord(rv)
+  // ---- cross-thread group commit (r20, C14 one level up) -------------------
+  // appendBatch already batches WITHIN one call; concurrent callers
+  // (8 writer threads doing independent batchPuts) each paid their own
+  // fsync, serialized. The classic ticket-based group commit coalesces
+  // them: stage() buffers + flushes to the OS under the append lock
+  // and hands out a monotone ticket; syncTo() makes one caller the
+  // LEADER whose single fsync covers every ticket staged before it
+  // read the high-water mark — followers arriving behind it return
+  // without syncing. N concurrent writers pay ~2 fsyncs, not N.
+  // Durability contract UNCHANGED: an append call returns only after
+  // an fsync covering its records completed (a crash loses no acked
+  // write). Lock order is syncLock → this everywhere (stage takes
+  // only `this`), so the pair cannot deadlock.
+  private var stagedTicket = 0L  // guarded by this
+  private var syncedTicket = 0L  // guarded by syncLock
+  private val syncLock = new Object
+
+  /** Stage records: CRC-framed, buffered, and flushed to the OS —
+    * NOT yet durable. Returns the ticket [[syncTo]] must cover before
+    * the write may be acknowledged.
+    */
+  def stage(rvs: Seq[RowVersion]): Long = this.synchronized {
+    rvs.foreach(writeRecord)
     out.flush()
-    // fsync per mutation — the reference WAL's durability contract
-    // (includes/wal.hpp:128-148 append + flush per op).
-    fos.getFD.sync()
+    stagedTicket += 1
+    stagedTicket
   }
+
+  /** [[stage]] for rows the caller already encoded (RowCodec.encode
+    * outside the serialized section — concurrent writers encode in
+    * parallel and the append lock holds only the framing + buffer
+    * copy). Byte format identical to [[stage]].
+    */
+  def stageEncoded(recs: Seq[(RowVersion, Array[Byte])]): Long = this.synchronized {
+    recs.foreach { case (rv, row) => writeFramed(rv.seq, rv.tombstone, row) }
+    out.flush()
+    stagedTicket += 1
+    stagedTicket
+  }
+
+  /** Return once an fsync covering `ticket` has completed — either
+    * this caller's own (it becomes the leader and syncs the whole
+    * staged group) or one a concurrent leader already ran.
+    */
+  def syncTo(ticket: Long): Unit = syncLock.synchronized {
+    if (syncedTicket >= ticket) return
+    // everything staged so far is already flushed to the OS (stage
+    // flushes under the append lock), so one sync covers it all
+    val cover = this.synchronized(stagedTicket)
+    fos.getFD.sync()
+    syncedTicket = cover
+  }
+
+  def append(rv: RowVersion): Unit = appendBatch(Seq(rv))
 
   /** Batched append: all records buffered, ONE flush + fsync for the
     * group — the group-commit the reference WAL declares but never
-    * wires in (wal.hpp:399-608, SURVEY C14).
+    * wires in (wal.hpp:399-608, SURVEY C14). Under concurrency the
+    * fsync additionally coalesces across calls (see [[stage]]).
     */
-  def appendBatch(rvs: Seq[RowVersion]): Unit = this.synchronized {
-    rvs.foreach(writeRecord)
-    out.flush()
-    fos.getFD.sync()
-  }
+  def appendBatch(rvs: Seq[RowVersion]): Unit = syncTo(stage(rvs))
 
-  private def writeRecord(rv: RowVersion): Unit = {
-    val row = RowCodec.encode(rv.values, meta)
-    val payload = new java.io.ByteArrayOutputStream()
-    val p = new DataOutputStream(payload)
-    p.writeLong(rv.seq)
-    p.writeByte(if (rv.tombstone) 1 else 0)
-    p.write(row)
-    p.flush()
-    val bytes = payload.toByteArray
+  private def writeRecord(rv: RowVersion): Unit =
+    writeFramed(rv.seq, rv.tombstone, RowCodec.encode(rv.values, meta))
+
+  /** Frame one pre-encoded row: [len][seq(8,BE)|tomb(1)|row][crc32] —
+    * byte-identical to the historical DataOutputStream framing, built
+    * in one array (no per-record stream allocations in the append
+    * lock's critical section).
+    */
+  private def writeFramed(seq: Long, tomb: Boolean, row: Array[Byte]): Unit = {
+    val bytes = new Array[Byte](9 + row.length)
+    var i = 0
+    while (i < 8) { bytes(i) = ((seq >>> ((7 - i) * 8)) & 0xff).toByte; i += 1 }
+    bytes(8) = if (tomb) 1 else 0
+    System.arraycopy(row, 0, bytes, 9, row.length)
     val crc = new CRC32(); crc.update(bytes)
     out.writeInt(bytes.length)
     out.write(bytes)
@@ -65,7 +114,7 @@ final class DeltaLog(path: Path, meta: TableMeta) {
     * without the truncation, records appended after recovery would
     * sit behind the garbage and be unreachable on the next restart.
     */
-  def replay(): Vector[RowVersion] = this.synchronized {
+  def replay(): Vector[RowVersion] = syncLock.synchronized { this.synchronized {
     if (!Files.exists(path)) return Vector.empty
     val all = Files.readAllBytes(path)
     val in = new DataInputStream(new ByteArrayInputStream(all))
@@ -115,27 +164,32 @@ final class DeltaLog(path: Path, meta: TableMeta) {
     }
     lastRecovery = Some(DeltaLog.Recovery(recovered.size, all.length - intactBytes))
     recovered
-  }
+  } }
 
   /** Checkpoint: copy the current log to `dest` (reference
     * wal.hpp:330-397 — checkpoint is a file snapshot). Flushed and
     * fsynced first so the copy is a complete prefix of the live log.
     */
-  def checkpoint(dest: Path): Unit = this.synchronized {
+  def checkpoint(dest: Path): Unit = syncLock.synchronized { this.synchronized {
     out.flush()
     fos.getFD.sync()
     Files.copy(path, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  } }
 
-  /** Reset after a flush made the log's contents durable in parquet. */
-  def truncate(): Unit = this.synchronized {
+  /** Reset after a flush made the log's contents durable in parquet.
+    * Holds BOTH locks (syncLock → this, the syncTo order) so the
+    * descriptor swap can never race a leader's in-flight fsync; a
+    * writer queued behind the truncate then syncs the fresh (empty)
+    * log — its records are already durable in the flushed parquet.
+    */
+  def truncate(): Unit = syncLock.synchronized { this.synchronized {
     out.close()
     Files.deleteIfExists(path)
     fos = new FileOutputStream(path.toFile, true)
     out = new DataOutputStream(new BufferedOutputStream(fos))
-  }
+  } }
 
-  def close(): Unit = this.synchronized { out.close() }
+  def close(): Unit = syncLock.synchronized { this.synchronized { out.close() } }
 }
 
 object DeltaLog {

@@ -61,15 +61,23 @@ object AnnIndex {
   def corpusSize(s: SparkSession, d: String): Long =
     countCache.getOrElseUpdate(d, t(s, d, "embeddings").count())
 
-  private val planesCache = TrieMap.empty[Int, Seq[Seq[Double]]]
+  private val planesCache = TrieMap.empty[(Int, Int), Seq[Seq[Double]]]
 
-  /** T×B seeded random hyperplanes (dim 64) — deterministic across
-    * runs, engines, and JVMs for a given bit width.
+  /** T×B seeded random hyperplanes — deterministic across runs,
+    * engines, and JVMs for a given (bit width, dimension) pair. The
+    * dataset-tier artifacts are 64-dim (the embeddings contract);
+    * the engine-surface SEARCH passes the table's own dimension (r20
+    * — index routes are no longer 64-dim-only). At dim=64 the RNG
+    * consumption order is bit-identical to the historical
+    * single-parameter family, so every committed artifact stays
+    * probe-compatible.
     */
-  def planes(bits: Int): Seq[Seq[Double]] =
-    planesCache.getOrElseUpdate(bits, {
+  def planes(bits: Int): Seq[Seq[Double]] = planes(bits, 64)
+
+  def planes(bits: Int, dim: Int): Seq[Seq[Double]] =
+    planesCache.getOrElseUpdate((bits, dim), {
       val rng = new scala.util.Random(7L)
-      Seq.fill(Tables * bits)(Seq.fill(64)(rng.nextGaussian()))
+      Seq.fill(Tables * bits)(Seq.fill(dim)(rng.nextGaussian()))
     })
 
   private def artifactRoot: String = {
@@ -257,9 +265,10 @@ object AnnIndex {
     * At 100 TB a few million dead rows would otherwise be the
     * hottest bucket in the index.
     */
-  private[graft] def lshRowsOf(s: SparkSession, source: DataFrame, bits: Int): DataFrame = {
+  private[graft] def lshRowsOf(s: SparkSession, source: DataFrame, bits: Int,
+                               dim: Int = 64): DataFrame = {
     import s.implicits._
-    val planeRows = planes(bits).zipWithIndex.flatMap { case (p, tb) =>
+    val planeRows = planes(bits, dim).zipWithIndex.flatMap { case (p, tb) =>
       p.zipWithIndex.map { case (c, pos) => (pos, tb / bits, tb % bits, c) }
     }
     val planesDf = planeRows.toDF("pos", "tbl", "bit", "coef")
@@ -300,11 +309,16 @@ object AnnIndex {
     (readCents(s, centsPathOf(path)), Seq(membersPath))
   }
 
-  /** Load the driver-held codebook back from its artifact parquet. */
+  /** Load the driver-held codebook back from its artifact parquet.
+    * Dimension is inferred from the stored positions (the build
+    * writes every (cid, pos, x) cell), so a codebook trained at any
+    * dimension round-trips — not just the dataset tier's 64.
+    */
   private def readCents(s: SparkSession, centsPath: String): Array[Array[Double]] = {
     val rows = s.read.parquet(centsPath).collect()
     val k = rows.map(_.getInt(0)).max + 1
-    val cents = Array.fill(k)(new Array[Double](64))
+    val dim = rows.map(_.getInt(1)).max + 1
+    val cents = Array.fill(k)(new Array[Double](dim))
     rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
     cents
   }
@@ -334,6 +348,31 @@ object AnnIndex {
     // at build time buys one file per cluster — the small-files
     // discipline any 100 TB inverted file lives or dies by.
     members.repartition(col("cid"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(membersPath)
+  }
+
+  /** IVF-PQ build over an arbitrary (vec_id, v) source (r20 — the
+    * engine-surface SEARCH's fourth route): [[buildIvfFrom]]'s coarse
+    * quantizer training plus STORED PQ codes, encoded with the
+    * committed codebook `cb` by the exact [[upsertIvfPq]] kernel
+    * expression — so batch-built members and later upserted arrivals
+    * carry bit-equal codes and search identically. Same one-file-per-
+    * cluster write discipline as every member write.
+    */
+  private[graft] def buildIvfPqFrom(s: SparkSession, source: DataFrame, k: Int,
+                                    cb: Seq[(Long, Seq[Int])],
+                                    centsPath: String, membersPath: String): Unit = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val cents = trainCentroidsFrom(s, source, k)
+    cents.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (x, pos) => (cid, pos, x) }
+    }.toSeq.toDF("cid", "pos", "x")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centsPath)
+    assignMembers(s, source, cents)
+      .withColumn("pc", call_function("pq_encode",
+        expr("int8_round(v, int8_scale(v))"), typedlit(cb), lit(4)))
+      .repartition(col("cid"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(membersPath)
   }
 
@@ -412,7 +451,9 @@ object AnnIndex {
       cents = cents.indices.map { cid =>
         byCid.get(cid) match {
           case Some(rows) =>
-            val arr = new Array[Double](64)
+            // dim comes from the seeds, not a constant — the engine
+            // surface trains codebooks at the table's own dimension
+            val arr = new Array[Double](cents(cid).length)
             rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
             arr
           case None => cents(cid) // empty cluster keeps its centroid
@@ -916,8 +957,8 @@ object AnnIndex {
     * would emit. Idempotent, like [[upsertIvf]].
     */
   def upsertLsh(s: SparkSession, batch: DataFrame, bits: Int,
-                arrivalsPath: String): Unit =
-    lshRowsOf(s, batch.select(col("vec_id"), col("v").as("embedding")), bits)
+                arrivalsPath: String, dim: Int = 64): Unit =
+    lshRowsOf(s, batch.select(col("vec_id"), col("v").as("embedding")), bits, dim)
       .write.mode(SaveMode.Overwrite).parquet(arrivalsPath)
 
   /** Every COMMITTED, NOT-ABSORBED arrivals directory under an

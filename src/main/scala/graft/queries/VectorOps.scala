@@ -687,15 +687,32 @@ object VectorOps {
          UNION ALL SELECT 'lsh', CAST(1 AS INT), CAST(1 AS INT), CAST(0 AS INT)) ORDER BY method""") { (s, d) =>
       import s.implicits._
       val m = AnnIndex.IncMod
-      val live = registered(s, d).filter(expr("dot_product(v, v) > 0"))
-      val batchLive = live.filter(col("vec_id") % m === 0).count()
-      val batchAll = base(s, d).filter(col("vec_id") % m === 0).count()
+      // ONE aggregate over the batch slice (r20 — was two full corpus
+      // scans): total rows and live (nonzero-norm) rows of the
+      // arrival slice in a single job
+      val bc = registered(s, d).filter(col("vec_id") % m === 0)
+        .agg(count(lit(1)).as("all"),
+          count(when(expr("dot_product(v, v) > 0"), 1)).as("live"))
+        .collect()(0)
+      val batchAll = bc.getLong(0)
+      val batchLive = bc.getLong(1)
 
+      // The grown member frame is read ONCE and cached for the whole
+      // audit (r20 — the read-fan-in half of the residual floor): the
+      // batch_indexed count below and the recall half's probe-pruned
+      // read (via membersOpt) share it instead of paying the grown
+      // artifact's file fan-in per verdict. At deployment scale the
+      // audit runs where the index lives, so one read amortized
+      // across verdicts is the right shape there too.
       val (cents, memberPaths) = AnnIndex.ivfIncremental(s, d)
+      val members = AnnIndex.readMembers(s, memberPaths)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ivfBatchIndexed =
-        AnnIndex.readMembers(s, memberPaths).filter(col("vec_id") % m === 0)
+        members.filter(col("vec_id") % m === 0)
           .select(col("vec_id")).distinct().count() == batchAll
-      val (lshIdx, lshBits) = AnnIndex.lshIncrementalWithBits(s, d)
+      val (lshIdx0, lshBits) = AnnIndex.lshIncrementalWithBits(s, d)
+      val lshIdx = lshIdx0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lshBatchIndexed =
         lshIdx.filter(col("vec_id") % m === 0)
           .select(col("vec_id")).distinct().count() == batchLive
@@ -714,7 +731,10 @@ object VectorOps {
       val nCorpus = corpusSize(s, d)
       val pred = if (nCorpus < sampleRouteMin) None else Some(samplePred(nCorpus))
       val (ivfRecall, lshRecall) =
-        upsertRecallOk(s, d, (cents, memberPaths), lshIdx, lshBits, pred)
+        upsertRecallOk(s, d, (cents, memberPaths), lshIdx, lshBits, pred,
+          membersOpt = Some(members))
+      members.unpersist(blocking = false)
+      lshIdx.unpersist(blocking = false)
       val ivfRoot = AnnIndex.ivfIncPath(s, d)
       val lshRoot = AnnIndex.lshIncPath(s, d)
       val ivfStale = AnnIndex.indexGrowth(s, s"$ivfRoot/members",
@@ -1249,8 +1269,9 @@ object VectorOps {
     */
   private[graft] def ivfTop5From(s: SparkSession, d: String,
                           artifact: (Array[Array[Double]], Seq[String]),
-                          candFilter: Option[Column] = None): DataFrame = {
-    val (probesDf, qVecsDf, pruned0) = ivfProbeCtxFrom(s, d, artifact)
+                          candFilter: Option[Column] = None,
+                          membersOpt: Option[DataFrame] = None): DataFrame = {
+    val (probesDf, qVecsDf, pruned0) = ivfProbeCtxFrom(s, d, artifact, membersOpt)
     // candFilter (sampled recall audit) composes with the cid
     // partition pruning — the member read shrinks on both axes
     val pruned = candFilter.foldLeft(pruned0)(_.filter(_))
@@ -1277,7 +1298,8 @@ object VectorOps {
     ivfProbeCtxFrom(s, d, AnnIndex.ivf(s, d))
 
   private def ivfProbeCtxFrom(s: SparkSession, d: String,
-                              artifact: (Array[Array[Double]], Seq[String]))
+                              artifact: (Array[Array[Double]], Seq[String]),
+                              membersOpt: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val (cents, memberPaths) = artifact
@@ -1291,7 +1313,12 @@ object VectorOps {
     val probedCids = probes.map(_._2).distinct
     val probesDf = probes.toDF("q_id", "cid")
     val qVecsDf = qRows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv")
-    val pruned = AnnIndex.readMembers(s, memberPaths)
+    // membersOpt (r20 — the q_ann_upsert fan-in fix): a caller that
+    // already read AND CACHED the member frame for another verdict
+    // passes it in — the cid filter then prunes in memory instead of
+    // paying the grown artifact's read fan-in a second time. Absent,
+    // the parquet read partition-prunes on cid as before.
+    val pruned = membersOpt.getOrElse(AnnIndex.readMembers(s, memberPaths))
       .filter(col("cid").isin(probedCids: _*))   // partition pruning
       .filter(expr("dot_product(v, v) > 0"))
     (probesDf, qVecsDf, pruned)
@@ -1349,20 +1376,31 @@ object VectorOps {
   private[graft] def upsertRecallOk(s: SparkSession, d: String,
       ivfArtifact: (Array[Array[Double]], Seq[String]),
       lshIdx: DataFrame, lshBits: Int,
-      pred: Option[Column]): (Boolean, Boolean) = {
+      pred: Option[Column],
+      membersOpt: Option[DataFrame] = None): (Boolean, Boolean) = {
     val exact = knnTop5(registered(s, d), candFilter = pred)
       .select(col("q_id"), col("neighbor_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
-    val out = (
-      recallAtLeast08(exact, nExact,
-        ivfTop5From(s, d, ivfArtifact, candFilter = pred)),
-      recallAtLeast08(exact, nExact,
-        lshTop5From(s, d, lshIdx, Some(lshBits), candFilter = pred)))
+    // ONE hit-count job for both families (r20 — the fixed-job-count
+    // half of the audit's residual floor): the two index answers are
+    // method-tagged and unioned, so the semi-join against the exact
+    // base and both counts land in a single action. Per-family hit
+    // ratios are exactly what two recallAtLeast08 calls would compute
+    // — the union tags rows, it never mixes them.
+    val tagged = ivfTop5From(s, d, ivfArtifact, candFilter = pred,
+        membersOpt = membersOpt)
+      .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id"))
+      .unionByName(lshTop5From(s, d, lshIdx, Some(lshBits), candFilter = pred)
+        .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id")))
+    val hits = exact.join(tagged, Seq("q_id", "neighbor_id"))
+      .groupBy(col("method")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // both verdict actions are consumed — release the exact-KNN cache
     // instead of pinning it for the driver lifetime
     exact.unpersist(blocking = false)
-    out
+    (hits.getOrElse("ivf", 0L).toDouble / nExact >= 0.8,
+      hits.getOrElse("lsh", 0L).toDouble / nExact >= 0.8)
   }
 
   /** Recall gate for an ARBITRARY IVF artifact — package-private so

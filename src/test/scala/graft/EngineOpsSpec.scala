@@ -1042,8 +1042,10 @@ class EngineOpsSpec extends AnyFunSuite {
       }
       // the query vector IS corpus row q (cosine 1, lowest id among
       // the score-1 clone ties) — TOP 6 = self + the declared path's
-      // 5 planted-clone neighbors, in rank order
-      for (qid <- Seq(0L, 3L, 7L); method <- Seq("exact", "lsh", "ivf")) {
+      // 5 planted-clone neighbors, in rank order. ivfpq included
+      // (r20): clones carry the query's exact PQ code, so the ADC
+      // shortlist holds them and the exact re-rank restores rank order
+      for (qid <- Seq(0L, 3L, 7L); method <- Seq("exact", "lsh", "ivf", "ivfpq")) {
         val got = searchIds(qVecs(qid), method)
         assert(got == qid +: declared(qid),
           s"$method for q=$qid: got $got, declared ${declared(qid)}")
@@ -1094,12 +1096,58 @@ class EngineOpsSpec extends AnyFunSuite {
       assert(r4.ok && r4.rows.head.head == "7", r4.rows.toString)
       assert(new String(java.nio.file.Files.readAllBytes(metaFile)) != meta0,
         "growth past the re-train bound must rebuild the artifact")
+      // ivfpq (r20): same freshness contract — the grown corpus's
+      // nearest (the id-7 clone) tops the PQ route too, and the
+      // deleted row stays dead through the ADC shortlist
+      val r5 = e.sql(s"SEARCH sv NEAREST ($lit) TOP 3 USING ivfpq")
+      assert(r5.ok && r5.rows.head.head == "7", r5.rows.toString)
+      assert(!r5.rows.exists(_.head == "500"), r5.rows.toString)
+      // a query dimension matching NO live row searches an empty
+      // corpus exactly (r20 — index routes are no longer 64-dim-only,
+      // so a dim mismatch is an empty result, not an error)
+      val r6 = e.sql("SEARCH sv NEAREST (1.0, 2.0) TOP 3 USING lsh")
+      assert(r6.ok && r6.rows.isEmpty, r6.rows.toString)
       // loud errors, never exceptions, through the SQL surface
-      assert(!e.sql(s"SEARCH sv NEAREST ($lit) TOP 3 USING ivfpq").ok)
-      assert(!e.sql("SEARCH sv NEAREST (1.0, 2.0) TOP 3 USING lsh").ok,
-        "index routes require the 64-dim kernel family")
       assert(!e.sql("SEARCH nope NEAREST (1.0) TOP 1").ok)
       assert(!e.sql(s"SEARCH sv NEAREST ($lit) TOP 3 VECTOR missing").ok)
+    }
+  }
+
+  test("SEARCH verb: index routes at a non-64 dimension (r20)") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      assert(e.sql("CREATE TABLE sw (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR)").ok)
+      val rng = new scala.util.Random(23L)
+      val dim = 32
+      def randVec(): Array[Double] = Array.fill(dim)(rng.nextGaussian())
+      def vstr(v: Array[Double]): String = v.map(plain).mkString(",")
+      val rows = (0L until 200L).map(i => (i, randVec()))
+      e.batchPut("sw", rows.map { case (i, v) => Array[Any](i, vstr(v)) })
+      // plant 3 exact clones of row 5 — identical sign bits, identical
+      // cluster, identical PQ code: every index route must find them
+      val target = rows(5)._2
+      e.batchPut("sw", Seq(900L, 901L, 902L).map(i =>
+        Array[Any](i, vstr(target))))
+      val lit = target.map(plain).mkString(", ")
+      val exact = e.sql(s"SEARCH sw NEAREST ($lit) TOP 4 USING exact")
+      assert(exact.ok, exact.error)
+      assert(exact.rows.map(_.head).toSet == Set("5", "900", "901", "902"),
+        exact.rows.toString)
+      for (method <- Seq("lsh", "ivf", "ivfpq")) {
+        val rs = e.sql(s"SEARCH sw NEAREST ($lit) TOP 4 USING $method")
+        assert(rs.ok, s"$method: ${rs.error}")
+        assert(rs.rows == exact.rows,
+          s"$method at dim $dim diverged from exact: ${rs.rows} vs ${exact.rows}")
+      }
+      // ivfpq's one dimensional constraint: dim must divide into the
+      // PQ subspaces — a 6-dim table errors loudly on that route only
+      assert(e.sql("CREATE TABLE s6 (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR)").ok)
+      e.batchPut("s6", (0L until 50L).map(i =>
+        Array[Any](i, (0 until 6).map(_ => plain(rng.nextGaussian())).mkString(","))))
+      val q6 = (0 until 6).map(_ => plain(rng.nextGaussian())).mkString(", ")
+      assert(!e.sql(s"SEARCH s6 NEAREST ($q6) TOP 3 USING ivfpq").ok)
+      val l6 = e.sql(s"SEARCH s6 NEAREST ($q6) TOP 3 USING lsh")
+      assert(l6.ok && l6.rows.size == 3, l6.error)
     }
   }
 }
