@@ -19,7 +19,9 @@ object Shell {
     spark.sparkContext.setLogLevel("ERROR")
     val engine = new Engine(spark)
     println("graft SQL shell — \\q quit, \\s show tables, \\d <table> describe, " +
-      "\\spark <sql> full Spark SQL, \\explain <sql> tier feed + physical plan")
+      "\\spark <sql> full Spark SQL, \\explain <sql> tier feed + physical plan; " +
+      "similarity search: SEARCH <table> NEAREST (v1, v2, ...) TOP k " +
+      "[USING exact|lsh|ivf|ivfpq] [VECTOR col]")
     val in = scala.io.Source.stdin.getLines()
     val buf = new StringBuilder
     var done = false

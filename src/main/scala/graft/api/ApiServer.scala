@@ -463,11 +463,15 @@ final class ApiServer(engine: Engine, port: Int = 0) {
           "supportedStatements" -> jarr(Seq(
             "CREATE TABLE", "DROP TABLE", "INSERT", "SELECT", "UPDATE",
             "DELETE", "SHOW TABLES", "EXPLAIN", "DESCRIBE",
-            "OPTIMIZE ... ZORDER BY").map(jstr)),
+            "OPTIMIZE ... ZORDER BY",
+            "SEARCH <table> NEAREST (v1, v2, ...) TOP k " +
+              "[USING exact|lsh|ivf|ivfpq] [VECTOR col]").map(jstr)),
           "extensions" -> jarr(Seq(
             "POST /api/sparksql (full Spark SQL)",
             "POST /api/explainspark (tier feed + Catalyst physical plan)",
-            "POST /api/admin/optimize (z-order cold-tier rewrite)").map(jstr)))))
+            "POST /api/admin/optimize (z-order cold-tier rewrite)",
+            "SEARCH via POST /api/query (engine-owned ANN index: " +
+              "any vector dimension, fresh at commit, self-retraining)").map(jstr)))))
 
       case _ => (404, failure(s"No route for $method $path", "NOT_FOUND"))
     }

@@ -184,9 +184,20 @@ object TextOps {
     * an ever-larger shingle fraction as the corpus grows — df > n/1000
     * keeps "stop" meaning "in a constant fraction of documents" at any
     * scale, floored at 100 so small corpora keep today's behavior.
-    * The oracle CTE applies the identical formula.
+    * CAPPED at 100k (r20, r19 verdict item 5): the anchor co-count
+    * route holds one O(maxDf) posting array per hot-shingle row, so
+    * an uncapped n/1000 makes row size corpus-proportional — at 10B
+    * docs a 10M-element array (~80 MB) per row, an executor-memory
+    * hazard. The cap bounds every posting row at ≤ 100k longs
+    * (~800 KB — comfortably inside any executor's row budget) and
+    * bounds per-anchor pair emission at O(100k); shingles between the
+    * cap and n/1000 are simply treated as stop-shingles, which only
+    * STRENGTHENS the stop semantics on ultra-hot shingles. The cap
+    * engages at n > 100M docs — far above every test scale, inert for
+    * the oracles, which mirror the identical formula.
     */
-  private[graft] def maxDfFor(n: Long): Long = math.max(100L, n / 1000L)
+  private[graft] def maxDfFor(n: Long): Long =
+    math.min(100000L, math.max(100L, n / 1000L))
 
   private def toksFrame(s: SparkSession, d: String,
                         withText: Boolean = false): DataFrame =
@@ -1052,10 +1063,11 @@ object TextOps {
     * and the connected-components clustering.
     */
   /** DuckDB mirror of maxDfFor — `//` is DuckDB integer floor
-    * division, matching the Scala Long division exactly.
+    * division, matching the Scala Long division exactly (cap
+    * included, inert below 100M docs).
     */
   private val maxDfSql =
-    "greatest(100, (SELECT count(*) // 1000 FROM documents))"
+    "least(100000, greatest(100, (SELECT count(*) // 1000 FROM documents)))"
 
   /** Corpus-size crossover for the n-gram co-count route (r19 A/B,
     * BENCH_sf1.md): the double-exchange self-join wins below it (5k

@@ -79,6 +79,13 @@ class ApiServerSpec extends AnyFunSuite {
       assert(b7.indexOf("[\"1\"") >= 0 && b7.indexOf("[\"3\"") >= 0 &&
         b7.indexOf("[\"1\"") < b7.indexOf("[\"3\""), b7)
       assert(!b7.contains("[\"2\""), b7)
+      // the /api/info documented form, instantiated VERBATIM (r20 —
+      // every optional clause spelled out): same result as the bare verb
+      val (c8, b8) = post(p, "/api/query",
+        """{"sql": "SEARCH api_v NEAREST (1.0, 0.0) TOP 2 USING exact VECTOR v"}""")
+      assert(c8 == 200 && b8.contains(""""success":true"""), b8)
+      assert(b8.indexOf("[\"1\"") >= 0 && b8.indexOf("[\"3\"") >= 0 &&
+        b8.indexOf("[\"1\"") < b8.indexOf("[\"3\""), b8)
     }
   }
 
@@ -150,6 +157,10 @@ class ApiServerSpec extends AnyFunSuite {
       assert(c2 == 200 && b2.contains(""""status":"ok""""))
       val (c3, b3) = get(p, "/api/info")
       assert(c3 == 200 && b3.contains("SHOW TABLES"))
+      // SEARCH is a documented capability (r20): the statement list
+      // carries the full verb syntax a client can run verbatim
+      assert(b3.contains("SEARCH <table> NEAREST"), b3)
+      assert(b3.contains("USING exact|lsh|ivf|ivfpq"), b3)
       val (c4, _) = post(p, "/api/admin/flush", "")
       assert(c4 == 200)
       val (c5, _) = post(p, "/api/admin/compact", "")

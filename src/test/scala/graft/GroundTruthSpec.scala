@@ -380,7 +380,7 @@ class GroundTruthSpec extends AnyFunSuite {
 
   // ---- corpus-derived stop-shingle cutoff (VERDICT r4 #4) -----------------
 
-  test("stop-shingle cutoff derives from corpus size, floored at 100") {
+  test("stop-shingle cutoff derives from corpus size, floored at 100, capped at 100k") {
     import graft.queries.TextOps.maxDfFor
     assert(maxDfFor(0L) == 100L)
     assert(maxDfFor(500L) == 100L)              // sf0.01-scale corpora keep r4 behavior
@@ -388,7 +388,12 @@ class GroundTruthSpec extends AnyFunSuite {
     assert(maxDfFor(100999L) == 100L)           // integer floor division
     assert(maxDfFor(101000L) == 101L)
     assert(maxDfFor(1000000L) == 1000L)         // df > 0.1% of docs = stop
-    assert(maxDfFor(5000000000L) == 5000000L)   // 100 TB-scale: still a fraction
+    // r20 cap: the anchor co-count route holds one O(maxDf) posting
+    // array per hot-shingle row — the cap bounds it at ≤100k longs
+    // (~800 KB/row) at ANY corpus size; a 10B-doc corpus would
+    // otherwise hold 10M-element (~80 MB) rows
+    assert(maxDfFor(100000000L) == 100000L)     // cap boundary (100M docs)
+    assert(maxDfFor(5000000000L) == 100000L)    // 100 TB-scale: row size bounded
   }
 
   // ---- star-contraction convergence: O(log n), not O(diameter) ------------
