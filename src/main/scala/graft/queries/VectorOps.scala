@@ -602,15 +602,14 @@ object VectorOps {
       """SELECT * FROM (SELECT 'ivf' AS method, CAST(1 AS INT) AS recall_ok
          UNION ALL SELECT 'lsh', CAST(1 AS INT)) ORDER BY method""") { (s, d) =>
       import s.implicits._
-      val exact = knnTop5(registered(s, d)).select(col("q_id"), col("neighbor_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nExact = exact.count()
-      val rows = Seq("ivf" -> ivfTop5(s, d), "lsh" -> lshTop5(s, d)).map {
-        case (name, approx) =>
-          (name, if (recallAtLeast08(exact, nExact, approx)) 1 else 0)
-      }
-      exact.unpersist(blocking = false) // both joins consumed above
-      rows.toDF("method", "recall_ok")
+      // fused (r20): base + both answers + both hit counts in ONE
+      // action — the exact base participates exactly once, so the
+      // persist + count + two-join shape collapses (4 jobs → 1)
+      val (ivfOk, lshOk) = recallVerdictsFused(
+        knnTop5(registered(s, d)), ivfTop5(s, d), lshTop5(s, d))
+      Seq("ivf" -> ivfOk, "lsh" -> lshOk)
+        .map { case (name, ok) => (name, if (ok) 1 else 0) }
+        .toDF("method", "recall_ok")
         .select(col("method"), col("recall_ok").cast("int"))
         .orderBy(col("method"))
     },
@@ -645,18 +644,14 @@ object VectorOps {
       // the verdict semantics and oracle are unchanged on both routes.
       val n = corpusSize(s, d)
       val pred = if (n < sampleRouteMin) None else Some(samplePred(n))
-      val exact = knnTop5(registered(s, d), candFilter = pred)
-        .select(col("q_id"), col("neighbor_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nExact = exact.count()
-      val rows = Seq(
-        "ivf" -> ivfTop5From(s, d, AnnIndex.ivf(s, d), candFilter = pred),
-        "lsh" -> lshTop5From(s, d, AnnIndex.lshIndex(s, d), candFilter = pred)
-      ).map { case (name, approx) =>
-        (name, if (recallAtLeast08(exact, nExact, approx)) 1 else 0)
-      }
-      exact.unpersist(blocking = false)
-      rows.toDF("method", "recall_ok")
+      // fused single-action verdicts (r20), same route and semantics
+      val (ivfOk, lshOk) = recallVerdictsFused(
+        knnTop5(registered(s, d), candFilter = pred),
+        ivfTop5From(s, d, AnnIndex.ivf(s, d), candFilter = pred),
+        lshTop5From(s, d, AnnIndex.lshIndex(s, d), candFilter = pred))
+      Seq("ivf" -> ivfOk, "lsh" -> lshOk)
+        .map { case (name, ok) => (name, if (ok) 1 else 0) }
+        .toDF("method", "recall_ok")
         .select(col("method"), col("recall_ok").cast("int"))
         .orderBy(col("method"))
     },
@@ -687,15 +682,6 @@ object VectorOps {
          UNION ALL SELECT 'lsh', CAST(1 AS INT), CAST(1 AS INT), CAST(0 AS INT)) ORDER BY method""") { (s, d) =>
       import s.implicits._
       val m = AnnIndex.IncMod
-      // ONE aggregate over the batch slice (r20 — was two full corpus
-      // scans): total rows and live (nonzero-norm) rows of the
-      // arrival slice in a single job
-      val bc = registered(s, d).filter(col("vec_id") % m === 0)
-        .agg(count(lit(1)).as("all"),
-          count(when(expr("dot_product(v, v) > 0"), 1)).as("live"))
-        .collect()(0)
-      val batchAll = bc.getLong(0)
-      val batchLive = bc.getLong(1)
 
       // The grown member frame is read ONCE and cached for the whole
       // audit (r20 — the read-fan-in half of the residual floor): the
@@ -707,15 +693,33 @@ object VectorOps {
       val (cents, memberPaths) = AnnIndex.ivfIncremental(s, d)
       val members = AnnIndex.readMembers(s, memberPaths)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ivfBatchIndexed =
-        members.filter(col("vec_id") % m === 0)
-          .select(col("vec_id")).distinct().count() == batchAll
       val (lshIdx0, lshBits) = AnnIndex.lshIncrementalWithBits(s, d)
       val lshIdx = lshIdx0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lshBatchIndexed =
-        lshIdx.filter(col("vec_id") % m === 0)
-          .select(col("vec_id")).distinct().count() == batchLive
+
+      // ONE counting job for every exact verdict input (r20 — was
+      // four actions: two corpus scans + two distinct counts): the
+      // corpus batch slice (total + live rows) and each family's
+      // distinct indexed batch ids ride one method-tagged union, and
+      // the same action materializes both persisted index frames for
+      // the recall half. Per-branch distinct happens BEFORE the
+      // union, so counts are exactly the old per-frame ones.
+      val slice = registered(s, d).filter(col("vec_id") % m === 0)
+        .select(lit("corpus").as("method"), col("vec_id"),
+          when(expr("dot_product(v, v) > 0"), lit(1)).as("live"))
+      val ivfIds = members.filter(col("vec_id") % m === 0)
+        .select(col("vec_id")).distinct()
+        .select(lit("ivf").as("method"), col("vec_id"), lit(1).as("live"))
+      val lshIds = lshIdx.filter(col("vec_id") % m === 0)
+        .select(col("vec_id")).distinct()
+        .select(lit("lsh").as("method"), col("vec_id"), lit(1).as("live"))
+      val cnts = slice.unionByName(ivfIds).unionByName(lshIds)
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n"), count(col("live")).as("n_live"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val (batchAll, batchLive) = cnts.getOrElse("corpus", (0L, 0L))
+      val ivfBatchIndexed = cnts.getOrElse("ivf", (0L, 0L))._1 == batchAll
+      val lshBatchIndexed = cnts.getOrElse("lsh", (0L, 0L))._1 == batchLive
 
       // SIZE-ROUTED recall base (r19, r18 verdict item 2): this
       // audit half previously paid an exact-KNN pass over the FULL
@@ -1357,14 +1361,42 @@ object VectorOps {
 
   /** THE recall definition (mean top-5 recall ≥0.8 as a left-semi hit
     * ratio against a persisted exact-KNN frame) — the ONE place it
-    * lives, shared by q_ann_recall_audit, q_ann_upsert, and the
-    * streaming-index gate, so the three 0.8 audits cannot drift apart.
+    * lives, shared with [[recallVerdictsFused]] (same hit counts, one
+    * action for both families) and the streaming-index gate, so the
+    * 0.8 audits cannot drift apart.
     */
   private def recallAtLeast08(exact: DataFrame, nExact: Long,
                               approx: DataFrame): Boolean = {
     val hits = exact.join(approx.select(col("q_id"), col("neighbor_id")),
       Seq("q_id", "neighbor_id"), "left_semi").count()
     hits.toDouble / nExact >= 0.8
+  }
+
+  /** Fused recall verdicts for both index families (r20 — the
+    * fixed-job-count half of the audit floor): ONE action computes
+    * the exact base (never persisted — it participates exactly once),
+    * both index answers, the base size, and both hit counts. The left
+    * join tags each exact pair with the method(s) that retrieved it;
+    * per-method hit counts and the distinct-pair base size all fall
+    * out of one aggregate. Hit ratios are numerically identical to
+    * two [[recallAtLeast08]] passes — (q_id, neighbor_id) is unique
+    * within each answer, so the tagged counts ARE the semi-join
+    * counts. Replaces the persist + count + two join actions (4 jobs
+    * → 1).
+    */
+  private def recallVerdictsFused(exact: DataFrame, ivf: DataFrame,
+                                  lsh: DataFrame): (Boolean, Boolean) = {
+    val tagged = ivf.select(lit("ivf").as("method"), col("q_id"), col("neighbor_id"))
+      .unionByName(
+        lsh.select(lit("lsh").as("method"), col("q_id"), col("neighbor_id")))
+    val r = exact.select(col("q_id"), col("neighbor_id"))
+      .join(tagged, Seq("q_id", "neighbor_id"), "left")
+      .agg(count_distinct(struct(col("q_id"), col("neighbor_id"))).as("n"),
+        count(when(col("method") === "ivf", 1)).as("ivf_hits"),
+        count(when(col("method") === "lsh", 1)).as("lsh_hits"))
+      .collect()(0)
+    val n = r.getLong(0).toDouble
+    (n > 0 && r.getLong(1) / n >= 0.8, n > 0 && r.getLong(2) / n >= 0.8)
   }
 
   /** The recall half of the grown-index audit (q_ann_upsert): one
@@ -1378,29 +1410,10 @@ object VectorOps {
       lshIdx: DataFrame, lshBits: Int,
       pred: Option[Column],
       membersOpt: Option[DataFrame] = None): (Boolean, Boolean) = {
-    val exact = knnTop5(registered(s, d), candFilter = pred)
-      .select(col("q_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nExact = exact.count()
-    // ONE hit-count job for both families (r20 — the fixed-job-count
-    // half of the audit's residual floor): the two index answers are
-    // method-tagged and unioned, so the semi-join against the exact
-    // base and both counts land in a single action. Per-family hit
-    // ratios are exactly what two recallAtLeast08 calls would compute
-    // — the union tags rows, it never mixes them.
-    val tagged = ivfTop5From(s, d, ivfArtifact, candFilter = pred,
-        membersOpt = membersOpt)
-      .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id"))
-      .unionByName(lshTop5From(s, d, lshIdx, Some(lshBits), candFilter = pred)
-        .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id")))
-    val hits = exact.join(tagged, Seq("q_id", "neighbor_id"))
-      .groupBy(col("method")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // both verdict actions are consumed — release the exact-KNN cache
-    // instead of pinning it for the driver lifetime
-    exact.unpersist(blocking = false)
-    (hits.getOrElse("ivf", 0L).toDouble / nExact >= 0.8,
-      hits.getOrElse("lsh", 0L).toDouble / nExact >= 0.8)
+    recallVerdictsFused(
+      knnTop5(registered(s, d), candFilter = pred),
+      ivfTop5From(s, d, ivfArtifact, candFilter = pred, membersOpt = membersOpt),
+      lshTop5From(s, d, lshIdx, Some(lshBits), candFilter = pred))
   }
 
   /** Recall gate for an ARBITRARY IVF artifact — package-private so
