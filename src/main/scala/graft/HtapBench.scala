@@ -87,16 +87,19 @@ object HtapBench {
     // memtable no production config would ever hold — the phase's
     // final in-flight COUNT then paid a ~40 s fallback over it
     // (observed). This supervisor restores the trigger the
-    // constructor switched off, at the reference's own threshold: the
-    // 64 MB memtable freeze (hotLimitBytes' default), polled at
-    // 50 ms. (The 100k-ROW default would freeze these ~40-byte rows
-    // 16× more often than the reference memtable ever would, and each
-    // flush stalls writers for its parquet write.)
+    // constructor switched off, at the engine's own default
+    // (hotLimit = 100k rows), polled at 50 ms. Frequent flushes are
+    // cheap now: the r20 freeze-and-swap flush writes its tier with
+    // the store lock RELEASED, so writers never stall behind it, and
+    // a bounded hot store keeps every COUNT on the incremental fold
+    // path (past ~1M hot rows the stats layer's exactness backstop
+    // hands counts to the Spark snapshot path, which is seconds —
+    // production configs flush far below that for the same reason).
     def withHotCap[T](body: => T): T = {
       val stopSup = new AtomicBoolean(false)
       val sup = new Thread(() => {
         while (!stopSup.get()) {
-          if (e.stats.tables.find(_.name == "mt_bench_table").exists(_.hotBytes > (64L << 20)))
+          if (e.stats.tables.find(_.name == "mt_bench_table").exists(_.hotRows > 100000))
             e.forceFlush("mt_bench_table")
           Thread.sleep(50)
         }

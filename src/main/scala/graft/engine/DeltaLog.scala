@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.io.{BufferedOutputStream, ByteArrayInputStream, DataInputStream, DataOutputStream, EOFException, FileOutputStream}
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, StandardCopyOption}
 import java.util.zip.CRC32
 
 /** Per-table append-only durability log — the analogue of the
@@ -185,6 +185,59 @@ final class DeltaLog(path: Path, meta: TableMeta) {
   def truncate(): Unit = syncLock.synchronized { this.synchronized {
     out.close()
     Files.deleteIfExists(path)
+    fos = new FileOutputStream(path.toFile, true)
+    out = new DataOutputStream(new BufferedOutputStream(fos))
+  } }
+
+  /** Drop records with seq <= cutoff, KEEPING the newer suffix — the
+    * reference WAL's `truncate(seq)` (wal.hpp:330-397 rewrites the
+    * file keeping seq > cutoff). This is what lets a freeze-and-swap
+    * flush truncate only what its tier made durable while concurrent
+    * writers' in-flight records (staged DURING the flush job) survive
+    * for crash recovery. Atomic: the suffix is written to a tmp
+    * sibling, fsynced, and moved over the live log — a crash leaves
+    * either the old file (recover() skips records at or below the
+    * manifest's flushed max) or the new one. Holds both locks in the
+    * syncTo order, so no append or leader fsync interleaves with the
+    * descriptor swap; frames are copied RAW (seq is the first 8 bytes
+    * of each CRC-framed payload), never re-encoded.
+    */
+  def truncateThrough(cutoff: Long): Unit = syncLock.synchronized { this.synchronized {
+    out.flush() // buffered frames must be in the file before the read
+    if (!Files.exists(path)) return
+    val all = Files.readAllBytes(path)
+    val keep = new java.io.ByteArrayOutputStream()
+    var off = 0
+    def i32(at: Int): Int =
+      ((all(at) & 0xff) << 24) | ((all(at + 1) & 0xff) << 16) |
+        ((all(at + 2) & 0xff) << 8) | (all(at + 3) & 0xff)
+    def i64(at: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (all(at + k) & 0xffL); k += 1 }
+      v
+    }
+    var ok = true
+    while (ok && off + 4 <= all.length) {
+      val len = i32(off)
+      if (len <= 0 || off + 4L + len + 8L > all.length) ok = false
+      else {
+        val seq = i64(off + 4)
+        val total = 4 + len + 8
+        if (seq > cutoff) keep.write(all, off, total)
+        off += total
+      }
+    }
+    // a torn tail (ok=false) is dropped here exactly as replay() would
+    // drop it at the next recovery — every intact suffix record is kept
+    val tmp = path.resolveSibling(path.getFileName.toString + ".trunc")
+    Files.write(tmp, keep.toByteArray)
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+    out.close()
+    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
     fos = new FileOutputStream(path.toFile, true)
     out = new DataOutputStream(new BufferedOutputStream(fos))
   } }

@@ -192,6 +192,23 @@ final class Engine(
       b
     }
 
+    /** serializes freeze-and-swap flushes per store; taken BEFORE the
+      * store monitor, never while holding it (flushStore's contract)
+      */
+    val flushLock = new Object
+
+    /** Commit-side retention after a freeze-and-swap flush: drop the
+      * rows the new tier made durable (seq <= flushedMax), keep
+      * everything written DURING the flush job, and re-derive the
+      * retained byte estimate. Called under the store monitor
+      * (reentrant) as part of the tier-swap commit.
+      */
+    def retainAfterFlush(flushedMax: Long): Unit = this.synchronized {
+      latest.filterInPlace((_, rv) => rv.seq > flushedMax)
+      log.filterInPlace(_.seq > flushedMax)
+      approxBytes = latest.values.iterator.map(rv => rowBytes(rv.values)).sum
+    }
+
     def put(values: Array[Any], tombstone: Boolean = false): Long =
       putBatch(Seq((values, tombstone))).head
     /** Batched put: one lock acquisition, one delta-log batch append
@@ -290,7 +307,11 @@ final class Engine(
       maxSeq = math.max(maxSeq, flushedMax)
       val dl = new DeltaLog(deltaPath(dir, m.name), m)
       dl.replay().foreach { rv =>
-        store.applyVersion(rv)
+        // records at or below the manifest's flushed max are already
+        // durable in a tier — a crash between the commit swap and the
+        // WAL rewrite (truncateThrough) must not re-apply them as hot
+        // duplicates of their own cold versions
+        if (rv.seq > store.maxFlushedSeq) store.applyVersion(rv)
         maxSeq = math.max(maxSeq, rv.seq)
       }
       store.delta = Some(dl)
@@ -303,69 +324,91 @@ final class Engine(
   dataDir.foreach(recover)
 
   /** Flush the hot store to a new cold Parquet tier, then truncate the
-    * delta log — the reference's memtable freeze-and-flush (M1,
-    * memtable.hpp:114-299), synchronous by design (same observable
-    * semantics, SURVEY §2.5). Triggers compaction when the tier count
-    * reaches compactTrigger (reference L0 trigger, lsm_levels.hpp:276-384).
+    * delta log through the flushed high-water mark — the reference's
+    * memtable FREEZE-and-flush (M1, memtable.hpp:114-299). Since r20
+    * the freeze is real: the snapshot is taken under the store lock,
+    * the parquet write job runs with the lock RELEASED (writes proceed
+    * during the flush — pre-r20 a 64 MB flush stalled every writer for
+    * the full write), and the commit swap retains rows written during
+    * the job (seq > flushedMax; LWW by seq keeps snapshot semantics
+    * exact — the tier's versions can never outrank them). The WAL then
+    * drops only what the tier made durable (truncateThrough — the
+    * reference's truncate(seq)), so in-flight writers' records survive
+    * for crash recovery; recover() skips records at or below the
+    * manifest's flushed max, covering a crash between the manifest
+    * save and the WAL rewrite. Flushes are serialized per store
+    * (flushLock, taken BEFORE the store lock — no caller holds the
+    * store lock here). Triggers compaction when the tier count reaches
+    * compactTrigger (reference L0 trigger, lsm_levels.hpp:276-384).
     */
   def forceFlush(table: String): Unit = flushStore(storeOf(table))
 
   private def flushStore(store: HotStore, compactAfter: Boolean = true): Unit = {
     val dir = dataDir.getOrElse(return)
-    val didFlush = store.synchronized {
-      if (store.latest.isEmpty) false
-      else {
-        val m = store.meta
-        val rows = store.latest.values.map(rv =>
-          Row.fromSeq(rv.values.toIndexedSeq :+ rv.seq :+ rv.tombstone)).toVector
-        val flushedMax = store.latest.values.map(_.seq).max
-        // A5 eager stats seeding: when this flush BIRTHS the cold set
-        // (no prior tiers), the new tier's aggregate stats fall out of
-        // the rows already in driver memory — no job, ever, for the
-        // common load-flush-aggregate shape. Appending to existing
-        // tiers instead shadows older rows unpredictably, so there the
-        // cache drops and the stats path recomputes lazily.
-        val eagerStats =
-          if (store.coldDirs.isEmpty) Some(foldLiveStats(m, store.latest.values))
-          // append-only incremental (r20): when every flushed pk sits
-          // strictly above the cold LIVE pk max — the time-ordered
-          // ingest shape, and at 100 TB the only affordable one — no
-          // cold row is shadowed, so the cached stats fold forward
-          // driver-side and the post-flush aggregate path never
-          // relaunches the full cold recompute (measured ~1.5 s per
-          // flush epoch at 1M rows × 30 tiers, paid by the first
-          // statement after EVERY flush). Updates/deletes of history
-          // fall back to the lazy recompute as before.
-          else store.coldStats match {
-            case Some((k, s)) if k == store.coldDirs =>
-              appendFoldStats(m, s, store.latest.values)
-            case _ => None
+    val didFlush = store.flushLock.synchronized {
+      val m = store.meta
+      // phase 1 — FREEZE: snapshot the memtable + the stats basis
+      val snap = store.synchronized {
+        if (store.latest.isEmpty) None
+        else Some((store.latest.values.toVector, store.coldDirs, store.coldStats))
+      }
+      snap match {
+        case None => false
+        case Some((frozen, preTiers, priorStats)) =>
+          val flushedMax = frozen.map(_.seq).max
+          val rows = frozen.map(rv =>
+            Row.fromSeq(rv.values.toIndexedSeq :+ rv.seq :+ rv.tombstone))
+          // A5 eager stats seeding: when this flush BIRTHS the cold set
+          // (no prior tiers), the new tier's aggregate stats fall out of
+          // the rows already in driver memory — no job, ever, for the
+          // common load-flush-aggregate shape.
+          val eagerStats =
+            if (preTiers.isEmpty) Some(foldLiveStats(m, frozen))
+            // append-only incremental (r20): when every flushed pk sits
+            // strictly above the cold LIVE pk max — the time-ordered
+            // ingest shape, and at 100 TB the only affordable one — no
+            // cold row is shadowed, so the cached stats fold forward
+            // driver-side and the post-flush aggregate path never
+            // relaunches the full cold recompute (measured ~1.5 s per
+            // flush epoch at 1M rows × 30 tiers, paid by the first
+            // statement after EVERY flush). Updates/deletes of history
+            // fall back to the lazy recompute as before. Valid at
+            // commit time even if a compaction swapped tiers during
+            // the write: merges preserve the cold live view exactly.
+            else priorStats match {
+              case Some((k, s)) if k == preTiers => appendFoldStats(m, s, frozen)
+              case _ => None
+            }
+          val tier = coldRoot(dir, m.name).resolve(f"tier-$flushedMax%012d").toString
+          // phase 2 — FLUSH: the parquet write job, store lock released
+          spark.createDataFrame(java.util.Arrays.asList(rows: _*), versionedSchema(m))
+            .coalesce(1)
+            .sortWithinPartitions(col(m.pk)) // pk-sorted files → parquet row-group
+            .write.mode("overwrite")         //   min/max pruning on pk scans
+            // pk bloom filter per tier file — the SSTable bloom (SURVEY C1):
+            // in-range point MISSES skip the row-group decode entirely.
+            // NDV-sized: without it parquet allocates its 1 MiB maximum
+            // per file, which dwarfs a small flush tier's data (measured
+            // ~1.05 MiB constant on a 2k-row tier); the exact live-row
+            // count keeps the false-positive rate and drops the constant
+            .option(s"parquet.bloom.filter.enabled#${m.pk}", "true")
+            .option(s"parquet.bloom.filter.expected.ndv#${m.pk}",
+              math.max(1, rows.size).toString)
+            .parquet(tier)
+          // phase 3 — COMMIT: swap the tier in; retain only rows
+          // written DURING the flush job
+          store.synchronized {
+            store.coldDirs = store.coldDirs :+ tier
+            store.coldStats = eagerStats.map(s => (store.coldDirs, s))
+            store.maxFlushedSeq = math.max(store.maxFlushedSeq, flushedMax)
+            Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes, store.layoutAutoBytes)
+            store.retainAfterFlush(flushedMax) // reentrant on the store monitor
+            store.version.incrementAndGet()
           }
-        val tier = coldRoot(dir, m.name).resolve(f"tier-$flushedMax%012d").toString
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), versionedSchema(m))
-          .coalesce(1)
-          .sortWithinPartitions(col(m.pk))   // pk-sorted files → parquet row-group
-          .write.mode("overwrite")           //   min/max pruning on pk scans
-          // pk bloom filter per tier file — the SSTable bloom (SURVEY C1):
-          // in-range point MISSES skip the row-group decode entirely.
-          // NDV-sized: without it parquet allocates its 1 MiB maximum
-          // per file, which dwarfs a small flush tier's data (measured
-          // ~1.05 MiB constant on a 2k-row tier); the exact live-row
-          // count keeps the false-positive rate and drops the constant
-          .option(s"parquet.bloom.filter.enabled#${m.pk}", "true")
-          .option(s"parquet.bloom.filter.expected.ndv#${m.pk}",
-            math.max(1, rows.size).toString)
-          .parquet(tier)
-        store.coldDirs = store.coldDirs :+ tier
-        store.coldStats = eagerStats.map(s => (store.coldDirs, s))
-        store.maxFlushedSeq = math.max(store.maxFlushedSeq, flushedMax)
-        Persist.saveManifest(coldRoot(dir, m.name), store.coldDirs, store.maxFlushedSeq, store.layout, store.layoutPartBytes, store.layoutAutoBytes)
-        store.latest.clear()
-        store.log.clear()
-        store.approxBytes = 0L
-        store.delta.foreach(_.truncate())
-        store.version.incrementAndGet()
-        true
+          // phase 4 — WAL: drop what the tier made durable, keep the
+          // in-flight suffix
+          store.delta.foreach(_.truncateThrough(flushedMax))
+          true
       }
     }
     // compaction runs AFTER the lock is released: the merge job must
