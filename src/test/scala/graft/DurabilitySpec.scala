@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{ColType, ColumnDef, DeltaLog, Engine, RowVersion, TableMeta}
+
+/** Gates on the r20 durability machinery: the cross-thread group
+  * commit (DeltaLog.stage/syncTo), the suffix-keeping WAL rewrite
+  * (truncateThrough — the reference WAL's truncate(seq),
+  * wal.hpp:330-397), and the freeze-and-swap flush's observable
+  * contract (writes landing DURING a flush survive it, in memory and
+  * across a restart).
+  */
+class DurabilitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def withDir(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-durability").toString
+    try f(dir)
+    finally graft.engine.Persist.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  private val meta = TableMeta("t",
+    Vector(ColumnDef("id", ColType.I64, notNull = true),
+      ColumnDef("v", ColType.Str, notNull = false)), "id")
+
+  test("truncateThrough keeps the in-flight suffix, byte-exact") {
+    withDir { dir =>
+      val path = java.nio.file.Paths.get(dir, "t.log")
+      val dl = new DeltaLog(path, meta)
+      dl.appendBatch((1L to 10L).map(i =>
+        RowVersion(i, tombstone = false, Array[Any](i, s"r$i"))))
+      dl.truncateThrough(5L)
+      // records above the cutoff survive the rewrite and later appends
+      // land behind them
+      dl.appendBatch(Seq(RowVersion(11L, tombstone = false, Array[Any](11L, "r11"))))
+      dl.close()
+      val back = new DeltaLog(path, meta).replay()
+      assert(back.map(_.seq) == Vector(6L, 7L, 8L, 9L, 10L, 11L),
+        back.map(_.seq).toString)
+      assert(back.forall(rv => rv.values(1) == s"r${rv.seq}"))
+      // a full truncate-through leaves an empty (but appendable) log
+      val dl2 = new DeltaLog(path, meta)
+      dl2.truncateThrough(Long.MaxValue)
+      dl2.close()
+      assert(new DeltaLog(path, meta).replay().isEmpty)
+    }
+  }
+
+  test("concurrent group-committed batches all survive a replay") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), hotLimit = Int.MaxValue,
+        hotLimitBytes = Long.MaxValue)
+      assert(e.sql("CREATE TABLE gc (id BIGINT NOT NULL, v VARCHAR)").ok)
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          (0 until 40).foreach { k =>
+            val base = (t * 40 + k) * 25L
+            e.batchPut("gc", (0 until 25).map(j =>
+              Array[Any](base + j, s"w$t")))
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      // every acked write is durable: a fresh engine on the same dir
+      // replays the WAL (nothing was flushed) and sees all 8000 rows
+      val e2 = new Engine(spark, Some(dir))
+      val r = e2.sql("SELECT COUNT(*) FROM gc")
+      assert(r.ok && r.rows.head.head == "8000", r.rows.toString)
+    }
+  }
+
+  test("writes landing during a freeze-and-swap flush survive it and a restart") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), hotLimit = Int.MaxValue,
+        hotLimitBytes = Long.MaxValue)
+      assert(e.sql("CREATE TABLE fz (id BIGINT NOT NULL, v VARCHAR)").ok)
+      e.batchPut("fz", (0L until 20000L).map(i => Array[Any](i, "seed")))
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val written = new java.util.concurrent.atomic.AtomicLong(0L)
+      val writer = new Thread(() => {
+        var next = 1000000L
+        while (!stop.get()) {
+          e.batchPut("fz", (0 until 50).map(j => Array[Any](next + j, "during")))
+          written.addAndGet(50L)
+          next += 50L
+        }
+      })
+      writer.start()
+      // several flushes while the writer runs: each freeze snapshots,
+      // writes its tier lock-free, and must retain (not drop) the
+      // rows the writer landed during the tier write
+      (1 to 3).foreach { _ => e.forceFlush("fz"); Thread.sleep(50) }
+      stop.set(true); writer.join()
+      e.forceFlush("fz")
+      val expect = (20000L + written.get()).toString
+      val r1 = e.sql("SELECT COUNT(*) FROM fz")
+      assert(r1.ok && r1.rows.head.head == expect, s"${r1.rows} vs $expect")
+      // restart: manifest + truncated-through WAL reconstruct the same
+      // state — no lost in-flight rows, no hot duplicates of flushed
+      // rows (recover skips records at or below the flushed max)
+      val e2 = new Engine(spark, Some(dir))
+      val r2 = e2.sql("SELECT COUNT(*) FROM fz")
+      assert(r2.ok && r2.rows.head.head == expect, s"${r2.rows} vs $expect")
+      // and an UPDATE written mid-flush-era resolves LWW correctly
+      assert(e2.sql("UPDATE fz SET v = 'after' WHERE id = 5").ok)
+      val r3 = e2.sql("SELECT v FROM fz WHERE id = 5")
+      assert(r3.ok && r3.rows.head.head == "after", r3.rows.toString)
+    }
+  }
+}
