@@ -2150,13 +2150,23 @@ final class Engine(
   private[graft] var statsAggEnabled = true
 
   /** hot stores past this size pay the Spark path instead of a
-    * driver fold (normally unreachable: hotLimit flushes far below)
+    * driver fold (normally unreachable: hotLimit flushes far below).
+    * Raised 1M → 4M (r20): the caps predate the incremental AggFold,
+    * and the r20 HTAP A/B measured the two paths directly — the fold
+    * advances at ~1.5M rows/s (mixed_count_under_writes) while the
+    * Spark fallback it bails to pays a driver createDataFrame at
+    * ~100k rows/s (a >1M-row backlog count chased ~26 s in the
+    * flush-free arm). Bailing EARLIER than the fold can afford is
+    * strictly worse; 4M bounds the fold's per-pk map at a few hundred
+    * MB, a fraction of the hot store it mirrors.
     */
-  private val statsAggHotCap = 1 << 20
+  private val statsAggHotCap = 1 << 22
   /** max unfolded log entries one statement will fold — see the
-    * write-burst guard in statsAggregate
+    * write-burst guard in statsAggregate. Raised 64k → 1M (r20, same
+    * measurement): a 1M-entry fold costs well under a second; the
+    * Spark path it bailed to costs ~10 s at that backlog.
     */
-  private val aggFoldPendingCap = 1 << 16
+  private val aggFoldPendingCap = 1 << 20
 
   /** shadow-cache entries are bounded: past this the per-query
     * resolutions still run (bloom-gated) but are not retained
