@@ -54,6 +54,27 @@ class DurabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("truncateThrough drops a torn tail exactly as replay would") {
+    withDir { dir =>
+      val path = java.nio.file.Paths.get(dir, "torn.log")
+      val dl = new DeltaLog(path, meta)
+      dl.appendBatch((1L to 6L).map(i =>
+        RowVersion(i, tombstone = false, Array[Any](i, s"r$i"))))
+      dl.close()
+      // simulate a torn write: append garbage bytes to the log
+      java.nio.file.Files.write(path, Array[Byte](9, 9, 9, 9, 9),
+        java.nio.file.StandardOpenOption.APPEND)
+      val dl2 = new DeltaLog(path, meta)
+      dl2.truncateThrough(3L)
+      dl2.appendBatch(Seq(RowVersion(7L, tombstone = false, Array[Any](7L, "r7"))))
+      dl2.close()
+      // intact records above the cutoff survive; the garbage is gone
+      // (not re-parsed as a frame), and post-truncate appends land clean
+      val back = new DeltaLog(path, meta).replay()
+      assert(back.map(_.seq) == Vector(4L, 5L, 6L, 7L), back.map(_.seq).toString)
+    }
+  }
+
   test("concurrent group-committed batches all survive a replay") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir), hotLimit = Int.MaxValue,
