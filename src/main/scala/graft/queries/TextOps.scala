@@ -494,7 +494,14 @@ object TextOps {
           val batch = bpeSelectSeqBatch(cands, maxIn, maxOut,
             bpeTrainRounds - table.size)
           batch.foreach { case (a, b, c) => table += ((table.size + 1, a, b, c)) }
-          cur = bpeApplySet(cur, batch.map(p => (p._1, p._2))).localCheckpoint(true)
+          cur = bpeApplySet(cur, batch.map(p => (p._1, p._2)))
+          // eager-checkpoint ONLY when another round will re-aggregate
+          // this frame (guide §1: don't compute what you throw away).
+          // After the LAST batch the apply stays lazy: q_bpe_train
+          // never evaluates it (it emits only the merge table — the
+          // final windowed corpus pass was pure waste there), and
+          // q_bpe_apply evaluates it exactly once in its own sink.
+          if (table.size < bpeTrainRounds) cur = cur.localCheckpoint(true)
         }
       } finally { counts.unpersist(blocking = false); () }
     }
@@ -558,7 +565,13 @@ object TextOps {
         sel.zipWithIndex.foreach { case ((a, b, c), i) =>
           table += ((r, i + 1, a, b, c))
         }
-        cur = bpeApplySet(cur, sel.map(p => (p._1, p._2))).localCheckpoint(true)
+        // the trainer emits only the merge table, so the FINAL round's
+        // rebuilt corpus has no consumer — skip its windowed apply
+        // outright (guide §1: don't compute what you throw away). All
+        // earlier rounds still apply+checkpoint so the next aggregate
+        // counts the merged sequences.
+        if (r < bpeTopmRounds)
+          cur = bpeApplySet(cur, sel.map(p => (p._1, p._2))).localCheckpoint(true)
       }
       r += 1
     }
@@ -2091,7 +2104,13 @@ object TextOps {
             WHERE bloom_contains(
               (SELECT bloom_agg(h, ${estItems}L, ${numBits}L) FROM graft_bloom_eval), h)""")
         .localCheckpoint(false)
+      // lazy-checkpointed: the final statement reads exactIds TWICE
+      // (the exact count and the recall anti-join) — without the
+      // boundary each reference re-runs the hits join + distinct
+      // exchange inside one action (guide §2.4: don't repeat a shuffle
+      // whose output you already have)
       val exactIds = contaminationHits(s, d).select(col("doc_id")).distinct()
+        .localCheckpoint(false)
       val nTrainDocs = nDocs(s, d) - (nDocs(s, d) + 49) / 50
       exactIds.agg(count(lit(1)).cast("bigint").as("n_contam_exact"))
         .crossJoin(exactIds.join(broadcast(flagged), Seq("doc_id"), "left_anti")
@@ -2622,7 +2641,20 @@ object TextOps {
     "q_classifier_train" -> Q(classifierTrainSql(classifierTrainEpochs)) { (s, d) =>
       import s.implicits._
       val docb = classifierDocb(s, d)
-      val nd = docb.agg(countDistinct(col("doc_id"))).head.getLong(0)
+      // ONE init job instead of two (guide §1.2 — fewer passes): the
+      // doc count and the occurring-bucket set come from a single
+      // aggregate over the cached docb; the md5 init weights are then
+      // computed DRIVER-side (java MessageDigest is the same md5 the
+      // SQL expression computes — bit-identical init, no extra job).
+      val initRow = docb.agg(countDistinct(col("doc_id")),
+        collect_set(col("b"))).head()
+      val nd = initRow.getLong(0)
+      def md5InitW(b: Long): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"w:$b".getBytes("UTF-8"))
+          .map(x => f"$x%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2000001L - 1000000L
+      }
       val da = memoized(s, s"classifierDa:$d") {
         docb.groupBy(col("doc_id"))
           .agg(max(col("lang")).as("lang"),
@@ -2632,9 +2664,8 @@ object TextOps {
       // driver model: weights for the buckets that occur (trajectory
       // sums are over occurring buckets, as before); a dense 4096
       // array carries them into the plan
-      var w: Map[Long, Long] = docb.select(col("b")).distinct()
-        .selectExpr("b", s"$classifierWExpr AS w").collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var w: Map[Long, Long] = initRow.getSeq[Long](1)
+        .iterator.map(b => b -> md5InitW(b)).toMap
       val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
       for (e <- 1 to classifierTrainEpochs) {
         val warr = Array.tabulate(4096)(b => w.getOrElse(b.toLong, 0L))
@@ -2645,11 +2676,20 @@ object TextOps {
           .withColumn("r", expr(
             """CAST(round(1000000 * ((CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
                  - 1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (1e6 * n)))))) AS BIGINT)"""))
-        val nCorrect = scored.filter(expr("(sw > 0) = (lang = 'en')")).count()
-        val g = scored.select(col("r"), explode(col("bs")).as("bx"))
+        // ONE job per epoch instead of two: the accuracy count rides
+        // the gradient aggregate as a sentinel bucket (b = -1 carries
+        // the per-doc correctness flag; real buckets are ≥ 0), so the
+        // epoch pays a single pass over the cached per-doc frame.
+        val gAll = scored.select(col("r"),
+            explode(concat(col("bs"), array(struct(
+              lit(-1L).as("b"),
+              expr("CAST((sw > 0) = (lang = 'en') AS BIGINT)").as("dc"))))).as("bx"))
           .groupBy(col("bx.b").as("b"))
-          .agg(sum(expr("bx.dc * r")).cast("bigint").as("g"))
+          .agg(sum(when(col("bx.b") === -1L, col("bx.dc"))
+            .otherwise(expr("bx.dc * r"))).cast("bigint").as("g"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nCorrect = gAll.getOrElse(-1L, 0L)
+        val g = gAll - (-1L)
         w = w.map { case (b, wv) =>
           val gv = g.getOrElse(b, 0L)
           b -> (wv + (if (gv >= 0) gv / nd else -((-gv) / nd)))

@@ -1585,30 +1585,33 @@ object VectorOps {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, Long)]
       for (it <- 1 to kmeansTrainIters) {
         val cbDf = codebook.toDF("cid", "cv")
-        // persisted: the trajectory aggregate and the update aggregate
-        // both consume the scored frame — without the cache boundary
-        // each would re-run the n·k argmax kernel (measured 33 s →
-        // 20 s at the 30× carrier)
-        val scored = live
+        // ONE job per iteration (guide §1.2 — fewer passes; was a
+        // persisted scored frame consumed by a trajectory aggregate
+        // AND an update aggregate, i.e. two jobs plus a corpus-sized
+        // cache materialization): the per-vector inertia contribution
+        // rides the (cid, dim) update aggregate on the dim==1 row —
+        // each vector contributes exactly once there — so trajectory
+        // scalars, checksums and the next codebook all fall out of a
+        // single k×dims-sized collect, and the n·k argmax kernel still
+        // runs exactly once per iteration.
+        val upd = live
           .withColumn("cid",
             call_function("cosine_argmax", col("v"), typedlit(codebook)))
           .join(broadcast(cbDf), Seq("cid"))
-          .selectExpr("vec_id", "cid", "v", "cosine_sim(v, cv) AS cos")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val t = scored.agg(
-          count(lit(1)).as("n_assigned"),
-          countDistinct(col("cid")).as("n_clusters"),
-          sum(expr("CAST(round((1 - cos) * 1e6) AS BIGINT)")).as("inertia_u")).head()
-        // codebook-sized: k×64 rows to the driver — next iteration's
-        // literal codebook AND the checksums fall out of one collect
-        val upd = scored
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim0", "x")))
+          .selectExpr("cid", "v",
+            "CAST(round((1 - cosine_sim(v, cv)) * 1e6) AS BIGINT) AS iuv")
+          .select(col("cid"), col("iuv"), posexplode(col("v")).as(Seq("dim0", "x")))
           .select(col("cid"), (col("dim0") + lit(1)).cast("long").as("dim"),
-            col("x").cast("long").as("xi"))
+            col("x").cast("long").as("xi"),
+            when(col("dim0") === 0, col("iuv")).as("iuv"))
           .groupBy(col("cid"), col("dim"))
-          .agg(sum(col("xi")).as("sum_q"), count(lit(1)).as("n"))
+          .agg(sum(col("xi")).as("sum_q"), count(lit(1)).as("n"),
+            sum(col("iuv")).as("iu"))
           .collect()
-        scored.unpersist(blocking = false)
+        val dim1 = upd.filter(_.getAs[Long]("dim") == 1L)
+        val nAssigned = dim1.map(_.getAs[Long]("n")).sum
+        val nClusters = dim1.length.toLong
+        val inertiaU = dim1.map(_.getAs[Long]("iu")).sum
         // centroid_sum is assignment-INVARIANT (the per-cluster sums
         // partition the corpus) — a data-integrity check; centroid_chk
         // weights each sum by its (cid, dim) cell, so any vector
@@ -1617,7 +1620,7 @@ object VectorOps {
         val centroidSum = upd.map(_.getAs[Long]("sum_q")).sum
         val centroidChk = upd.map(r => r.getAs[Long]("sum_q") *
           (r.getAs[Long]("cid") % 9973 + r.getAs[Long]("dim"))).sum
-        out += ((it, t.getLong(0), t.getLong(1), t.getLong(2), centroidSum, centroidChk))
+        out += ((it, nAssigned, nClusters, inertiaU, centroidSum, centroidChk))
         codebook = upd.groupBy(_.getAs[Long]("cid")).toSeq
           .map { case (cid, rows) =>
             val arr = new Array[Double](rows.length)
