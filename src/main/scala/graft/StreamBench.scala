@@ -103,7 +103,7 @@ object StreamBench {
       * separates per-batch fixed cost from per-row operator cost.
       */
     def runDedup(docs: IndexedSeq[(Long, String, Timestamp)],
-                 chunk: Int = 500): (Double, Long, Long) = {
+                 chunk: Int = 5000): (Double, Long, Long) = {
       val src = MemoryStream[(Long, String, Timestamp)]
       val kept = new java.util.concurrent.atomic.AtomicLong(0L)
       var peak = 0L
@@ -123,17 +123,24 @@ object StreamBench {
       (secs, kept.get(), peak)
     }
 
+    // SHIPPED DEFAULT cadence (r21, r20 verdict item 6): the headline
+    // near-dedup arms run at the 5000-row trigger — the production
+    // micro-batch size (per-batch fixed cost amortized over a real
+    // batch, the availableNow-style shape a throughput-bound pipeline
+    // deploys; r20 measured 266 rows/s at the old 500-row default vs
+    // 1,937 at this one, and its own cadence artifact proved the floor
+    // was cadence, not operator). The 500-row micro-batch stays below
+    // as the explicit SMALL-TRIGGER experiment arm the cadence ratio
+    // and state-bound gates compare against.
+    val bigTrigger = 5000
+    val smallTrigger = 500
+
     // 1×: the corpus over 5 hours of event time, 1-hour dedup watermark
     val span1 = 5L * 3600 * 1000
     val docs1 = base.zipWithIndex.map { case ((id, tx), i) =>
       (id, tx, new Timestamp(epoch + i.toLong * span1 / base.length))
     }.toIndexedSeq
     val (secs1, kept1, peak1) = runDedup(docs1)
-
-    // the ONE 10×-trigger size the cadence experiment uses — the
-    // runs and the state-bound gates must agree on it, so it is
-    // defined once and threaded through both
-    val bigTrigger = 5000
 
     // 10×: ten letter-substituted copies interleaved over 50 hours —
     // SAME docs/hour arrival rate, 10× total volume. Bounded state
@@ -151,14 +158,14 @@ object StreamBench {
 
     val stateBoundOk = peak10 <= 3 * math.max(peak1, 1L)
 
-    // Cadence vs operator cost: the 1× corpus again at a 10× trigger
-    // (5000-row micro-batches). The near-dedup operator is stateful
-    // map-side work + four bounded dedup stages — per-BATCH fixed cost
-    // (state store commit, planning) dominates at small triggers, so
-    // rows/s must grow near-linearly with the trigger while the state
-    // peak stays rate×watermark-bounded (the event-time span and
-    // arrival order are identical, only the batch boundaries move).
-    val (secs1b, kept1b, peak1b) = runDedup(docs1, chunk = bigTrigger)
+    // Cadence vs operator cost: the 1× corpus again at the SMALL
+    // (500-row) trigger. The near-dedup operator is stateful map-side
+    // work + four bounded dedup stages — per-BATCH fixed cost (state
+    // store commit, planning) dominates at small triggers, so the
+    // shipped default's rows/s must sit well above this arm while the
+    // state peak stays rate×watermark-bounded (the event-time span
+    // and arrival order are identical, only batch boundaries move).
+    val (secsS, keptS, peakS) = runDedup(docs1, chunk = smallTrigger)
 
     // ---- phase 4: stream-side bloom decontamination -----------------------
     // The stateless ingest-path filter: eval-gram bloom from the
@@ -521,8 +528,11 @@ object StreamBench {
     // not-yet-evictable when a batch commits — trigger-proportional,
     // never stream-proportional (measured: attrib peak 657 → 5136 at
     // trigger 500 → 5000 on the same 40k stream, i.e. ≈ one batch).
-    val ndRate1 = docs1.size / secs1
-    val ndRateB = docs1.size / secs1b
+    // nd arms: headline secs1 is the shipped 5000-row default, secsS
+    // the 500-row small-trigger experiment — the ratio keeps its
+    // big-over-small orientation
+    val ndRate1 = docs1.size / secsS
+    val ndRateB = docs1.size / secs1
     val ajRate1 = evs.length / ajSecs
     val ajRateB = evs.length / ajSecsB
     // The GATE is direction + a modest margin (10% — covers timer
@@ -535,10 +545,10 @@ object StreamBench {
     val ndRatio = ndRateB / math.max(ndRate1, 1e-9)
     val ajRatio = ajRateB / math.max(ajRate1, 1e-9)
     val cadenceOk = cadenceGate(ndRatio, ajRatio,
-      peak1b, peak1, ajPeakB, ajPeak, bigTrigger, ajParityOkB)
+      peak1, peakS, ajPeakB, ajPeak, bigTrigger, ajParityOkB)
 
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10},"state_bound_ok":$stateBoundOk,"near_dedup_trigger10":{"rows":${docs1.size},"secs":$secs1b%.2f,"rows_per_sec":$ndRateB%.0f,"kept":$kept1b,"state_peak_rows":$peak1b},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"sem_dedup":{"secs":$sdSecs%.2f,"kept":$sdKept,"state_peak_cluster_rows":$sdPeak,"parity_ok":$sdParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_ratio_nd":$ndRatio%.2f,"cadence_ratio_aj":$ajRatio%.2f,"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk},"ann_upsert_ivf":{"rows":$auRows,"secs":$auIvfSecs%.2f,"rows_per_sec":${auRows / auIvfSecs}%.0f,"indexed_ok":$auIvfOk},"ann_upsert_lsh":{"rows":$auRows,"secs":$auLshSecs%.2f,"rows_per_sec":${auRows / auLshSecs}%.0f,"indexed_ok":$auLshOk},"ann_upsert_pq":{"rows":$auRows,"secs":$auPqSecs%.2f,"rows_per_sec":${auRows / auPqSecs}%.0f,"indexed_ok":$auPqOk}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1,"trigger":$bigTrigger},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10,"trigger":$bigTrigger},"state_bound_ok":$stateBoundOk,"near_dedup_small_trigger":{"rows":${docs1.size},"secs":$secsS%.2f,"rows_per_sec":$ndRate1%.0f,"kept":$keptS,"state_peak_rows":$peakS,"trigger":$smallTrigger},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"sem_dedup":{"secs":$sdSecs%.2f,"kept":$sdKept,"state_peak_cluster_rows":$sdPeak,"parity_ok":$sdParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_ratio_nd":$ndRatio%.2f,"cadence_ratio_aj":$ajRatio%.2f,"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk},"ann_upsert_ivf":{"rows":$auRows,"secs":$auIvfSecs%.2f,"rows_per_sec":${auRows / auIvfSecs}%.0f,"indexed_ok":$auIvfOk},"ann_upsert_lsh":{"rows":$auRows,"secs":$auLshSecs%.2f,"rows_per_sec":${auRows / auLshSecs}%.0f,"indexed_ok":$auLshOk},"ann_upsert_pq":{"rows":$auRows,"secs":$auPqSecs%.2f,"rows_per_sec":${auRows / auPqSecs}%.0f,"indexed_ok":$auPqOk}}""")
     spark.stop()
   }
 }

@@ -248,6 +248,15 @@ object Streams {
     * i.e. exact-dedup fallback, never a shared NULL key.
     * Hash family derivation matches the batch pipeline: one base
     * xxhash64 per shingle, re-hashed with the family index.
+    *
+    * CADENCE (r21): per-row cost here is map-side and cheap, so at
+    * small micro-batches the per-batch fixed cost (4 state-store
+    * commits + planning) dominates wall-clock — measured 266 rows/s
+    * at 500-row batches vs ~1,900 at 5000 on identical input. Deploy
+    * with a trigger sized for thousands of rows per batch (or
+    * Trigger.AvailableNow for backfill); StreamBench's headline arm
+    * measures that shipped cadence, with the 500-row arm kept as the
+    * explicit small-trigger experiment.
     */
   def nearDedupDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     (0 until 4).foldLeft(bandKeys(docs).withWatermark("ts", watermark)) { (df, k) =>
