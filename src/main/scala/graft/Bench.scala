@@ -196,7 +196,18 @@ object Bench {
         s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}").mkString("|").hashCode
       f"${h & 0xffffffffL}%08x"
     } catch { case _: Throwable => "na" }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_reruns":$reruns,"failed":$failed,"head":"$head","sffp":"$sffp","at":"$at","sf":"$sfDir"}"""
+    // SPARK_GRAFT_NOTE: free-text provenance stamped into the line
+    // (r20 verdict item 7) — a control/noise run names what it is and
+    // what head it compares against IN the artifact ("control_of
+    // <head>: uniform-spread host noise"), so a consumer can tell
+    // control from regression without git archaeology. Quotes and
+    // backslashes are stripped rather than escaped: the note is
+    // provenance, not data, and a malformed note must never break the
+    // line's parseability.
+    val note = sys.env.get("SPARK_GRAFT_NOTE")
+      .map(_.replaceAll("[\"\\\\\\n\\r]", " ").trim).filter(_.nonEmpty)
+      .map(n => s""","note":"$n"""").getOrElse("")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"noise_reruns":$reruns,"failed":$failed,"head":"$head","sffp":"$sffp","at":"$at","sf":"$sfDir"$note}"""
     // The driver's capture window is EXACTLY 2000 bytes (measured:
     // BENCH_r20.json "tail" length is 2000) and nothing follows the
     // final line (r20's tail ends at the compact line's newline), so
