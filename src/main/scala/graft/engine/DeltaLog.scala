@@ -11,6 +11,18 @@ import java.util.zip.CRC32
   *
   * Record layout: [len:int][seq:long][tombstone:byte][row bytes]
   * [crc32:long over the payload].
+  *
+  * SIZE BOUND (load-bearing for [[replay]] and [[truncateThrough]],
+  * which read the WHOLE file into memory): the live log never exceeds
+  * ~(memtable cap + in-flight window). The Engine flushes the hot
+  * store at hotLimit rows / hotLimitBytes (64 MB default) and every
+  * flush truncateThrough-s the flushed prefix away, so the file holds
+  * at most one memtable's worth of records plus whatever concurrent
+  * writers staged during the flush job — bounded by writer concurrency
+  * × batch size, not by table size. A flush-policy change that stops
+  * truncating after flush, or raises the caps to "unbounded", SILENTLY
+  * unbounds these full-file reads — re-derive this bound before doing
+  * that. DurabilitySpec asserts the flush-truncates-the-log half.
   */
 final class DeltaLog(path: Path, meta: TableMeta) {
 
@@ -176,18 +188,12 @@ final class DeltaLog(path: Path, meta: TableMeta) {
     Files.copy(path, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   } }
 
-  /** Reset after a flush made the log's contents durable in parquet.
-    * Holds BOTH locks (syncLock → this, the syncTo order) so the
-    * descriptor swap can never race a leader's in-flight fsync; a
-    * writer queued behind the truncate then syncs the fresh (empty)
-    * log — its records are already durable in the flushed parquet.
-    */
-  def truncate(): Unit = syncLock.synchronized { this.synchronized {
-    out.close()
-    Files.deleteIfExists(path)
-    fos = new FileOutputStream(path.toFile, true)
-    out = new DataOutputStream(new BufferedOutputStream(fos))
-  } }
+  // NOTE: the old full-reset truncate() is GONE (r21, r20 ADVICE): it
+  // had no remaining caller, and its safety argument ("records already
+  // durable in the flushed parquet") held only under the pre-r20
+  // hold-lock-through-flush design — under freeze-and-swap it would
+  // silently discard concurrent writers' staged-but-unflushed records.
+  // Flush-driven truncation goes through truncateThrough(cutoff).
 
   /** Drop records with seq <= cutoff, KEEPING the newer suffix — the
     * reference WAL's `truncate(seq)` (wal.hpp:330-397 rewrites the
@@ -222,14 +228,32 @@ final class DeltaLog(path: Path, meta: TableMeta) {
       val len = i32(off)
       if (len <= 0 || off + 4L + len + 8L > all.length) ok = false
       else {
-        val seq = i64(off + 4)
-        val total = 4 + len + 8
-        if (seq > cutoff) keep.write(all, off, total)
-        off += total
+        // CRC-validate every frame before keeping it (r21, r20 ADVICE):
+        // length-only walking would KEEP a mid-log frame whose length
+        // survived but whose payload was corrupted — a frame replay()
+        // would reject — so the rewrite and the next recovery could
+        // disagree about the log's contents. Bytes are already in
+        // memory; the checksum is the cheap part of the rewrite.
+        val crc = new CRC32(); crc.update(all, off + 4, len)
+        if (crc.getValue != i64(off + 4 + len)) ok = false
+        else {
+          val seq = i64(off + 4)
+          val total = 4 + len + 8
+          if (seq > cutoff) keep.write(all, off, total)
+          off += total
+        }
       }
     }
-    // a torn tail (ok=false) is dropped here exactly as replay() would
-    // drop it at the next recovery — every intact suffix record is kept
+    // corruption (bad length OR bad CRC, ok=false) cuts the log HERE,
+    // exactly as replay() would at the next recovery: the corrupt
+    // frame and everything after it are dropped from the rewrite, and
+    // — like replay() — the dropped bytes are preserved in the
+    // .corrupt sibling so a mid-log bit flip is never irreversible.
+    if (off < all.length)
+      Files.write(path.resolveSibling(path.getFileName.toString + ".corrupt"),
+        java.util.Arrays.copyOfRange(all, off, all.length),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     val tmp = path.resolveSibling(path.getFileName.toString + ".trunc")
     Files.write(tmp, keep.toByteArray)
     val ch = java.nio.channels.FileChannel.open(tmp,

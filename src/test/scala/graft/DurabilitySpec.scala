@@ -75,6 +75,58 @@ class DurabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("truncateThrough rejects a CRC-corrupted mid-log frame exactly as replay would") {
+    withDir { dir =>
+      val path = java.nio.file.Paths.get(dir, "crc.log")
+      val dl = new DeltaLog(path, meta)
+      dl.appendBatch((1L to 6L).map(i =>
+        RowVersion(i, tombstone = false, Array[Any](i, s"r$i"))))
+      dl.close()
+      // flip one PAYLOAD byte of record 5: its frame length stays
+      // intact, so a length-only walk would keep it — only the CRC
+      // check can reject it (the r20 ADVICE gap)
+      val all = java.nio.file.Files.readAllBytes(path)
+      var off = 0
+      def i32(at: Int) = ((all(at) & 0xff) << 24) | ((all(at + 1) & 0xff) << 16) |
+        ((all(at + 2) & 0xff) << 8) | (all(at + 3) & 0xff)
+      (1 to 4).foreach(_ => off += 4 + i32(off) + 8) // skip records 1-4
+      all(off + 4 + 10) = (all(off + 4 + 10) ^ 0x55).toByte // payload byte of rec 5
+      java.nio.file.Files.write(path, all)
+      val dl2 = new DeltaLog(path, meta)
+      dl2.truncateThrough(2L)
+      dl2.appendBatch(Seq(RowVersion(7L, tombstone = false, Array[Any](7L, "r7"))))
+      dl2.close()
+      // replay must agree with the rewrite: 3,4 survive the cutoff,
+      // corrupt 5 AND intact-but-after-corruption 6 are gone, 7 lands
+      // clean; the dropped bytes are preserved for offline repair
+      val back = new DeltaLog(path, meta).replay()
+      assert(back.map(_.seq) == Vector(3L, 4L, 7L), back.map(_.seq).toString)
+      assert(java.nio.file.Files.exists(
+        path.resolveSibling("crc.log.corrupt")))
+    }
+  }
+
+  test("flush truncates the WAL: log size stays memtable-bounded, not table-bounded") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir), hotLimit = Int.MaxValue,
+        hotLimitBytes = Long.MaxValue)
+      assert(e.sql("CREATE TABLE wb (id BIGINT NOT NULL, v VARCHAR)").ok)
+      val logPath = java.nio.file.Paths.get(dir, "delta", "wb.log")
+      def put(base: Long): Unit = e.batchPut("wb",
+        (0 until 1000).map(j => Array[Any](base + j, s"v${base + j}")))
+      put(0L)
+      val oneBatch = java.nio.file.Files.size(logPath)
+      // grow the table 5x, flushing between batches — the DeltaLog
+      // scaladoc's size bound: each flush truncateThrough-s the
+      // flushed prefix, so the live log tracks the UNFLUSHED window
+      // (≈ one batch here), never the table's cumulative size
+      (1 to 5).foreach { k => e.forceFlush("wb"); put(k * 1000L) }
+      val afterFlushes = java.nio.file.Files.size(logPath)
+      assert(afterFlushes <= 2 * oneBatch,
+        s"log grew table-proportional: $afterFlushes vs one-batch $oneBatch")
+    }
+  }
+
   test("concurrent group-committed batches all survive a replay") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir), hotLimit = Int.MaxValue,
