@@ -30,12 +30,16 @@ final class DeltaLog(path: Path, meta: TableMeta) {
   private var fos = new FileOutputStream(path.toFile, true)
   private var out = new DataOutputStream(new BufferedOutputStream(fos))
 
-  /** What the last replay() recovered and discarded; None before
-    * recovery. A nonzero truncatedBytes distinguishes a benign torn
-    * tail (small, end-of-log) from mid-log corruption whose intact
-    * successors were also cut off — the discarded bytes are preserved
-    * in the .corrupt sibling either way, but only an operator who can
-    * SEE the loss can repair it.
+  /** What the last replay() recovered and discarded — or, when a
+    * truncateThrough() rewrite found corruption, the frames it kept
+    * and the bytes it excised (r21 ADVICE item 3: a routine flush
+    * that cuts a corrupt mid-log frame must be as observable as a
+    * recovery that does). None before either event. A nonzero
+    * truncatedBytes distinguishes a benign torn tail (small,
+    * end-of-log) from mid-log corruption whose intact successors were
+    * also cut off — the discarded bytes are preserved in the .corrupt
+    * sibling either way, but only an operator who can SEE the loss
+    * can repair it.
     */
   @volatile var lastRecovery: Option[DeltaLog.Recovery] = None
 
@@ -224,6 +228,7 @@ final class DeltaLog(path: Path, meta: TableMeta) {
       v
     }
     var ok = true
+    var keptFrames = 0
     while (ok && off + 4 <= all.length) {
       val len = i32(off)
       if (len <= 0 || off + 4L + len + 8L > all.length) ok = false
@@ -239,7 +244,7 @@ final class DeltaLog(path: Path, meta: TableMeta) {
         else {
           val seq = i64(off + 4)
           val total = 4 + len + 8
-          if (seq > cutoff) keep.write(all, off, total)
+          if (seq > cutoff) { keep.write(all, off, total); keptFrames += 1 }
           off += total
         }
       }
@@ -249,11 +254,22 @@ final class DeltaLog(path: Path, meta: TableMeta) {
     // frame and everything after it are dropped from the rewrite, and
     // — like replay() — the dropped bytes are preserved in the
     // .corrupt sibling so a mid-log bit flip is never irreversible.
-    if (off < all.length)
+    if (off < all.length) {
       Files.write(path.resolveSibling(path.getFileName.toString + ".corrupt"),
         java.util.Arrays.copyOfRange(all, off, all.length),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      // mirror replay() (r21 ADVICE item 3): a routine flush that
+      // silently excised a corrupt mid-log frame — possibly together
+      // with intact successor records above the cutoff — would
+      // otherwise pass unnoticed until a much later recovery; the
+      // event is both logged and recorded in lastRecovery so callers
+      // and specs can observe it at the flush that found it.
+      System.err.println(
+        s"[graft] WAL $path: truncateThrough($cutoff) found corruption at " +
+          s"offset $off — dropped ${all.length - off} bytes (kept in .corrupt)")
+      lastRecovery = Some(DeltaLog.Recovery(keptFrames, all.length - off.toLong))
+    }
     val tmp = path.resolveSibling(path.getFileName.toString + ".trunc")
     Files.write(tmp, keep.toByteArray)
     val ch = java.nio.channels.FileChannel.open(tmp,
