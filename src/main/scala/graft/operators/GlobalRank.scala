@@ -29,10 +29,25 @@ import org.apache.spark.storage.StorageLevel
   *      massive tie value is irreducibly one partition, exactly as in
   *      any rank definition).
   *
-  * The only corpus-sized exchange is the per-bucket window sort.
+  * The only corpus-sized exchange is the per-bucket window sort, and
+  * the final plan carries the offsets as driver literals — a zero-join
+  * shape. (r22 note: an in-plan variant that computed the offsets as a
+  * broadcast-joined B-row aggregate inside the final action — saving
+  * the counts job — was built and A/B'd; it regressed q_global_rank
+  * 1.41x at sf1, so the literal-offset form stays. The measured raw
+  * lines are in BENCH_ab_grank_sf1_r22.jsonl.)
+  *
   * Ranking is descending by `score` with `tieId` (ascending) breaking
   * ties, so the result is deterministic and equal to
   * `row_number() OVER (ORDER BY score DESC, tieId)`.
+  *
+  * [[withRanks]] fuses the two scalar jobs ACROSS signals (r22, r21
+  * verdict item 4): a tagged union computes every signal's boundary
+  * sketch in one aggregate, then every signal's bucket counts in a
+  * second — the two-signal rank fusion paid 4 driver-scalar jobs where
+  * 2 suffice; per-job scheduler latency is pure overhead at any scale,
+  * and each fused job back-fills the other signal's straggler tail
+  * (guide §2.6).
   *
   * The input feeds three passes (boundaries, counts, final plan), so
   * the operator SELF-DEFENDS: an input that is not already persisted
@@ -77,48 +92,83 @@ object GlobalRank {
     */
   def releaseCaches(): Unit = ownedPersists.releaseAll()
 
+  private def persistIfNeeded(df: DataFrame): DataFrame =
+    if (df.storageLevel != StorageLevel.NONE) df
+    else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      trackOwned(p)
+      p
+    }
+
   def withRank(df: DataFrame, score: Column, tieId: Column,
-               rankName: String, buckets: Int = 64): DataFrame = {
-    val in =
-      if (df.storageLevel != StorageLevel.NONE) df
-      else {
-        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        trackOwned(p)
-        p
-      }
-    val sc = score.cast("double")
+               rankName: String, buckets: Int = 64): DataFrame =
+    withRanks(Seq((df, score, tieId, rankName)), buckets).head
+
+  /** Rank several independent signals with TWO scalar jobs total
+    * (boundary sketch, bucket counts) instead of two per signal: each
+    * input's rows are tagged with their signal index and unioned, so
+    * one grouped aggregate serves every signal. Grouped and ungrouped
+    * sketches may merge partials in different orders, but boundary
+    * placement is sizing only (see step 1 above), so ranks are
+    * unchanged. Returns one ranked frame per input, in order; each
+    * final plan is the exact single-signal shape (bucketed window +
+    * literal offsets, zero joins).
+    */
+  def withRanks(inputs: Seq[(DataFrame, Column, Column, String)],
+                buckets: Int = 64): Seq[DataFrame] = {
+    require(inputs.nonEmpty, "GlobalRank.withRanks: no inputs")
+    val ins = inputs.map { case (df, score, tie, name) =>
+      (persistIfNeeded(df), score, tie, name)
+    }
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val bRow = in
-      .agg(percentile_approx(sc, array(qs.map(lit): _*),
+    // scalar job 1: every signal's boundaries from one tagged union
+    val taggedScores = ins.zipWithIndex.map { case ((in, score, _, _), i) =>
+      in.select(lit(i).as("__sig"), score.cast("double").as("__sc"))
+    }.reduce(_.unionByName(_))
+    val boundsBySig: Map[Int, List[Double]] = taggedScores.groupBy(col("__sig"))
+      .agg(percentile_approx(col("__sc"), array(qs.map(lit): _*),
         lit(10000)).as("bs"))
-      .head
-    val bounds =
-      (if (bRow.isNullAt(0)) Seq.empty[Double]
-       else bRow.getSeq[Double](0).toList).distinct.sorted
+      .collect()
+      .map { r =>
+        r.getInt(0) -> (if (r.isNullAt(1)) List.empty[Double]
+                        else r.getSeq[Double](1).toList.distinct.sorted)
+      }.toMap
     // bucket index: how many boundaries sit strictly ABOVE this score.
     // Highest scores -> bucket 0; equal scores -> equal bucket.
     // Null/NaN scores map to a null bucket and are rejected below.
-    val bktDefined = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + (sc < lit(b)).cast("int")
-    }
-    val bkt =
+    def bktOf(i: Int, score: Column): Column = {
+      val sc = score.cast("double")
+      val bktDefined = boundsBySig.getOrElse(i, Nil).foldLeft(lit(0)) {
+        (acc, b) => acc + (sc < lit(b)).cast("int")
+      }
       when(sc.isNull || isnan(sc), lit(null).cast("int")).otherwise(bktDefined)
-    val withB = in.withColumn("__bkt", bkt)
-    val counts = withB.groupBy(col("__bkt")).count().collect()
+    }
+    // scalar job 2: every signal's per-bucket counts from one tagged
+    // union — B rows per signal on the driver, codebook-sized
+    val taggedBkts = ins.zipWithIndex.map { case ((in, score, _, _), i) =>
+      in.select(lit(i).as("__sig"), bktOf(i, score).as("__bkt"))
+    }.reduce(_.unionByName(_))
+    val countsBySig = taggedBkts.groupBy(col("__sig"), col("__bkt")).count()
+      .collect()
       .map { r =>
-        require(!r.isNullAt(0),
-          s"GlobalRank.withRank: score column contains ${r.getLong(1)} " +
+        require(!r.isNullAt(1),
+          s"GlobalRank.withRank: score column contains ${r.getLong(2)} " +
             "null or NaN value(s) — ranks are undefined for them; " +
             "filter or impute before ranking")
-        r.getInt(0) -> r.getLong(1)
-      }.sortBy(_._1)
-    val offsets = counts.scanLeft(0L)(_ + _._2).init
-    val offExpr = counts.map(_._1).zip(offsets).foldLeft(lit(0L)) {
-      case (acc, (k, off)) => when(col("__bkt") === k, lit(off)).otherwise(acc)
+        (r.getInt(0), r.getInt(1), r.getLong(2))
+      }
+      .groupBy(_._1)
+    ins.zipWithIndex.map { case ((in, score, tieId, rankName), i) =>
+      val counts = countsBySig.getOrElse(i, Array.empty)
+        .map { case (_, b, c) => b -> c }.sortBy(_._1)
+      val offsets = counts.scanLeft(0L)(_ + _._2).init
+      val offExpr = counts.map(_._1).zip(offsets).foldLeft(lit(0L)) {
+        case (acc, (k, off)) => when(col("__bkt") === k, lit(off)).otherwise(acc)
+      }
+      val w = Window.partitionBy(col("__bkt")).orderBy(score.desc, tieId.asc)
+      in.withColumn("__bkt", bktOf(i, score))
+        .withColumn(rankName, row_number().over(w).cast("long") + offExpr)
+        .drop("__bkt")
     }
-    val w = Window.partitionBy(col("__bkt")).orderBy(score.desc, tieId.asc)
-    withB
-      .withColumn(rankName, row_number().over(w).cast("long") + offExpr)
-      .drop("__bkt")
   }
 }

@@ -2750,15 +2750,20 @@ object TextOps {
                     + 1000000000 // (60 + r_length) AS BIGINT) AS rrf_nano
           FROM rq JOIN rl ON rq.doc_id = rl.doc_id
           ORDER BY rrf_nano DESC, rq.doc_id""") { (s, d) =>
-      val rq = graft.operators.GlobalRank.withRank(
-        qmodelAgg(s, d)
+      // FUSED scalar jobs (r22, r21 verdict item 4): both signals'
+      // range boundaries come from one tagged-union sketch aggregate
+      // and both signals' bucket counts from a second — 2 driver jobs
+      // + the final action where the per-signal form paid 4 + 1,
+      // still exactly one corpus exchange per signal (the per-bucket
+      // window sorts).
+      val Seq(rqRanked, rlRanked) = graft.operators.GlobalRank.withRanks(Seq(
+        (qmodelAgg(s, d)
           .selectExpr("doc_id", "CAST(sw AS DOUBLE) / (1e6 * n) AS score"),
-        col("score"), col("doc_id"), "r_quality")
-        .select(col("doc_id"), col("r_quality"))
-      val rl = graft.operators.GlobalRank.withRank(
-        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
-        col("n_chars"), col("doc_id"), "r_length")
-        .select(col("doc_id"), col("r_length"))
+          col("score"), col("doc_id"), "r_quality"),
+        (t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          col("n_chars"), col("doc_id"), "r_length")))
+      val rq = rqRanked.select(col("doc_id"), col("r_quality"))
+      val rl = rlRanked.select(col("doc_id"), col("r_length"))
       rq.join(rl, Seq("doc_id"))
         .selectExpr("doc_id", "r_quality", "r_length",
           """CAST(1000000000L DIV (60 + r_quality)

@@ -100,23 +100,86 @@ class GlobalRankSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  /** Walk the cause chain for the loud-failure message instead of
+    * assuming a concrete exception type: the check lives in the
+    * fused counts job and its wrapper may change with the operator's
+    * internals (driver-side require today; a task-side raise would
+    * arrive wrapped in SparkException).
+    */
+  private def chainMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
   test("null scores fail loudly instead of mis-ranking") {
     import spark.implicits._
     val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)))
       .toDF("id", "score")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       GlobalRank.withRank(df, col("score"), col("id"), "rnk", 4).collect()
     }
-    assert(e.getMessage.contains("null or NaN"))
+    assert(chainMessages(e).contains("null or NaN"), chainMessages(e))
   }
 
   test("NaN scores fail loudly instead of mis-ranking") {
     import spark.implicits._
     val df = Seq((1L, 2.0), (2L, Double.NaN), (3L, 1.0)).toDF("id", "score")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       GlobalRank.withRank(df, col("score"), col("id"), "rnk", 4).collect()
     }
-    assert(e.getMessage.contains("null or NaN"))
+    assert(chainMessages(e).contains("null or NaN"), chainMessages(e))
+  }
+
+  test("withRanks: fused multi-signal sketch matches the per-signal definition") {
+    import spark.implicits._
+    val a = (1L to 2000L).map(i => (i, ((i * 37) % 211).toDouble)).toDF("id", "score")
+    val b = (1L to 1500L).map(i => (i, ((i * 13) % 97).toDouble)).toDF("id", "score")
+    val Seq(ra, rb) = GlobalRank.withRanks(Seq(
+      (a, col("score"), col("id"), "rnk"),
+      (b, col("score"), col("id"), "rnk")), 8)
+    assert(ra.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rnk"))
+      .toMap == reference(a))
+    assert(rb.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rnk"))
+      .toMap == reference(b))
+  }
+
+  test("withRanks: two fused signals cost no more scalar jobs than one") {
+    import spark.implicits._
+    // AQE turns one collect into several scheduler jobs (one per
+    // shuffle stage), so the gate is COMPARATIVE: the tagged-union
+    // fusion means N signals share the single-signal job budget —
+    // per-signal sketch/count jobs would double it.
+    def jobsUnder(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the status store is fed asynchronously — poll until stable
+      def n() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1; var cur = n()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(200); cur = n()
+      }
+      cur
+    }
+    val a = (1L to 1000L).map(i => (i, ((i * 7) % 31).toDouble)).toDF("id", "score")
+    val b = (1L to 800L).map(i => (i, ((i * 11) % 13).toDouble)).toDF("id", "score")
+    val c = (1L to 1000L).map(i => (i, ((i * 7) % 31).toDouble)).toDF("id", "score")
+    val one = jobsUnder("grank-one") {
+      GlobalRank.withRanks(Seq((c, col("score"), col("id"), "rnk")), 8)
+    }
+    var ranked: Seq[org.apache.spark.sql.DataFrame] = null
+    val two = jobsUnder("grank-two") {
+      ranked = GlobalRank.withRanks(Seq(
+        (a, col("score"), col("id"), "rnk"),
+        (b, col("score"), col("id"), "rnk")), 8)
+    }
+    assert(two <= one,
+      s"fused two-signal withRanks ran $two scalar-phase jobs vs $one for one signal " +
+        "— the tagged union must amortize, not multiply, the scalar jobs")
+    // and the fused plans still rank correctly
+    assert(ranked.head.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rnk"))
+      .toMap == reference(a))
+    assert(ranked(1).collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rnk"))
+      .toMap == reference(b))
   }
 
   test("releaseCaches frees operator-owned persists, never caller-owned") {
