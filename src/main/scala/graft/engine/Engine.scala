@@ -2149,7 +2149,19 @@ final class Engine(
 
   private[graft] var statsAggEnabled = true
 
-  /** hot stores past this size pay the Spark path instead of a
+  /** Estimated retained bytes per [[AggFold]] byPk entry at `numCols`
+    * numeric columns: HashMap.Entry + boxed Long key + Tuple3 + the
+    * hash table's own growth slack (~180 fixed) plus Array[Boolean]
+    * (1 B/col) + Array[Double] (8 B/col). Constants fit MEASUREMENT,
+    * not just object-layout arithmetic — graft.FoldMemProbe (post-GC
+    * heap deltas over the exact AggFold structure) measured
+    * 194 B/entry at k=2 (model 198), 459 at k=32 (468), 9234 at
+    * k=1000 (9180): within ±2% everywhere that matters.
+    */
+  private[graft] def aggFoldEntryBytes(numCols: Int): Long =
+    180L + 9L * numCols
+
+  /** Hot stores past this size pay the Spark path instead of a
     * driver fold (normally unreachable: hotLimit flushes far below).
     * Raised 1M → 4M (r20): the caps predate the incremental AggFold,
     * and the r20 HTAP A/B measured the two paths directly — the fold
@@ -2157,10 +2169,27 @@ final class Engine(
     * Spark fallback it bails to pays a driver createDataFrame at
     * ~100k rows/s (a >1M-row backlog count chased ~26 s in the
     * flush-free arm). Bailing EARLIER than the fold can afford is
-    * strictly worse; 4M bounds the fold's per-pk map at a few hundred
-    * MB, a fraction of the hot store it mirrors.
+    * strictly worse.
+    *
+    * Scaled by numeric-COLUMN count since r22 (r20 ADVICE item 4 /
+    * r21 verdict item 6): the 4M-row constant assumed the measured
+    * 2-numeric-column bench table (~570 MB of byPk state); a very
+    * wide table at a non-default hotLimit could otherwise grow the
+    * fold's driver-side map to several GB. The cap now spends the
+    * SAME byte budget the measured constant implied —
+    * 4M · entryBytes(2) ≈ 830 MB — at every width: narrow tables
+    * keep the full measured 4M-row cap (ceiling — wider caps were
+    * never measured), wide tables bail to Spark proportionally
+    * earlier (a 1000-numeric-col table caps at ~90k rows ≈ the same
+    * bytes). Floor of 64k rows so a pathological width can never
+    * disable the stats path entirely below one flush of backlog.
     */
-  private val statsAggHotCap = 1 << 22
+  private[graft] val statsAggFoldBudgetBytes: Long =
+    (1L << 22) * aggFoldEntryBytes(2)
+
+  private[graft] def statsAggHotCap(numNumericCols: Int): Int =
+    math.max(1 << 16, math.min(1 << 22,
+      (statsAggFoldBudgetBytes / aggFoldEntryBytes(numNumericCols)).toInt))
   /** max unfolded log entries one statement will fold — see the
     * write-burst guard in statsAggregate. Raised 64k → 1M (r20, same
     * measurement): a 1M-entry fold costs well under a second; the
@@ -2357,7 +2386,8 @@ final class Engine(
       }
       (store.latest.size, store.coldDirs, store.shadowEpoch)
     }
-    if (hotCount > statsAggHotCap) return None
+    if (hotCount > statsAggHotCap(m.cols.count(c => numericType(c.tpe))))
+      return None
     if (hotCount > 0 && tiers.nonEmpty && !ColdPointReader.supportedPk(m))
       return None
     val cold: TableAggStats =

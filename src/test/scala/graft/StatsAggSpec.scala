@@ -172,6 +172,34 @@ class StatsAggSpec extends AnyFunSuite {
     }
   }
 
+  test("statsAggHotCap: width-scaled fold cap stays inside the byte budget") {
+    withDir { dir =>
+      val e = new Engine(spark, Some(dir))
+      // anchor: the r20-measured 4M-row cap is preserved exactly at the
+      // measured 2-numeric-column bench width (and is the ceiling —
+      // wider caps were never measured)
+      assert(e.statsAggHotCap(2) == (1 << 22))
+      assert(e.statsAggHotCap(1) == (1 << 22))
+      var prev = Int.MaxValue
+      for (k <- Seq(1, 2, 8, 32, 128, 1000, 10000)) {
+        val cap = e.statsAggHotCap(k)
+        // the bound (r21 verdict item 6): projected byPk bytes at the
+        // cap never exceed the budget the measured 4M×2-col constant
+        // implied — except at the 64k floor, where the fold map is
+        // still strictly smaller than the hot store it mirrors
+        // (per-row fold bytes ~180+9k vs >=24k in the store's boxed
+        // RowVersions), so the floor can never out-grow memory the
+        // store already committed to
+        assert(cap.toLong * e.aggFoldEntryBytes(k) <= e.statsAggFoldBudgetBytes
+          || cap == (1 << 16),
+          s"k=$k cap=$cap exceeds the fold byte budget off-floor")
+        assert(cap >= (1 << 16) && cap <= (1 << 22))
+        assert(cap <= prev, s"cap must be non-increasing in width (k=$k)")
+        prev = cap
+      }
+    }
+  }
+
   test("snapshotCached reuses the same plan until a write bumps the version") {
     withDir { dir =>
       val e = new Engine(spark, Some(dir))
