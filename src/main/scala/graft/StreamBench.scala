@@ -135,6 +135,30 @@ object StreamBench {
     val bigTrigger = 5000
     val smallTrigger = 500
 
+    // Fixed per-stream cost, MEASURED (r22, r21 verdict item 7): a
+    // fresh nearDedupDocs query fed ONE row pays stream start, first-
+    // batch planning, and the four state-store commits on ~zero data —
+    // pure floor, no operator cost. Stamped as nd_startup_secs so the
+    // 1× single-batch arm's rows/s decomposes in the artifact instead
+    // of in narrative (r21 shipped "~2 s of startup" as prose). The
+    // probe also serves as the JVM/codegen warmup for the headline
+    // arms — the same steady-state discipline Bench applies with its
+    // warmup query — so the headline no longer pays first-use class
+    // loading inside its timed window.
+    val ndStartupSecs = {
+      val src = MemoryStream[(Long, String, Timestamp)]
+      val q = Streams.nearDedupDocs(src.toDF().toDF("doc_id", "text", "ts"))
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (b: Dataset[Row], _: Long) => b.count(); () }
+        .start()
+      val t0 = System.nanoTime()
+      src.addData((-1L, "startup probe", new Timestamp(epoch - 3600 * 1000L)))
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      secs
+    }
+
     // 1×: the corpus over 5 hours of event time, 1-hour dedup watermark
     val span1 = 5L * 3600 * 1000
     val docs1 = base.zipWithIndex.map { case ((id, tx), i) =>
@@ -548,7 +572,7 @@ object StreamBench {
       peak1, peakS, ajPeakB, ajPeak, bigTrigger, ajParityOkB)
 
     println(
-      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1,"trigger":$bigTrigger},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10,"trigger":$bigTrigger},"state_bound_ok":$stateBoundOk,"near_dedup_small_trigger":{"rows":${docs1.size},"secs":$secsS%.2f,"rows_per_sec":$ndRate1%.0f,"kept":$keptS,"state_peak_rows":$peakS,"trigger":$smallTrigger},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"sem_dedup":{"secs":$sdSecs%.2f,"kept":$sdKept,"state_peak_cluster_rows":$sdPeak,"parity_ok":$sdParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_ratio_nd":$ndRatio%.2f,"cadence_ratio_aj":$ajRatio%.2f,"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk},"ann_upsert_ivf":{"rows":$auRows,"secs":$auIvfSecs%.2f,"rows_per_sec":${auRows / auIvfSecs}%.0f,"indexed_ok":$auIvfOk},"ann_upsert_lsh":{"rows":$auRows,"secs":$auLshSecs%.2f,"rows_per_sec":${auRows / auLshSecs}%.0f,"indexed_ok":$auLshOk},"ann_upsert_pq":{"rows":$auRows,"secs":$auPqSecs%.2f,"rows_per_sec":${auRows / auPqSecs}%.0f,"indexed_ok":$auPqOk}}""")
+      f"""{"metric":"stream_bench","sf_dir":"$sfDir","ingest":{"rows":$nIngest,"secs":$ingestSecs%.2f,"rows_per_sec":${nIngest / ingestSecs}%.0f,"count_ok":$ingestOk},"nd_startup_secs":$ndStartupSecs%.2f,"near_dedup":{"rows":${docs1.size},"secs":$secs1%.2f,"rows_per_sec":${docs1.size / secs1}%.0f,"kept":$kept1,"state_peak_rows":$peak1,"trigger":$bigTrigger},"near_dedup_10x":{"rows":${docs10.size},"secs":$secs10%.2f,"rows_per_sec":${docs10.size / secs10}%.0f,"kept":$kept10,"state_peak_rows":$peak10,"trigger":$bigTrigger},"state_bound_ok":$stateBoundOk,"near_dedup_small_trigger":{"rows":${docs1.size},"secs":$secsS%.2f,"rows_per_sec":$ndRate1%.0f,"kept":$keptS,"state_peak_rows":$peakS,"trigger":$smallTrigger},"decontam":{"rows":${docs1.size},"secs":$dcSecs%.2f,"rows_per_sec":${docs1.size / dcSecs}%.0f,"kept":$dcKept,"recall_ok":$dcRecallOk},"classify":{"rows":${docs1.size},"secs":$clSecs%.2f,"rows_per_sec":${docs1.size / clSecs}%.0f,"kept":$clKept,"parity_ok":$clParityOk},"mixture":{"rows":${docs1.size},"secs":$mxSecs%.2f,"rows_per_sec":${docs1.size / mxSecs}%.0f,"copies":$mxCopies,"parity_ok":$mxParityOk},"sem_dedup":{"secs":$sdSecs%.2f,"kept":$sdKept,"state_peak_cluster_rows":$sdPeak,"parity_ok":$sdParityOk},"attrib_join":{"rows":${evs.length},"secs":$ajSecs%.2f,"rows_per_sec":$ajRate1%.0f,"pairs":$ajPairs,"state_peak_rows":$ajPeak,"parity_ok":$ajParityOk},"attrib_join_trigger10":{"rows":${evs.length},"secs":$ajSecsB%.2f,"rows_per_sec":$ajRateB%.0f,"pairs":$ajPairsB,"state_peak_rows":$ajPeakB,"parity_ok":$ajParityOkB},"cadence_ratio_nd":$ndRatio%.2f,"cadence_ratio_aj":$ajRatio%.2f,"cadence_scaling_ok":$cadenceOk,"trending":{"rows":${docs1.size},"secs":$thSecs%.2f,"rows_per_sec":${docs1.size / thSecs}%.0f,"windows":$thWindows,"state_peak_rows":$thPeak,"coverage_ok":$thCovOk,"under_ok":$thUnderOk,"error_ok":$thErrOk},"ann_upsert_ivf":{"rows":$auRows,"secs":$auIvfSecs%.2f,"rows_per_sec":${auRows / auIvfSecs}%.0f,"indexed_ok":$auIvfOk},"ann_upsert_lsh":{"rows":$auRows,"secs":$auLshSecs%.2f,"rows_per_sec":${auRows / auLshSecs}%.0f,"indexed_ok":$auLshOk},"ann_upsert_pq":{"rows":$auRows,"secs":$auPqSecs%.2f,"rows_per_sec":${auRows / auPqSecs}%.0f,"indexed_ok":$auPqOk}}""")
     spark.stop()
   }
 }
